@@ -1,0 +1,196 @@
+"""Descriptor-driven encode/decode for the SDS message set.
+
+Message shapes and enum domains mirror exactly what the reference reads
+(/root/reference/src/event_handler.rs:209-437; envelope :41-111; containers
+transformer.rs:3-41). Field numbers for the Sawtooth envelope messages follow
+the public sawtooth-core protos (events.proto, transaction_receipt.proto);
+entity field numbers follow declaration order of the field lists in
+SURVEY.md §1.1 (the consensource-common protos are not vendored in the
+reference, so the numbering is this package's own — used consistently by
+both encoder and decoder).
+
+Decoded values are plain Python dicts shaped like the StructTypes in
+:mod:`consensource_sds_spark.schemas`; enums decode to their NAME strings.
+"""
+
+from __future__ import annotations
+
+from consensource_sds_spark.codec import wire
+
+# enum name tables (proto3: first value = 0 default)
+ENUMS: dict[str, list[str]] = {
+    "OrganizationType": ["UNSET_TYPE", "CERTIFYING_BODY", "STANDARDS_BODY", "FACTORY", "INGESTION"],
+    "Role": ["UNSET_ROLE", "ADMIN", "TRANSACTOR"],
+    "RequestStatus": ["UNSET_STATUS", "OPEN", "IN_PROGRESS", "CLOSED", "CERTIFIED", "PRE_CERTIFIED"],
+    "AssertionType": ["UNSET_TYPE", "STANDARD", "CERTIFICATE", "FACTORY"],
+    # sawtooth transaction_receipt.proto StateChange.Type
+    "StateChangeType": ["TYPE_UNSET", "SET", "DELETE"],
+}
+
+# field kind vocabulary: "string" | "bytes" | "uint64" | "enum:<E>"
+# | "msg:<M>" | "rep:<M>" (repeated message)
+MESSAGES: dict[str, dict[int, tuple[str, str]]] = {
+    # --- Sawtooth envelope (public sawtooth-core field numbers) ---
+    "Attribute": {1: ("key", "string"), 2: ("value", "string")},
+    "Event": {1: ("event_type", "string"), 2: ("attributes", "rep:Attribute"), 3: ("data", "bytes")},
+    "EventList": {1: ("events", "rep:Event")},
+    "StateChange": {1: ("address", "string"), 2: ("value", "bytes"), 3: ("change_type", "enum:StateChangeType")},
+    "StateChangeList": {1: ("state_changes", "rep:StateChange")},
+    # --- certificate_registry entities (SURVEY §1.1 field lists) ---
+    "OrgContact": {1: ("name", "string"), 2: ("phone_number", "string"), 3: ("language_code", "string")},
+    "OrgAuthorization": {1: ("public_key", "string"), 2: ("role", "enum:Role")},
+    "Accreditation": {
+        1: ("standard_id", "string"),
+        2: ("standard_version", "string"),
+        3: ("accreditor_id", "string"),
+        4: ("valid_from", "uint64"),
+        5: ("valid_to", "uint64"),
+    },
+    "CertifyingBody": {1: ("accreditations", "rep:Accreditation")},
+    "FactoryAddress": {
+        1: ("street_line_1", "string"),
+        2: ("street_line_2", "string"),
+        3: ("city", "string"),
+        4: ("state_province", "string"),
+        5: ("country", "string"),
+        6: ("postal_code", "string"),
+    },
+    "Factory": {1: ("address", "msg:FactoryAddress")},
+    "Organization": {
+        1: ("id", "string"),
+        2: ("name", "string"),
+        3: ("organization_type", "enum:OrganizationType"),
+        4: ("contacts", "rep:OrgContact"),
+        5: ("authorizations", "rep:OrgAuthorization"),
+        6: ("certifying_body_details", "msg:CertifyingBody"),
+        7: ("factory_details", "msg:Factory"),
+    },
+    "Agent": {
+        1: ("public_key", "string"),
+        2: ("organization_id", "string"),
+        3: ("name", "string"),
+        4: ("timestamp", "uint64"),
+    },
+    "Certificate": {
+        1: ("id", "string"),
+        2: ("certifying_body_id", "string"),
+        3: ("factory_id", "string"),
+        4: ("standard_id", "string"),
+        5: ("standard_version", "string"),
+        6: ("valid_from", "uint64"),
+        7: ("valid_to", "uint64"),
+    },
+    "Request": {
+        1: ("id", "string"),
+        2: ("factory_id", "string"),
+        3: ("standard_id", "string"),
+        4: ("status", "enum:RequestStatus"),
+        5: ("request_date", "uint64"),
+    },
+    "StandardVersion": {
+        1: ("version", "string"),
+        2: ("link", "string"),
+        3: ("description", "string"),
+        4: ("approval_date", "uint64"),
+    },
+    "Standard": {
+        1: ("id", "string"),
+        2: ("organization_id", "string"),
+        3: ("name", "string"),
+        4: ("versions", "rep:StandardVersion"),
+    },
+    "Assertion": {
+        1: ("id", "string"),
+        2: ("address", "string"),
+        3: ("assertor_pub_key", "string"),
+        4: ("assertion_type", "enum:AssertionType"),
+        5: ("object_id", "string"),
+        6: ("data_id", "string"),
+    },
+}
+
+# entity containers: trivial {entries: [T]} wrappers (transformer.rs:3-27;
+# instantiated via containerize! at event_handler.rs:205-208, 330, 347, 364,
+# 386, 415)
+for _entity in ("Organization", "Agent", "Certificate", "Request", "Standard", "Assertion"):
+    MESSAGES[f"{_entity}Container"] = {1: ("entries", f"rep:{_entity}")}
+
+
+def _default(kind: str):
+    if kind == "string":
+        return ""
+    if kind == "bytes":
+        return b""
+    if kind == "uint64":
+        return 0
+    if kind.startswith("enum:"):
+        return ENUMS[kind[5:]][0]
+    if kind.startswith("rep:"):
+        return []
+    return None  # msg:
+
+
+def encode_message(name: str, obj: dict) -> bytes:
+    """proto3 encoding: default-valued scalar fields are omitted."""
+    desc = MESSAGES[name]
+    out = bytearray()
+    for fnum in sorted(desc):
+        fname, kind = desc[fnum]
+        val = obj.get(fname)
+        if val is None:
+            continue
+        if kind == "string":
+            if val != "":
+                out += wire.encode_len_delimited(fnum, val.encode("utf-8"))
+        elif kind == "bytes":
+            if val != b"":
+                out += wire.encode_len_delimited(fnum, bytes(val))
+        elif kind == "uint64":
+            if val != 0:
+                out += wire.encode_varint_field(fnum, int(val))
+        elif kind.startswith("enum:"):
+            num = val if isinstance(val, int) else ENUMS[kind[5:]].index(val)
+            if num != 0:
+                out += wire.encode_varint_field(fnum, num)
+        elif kind.startswith("msg:"):
+            out += wire.encode_len_delimited(fnum, encode_message(kind[4:], val))
+        elif kind.startswith("rep:"):
+            for item in val:
+                out += wire.encode_len_delimited(fnum, encode_message(kind[4:], item))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown kind {kind}")
+    return bytes(out)
+
+
+def decode_message(name: str, buf: bytes, enums_as_number: bool = False) -> dict:
+    """Decode to a dict with every declared field present (proto3 defaults),
+    mirroring the Rust codegen's getter semantics (get_* returns defaults).
+
+    ``enums_as_number=True`` leaves enum fields as their wire numbers — the
+    Spark pipeline decodes them JVM-side (CASE WHEN, operator P3)."""
+    desc = MESSAGES[name]
+    obj = {
+        fname: (0 if enums_as_number and kind.startswith("enum:") else _default(kind))
+        for fname, kind in desc.values()
+    }
+    for fnum, _wt, raw in wire.iter_fields(bytes(buf)):
+        if fnum not in desc:
+            continue  # unknown-field tolerance
+        fname, kind = desc[fnum]
+        if kind == "string":
+            obj[fname] = raw.decode("utf-8")
+        elif kind == "bytes":
+            obj[fname] = raw
+        elif kind == "uint64":
+            obj[fname] = raw
+        elif kind.startswith("enum:"):
+            if enums_as_number:
+                obj[fname] = raw
+            else:
+                names = ENUMS[kind[5:]]
+                obj[fname] = names[raw] if raw < len(names) else names[0]
+        elif kind.startswith("msg:"):
+            obj[fname] = decode_message(kind[4:], raw, enums_as_number)
+        elif kind.startswith("rep:"):
+            obj[fname].append(decode_message(kind[4:], raw, enums_as_number))
+    return obj

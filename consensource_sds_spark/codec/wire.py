@@ -1,0 +1,80 @@
+"""Minimal protobuf wire-format primitives (proto3 subset).
+
+The reference decodes protobuf with the Rust ``protobuf`` crate
+(event_handler.rs:119-125, ``unpack_data``). This container has no protoc
+and no network to fetch the spark-protobuf jar, so the engine ships a
+hand-rolled, descriptor-driven codec for the fixed message set in
+:mod:`.messages` — standard varint + length-delimited encoding, nothing
+project-specific. Only the wire types the SDS schemas use are implemented:
+VARINT (0) for uint64/enum and LEN (2) for string/bytes/sub-message.
+"""
+
+from __future__ import annotations
+
+
+def encode_varint(value: int) -> bytes:
+    if value < 0:
+        raise ValueError("negative varint not supported (schemas use uint64)")
+    out = bytearray()
+    while True:
+        bits = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def encode_tag(field_number: int, wire_type: int) -> bytes:
+    return encode_varint((field_number << 3) | wire_type)
+
+
+def encode_len_delimited(field_number: int, payload: bytes) -> bytes:
+    return encode_tag(field_number, 2) + encode_varint(len(payload)) + payload
+
+
+def encode_varint_field(field_number: int, value: int) -> bytes:
+    return encode_tag(field_number, 0) + encode_varint(value)
+
+
+def iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) triples; value is int for
+    VARINT and bytes for LEN. Unknown wire types are skipped where possible
+    (I64=1, I32=5), matching protobuf's unknown-field tolerance."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = decode_varint(buf, pos)
+        field_number, wire_type = tag >> 3, tag & 0x07
+        if wire_type == 0:
+            value, pos = decode_varint(buf, pos)
+        elif wire_type == 2:
+            length, pos = decode_varint(buf, pos)
+            value = buf[pos : pos + length]
+            if len(value) != length:
+                raise ValueError("truncated length-delimited field")
+            pos += length
+        elif wire_type == 1:
+            value = buf[pos : pos + 8]
+            pos += 8
+        elif wire_type == 5:
+            value = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire_type}")
+        yield field_number, wire_type, value

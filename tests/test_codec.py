@@ -1,0 +1,75 @@
+"""Round-trip and default-semantics tests for the protobuf wire codec."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from consensource_sds_spark.codec import decode_message, encode_message
+from consensource_sds_spark.codec.wire import decode_varint, encode_varint
+from consensource_sds_spark.sources import fixtures as fx
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_varint_roundtrip(n):
+    buf = encode_varint(n)
+    out, pos = decode_varint(buf, 0)
+    assert out == n and pos == len(buf)
+
+
+def test_agent_roundtrip():
+    a = fx.make_agent()
+    out = decode_message("Agent", encode_message("Agent", a))
+    assert out == {"public_key": "test_public_key", "organization_id": "test_org", "name": "test", "timestamp": 1}
+
+
+def test_proto3_defaults_on_empty():
+    out = decode_message("Agent", b"")
+    assert out == {"public_key": "", "organization_id": "", "name": "", "timestamp": 0}
+
+
+def test_enum_as_number_and_name():
+    r = fx.make_request()
+    enc = encode_message("Request", r)
+    assert decode_message("Request", enc)["status"] == "OPEN"
+    assert decode_message("Request", enc, enums_as_number=True)["status"] == 1
+
+
+def test_organization_nested_roundtrip():
+    org = fx.make_certifying_body()
+    out = decode_message("Organization", encode_message("Organization", org))
+    assert out["id"] == "test_cert_org"
+    assert out["organization_type"] == "CERTIFYING_BODY"
+    assert out["certifying_body_details"]["accreditations"][0]["valid_to"] == 2
+    assert out["factory_details"] is None
+    assert out["authorizations"] == [{"public_key": "test_public_key", "role": "ADMIN"}]
+
+
+def test_container_and_state_change_list_roundtrip():
+    sc = fx.state_change("agent", "k1", [fx.make_agent()])
+    enc = encode_message("StateChangeList", {"state_changes": [sc]})
+    out = decode_message("StateChangeList", enc)
+    change = out["state_changes"][0]
+    assert change["address"] == sc["address"]
+    assert change["change_type"] == "SET"
+    inner = decode_message("AgentContainer", change["value"])
+    assert inner["entries"][0]["public_key"] == "test_public_key"
+
+
+def test_delete_state_change_defaults():
+    sc = fx.state_change("assertion", "a1", None, change_type="DELETE")
+    enc = encode_message("StateChangeList", {"state_changes": [sc]})
+    out = decode_message("StateChangeList", enc)["state_changes"][0]
+    assert out["change_type"] == "DELETE"
+    assert out["value"] == b""
+
+
+@settings(max_examples=50)
+@given(
+    st.text(max_size=30),
+    st.text(max_size=30),
+    st.integers(min_value=0, max_value=2**63 - 1),
+)
+def test_agent_property_roundtrip(pk, name, ts):
+    a = {"public_key": pk, "organization_id": "", "name": name, "timestamp": ts}
+    assert decode_message("Agent", encode_message("Agent", a)) == a
