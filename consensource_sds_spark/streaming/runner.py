@@ -1,0 +1,65 @@
+"""Structured Streaming shell around the batch pipeline.
+
+The reference's ingest loop is a single-threaded ZMQ poll with a 1 s receive
+timeout (subscriber.rs:87-93); the Spark equivalent is a microbatch trigger
+over a replayable source. This container has no validator, so the runner
+streams the same envelope schema from files (Parquet) — any replayable
+source (Kafka, a ZMQ->Kafka bridge, Delta CDF) drops in because the
+transform is source-agnostic.
+
+Mapping of the reference's connector duties (SURVEY §2.1):
+
+- S1 poll loop          -> ``trigger(processingTime=...)`` microbatches
+- S2 server-side filter -> source-level pushdown: the namespace predicate in
+  :func:`~consensource_sds_spark.operators.transforms.parse_state_deltas` is
+  a plain ``startswith`` filter Catalyst pushes into the scan
+- S3 catch-up cursor    -> the streaming checkpoint (exactly-once resume) +
+  ``ScdParquetStore.known_block_ids`` for offering known heads to a live
+  validator source
+- S4 graceful shutdown  -> ``StreamingQuery.stop()``
+- W1 per-block txn      -> idempotent ``foreachBatch`` keyed on batch_id
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from consensource_sds_spark import schemas
+from consensource_sds_spark.operators.scd2 import ScdParquetStore
+from consensource_sds_spark.pipeline import transform_events
+
+
+def run_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store: ScdParquetStore,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    processing_time: str = "1 second",
+):
+    """Stream envelope Parquet files through the pipeline into the store.
+
+    Files must carry the schemas.EVENT columns + delivery_id. Returns the
+    started StreamingQuery; caller awaits/stops it (S4)."""
+
+    def apply_batch(batch_df, batch_id: int):
+        # transform_events is lazy; ScdParquetStore.apply is the transaction
+        # boundary (W1) and is idempotent on batch_id replay.
+        store.apply(transform_events(batch_df), batch_id=batch_id)
+
+    reader = (
+        spark.readStream.schema(
+            schemas.StructType(
+                schemas.EVENT.fields
+                + [schemas.StructField("delivery_id", schemas.LongType(), False)]
+            )
+        )
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(apply_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

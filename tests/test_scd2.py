@@ -1,0 +1,188 @@
+"""SCD2 sink behavior (FIXTURES.md §4 scenarios 2,3,5,7,8 + multi-block
+batches, time travel, catch-up cursor, idempotent batch replay)."""
+
+from __future__ import annotations
+
+import pytest
+
+from consensource_sds_spark.operators.scd2 import ScdParquetStore
+from consensource_sds_spark.pipeline import transform_events
+from consensource_sds_spark.schemas import MAX_BLOCK_NUM
+from consensource_sds_spark.sources import fixtures as fx
+
+MAX = MAX_BLOCK_NUM
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ScdParquetStore(spark, str(tmp_path / "reporting"))
+
+
+def _apply(spark, store, deliveries, batch_id=None):
+    store.apply(transform_events(fx.events_df(spark, deliveries)), batch_id=batch_id)
+
+
+def _agent_versions(store):
+    return sorted(
+        (r["public_key"], r["name"], r["start_block_num"], r["end_block_num"])
+        for r in store.read("agents").collect()
+    )
+
+
+def test_scd2_reset_two_batches(spark, store):
+    """Same agent key SET at block 1 then block 5 (separate batches) ->
+    v1 closed at 5, v2 current."""
+    a1 = fx.make_agent()
+    a2 = dict(fx.make_agent(), name="renamed")
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])])])
+    _apply(spark, store, [fx.delivery(5, "b5", [fx.state_change("agent", fx.PUBLIC_KEY, [a2])])])
+    assert _agent_versions(store) == [
+        ("test_public_key", "renamed", 5, MAX),
+        ("test_public_key", "test", 1, 5),
+    ]
+    cur = store.current("agents").collect()
+    assert len(cur) == 1 and cur[0]["name"] == "renamed"
+
+
+def test_scd2_reset_single_multiblock_batch(spark, store):
+    """Two blocks in ONE microbatch (two deliveries) -> same final state as
+    sequential application."""
+    a1, a2 = fx.make_agent(), dict(fx.make_agent(), name="renamed")
+    _apply(
+        spark,
+        store,
+        [
+            fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])]),
+            fx.delivery(5, "b5", [fx.state_change("agent", fx.PUBLIC_KEY, [a2])]),
+        ],
+    )
+    assert _agent_versions(store) == [
+        ("test_public_key", "renamed", 5, MAX),
+        ("test_public_key", "test", 1, 5),
+    ]
+    assert sorted(r["block_num"] for r in store.blocks().collect()) == [1, 5]
+
+
+def test_delete_tombstone(spark, store):
+    """Assertion SET at 1, DELETE at 3 -> version closed [1,3), nothing
+    current (event_handler.rs:185-191)."""
+    addr = fx.make_address("assertion", fx.ASSERTION_ID)
+    a = dict(fx.make_assertion(), address=addr)  # proto address == state cell
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("assertion", fx.ASSERTION_ID, [a])])])
+    _apply(
+        spark,
+        store,
+        [fx.delivery(3, "b3", [fx.state_change("assertion", fx.ASSERTION_ID, None, change_type="DELETE")])],
+    )
+    rows = store.read("assertions").collect()
+    assert [(r["assertion_id"], r["start_block_num"], r["end_block_num"]) for r in rows] == [
+        ("test_assertion", 1, 3)
+    ]
+    assert store.current("assertions").count() == 0
+
+
+def test_child_group_reemission(spark, store):
+    """FIXTURES §4.8/U3: an org re-emitted as FACTORY closes its old
+    accreditations even though the new emission carries none."""
+    cert_body = dict(fx.make_certifying_body(), id="orgX")
+    factory = dict(fx.make_factory(), id="orgX")
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("organization", "orgX", [cert_body])])])
+    assert store.current("accreditations").count() == 1
+    _apply(spark, store, [fx.delivery(2, "b2", [fx.state_change("organization", "orgX", [factory])])])
+    acc = store.read("accreditations").collect()
+    assert [(r["start_block_num"], r["end_block_num"]) for r in acc] == [(1, 2)]
+    assert store.current("accreditations").count() == 0
+    addr = store.current("addresses").collect()
+    assert [(r["organization_id"], r["start_block_num"]) for r in addr] == [("orgX", 2)]
+    orgs = sorted(
+        (r["organization_type"], r["start_block_num"], r["end_block_num"])
+        for r in store.read("organizations").collect()
+    )
+    assert orgs == [("CERTIFYING_BODY", 1, 2), ("FACTORY", 2, MAX)]
+
+
+def test_fork_repair(spark, store):
+    """FIXTURES §4.7: blocks 1-3 applied; block 2 re-delivered with a
+    different block_id -> rows with start >= 2 rewound, closed-at->=2
+    re-opened, then the replayed block applies."""
+    mk = lambda name: [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name=name)])]
+    _apply(spark, store, [fx.delivery(1, "b1", mk("v1"))])
+    _apply(spark, store, [fx.delivery(2, "b2", mk("v2"))])
+    _apply(spark, store, [fx.delivery(3, "b3", mk("v3"))])
+    assert len(_agent_versions(store)) == 3
+    # fork: block 2 arrives again with a different id and different content
+    _apply(spark, store, [fx.delivery(2, "b2-fork", mk("v2f"))])
+    assert _agent_versions(store) == [
+        ("test_public_key", "v1", 1, 2),
+        ("test_public_key", "v2f", 2, MAX),
+    ]
+    blocks = {r["block_num"]: r["block_id"] for r in store.blocks().collect()}
+    assert blocks == {1: "b1", 2: "b2-fork"}
+
+
+def test_time_travel_as_of(spark, store):
+    a1, a2 = fx.make_agent(), dict(fx.make_agent(), name="renamed")
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])])])
+    _apply(spark, store, [fx.delivery(5, "b5", [fx.state_change("agent", fx.PUBLIC_KEY, [a2])])])
+    assert store.as_of("agents", 3).first()["name"] == "test"
+    assert store.as_of("agents", 5).first()["name"] == "renamed"
+    assert store.as_of("agents", 0).count() == 0
+
+
+def test_heartbeat_noop(spark, store):
+    _apply(spark, store, [[]])
+    assert store.blocks().count() == 0
+    assert store.read("agents").count() == 0
+
+
+def test_idempotent_batch_replay(spark, store):
+    d = [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])]
+    _apply(spark, store, d, batch_id=0)
+    _apply(spark, store, d, batch_id=0)  # foreachBatch replay after restart
+    assert store.read("agents").count() == 1
+
+
+def test_catch_up_cursor(spark, store):
+    for b in range(1, 5):
+        _apply(spark, store, [fx.delivery(b, f"b{b}", [])])
+    assert store.known_block_ids(2) == ["b4", "b3"]
+
+
+def test_two_sets_same_block(spark, store):
+    """Two SETs of one key in one block -> zero-width first version, second
+    current (reference UPDATE-then-INSERT sequencing)."""
+    changes = [
+        fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="first")]),
+        fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="second")]),
+    ]
+    _apply(spark, store, [fx.delivery(4, "b4", changes)])
+    assert _agent_versions(store) == [
+        ("test_public_key", "first", 4, 4),
+        ("test_public_key", "second", 4, MAX),
+    ]
+
+
+def test_streaming_file_source(spark, store, tmp_path):
+    """End-to-end Structured Streaming: envelope parquet -> foreachBatch ->
+    store, with checkpointed exactly-once resume."""
+    from consensource_sds_spark.streaming.runner import run_file_stream
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    fx.events_df(
+        spark, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])]
+    ).write.parquet(src)
+    q = run_file_stream(spark, src, store, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert _agent_versions(store) == [("test_public_key", "test", 1, MAX)]
+    # second file arrives; resume from checkpoint picks up only the new one
+    fx.events_df(
+        spark,
+        [fx.delivery(2, "b2", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="v2")])])],
+    ).write.mode("append").parquet(src)
+    q2 = run_file_stream(spark, src, store, ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+    assert _agent_versions(store) == [
+        ("test_public_key", "test", 1, 2),
+        ("test_public_key", "v2", 2, MAX),
+    ]
