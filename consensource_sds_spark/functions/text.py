@@ -1,0 +1,89 @@
+"""Text-analysis column builders for large-scale corpus pipelines.
+
+All JVM-side (built-in functions + higher-order lambdas) — no Python UDFs in
+the hot path, so these run inside whole-stage codegen and scale with the
+scan. Token model: whitespace-delimited lowercase words (the engine's
+documents are pre-normalized; :func:`fingerprint` shows the normalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language function-word sets for the n-gram/stopword language-ID
+#: heuristic; deterministic and intentionally minimal (no external models).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "fr": ("le", "la", "les", "et", "un", "une"),
+    "es": ("el", "los", "y", "en", "un", "una"),
+    "de": ("der", "die", "das", "und", "ein", "zu"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def shingles(text: Column, n: int = 2) -> Column:
+    """Word n-gram shingles (1-based element_at mirrors SQL list indexing)."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+
+
+def stopword_count(text: Column, words: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words))).cast("long")
+
+
+def unique_token_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    return F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: favors mid-length docs with
+    diverse vocabulary and a sane stopword rate (the usual pretraining-corpus
+    filter features: length / stopword ratio / repetition)."""
+    n = token_count(text)
+    stop_ratio = stopword_count(text) / n
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.round((length_term + unique_token_ratio(text) + F.least(stop_ratio * 5, F.lit(1.0))) / 3, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax with fixed precedence en > fr > es > de
+    (deterministic ties)."""
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["de"]), "en")
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]), "fr")
+        .when(s["es"] >= s["de"], "es")
+        .otherwise("de")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed lowercase text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))

@@ -1,0 +1,28 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side
+higher-order functions (zip_with / aggregate), no UDFs.
+
+Accumulation is in double, left-to-right over array order, which matches the
+DuckDB oracle's ``list_sum(list_transform(...))`` semantics bit-for-bit at
+the rounding precision used by the queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

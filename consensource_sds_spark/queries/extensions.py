@@ -1,0 +1,441 @@
+"""Training-data-pipeline operators: dedup, similarity search, text analysis.
+
+These are the driver-mandated extensions beyond the reference's own surface
+(SURVEY §2.8): each is a first-class oracle-checked query over the
+``documents`` / ``embeddings`` tables. Determinism rules: hashing is md5
+(identical hex in Spark and DuckDB), minhash seeds are fixed integers,
+tie-breaks are explicit.
+
+Scale design per operator is noted in the docstrings — the local plans are
+the same ones that hold on a 1000-executor cluster (shuffle keys are
+shingle/band/bucket ids, never doc x doc cross joins, except where a
+bounded query set makes the cross join broadcast-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from consensource_sds_spark.functions import text as TXT
+from consensource_sds_spark.functions import vectors as V
+from consensource_sds_spark.queries import load, register
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def x01_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest; keep lowest doc_id.
+    Scale: one shuffle on the digest; partial agg makes it map-side cheap."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "x02_minhash_signatures",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    )
+    SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+    FROM sh, (SELECT UNNEST(range(8)) AS seed)
+    GROUP BY doc_id, seed
+    """,
+)
+def x02_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: 8 deterministic hash slots (md5 salted by seed)
+    over word-2-shingles. Scale: explode is linear in corpus tokens; the
+    groupBy key (doc_id, seed) is evenly distributed by construction."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.array_distinct(TXT.shingles(F.col("text")))).alias("sh"))
+    return (
+        sh.select("doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))).alias("minhash"))
+    )
+
+
+@register(
+    "x03_minhash_lsh_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), sig AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+      FROM sh, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                             AND a.doc_id < b.doc_id
+    """,
+)
+def x03_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 4 bands x 2 rows; docs sharing a
+    band value are candidates. Scale: the join key is (band, band_val) — a
+    bucket join, never doc x doc; hot buckets = actual near-dup clusters."""
+    sig = x02_minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash")).alias("band_val"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "x04_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents WHERE doc_id < 100)
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 4) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.35
+    """,
+)
+def x04_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup: inverted-index self-join on shared shingles
+    (|A∩B| by count, |A∪B| = |A|+|B|-|A∩B|). Bounded here to doc_id < 100;
+    at scale the same plan runs behind an LSH prefilter (x03) so the
+    pairwise verify only sees candidate pairs."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = d.select("doc_id", F.explode(F.array_distinct(TXT.shingles(F.col("text")))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("both"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("both").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("both"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.35)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "x05_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), digits AS (
+      SELECT doc_id, tok, d,
+             strpos('0123456789abcdef', substr(md5(tok), d + 1, 1)) - 1 AS digit
+      FROM tok, (SELECT UNNEST(range(8)) AS d)
+    ), bits AS (
+      SELECT doc_id, d * 4 + b AS bitpos,
+             SUM(CASE WHEN (digit // CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) % 2 = 1
+                      THEN 1 ELSE -1 END) AS weight
+      FROM digits, (SELECT UNNEST(range(4)) AS b)
+      GROUP BY doc_id, d * 4 + b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN weight > 0
+                         THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def x05_simhash(spark, sf_dir):
+    """32-bit SimHash: per token, md5-prefix hex digits -> 4 bits each;
+    per bit position sum +1/-1 weights (duplicates count); sign -> bit.
+    Scale: linear explode + one shuffle on (doc_id, bitpos), then (doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    digits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("d"),
+        F.md5("tok").alias("h"),
+    ).select(
+        "doc_id",
+        "d",
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("d") + 1, 1)) - 1).alias("digit"),
+    )
+    bits = (
+        digits.select(
+            "doc_id",
+            "digit",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+            F.col("d"),
+        )
+        .select(
+            "doc_id",
+            (F.col("d") * 4 + F.col("b")).alias("bitpos"),
+            F.when(F.expr("(digit & shiftleft(1, b)) != 0"), 1).otherwise(-1).alias("w"),
+        )
+        .groupBy("doc_id", "bitpos")
+        .agg(F.sum("w").alias("weight"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_COSINE_ORACLE_CTE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+         p AS (
+           SELECT qid, cid,
+                  list_sum(list_transform(range(1, len(qe) + 1),
+                                          i -> CAST(qe[i] AS DOUBLE) * ce[i])) AS dot,
+                  sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x))) AS qn,
+                  sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x))) AS cn
+           FROM q, c)
+"""
+
+
+@register(
+    "x10_cosine_topk",
+    oracle=_COSINE_ORACLE_CTE
+    + """
+    SELECT qid, cid, cosine FROM (
+      SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn
+      FROM p)
+    WHERE rn <= 5
+    """,
+)
+def x10_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: bounded query set (5 vectors)
+    broadcast against all candidates; rank-then-filter per query. Scale:
+    candidates stream through executors once; queries are broadcast — the
+    canonical exact-kNN plan. (IVF variant: x11.)"""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("raw_cos").desc(), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", F.round("raw_cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "x11_ivf_assign",
+    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
+    + """
+    SELECT cid AS vec_id, qid AS centroid_id
+    FROM p
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dot / (qn * cn) DESC, qid) = 1
+    """,
+)
+def x11_ivf_assign(spark, sf_dir):
+    """IVF-style coarse quantization: assign every vector to its nearest of
+    8 fixed centroids (vec_id < 8 as deterministic seeds). At scale this is
+    the partitioning step of IVF-ANN: search only probes matching cells.
+    Ties break toward the lower centroid id."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    allv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = allv.crossJoin(F.broadcast(cent)).select(
+        "cid", "qid", V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+    )
+    return (
+        scored.groupBy(F.col("cid").alias("vec_id"))
+        .agg(F.max_by("qid", F.struct(F.col("raw_cos"), (-F.col("qid")).alias("neg"))).alias("centroid_id"))
+    )
+
+
+@register(
+    "x12_embedding_neardup",
+    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 250").replace("vec_id >= 5", "vec_id >= 250")
+    + """
+    SELECT qid AS vec_a, cid AS vec_b, ROUND(dot / (qn * cn), 6) AS cosine
+    FROM p WHERE dot / (qn * cn) > 0.5
+    """,
+)
+def x12_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: pairs above a similarity threshold.
+    Bounded halves keep the local test exact; the scale path buckets by
+    x11 cells first so only intra-cell pairs are scored."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 250).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    b = e.filter(F.col("vec_id") >= 250).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = b.crossJoin(F.broadcast(a)).select(
+        F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+    )
+    return scored.filter(F.col("raw_cos") > 0.5).select(
+        "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x20_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                               AS n_tokens,
+           LENGTH(text)                                               AS n_chars_measured,
+           ROUND(list_sum(list_transform(string_split(text, ' '), t -> CAST(LENGTH(t) AS DOUBLE)))
+                 / len(string_split(text, ' ')), 4)                   AS mean_token_len,
+           len(list_distinct(string_split(text, ' ')))                AS n_unique
+    FROM documents
+    """,
+)
+def x20_token_stats(spark, sf_dir):
+    """Token counting (whitespace model) + char stats, all codegen'd."""
+    d = load(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(TXT.mean_token_len(F.col("text")), 4).alias("mean_token_len"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+
+
+@register(
+    "x21_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND((LEAST(len(string_split(text,' ')) / 100.0, 1.0)
+                + CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))
+                + LEAST(5.0 * len(list_filter(string_split(text,' '),
+                        t -> t IN ('the','a','of','and','to','is'))) / len(string_split(text,' ')), 1.0)
+                 ) / 3, 4) AS quality
+    FROM documents
+    """,
+)
+def x21_quality_score(spark, sf_dir):
+    """Pretraining-style quality heuristic (length/diversity/stopword-rate)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "x22_lang_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is')))   AS s_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','un','une')))  AS s_fr,
+        len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','en','un','una')))   AS s_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ein','zu'))) AS s_de
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM s
+    """,
+)
+def x22_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per-language function-word hit argmax with
+    fixed precedence (no model; deterministic)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), TXT.lang_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+@register(
+    "x23_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def x23_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "x24_source_lang_profile",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def x24_source_lang_profile(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (no SQL oracle — semantics are approximate;
+# the driver records the weaker rows-only check)
+# --------------------------------------------------------------------------
+
+
+@register("x30_approx_count_distinct", oracle=None)
+def x30_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counting — the at-scale substitute for exact
+    COUNT(DISTINCT) (no shuffle of distinct values, mergeable sketches)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
+    )

@@ -1,0 +1,793 @@
+"""The general relational query surface (SURVEY §2.8 / §2.7).
+
+The reference's downstream store serves current-state lookups, FK joins,
+time-travel range predicates and search over the mirrored tables; our engine
+must expose the full relational surface over the driver's TPC-H-ish star
+schema. Each query maps to §2 operators (noted per function) and is
+DuckDB-oracle checked.
+
+Scale notes baked into the plans:
+- dimension joins (region/nation/supplier) are broadcast — no shuffle of the
+  fact side;
+- filters precede joins/aggs so Catalyst pushes them into the parquet scan;
+- window top-k uses rank-then-filter (single shuffle per partition key), not
+  global sorts;
+- aggregations are partial-agg friendly (plain hash aggs over column refs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from consensource_sds_spark.queries import load, register
+
+# --------------------------------------------------------------------------
+# Aggregation (A-family) + filter pushdown (F-family)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + pushed filter + hash agg (partial-agg friendly)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_partkey, ROUND(l_extendedprice * (1 - l_discount), 2) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+      AND l_discount > 0.05 AND l_quantity < 10
+    """,
+)
+def q02_filter_pushdown(spark, sf_dir):
+    """F-family: conjunctive predicates + narrow projection, all pushed to scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_quantity") < 10)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(o_orderdate)                             AS odate_us,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> joins -> agg -> top-k."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: star join with broadcast dims + local-supplier predicate."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q06_broadcast_dim_join",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_suppliers, ROUND(AVG(s_acctbal), 4) AS avg_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q06_broadcast_dim_join(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_suppliers"), F.round(F.avg("s_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+@register(
+    "q07_star_join_parts",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS line_count,
+           ROUND(SUM(l_extendedprice), 2) AS gross,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 15
+    GROUP BY p_brand
+    """,
+)
+def q07_star_join_parts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q10_window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q10_window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer: rank-then-filter, one shuffle on o_custkey."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q11_window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+    """,
+)
+def q11_window_running_sum(spark, sf_dir):
+    """Frame aggregate: running per-user total over event time."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return e.select("user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value"))
+
+
+@register(
+    "q12_window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 2) AS delta
+    FROM events
+    """,
+)
+def q12_window_lag_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "user_id", "event_id", F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta")
+    )
+
+
+@register(
+    "q13_dense_rank_suppliers",
+    oracle="""
+    SELECT n_name, s_name, s_acctbal,
+           DENSE_RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS bal_rank
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q13_dense_rank_suppliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc())
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("n_name", "s_name", "s_acctbal", F.dense_rank().over(w).alias("bal_rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q15_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q15_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "q16_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q16_cube(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "q17_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q17_grouping_sets(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark_sql(
+        li,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    )
+
+
+def spark_sql(df, sql):
+    return df.sparkSession.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set operations / distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q20_sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q20_sort_topk(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject, no full sort."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(25)
+
+
+@register(
+    "q21_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q21_distinct(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "q22_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q22_set_ops(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o)
+
+
+@register(
+    "q23_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q23_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@register(
+    "q24_union_all",
+    oracle="""
+    SELECT 'high' AS tier, c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer WHERE c_acctbal >= 9000
+    UNION ALL
+    SELECT 'low'  AS tier, c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer WHERE c_acctbal < 1000
+    """,
+)
+def q24_union_all(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") >= 9000).select(
+        F.lit("high").alias("tier"), "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    lo = c.filter(F.col("c_acctbal") < 1000).select(
+        F.lit("low").alias("tier"), "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    return hi.unionAll(lo)
+
+
+# --------------------------------------------------------------------------
+# Semi/anti joins, subqueries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q25_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q25_semi_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q26_anti_join",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_inactive
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q26_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@register(
+    "q27_left_join_nulls",
+    oracle="""
+    SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def q27_left_join_nulls(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "q28_scalar_subquery",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_premium, ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def q28_scalar_subquery(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    p.createOrReplaceTempView("sq_part")
+    return spark_sql(
+        p,
+        """
+        SELECT p_brand, COUNT(*) AS n_premium, ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM sq_part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM sq_part)
+        GROUP BY p_brand
+        """,
+    )
+
+
+@register(
+    "q29_having",
+    oracle="""
+    SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 2000
+    """,
+)
+def q29_having(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 2000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function families (string / date / math / conditional)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q30_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                                   AS brand_upper,
+           SUBSTR(p_name, 1, 8)                             AS name_prefix,
+           LENGTH(p_name)                                   AS name_len,
+           CONCAT(p_brand, ':', p_type)                     AS brand_type,
+           REPLACE(p_type, ' ', '_')                        AS type_snake,
+           CAST(CONTAINS(p_name, 'red') AS BOOLEAN)         AS has_red
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q30_string_funcs(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.col("p_name").contains("red").alias("has_red"),
+    )
+
+
+@register(
+    "q31_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)  AS oyear,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS omonth,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q31_date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("oyear"),
+            F.month("o_orderdate").cast("long").alias("omonth"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "q32_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_extendedprice), 4)          AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 4)        AS price_ln,
+           CAST(CEIL(l_discount * 100) AS BIGINT)   AS disc_pct_ceil,
+           CAST(FLOOR(l_tax * 100) AS BIGINT)       AS tax_pct_floor,
+           ABS(l_quantity - 25)                     AS qty_dev
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def q32_math_funcs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+    )
+
+
+@register(
+    "q33_case_when_enum",
+    oracle="""
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
+                              WHEN 'P' THEN 'PENDING' ELSE 'UNSET_STATUS' END AS status_name,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q33_case_when_enum(spark, sf_dir):
+    """P3 analog: total CASE WHEN enum decode."""
+    o = load(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "O", "OPEN")
+        .when(F.col("o_orderstatus") == "F", "FULFILLED")
+        .when(F.col("o_orderstatus") == "P", "PENDING")
+        .otherwise("UNSET_STATUS")
+    )
+    return o.groupBy(status.alias("status_name")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q34_nullif_coalesce",
+    oracle="""
+    SELECT doc_id,
+           NULLIF(source, 'src0')                    AS source_or_null,
+           COALESCE(NULLIF(source, 'src0'), 'none')  AS source_norm
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q34_nullif_coalesce(spark, sf_dir):
+    """P4 analog: sentinel-to-NULL normalization + back-fill."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.nullif(F.col("source"), F.lit("src0")).alias("source_or_null"),
+        F.coalesce(F.nullif(F.col("source"), F.lit("src0")), F.lit("none")).alias("source_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unnest / array ops (U-family), last-wins (A1), dispatch (A3), SCD2 shapes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q40_explode_unnest",
+    oracle="""
+    SELECT label, COUNT(*) AS n_components, ROUND(AVG(comp), 4) AS avg_comp
+    FROM (SELECT label, UNNEST(embedding) AS comp FROM embeddings)
+    GROUP BY label
+    """,
+)
+def q40_explode_unnest(spark, sf_dir):
+    """U1/U2 analog over the driver's array column."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.explode("embedding").alias("comp"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_components"), F.round(F.avg("comp"), 4).alias("avg_comp"))
+    )
+
+
+@register(
+    "q41_maxby_lastwins",
+    oracle="""
+    SELECT user_id,
+           ARG_MAX(event_type, event_id) AS last_type,
+           ROUND(ARG_MAX(value, event_id), 2) AS last_value,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def q41_maxby_lastwins(spark, sf_dir):
+    """A1 analog: last-wins per key via max_by over the arrival ordinal
+    (the reference's Iterator::last at event_handler.rs:88)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+@register(
+    "q42_type_dispatch",
+    oracle="""
+    SELECT SUBSTR(event_type, 1, 2) AS type_prefix,
+           CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                WHEN event_type IN ('purchase','signup') THEN 'conversion'
+                ELSE 'ops' END AS route,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q42_type_dispatch(spark, sf_dir):
+    """A3 analog: prefix-based type dispatch into routed streams."""
+    e = load(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .otherwise("ops")
+    )
+    return (
+        e.groupBy(F.substring("event_type", 1, 2).alias("type_prefix"), route.alias("route"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q43_scd2_versions",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS start_us,
+           COALESCE(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+                    9223372036854775807) AS end_us,
+           ROUND(value, 2) AS value
+    FROM events
+    """,
+)
+def q43_scd2_versions(spark, sf_dir):
+    """W2 analog, oracle-checkable: build SCD2 half-open version intervals
+    from a changelog — each event's validity ends at the key's next event
+    (close-then-insert as one window plan; sentinel = i64::MAX like
+    MAX_BLOCK_NUM)."""
+    from pyspark.sql import Window
+
+    from consensource_sds_spark.schemas import MAX_BLOCK_NUM
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    start = F.col("ts_us")
+    return e.select(
+        "user_id",
+        "event_id",
+        start.alias("start_us"),
+        F.coalesce(F.lead(start).over(w), F.lit(MAX_BLOCK_NUM)).alias("end_us"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
+    "q44_time_travel_asof",
+    oracle="""
+    SELECT user_id, event_type AS type_asof, ROUND(value, 2) AS value_asof
+    FROM events WHERE epoch_us(ts) <= 1709251200000000
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+    """,
+)
+def q44_time_travel_asof(spark, sf_dir):
+    """Time-travel read over the q43 version model: state as of a cutoff =
+    latest version whose start <= cutoff (SURVEY §1.2). Cutoff constant =
+    2024-03-01 UTC in epoch micros."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts_us") <= 1709251200000000)
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts_us", "event_id")).alias("type_asof"),
+        F.round(F.max_by("value", F.struct("ts_us", "event_id")), 2).alias("value_asof"),
+    )
+
+
+@register(
+    "q45_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS n_suppliers,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(*)                   AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q45_distinct_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q46_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q46_json_extract(spark, sf_dir):
+    """Semi-structured: JSON path extraction from the props column."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
+    )

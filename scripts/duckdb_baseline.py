@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Measure the DuckDB oracle wall-clock for the bench headline queries —
+the BASELINE.md performance yardstick (target: Spark within 2x at sf0.1)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import HEADLINE
+from consensource_sds_spark.queries import REGISTRY, all_queries
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    all_queries()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        if qd.oracle is None:
+            continue
+        t0 = time.perf_counter()
+        con.execute(qd.oracle).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"engine": "duckdb", "total_sec": round(sum(timings.values()), 3), "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Differential tests: every registered query vs its DuckDB oracle.
+
+Local replica of the driver's t2 gate (row count + schema-compatible dtypes
++ order-insensitive value equality), run at sf0.001 for speed; the driver
+re-runs the same pairs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from consensource_sds_spark.queries import REGISTRY, all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+all_queries()  # populate REGISTRY
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_integer_dtype(dt):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(dt):
+            df[c] = df[c].astype("float64")
+        elif dt == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+
+
+ORACLE_CASES = sorted((n, q) for n, q in REGISTRY.items() if q.oracle is not None)
+NO_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name,qd", ORACLE_CASES, ids=[n for n, _ in ORACLE_CASES])
+def test_query_matches_oracle(spark, ddb, name, qd):
+    got = _normalize(qd.fn(spark, SF_DIR).toPandas())
+    want = _normalize(ddb.execute(qd.oracle).df())
+    assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    for c in got.columns:  # schema-kind parity (driver compares schemas too)
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            f"{name}.{c}: dtype kind {got[c].dtype} != {want[c].dtype}"
+        )
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g.dtype):
+            assert np.allclose(g.fillna(-1e308), w.fillna(-1e308), rtol=0, atol=1e-9), f"{name}.{c}"
+        else:
+            pd.testing.assert_series_equal(g, w, check_names=False, check_dtype=False, obj=f"{name}.{c}")
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_no_oracle_queries_run(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    assert df.count() >= 0
