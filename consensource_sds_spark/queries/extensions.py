@@ -59,14 +59,29 @@ def x01_dedup_exact(spark, sf_dir):
 )
 def x02_minhash_signatures(spark, sf_dir):
     """MinHash signatures: 8 deterministic hash slots (md5 salted by seed)
-    over word-2-shingles. Scale: explode is linear in corpus tokens; the
-    groupBy key (doc_id, seed) is evenly distributed by construction."""
-    d = load(spark, sf_dir, "documents")
+    over word-2-shingles.
+
+    Scale/plan: instead of exploding 8 seed rows per shingle (8x the shuffle
+    volume), each shingle row computes all 8 salted hashes as columns and a
+    single groupBy(doc_id) takes 8 MINs — partial aggregation collapses the
+    input map-side, so the shuffle carries ~one row per (doc, partition).
+    The 8-wide signature then unpivots to (doc_id, seed, minhash) rows.
+    The input repartitions on doc_id first: the corpus arrives as few
+    fat files, and the explode+md5 work is CPU-bound — spreading it across
+    cores costs one cheap shuffle of the raw text."""
+    d = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     sh = d.select("doc_id", F.explode(F.array_distinct(TXT.shingles(F.col("text")))).alias("sh"))
-    return (
-        sh.select("doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))).alias("minhash"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}") for s in range(8)]
+    )
+    slots = F.array(
+        *[
+            F.struct(F.lit(s).cast("long").alias("seed"), F.col(f"h{s}").alias("minhash"))
+            for s in range(8)
+        ]
+    )
+    return sig.select("doc_id", F.explode(slots).alias("x")).select(
+        "doc_id", F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash")
     )
 
 
@@ -189,38 +204,27 @@ def x04_ngram_jaccard_pairs(spark, sf_dir):
 def x05_simhash(spark, sf_dir):
     """32-bit SimHash: per token, md5-prefix hex digits -> 4 bits each;
     per bit position sum +1/-1 weights (duplicates count); sign -> bit.
-    Scale: linear explode + one shuffle on (doc_id, bitpos), then (doc_id)."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
-    digits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("d"),
-        F.md5("tok").alias("h"),
-    ).select(
-        "doc_id",
-        "d",
-        (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("d") + 1, 1)) - 1).alias("digit"),
+
+    Scale/plan: no bit-position explode — each token row derives all 32
+    ±1 weights as columns and one groupBy(doc_id) takes 32 SUMs (partial
+    agg collapses map-side, shuffle is ~one 32-int row per doc per
+    partition); the signed sums then fold into the simhash constant-wise."""
+    d = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    tok = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
     )
-    bits = (
-        digits.select(
-            "doc_id",
-            "digit",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
-            F.col("d"),
-        )
-        .select(
-            "doc_id",
-            (F.col("d") * 4 + F.col("b")).alias("bitpos"),
-            F.when(F.expr("(digit & shiftleft(1, b)) != 0"), 1).otherwise(-1).alias("w"),
-        )
-        .groupBy("doc_id", "bitpos")
-        .agg(F.sum("w").alias("weight"))
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)")).otherwise(0)
-        ).alias("simhash")
-    )
+    wcols = []
+    for k in range(8):  # hex digit k -> bits 4k..4k+3
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), k + 1, 1)) - 1
+        for b in range(4):
+            bit = F.shiftright(digit, b).bitwiseAND(F.lit(1))
+            wcols.append(F.sum(bit * 2 - 1).alias(f"w{4 * k + b}"))
+    weights = tok.groupBy("doc_id").agg(*wcols)
+    simhash = None
+    for j in range(32):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return weights.select("doc_id", simhash.alias("simhash"))
 
 
 # --------------------------------------------------------------------------
