@@ -51,28 +51,35 @@ def x01_dedup_exact(spark, sf_dir):
                UNNEST(list_transform(range(1, len(string_split(text,' '))),
                                      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
         FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
     )
-    SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
-    FROM sh, (SELECT UNNEST(range(8)) AS seed)
+    SELECT doc_id, seed,
+           MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                      CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+    FROM hashed, (SELECT UNNEST(range(8)) AS seed)
     GROUP BY doc_id, seed
     """,
 )
 def x02_minhash_signatures(spark, sf_dir):
-    """MinHash signatures: 8 deterministic hash slots (md5 salted by seed)
-    over word-2-shingles.
+    """MinHash signatures over word-2-shingles: 8 slots = 8-hex-char slices
+    of two md5 digests (md5(sh), md5('x:'||sh)). MIN over fixed-width
+    lowercase hex is numeric MIN, so slot values stay engine-portable while
+    hashing costs 2 digests per shingle, not 8.
 
-    Scale/plan: instead of exploding 8 seed rows per shingle (8x the shuffle
-    volume), each shingle row computes all 8 salted hashes as columns and a
-    single groupBy(doc_id) takes 8 MINs — partial aggregation collapses the
-    input map-side, so the shuffle carries ~one row per (doc, partition).
-    The 8-wide signature then unpivots to (doc_id, seed, minhash) rows.
-    The input repartitions on doc_id first: the corpus arrives as few
-    fat files, and the explode+md5 work is CPU-bound — spreading it across
-    cores costs one cheap shuffle of the raw text."""
-    d = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    Scale/plan: no per-seed explode — each shingle row computes the 8 slice
+    columns and one groupBy(doc_id) takes 8 MINs; partial aggregation
+    collapses map-side, so the shuffle carries ~one 8-slot row per (doc,
+    partition). The wide signature then unpivots to (doc_id, seed, minhash)
+    rows."""
+    d = load(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(F.array_distinct(TXT.shingles(F.col("text")))).alias("sh"))
+    h0, h1 = F.md5("sh"), F.md5(F.concat(F.lit("x:"), F.col("sh")))
     sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}") for s in range(8)]
+        *[
+            F.min(F.substring(h0 if s < 4 else h1, (s % 4) * 8 + 1, 8)).alias(f"h{s}")
+            for s in range(8)
+        ]
     )
     slots = F.array(
         *[
@@ -94,9 +101,13 @@ def x02_minhash_signatures(spark, sf_dir):
                UNNEST(list_transform(range(1, len(string_split(text,' '))),
                                      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
         FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
     ), sig AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
-      FROM sh, (SELECT UNNEST(range(8)) AS seed)
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
       GROUP BY doc_id, seed
     ), bands AS (
       SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
@@ -184,16 +195,13 @@ def x04_ngram_jaccard_pairs(spark, sf_dir):
     oracle="""
     WITH tok AS (
       SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
-    ), digits AS (
-      SELECT doc_id, tok, d,
-             strpos('0123456789abcdef', substr(md5(tok), d + 1, 1)) - 1 AS digit
-      FROM tok, (SELECT UNNEST(range(8)) AS d)
+    ), n AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS n FROM tok
     ), bits AS (
-      SELECT doc_id, d * 4 + b AS bitpos,
-             SUM(CASE WHEN (digit // CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) % 2 = 1
-                      THEN 1 ELSE -1 END) AS weight
-      FROM digits, (SELECT UNNEST(range(4)) AS b)
-      GROUP BY doc_id, d * 4 + b
+      SELECT doc_id, bitpos,
+             SUM(((n >> CAST(4 * (7 - bitpos // 4) + bitpos % 4 AS BIGINT)) & 1) * 2 - 1) AS weight
+      FROM n, (SELECT UNNEST(range(32)) AS bitpos)
+      GROUP BY doc_id, bitpos
     )
     SELECT doc_id,
            CAST(SUM(CASE WHEN weight > 0
@@ -202,22 +210,25 @@ def x04_ngram_jaccard_pairs(spark, sf_dir):
     """,
 )
 def x05_simhash(spark, sf_dir):
-    """32-bit SimHash: per token, md5-prefix hex digits -> 4 bits each;
-    per bit position sum +1/-1 weights (duplicates count); sign -> bit.
+    """32-bit SimHash: per token, the first 8 md5 hex digits give 32 bits
+    (digit k -> bits 4k..4k+3); per bit position sum +1/-1 weights
+    (duplicates count); sign -> bit.
 
-    Scale/plan: no bit-position explode — each token row derives all 32
-    ±1 weights as columns and one groupBy(doc_id) takes 32 SUMs (partial
-    agg collapses map-side, shuffle is ~one 32-int row per doc per
-    partition); the signed sums then fold into the simhash constant-wise."""
-    d = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    Scale/plan: no bit-position explode — each token row parses its md5
+    prefix to ONE long (conv base 16), then 32 SUMs of 2-instruction bit
+    probes in a single groupBy(doc_id). (The previous form derived each bit
+    with substring+instr string ops — 32 string scans per token was the
+    bottleneck, ~5x the hash cost itself.) Partial agg collapses map-side,
+    so the shuffle is ~one 32-int row per doc per partition; the signed
+    sums fold into the simhash constant-wise."""
+    d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")).select(
-        "doc_id", F.md5("tok").alias("h")
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("n")
     )
     wcols = []
-    for k in range(8):  # hex digit k -> bits 4k..4k+3
-        digit = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), k + 1, 1)) - 1
+    for k in range(8):  # hex digit k (most significant nibble first) -> bits 4k..4k+3
         for b in range(4):
-            bit = F.shiftright(digit, b).bitwiseAND(F.lit(1))
+            bit = F.shiftright(F.col("n"), 4 * (7 - k) + b).bitwiseAND(F.lit(1))
             wcols.append(F.sum(bit * 2 - 1).alias(f"w{4 * k + b}"))
     weights = tok.groupBy("doc_id").agg(*wcols)
     simhash = None

@@ -101,13 +101,18 @@ def q02_filter_pushdown(spark, sf_dir):
     """,
 )
 def q03_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter -> joins -> agg -> top-k."""
+    """TPC-H Q3 shape: selective dim filter -> joins -> agg -> top-k.
+
+    Join order: orders x customer FIRST (the BUILDING segment keeps ~1/5 of
+    orders), so the fact-side join builds a hash relation over the reduced
+    o x c result rather than all filtered orders — ~5x less broadcast build,
+    and lineitem still never shuffles."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(F.broadcast(oc), li["l_orderkey"] == oc["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -147,9 +152,12 @@ def q05_local_supplier_volume(spark, sf_dir):
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # one pre-joined broadcast side (orders x customer, date-filtered) keeps
+    # the fact table in a single map-side stage with one small build instead
+    # of two larger ones; dims chain as further broadcasts
+    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        li.join(F.broadcast(oc), li["l_orderkey"] == oc["o_orderkey"])
         .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
