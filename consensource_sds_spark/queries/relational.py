@@ -21,6 +21,26 @@ from pyspark.sql import functions as F
 
 from consensource_sds_spark.queries import load, register
 
+# Order-insensitive floating aggregates
+# -------------------------------------
+# SUM/AVG over doubles depends on partitioning (summation order), so a
+# ROUND(SUM(..), 2) that lands near a half-cent boundary can hash-differ
+# from the oracle run-to-run. Accumulating in DECIMAL is exact and
+# order-free; both engines then round the *same* double. The oracle-side
+# twin is ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE), s).
+# (At 100 TB this is also the right engine choice: decimal partial
+# aggregates are deterministic under any AQE re-partitioning.)
+
+
+def dsum(c, scale: int = 2):
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(F.sum(c.cast("decimal(30,10)")).cast("double"), scale)
+
+
+def davg(c, scale: int = 4):
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(F.sum(c.cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), scale)
+
 # --------------------------------------------------------------------------
 # Aggregation (A-family) + filter pushdown (F-family)
 # --------------------------------------------------------------------------
@@ -30,31 +50,33 @@ from consensource_sds_spark.queries import load, register
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
-           COUNT(*)                                                     AS count_order
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2)      AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2)
+                                                                                  AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4)      AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4)      AS avg_disc,
+           COUNT(*)                                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q01_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: scan + pushed filter + hash agg (partial-agg friendly)."""
+    """TPC-H Q1 shape: scan + pushed filter + hash agg (partial-agg friendly,
+    decimal accumulation for order-insensitive float results)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -88,7 +110,7 @@ def q02_filter_pushdown(spark, sf_dir):
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
            epoch_us(o_orderdate)                             AS odate_us,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -114,7 +136,7 @@ def q03_shipping_priority(spark, sf_dir):
     return (
         li.join(F.broadcast(oc), li["l_orderkey"] == oc["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -129,7 +151,7 @@ def q03_shipping_priority(spark, sf_dir):
 @register(
     "q05_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -162,14 +184,14 @@ def q05_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @register(
     "q06_broadcast_dim_join",
     oracle="""
-    SELECT r_name, n_name, COUNT(*) AS n_suppliers, ROUND(AVG(s_acctbal), 4) AS avg_bal
+    SELECT r_name, n_name, COUNT(*) AS n_suppliers, ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_bal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
@@ -183,7 +205,7 @@ def q06_broadcast_dim_join(spark, sf_dir):
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
-        .agg(F.count("*").alias("n_suppliers"), F.round(F.avg("s_acctbal"), 4).alias("avg_bal"))
+        .agg(F.count("*").alias("n_suppliers"), davg("s_acctbal").alias("avg_bal"))
     )
 
 
@@ -191,7 +213,7 @@ def q06_broadcast_dim_join(spark, sf_dir):
     "q07_star_join_parts",
     oracle="""
     SELECT p_brand, COUNT(*) AS line_count,
-           ROUND(SUM(l_extendedprice), 2) AS gross,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS gross,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 15
@@ -206,7 +228,7 @@ def q07_star_join_parts(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("line_count"),
-            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+            dsum("l_extendedprice").alias("gross"),
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
@@ -243,8 +265,8 @@ def q10_window_topk_per_group(spark, sf_dir):
     "q11_window_running_sum",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_value
     FROM events
     """,
 )
@@ -254,7 +276,7 @@ def q11_window_running_sum(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    return e.select("user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value"))
+    return e.select("user_id", "event_id", F.round(F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double"), 2).alias("running_value"))
 
 
 @register(
@@ -304,14 +326,14 @@ def q13_dense_rank_suppliers(spark, sf_dir):
     "q15_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def q15_rollup(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
     )
 
 
@@ -319,14 +341,14 @@ def q15_rollup(spark, sf_dir):
     "q16_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def q16_cube(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
     )
 
 
@@ -494,9 +516,10 @@ def q27_left_join_nulls(spark, sf_dir):
 @register(
     "q28_scalar_subquery",
     oracle="""
-    SELECT p_brand, COUNT(*) AS n_premium, ROUND(AVG(p_retailprice), 4) AS avg_price
+    SELECT p_brand, COUNT(*) AS n_premium,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_price
     FROM part
-    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) FROM part)
     GROUP BY p_brand
     """,
 )
@@ -506,9 +529,10 @@ def q28_scalar_subquery(spark, sf_dir):
     return spark_sql(
         p,
         """
-        SELECT p_brand, COUNT(*) AS n_premium, ROUND(AVG(p_retailprice), 4) AS avg_price
+        SELECT p_brand, COUNT(*) AS n_premium,
+               ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_price
         FROM sq_part
-        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM sq_part)
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) FROM sq_part)
         GROUP BY p_brand
         """,
     )
@@ -567,7 +591,7 @@ def q30_string_funcs(spark, sf_dir):
     oracle="""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)  AS oyear,
            CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS omonth,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+           COUNT(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -578,7 +602,7 @@ def q31_date_funcs(spark, sf_dir):
             F.year("o_orderdate").cast("long").alias("oyear"),
             F.month("o_orderdate").cast("long").alias("omonth"),
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
     )
 
 
@@ -655,7 +679,7 @@ def q34_nullif_coalesce(spark, sf_dir):
 @register(
     "q40_explode_unnest",
     oracle="""
-    SELECT label, COUNT(*) AS n_components, ROUND(AVG(comp), 4) AS avg_comp
+    SELECT label, COUNT(*) AS n_components, ROUND(CAST(SUM(CAST(comp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_comp
     FROM (SELECT label, UNNEST(embedding) AS comp FROM embeddings)
     GROUP BY label
     """,
@@ -666,7 +690,7 @@ def q40_explode_unnest(spark, sf_dir):
     return (
         e.select("label", F.explode("embedding").alias("comp"))
         .groupBy("label")
-        .agg(F.count("*").alias("n_components"), F.round(F.avg("comp"), 4).alias("avg_comp"))
+        .agg(F.count("*").alias("n_components"), davg("comp").alias("avg_comp"))
     )
 
 
