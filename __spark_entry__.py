@@ -5,8 +5,8 @@
   driver-mandated extensions, as (spark, sf_dir) -> DataFrame callables.
 - ``oracle_sql()``: matching DuckDB SQL for the hash-compared correctness
   gate (queries without an entry here get the weaker rows-only check —
-  currently only approximate aggregates and the SDS ingest pipeline demo,
-  whose semantics are pinned by tests/ instead).
+  currently only approximate aggregates, whose semantics are inherently
+  engine-specific).
 
 Implementation lives in consensource_sds_spark/queries/ (registry pattern);
 the SDS CDC/SCD2 pipeline itself is consensource_sds_spark/pipeline.py and
@@ -34,11 +34,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return q05_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
 
+# The pipeline input is a deterministic in-memory fixture batch (the
+# reference's own test strategy: golden entities -> expected rows,
+# event_handler.rs:439-748), so the oracle is the expected current state as
+# literal VALUES: 3 blocks re-emit agents pk0..pk4, last-wins leaves every
+# key's version from block 3 open.
+_SDS_PIPELINE_ORACLE = """
+    SELECT * FROM (VALUES
+      ('pk0', 'test_org', 'agent0@b3', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      ('pk1', 'test_org', 'agent1@b3', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      ('pk2', 'test_org', 'agent2@b3', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      ('pk3', 'test_org', 'agent3@b3', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      ('pk4', 'test_org', 'agent4@b3', CAST(1 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(public_key, organization_id, name, "timestamp", start_block_num)
+"""
+
+
 def _sds_pipeline_current_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end SDS ingest demo (no SQL oracle — pinned by tests/):
-    encoded protobuf event envelope -> parse -> decode -> SCD2 merge ->
-    current-state agents. sf_dir is unused; the input is a deterministic
-    in-memory fixture batch, matching the reference's own test strategy."""
+    """End-to-end SDS ingest demo: encoded protobuf event envelope -> parse
+    -> decode -> SCD2 merge -> current-state agents. sf_dir is unused; the
+    input is a deterministic in-memory fixture batch, matching the
+    reference's own test strategy (oracle = golden VALUES above)."""
     from consensource_sds_spark.operators import transforms as T
     from consensource_sds_spark.sources import fixtures as fx
 
@@ -79,4 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return all_oracles()
+    o = all_oracles()
+    o["sds_pipeline_current_agents"] = _SDS_PIPELINE_ORACLE
+    return o

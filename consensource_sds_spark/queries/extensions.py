@@ -150,33 +150,55 @@ def x03_minhash_lsh_pairs(spark, sf_dir):
         SELECT doc_id,
                UNNEST(list_transform(range(1, len(string_split(text,' '))),
                                      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
-        FROM documents WHERE doc_id < 100)
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                               AND a.doc_id < b.doc_id
     ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_both
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+      GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
            ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 4) AS jaccard
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.35
+    WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.5
     """,
 )
 def x04_ngram_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup: inverted-index self-join on shared shingles
-    (|A∩B| by count, |A∪B| = |A|+|B|-|A∩B|). Bounded here to doc_id < 100;
-    at scale the same plan runs behind an LSH prefilter (x03) so the
-    pairwise verify only sees candidate pairs."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    """n-gram Jaccard verify behind the LSH prefilter — the production
+    near-dedup composition: x03's candidate pairs (never doc x doc) are
+    verified by exact shingle Jaccard (|A∩B| via an inverted-index join
+    restricted to candidates, |A∪B| = |A|+|B|-|A∩B|), keeping pairs with
+    jaccard >= 0.5.
+
+    Scale: the expensive join runs only over LSH candidates, so its size is
+    O(near-dup pairs), not O(n^2); shingle lists shuffle once on doc_id."""
+    cand = x03_minhash_lsh_pairs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(F.array_distinct(TXT.shingles(F.col("text")))).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("both"))
     )
     sa = sizes.alias("sa")
@@ -185,7 +207,7 @@ def x04_ngram_jaccard_pairs(spark, sf_dir):
     return (
         inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.35)
+        .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -236,6 +258,107 @@ def x05_simhash(spark, sf_dir):
         term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return weights.select("doc_id", simhash.alias("simhash"))
+
+
+@register(
+    "x06_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                               AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), reach(doc_id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ), lab AS (
+      SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
+)
+def x06_dedup_clusters(spark, sf_dir):
+    """Dedup decision: resolve x03's LSH candidate pairs into connected
+    components and pick one survivor per cluster — the output a near-dedup
+    pipeline actually ships: (doc_id, cluster_id, keep) for EVERY document,
+    keep = (doc_id == min doc_id of its component); singletons keep
+    themselves.
+
+    Algorithm: iterative min-label propagation over the undirected candidate
+    graph. Each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds —
+    near-dup components are tiny and dense (near-cliques from shared LSH
+    buckets), so 2-3 rounds in practice, capped at 25. Convergence is
+    detected by the monotonically decreasing label sum (one scalar action
+    per round), and ``localCheckpoint`` truncates the per-iteration lineage
+    so plans stay bounded.
+
+    Scale: each round is one shuffle keyed on doc_id over the CANDIDATE
+    subgraph only (O(near-dup pairs), not O(docs)); the final left join
+    back to documents is a single pass. For adversarially long chains the
+    same loop upgrades to the alternating large-star/small-star rounds of
+    Kiveris et al. "Connected Components in MapReduce" — the plan shape
+    (bounded self-join rounds + label table) is unchanged."""
+    pairs = x03_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()  # pairs are reused every round: compute once
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    labels = labels.localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    if prev_sum is not None:  # empty candidate graph -> nothing to propagate
+        for _ in range(25):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["doc_id"])
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            labels = (
+                labels.join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+                )
+                .localCheckpoint()
+            )
+            new_sum = labels.agg(F.sum("cluster_id")).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lab = labels.select(F.col("doc_id").alias("l_doc"), "cluster_id")
+    return docs.join(lab, docs["doc_id"] == lab["l_doc"], "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("keep"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -316,7 +439,7 @@ def x11_ivf_assign(spark, sf_dir):
     oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 250").replace("vec_id >= 5", "vec_id >= 250")
     + """
     SELECT qid AS vec_a, cid AS vec_b, ROUND(dot / (qn * cn), 6) AS cosine
-    FROM p WHERE dot / (qn * cn) > 0.5
+    FROM p WHERE dot / (qn * cn) > 0.4
     """,
 )
 def x12_embedding_neardup(spark, sf_dir):
@@ -329,7 +452,62 @@ def x12_embedding_neardup(spark, sf_dir):
     scored = b.crossJoin(F.broadcast(a)).select(
         F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
     )
-    return scored.filter(F.col("raw_cos") > 0.5).select(
+    return scored.filter(F.col("raw_cos") > 0.4).select(
+        "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")
+    )
+
+
+@register(
+    "x13_ivf_neardup",
+    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
+    + """
+    , asg AS (
+      SELECT cid AS vec_id, qid AS centroid_id
+      FROM p
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dot / (qn * cn) DESC, qid) = 1
+    ), withv AS (
+      SELECT a.vec_id, a.centroid_id, e.embedding FROM asg a JOIN embeddings e USING (vec_id)
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(x.embedding) + 1),
+                                     i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+             / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) AS cosine
+    FROM withv x JOIN withv y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+    WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+                                  i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+          / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+           * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) > 0.4
+    """,
+)
+def x13_ivf_neardup(spark, sf_dir):
+    """The wired x11 -> x12 composition: embedding near-dup restricted to
+    IVF cells. Every vector is assigned to its nearest centroid (x11), then
+    only INTRA-CELL pairs are cosine-scored — the shuffle key is
+    centroid_id and no doc x doc cross join exists anywhere in the plan.
+
+    Scale: with k centroids the pair work drops from n^2 to sum of cell^2
+    ~ n^2/k, and each cell's pairs co-locate on one shuffle partition; skew
+    (one hot cell) is handled by AQE skew-split or a finer k. Recall is the
+    usual IVF trade: pairs straddling a cell boundary are missed unless
+    multi-probe assignment (top-2 cells per vector) is enabled — the
+    brute-force x12 is the exact-recall baseline this approximates."""
+    asg = x11_ivf_assign(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = asg.join(e, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("centroid_id").alias("ca"), F.col("embedding").alias("ea")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"), F.col("centroid_id").alias("cb"), F.col("embedding").alias("eb")
+    )
+    scored = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb"))).select(
+        F.col("va").alias("vec_a"),
+        F.col("vb").alias("vec_b"),
+        V.cosine(F.col("ea"), F.col("eb")).alias("raw_cos"),
+    )
+    return scored.filter(F.col("raw_cos") > 0.4).select(
         "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")
     )
 

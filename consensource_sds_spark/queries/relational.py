@@ -426,13 +426,20 @@ def q22_set_ops(spark, sf_dir):
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
     """,
 )
 def q23_except(spark, sf_dir):
+    """Set EXCEPT (bag-eliminating, not exceptAll): customers with no
+    high-value order. The right side is filtered so the result is non-trivial
+    on the test data — an empty EXCEPT proves nothing."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)
 
 
 @register(
@@ -481,13 +488,17 @@ def q25_semi_join(spark, sf_dir):
     "q26_anti_join",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_inactive
-    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    FROM customer WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
     GROUP BY c_nationkey
     """,
 )
 def q26_anti_join(spark, sf_dir):
+    """Anti join: customers with no high-value order, per nation. The order
+    filter keeps the anti side selective enough that the result is
+    non-empty on the test data (every customer has *some* order)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
@@ -807,6 +818,51 @@ def q45_distinct_agg(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q47_fulltext_search",
+    oracle="""
+    WITH inv AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('hash', 'join')
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+    FROM inv
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT tok) = 2
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q47_fulltext_search(spark, sf_dir):
+    """§2.7 full-text search workload (the reference's downstream store pulls
+    in diesel_full_text_search — Cargo.lock:214-220): inverted-index
+    tokenize, AND-match over the query terms, rank by total term frequency.
+
+    Plan: the term predicate lands inside the explode projection, so only
+    matching postings survive the map side; one shuffle on doc_id does both
+    the tf count and the AND check (count distinct terms == n_terms);
+    top-50 is TakeOrderedAndProject, no global sort. At scale the postings
+    build is the classic explode -> partial-agg inverted index."""
+    terms = ["hash", "join"]
+    d = load(spark, sf_dir, "documents")
+    inv = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        inv.groupBy("doc_id")
+        .agg(F.sum("tf").alias("score"), F.countDistinct("tok").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
     )
 
 
