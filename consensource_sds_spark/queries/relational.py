@@ -271,12 +271,24 @@ def q10_window_topk_per_group(spark, sf_dir):
     """,
 )
 def q11_window_running_sum(spark, sf_dir):
-    """Frame aggregate: running per-user total over event time."""
+    """Frame aggregate: running per-user total over event time.
+
+    ``value`` is exact 2-decimal money, so the exact-and-order-free
+    accumulator is LONG CENTS (round(value*100)), not decimal(30,10):
+    integer window sums are ~3x cheaper than 128-bit decimal and /100.0
+    yields the same correctly-rounded double as the oracle's decimal->double
+    cast. (For free-precision inputs the decimal form in ``dsum`` stays the
+    right tool.)"""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    return e.select("user_id", "event_id", F.round(F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double"), 2).alias("running_value"))
+    cents = F.expr("cast(round(value * 100) AS bigint)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round((F.sum(cents).over(w) / 100.0), 2).alias("running_value"),
+    )
 
 
 @register(
