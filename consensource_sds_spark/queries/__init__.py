@@ -63,11 +63,46 @@ def _pool_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CACHE", "1") != "0"
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def profile() -> str:
+    """Execution profile: ``local`` (default — single-JVM latency: static
+    broadcast hints allowed on anything measured small at this scale) or
+    ``cluster`` (strategy for non-dim join sides is left to the planner/AQE,
+    which sizes builds from runtime statistics). Set SPARK_GRAFT_PROFILE."""
+    return os.environ.get("SPARK_GRAFT_PROFILE", "local")
+
+
+def local_hint(df: DataFrame) -> DataFrame:
+    """Broadcast hint that exists ONLY in the local profile.
+
+    Use for join sides that are provably small at bench scale but are NOT
+    true dimension tables (e.g. a date-filtered orders x customer build): a
+    static broadcast hint on such a side is a scale-killer — at 100x the
+    data it OOMs the executors — so the cluster profile leaves the strategy
+    to AQE's runtime-sized decision. True dims (region/nation/supplier/
+    part) keep unconditional ``F.broadcast``."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if profile() == "local" else df
+
+
+_CONFIGURED: set[str] = set()
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
     # parquet naive timestamps read as TIMESTAMP_NTZ; pinning the session tz
     # to UTC makes NTZ->TZ casts identity so epoch projections match the
     # DuckDB oracle no matter what tz the host session was created with.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Once per session: conf.set is a client->JVM round trip and load() is
+    # called several times per query build.
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _CONFIGURED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _CONFIGURED.add(app_id)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
     raw = load_events(spark, sf_dir) if name == "events" else None
     path = f"{sf_dir}/{name}.parquet"
     try:
@@ -93,13 +128,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark 4 rejects outright; read it as raw nanos (legacy conf, runtime
-    settable) and expose ``ts_us`` (epoch microseconds, BIGINT) — integer
-    ``div`` so no double-precision loss at 1.7e18. DuckDB truncates the same
-    column to microseconds on read, so ``ts_us`` == ``epoch_us(ts)``."""
+    Spark 4 rejects outright; read it as raw nanos (legacy conf, set once in
+    ``_ensure_session_conf``) and expose ``ts_us`` (epoch microseconds,
+    BIGINT) — integer ``div`` so no double-precision loss at 1.7e18. DuckDB
+    truncates the same column to microseconds on read, so ``ts_us`` ==
+    ``epoch_us(ts)``."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts_us", F.expr("ts div 1000"))
 

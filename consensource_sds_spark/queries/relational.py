@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from consensource_sds_spark.queries import load, register
+from consensource_sds_spark.queries import load, local_hint, register
 
 # Order-insensitive floating aggregates
 # -------------------------------------
@@ -127,14 +127,18 @@ def q03_shipping_priority(spark, sf_dir):
 
     Join order: orders x customer FIRST (the BUILDING segment keeps ~1/5 of
     orders), so the fact-side join builds a hash relation over the reduced
-    o x c result rather than all filtered orders — ~5x less broadcast build,
-    and lineitem still never shuffles."""
+    o x c result rather than all filtered orders. Neither customer nor the
+    o x c result is a true dimension, so their broadcast hints are
+    ``local_hint`` (latency profile only): in the cluster profile the plan
+    carries NO static fact-sized broadcast — AQE sizes the build at runtime
+    (small date range -> broadcast; big -> shuffle hash join on
+    l_orderkey)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    oc = o.join(local_hint(c), o["o_custkey"] == c["c_custkey"])
     return (
-        li.join(F.broadcast(oc), li["l_orderkey"] == oc["o_orderkey"])
+        li.join(local_hint(oc), li["l_orderkey"] == oc["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
@@ -174,12 +178,13 @@ def q05_local_supplier_volume(spark, sf_dir):
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # one pre-joined broadcast side (orders x customer, date-filtered) keeps
-    # the fact table in a single map-side stage with one small build instead
-    # of two larger ones; dims chain as further broadcasts
-    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    # one pre-joined build side (orders x customer, date-filtered) keeps the
+    # fact table in a single map-side stage in the local profile; it is NOT
+    # a dim, so the hint is profile-gated (cluster: AQE runtime sizing).
+    # True dims (supplier/nation/region) broadcast unconditionally.
+    oc = o.join(local_hint(c), o["o_custkey"] == c["c_custkey"])
     return (
-        li.join(F.broadcast(oc), li["l_orderkey"] == oc["o_orderkey"])
+        li.join(local_hint(oc), li["l_orderkey"] == oc["o_orderkey"])
         .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])

@@ -1,0 +1,43 @@
+"""Profile-gated join strategy (VERDICT r1 item 2): fact-sized broadcast
+hints exist only in the local latency profile; the cluster profile leaves
+non-dim join sides to AQE's runtime-sized decision. True dims
+(supplier/nation/region) broadcast unconditionally."""
+
+from __future__ import annotations
+
+from consensource_sds_spark.queries.relational import (
+    q03_shipping_priority,
+    q05_local_supplier_volume,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_hints(df) -> int:
+    # ResolvedHint nodes in the analyzed logical plan == broadcast hints the
+    # query itself placed (the optimizer later folds them into the join).
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def test_local_profile_keeps_latency_hints(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_PROFILE", "local")
+    assert _n_hints(q03_shipping_priority(spark, SF)) == 2  # customer + o*c build
+    assert _n_hints(q05_local_supplier_volume(spark, SF)) == 5  # + s/n/r dims
+
+
+def test_cluster_profile_has_no_fact_broadcast(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_PROFILE", "cluster")
+    # q03 joins only facts (customer is not a dim): zero static hints
+    assert _n_hints(q03_shipping_priority(spark, SF)) == 0
+    # q05 keeps exactly the three true-dim hints (supplier/nation/region)
+    assert _n_hints(q05_local_supplier_volume(spark, SF)) == 3
+
+
+def test_cluster_profile_results_match_local(spark, monkeypatch):
+    from tests.conftest import rows_set
+
+    monkeypatch.setenv("SPARK_GRAFT_PROFILE", "local")
+    local = rows_set(q05_local_supplier_volume(spark, SF))
+    monkeypatch.setenv("SPARK_GRAFT_PROFILE", "cluster")
+    cluster = rows_set(q05_local_supplier_volume(spark, SF))
+    assert local == cluster and len(local) > 0
