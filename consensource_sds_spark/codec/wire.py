@@ -29,7 +29,12 @@ def encode_varint(value: int) -> bytes:
 def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            # keep the codec's error taxonomy: malformed input must raise
+            # ValueError (classifiable -> W5 quarantine), never IndexError
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -71,9 +76,13 @@ def iter_fields(buf: bytes):
             pos += length
         elif wire_type == 1:
             value = buf[pos : pos + 8]
+            if len(value) != 8:
+                raise ValueError("truncated i64 field")
             pos += 8
         elif wire_type == 5:
             value = buf[pos : pos + 4]
+            if len(value) != 4:
+                raise ValueError("truncated i32 field")
             pos += 4
         else:
             raise ValueError(f"unsupported wire type {wire_type}")

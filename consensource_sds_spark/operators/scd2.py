@@ -20,31 +20,47 @@ Semantics (SURVEY §2.6 W1-W4; reference: database crate's
 - fork/reorg repair (W4): rewind to block *b* = drop rows with
   ``start_block_num >= b``, re-open rows closed at ``>= b``, then replay.
 
-Scale design: each table is stored as two Parquet areas —
+Storage/commit design — a miniature table-format log (the same shape as a
+Delta/Iceberg transaction log, which is what a real cluster deployment
+would use via MERGE):
 
-- ``open/``   : the current versions (live-state sized), rewritten per batch;
-- ``closed/`` : immutable closed versions, **append-only** per batch.
-
-A batch therefore rewrites O(live state) and appends O(changed rows); the
-full history is never rewritten (except by the rare fork rewind, which is
-exactly Delta's RESTORE cost). On a real cluster the same plan maps 1:1 to a
-Delta/Iceberg MERGE keyed on the version key + open-partition predicate.
+- every batch writes each touched table's merged state to a NEW immutable
+  directory, partitioned by liveness (``_open=true`` -> the table's current
+  versions, ``_open=false`` -> the closed-version increment);
+- ``_manifest.json`` maps each table to its current open directory + the
+  list of closed segments, plus the blocks segments and the last applied
+  ``foreachBatch`` batch id. A batch COMMITS by atomically replacing the
+  manifest (single ``os.replace``) — all 11 tables + blocks + the batch-id
+  marker flip together, which is the reference's per-block Postgres
+  transaction (W1). A crash mid-apply leaves the old manifest pointing at
+  the old directories; replay re-runs the whole batch onto fresh
+  directories and commits once. Nothing is ever mutated in place and
+  source directories are only vacuumed AFTER a successful commit, so the
+  durable parquet write itself is the materialization barrier (no
+  cache()+count(), no recompute-after-swap hazard);
+- a batch therefore rewrites O(live state) and appends O(changed rows);
+  closed history is never rewritten except by fork rewind (exactly Delta's
+  RESTORE cost).
 
 The merge itself is one declarative plan (window ``lead`` over emission
 order per key), no driver-side loops — a microbatch containing many blocks
 applies in a single pass while preserving per-block sequencing
 (event_handler.rs:56-58 applies operations in delivery order; we order by
-(block_num, batch_ord, change_idx, entry_idx)).
+(block_num, batch_ord, change_idx, entry_idx)). Fork detection is a
+predicate-pushdown lookup of ONLY the incoming block numbers against the
+stored blocks table — O(microbatch), never an O(chain) driver collect.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from consensource_sds_spark import schemas
 from consensource_sds_spark.schemas import MAX_BLOCK_NUM
@@ -67,6 +83,8 @@ ENTITY_GROUPS: dict[str, tuple[str, list[str]]] = {
 
 _ORDER = ["block_num", "batch_ord", "change_idx", "entry_idx"]
 _EMISSION_COLS = ["vkey", *_ORDER, "is_delete"]
+#: order columns a new-rows DataFrame must carry for the insert join
+_NEW_ROW_ORDER = ["batch_ord", "change_idx", "entry_idx"]
 
 
 @dataclass
@@ -131,47 +149,85 @@ def merge_scd2(open_rows: DataFrame, new_rows: DataFrame, vkey: str, emissions: 
     return closed.unionByName(inserted)
 
 
+def _empty_new_rows(spark: SparkSession, schema: StructType) -> DataFrame:
+    """Schema for a group member table with no new rows in this batch: the
+    sink columns PLUS the emission-order columns the insert join references
+    (a partial PipelineBatch is a legal public ``apply`` input)."""
+    fields = list(schema.fields) + [
+        StructField(c, LongType(), True) for c in _NEW_ROW_ORDER if c not in schema.fieldNames()
+    ]
+    return spark.createDataFrame([], StructType(fields))
+
+
 class ScdParquetStore:
-    """The reporting-database stand-in: 11 SCD2 tables + blocks, on Parquet.
+    """The reporting-database stand-in: 11 SCD2 tables + blocks, on Parquet,
+    committed through an atomic manifest (see module docstring).
 
     ``foreachBatch`` idempotence: ``apply(..., batch_id=)`` no-ops when the
-    batch id was already applied (recorded in a marker file), the Spark
-    equivalent of the reference's transactional per-block apply + catch-up
-    cursor (main.rs:57-63)."""
+    batch id was already committed — the manifest IS the marker, so a batch
+    is either fully visible or not at all (the Spark equivalent of the
+    reference's transactional per-block apply + catch-up cursor,
+    main.rs:57-63)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    # -- paths ------------------------------------------------------------
-    def _open(self, table: str) -> str:
-        return os.path.join(self.path, table, "open")
+    # -- manifest ---------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
 
-    def _closed(self, table: str) -> str:
-        return os.path.join(self.path, table, "closed")
+    def _manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"gen": 0, "last_batch_id": -1, "tables": {}, "blocks": []}
 
-    def _blocks_path(self) -> str:
-        return os.path.join(self.path, "blocks")
+    def _commit(self, manifest: dict) -> None:
+        """The transaction boundary: write-then-rename is atomic on POSIX;
+        everything the manifest references was durably written before this
+        point, so a crash on either side of the rename leaves a consistent
+        store. Unreferenced directories are vacuumed afterwards."""
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+        self._vacuum(manifest)
 
-    def _marker(self) -> str:
-        return os.path.join(self.path, "_last_batch_id")
+    def _vacuum(self, manifest: dict) -> None:
+        referenced: set[str] = set()
+        for t in manifest["tables"].values():
+            for p in [t.get("open"), *t.get("closed", [])]:
+                if p:
+                    referenced.add(p.split("/_open=")[0])
+        referenced.update(manifest["blocks"])
+        for table in [*schemas.SINK_TABLES, "blocks"]:
+            base = os.path.join(self.path, table)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                rel = f"{table}/{d}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- reads ------------------------------------------------------------
-    def _read_dir(self, path: str, schema) -> DataFrame:
-        if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
-            return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+    def _read_dirs(self, rel_paths: list[str], schema) -> DataFrame:
+        paths = [os.path.join(self.path, p) for p in rel_paths if p]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def read(self, table: str) -> DataFrame:
-        schema = schemas.SINK_TABLES[table][0]
-        return self._read_dir(self._open(table), schema).unionByName(
-            self._read_dir(self._closed(table), schema)
-        )
+        t = self._manifest()["tables"].get(table, {})
+        return self._read_dirs([t.get("open"), *t.get("closed", [])], schemas.SINK_TABLES[table])
 
     def current(self, table: str) -> DataFrame:
         """Current state = the open partition (end == MAX by construction)."""
-        return self._read_dir(self._open(table), schemas.SINK_TABLES[table][0])
+        t = self._manifest()["tables"].get(table, {})
+        return self._read_dirs([t.get("open")], schemas.SINK_TABLES[table])
 
     def as_of(self, table: str, block_num: int) -> DataFrame:
         """Time travel: state as of block b (start <= b < end)."""
@@ -180,44 +236,69 @@ class ScdParquetStore:
         )
 
     def blocks(self) -> DataFrame:
-        return self._read_dir(self._blocks_path(), schemas.BLOCKS_TABLE)
+        # segments are disjoint on block_num by construction: a conflicting
+        # re-delivery triggers rewind (which consolidates) before append
+        return self._read_dirs(self._manifest()["blocks"], schemas.BLOCKS_TABLE)
 
     def known_block_ids(self, count: int | None = None) -> list[str]:
-        """Catch-up cursor (S3, main.rs:57-63): block ids, newest first."""
-        rows = self.blocks().orderBy(F.col("block_num").desc()).collect()
-        ids = [r["block_id"] for r in rows]
-        return ids[:count] if count else ids
-
-    # -- writes -----------------------------------------------------------
-    def _swap_in(self, path: str, df: DataFrame):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        old = path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        """Catch-up cursor (S3, main.rs:57-63): block ids, newest first.
+        ``count`` is pushed into the plan (top-k, not a full collect)."""
+        df = self.blocks().orderBy(F.col("block_num").desc())
+        if count:
+            df = df.limit(count)
+        return [r["block_id"] for r in df.collect()]
 
     def last_applied_batch(self) -> int:
-        try:
-            with open(self._marker()) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
+        return self._manifest()["last_batch_id"]
+
+    # -- writes -----------------------------------------------------------
+    def _write_split(self, df: DataFrame, rel: str) -> tuple[str | None, str | None]:
+        """Write a merged table state partitioned by liveness; returns the
+        (open, closed) relative paths that actually materialized. The write
+        is the durability barrier — nothing existing is touched."""
+        out = os.path.join(self.path, rel)
+        # mode=overwrite ONLY ever replaces leftover staging from a crashed
+        # attempt at this same generation — committed manifests never share
+        # a generation number, so committed data is never overwritten
+        df.withColumn("_open", F.col("end_block_num") == MAX_BLOCK_NUM).write.mode(
+            "overwrite"
+        ).partitionBy("_open").parquet(out)
+        open_rel, closed_rel = f"{rel}/_open=true", f"{rel}/_open=false"
+        return (
+            open_rel if os.path.isdir(os.path.join(self.path, open_rel)) else None,
+            closed_rel if os.path.isdir(os.path.join(self.path, closed_rel)) else None,
+        )
 
     def apply(self, batch: PipelineBatch, batch_id: int | None = None) -> None:
-        if batch_id is not None and batch_id <= self.last_applied_batch():
+        man = self._manifest()
+        if batch_id is not None and batch_id <= man["last_batch_id"]:
             return  # replayed microbatch after restart — already committed
+
         blocks_new = batch.block.collect() if batch.block is not None else []
         if blocks_new:
-            known = {r["block_num"]: r["block_id"] for r in self.blocks().collect()}
-            for r in sorted(blocks_new, key=lambda r: r["block_num"]):
-                if r["block_num"] in known and known[r["block_num"]] != r["block_id"]:
-                    # fork detected (W4): rewind to the divergent block
-                    self.rewind(r["block_num"])
-                    known = {k: v for k, v in known.items() if k < r["block_num"]}
+            # W4 fork detection, distributed: look up ONLY the incoming
+            # block numbers in the stored table (pushdown isin over a
+            # microbatch-sized list), never a full-chain collect.
+            nums = [r["block_num"] for r in blocks_new]
+            stored = {
+                r["block_num"]: r["block_id"]
+                for r in self.blocks().filter(F.col("block_num").isin(nums)).collect()
+            }
+            forked = sorted(
+                r["block_num"]
+                for r in blocks_new
+                if r["block_num"] in stored and stored[r["block_num"]] != r["block_id"]
+            )
+            if forked:
+                # rewind commits its own generation; a crash in between is
+                # converged by replay (the divergent block is gone, so the
+                # re-run sees no fork and just applies).
+                self.rewind(forked[0])
+                man = self._manifest()
+
+        gen = man["gen"] + 1
+        new_man = json.loads(json.dumps(man))
+        new_man["gen"] = gen
 
         for group, (vkey, tables) in ENTITY_GROUPS.items():
             emis = batch.emissions.get(group)
@@ -228,52 +309,57 @@ class ScdParquetStore:
                 emis.unpersist()
                 continue
             for table in tables:
-                schema = schemas.SINK_TABLES[table][0]
+                schema = schemas.SINK_TABLES[table]
                 new_rows = batch.tables.get(table)
                 if new_rows is None:
-                    new_rows = self.spark.createDataFrame([], schema)
+                    new_rows = _empty_new_rows(self.spark, schema)
                 # only the open partition participates; closed history is
                 # immutable and never rescanned during apply
-                merged = merge_scd2(self.current(table), new_rows, vkey, emis, schema).cache()
-                merged.count()  # materialize before overwriting the source files
-                self._swap_in(self._open(table), merged.filter(F.col("end_block_num") == MAX_BLOCK_NUM))
-                merged.filter(F.col("end_block_num") != MAX_BLOCK_NUM).write.mode("append").parquet(
-                    self._closed(table)
-                )
-                merged.unpersist()
+                merged = merge_scd2(self.current(table), new_rows, vkey, emis, schema)
+                open_rel, closed_rel = self._write_split(merged, f"{table}/merged-g{gen}")
+                tman = new_man["tables"].setdefault(table, {"open": None, "closed": []})
+                tman["open"] = open_rel
+                if closed_rel:
+                    tman["closed"].append(closed_rel)
             emis.unpersist()
 
         if blocks_new:
-            prev = self.blocks()
-            merged_blocks = prev.unionByName(
-                self.spark.createDataFrame(blocks_new, schemas.BLOCKS_TABLE)
-            ).dropDuplicates(["block_num"])
-            merged_blocks = merged_blocks.cache()
-            merged_blocks.count()
-            self._swap_in(self._blocks_path(), merged_blocks)
-            merged_blocks.unpersist()
+            seg = f"blocks/seg-g{gen}"
+            self.spark.createDataFrame(blocks_new, schemas.BLOCKS_TABLE).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, seg))
+            new_man["blocks"].append(seg)
         if batch_id is not None:
-            with open(self._marker(), "w") as f:
-                f.write(str(batch_id))
+            new_man["last_batch_id"] = batch_id
+        self._commit(new_man)
 
     def rewind(self, block_num: int) -> None:
         """W4 fork repair: drop versions born at >= block_num, re-open
-        versions closed at >= block_num, forget blocks >= block_num."""
+        versions closed at >= block_num, forget blocks >= block_num.
+        One generation, one atomic commit; consolidates closed history
+        (the Delta RESTORE cost — rare by construction)."""
+        man = self._manifest()
+        gen = man["gen"] + 1
+        new_man = json.loads(json.dumps(man))
+        new_man["gen"] = gen
         for table in schemas.SINK_TABLES:
-            df = self.read(table).filter(F.col("start_block_num") < block_num).cache()
-            df.count()
-            reopened = df.withColumn(
-                "end_block_num",
-                F.when(F.col("end_block_num") >= block_num, F.lit(MAX_BLOCK_NUM)).otherwise(
-                    F.col("end_block_num")
-                ),
-            ).cache()
-            reopened.count()
-            self._swap_in(self._open(table), reopened.filter(F.col("end_block_num") == MAX_BLOCK_NUM))
-            self._swap_in(self._closed(table), reopened.filter(F.col("end_block_num") != MAX_BLOCK_NUM))
-            df.unpersist()
-            reopened.unpersist()
-        kept = self.blocks().filter(F.col("block_num") < block_num).cache()
-        kept.count()
-        self._swap_in(self._blocks_path(), kept)
-        kept.unpersist()
+            if table not in man["tables"]:
+                continue
+            repaired = (
+                self.read(table)
+                .filter(F.col("start_block_num") < block_num)
+                .withColumn(
+                    "end_block_num",
+                    F.when(F.col("end_block_num") >= block_num, F.lit(MAX_BLOCK_NUM)).otherwise(
+                        F.col("end_block_num")
+                    ),
+                )
+            )
+            open_rel, closed_rel = self._write_split(repaired, f"{table}/rewind-g{gen}")
+            new_man["tables"][table] = {"open": open_rel, "closed": [closed_rel] if closed_rel else []}
+        if man["blocks"]:
+            seg = f"blocks/seg-g{gen}"
+            kept = self.blocks().filter(F.col("block_num") < block_num).coalesce(1)
+            kept.write.mode("overwrite").parquet(os.path.join(self.path, seg))
+            new_man["blocks"] = [seg]
+        self._commit(new_man)

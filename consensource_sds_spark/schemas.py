@@ -224,20 +224,21 @@ ASSERTIONS_TABLE = _s(
     *_SCD2,
 )
 
-#: table name -> (schema, version_key). ``version_key`` is the column whose
-#: re-emission at a block closes the table's previous open version(s): child
-#: tables version as whole groups with their parent entity (SURVEY §2.4 U3 —
-#: a new Organization state entry re-emits ALL its children).
-SINK_TABLES: dict[str, tuple[StructType, str]] = {
-    "organizations": (ORGANIZATIONS_TABLE, "organization_id"),
-    "accreditations": (ACCREDITATIONS_TABLE, "organization_id"),
-    "authorizations": (AUTHORIZATIONS_TABLE, "organization_id"),
-    "contacts": (CONTACTS_TABLE, "organization_id"),
-    "addresses": (ADDRESSES_TABLE, "organization_id"),
-    "agents": (AGENTS_TABLE, "public_key"),
-    "certificates": (CERTIFICATES_TABLE, "certificate_id"),
-    "requests": (REQUESTS_TABLE, "request_id"),
-    "standards": (STANDARDS_TABLE, "standard_id"),
-    "standard_versions": (STANDARD_VERSIONS_TABLE, "standard_id"),
-    "assertions": (ASSERTIONS_TABLE, "assertion_id"),
+#: table name -> sink schema. Version keys (the column whose re-emission at
+#: a block closes a table's previous open versions) live ONLY in
+#: ``operators.scd2.ENTITY_GROUPS`` — child tables version as whole groups
+#: with their parent entity (SURVEY §2.4 U3), so the key is a property of
+#: the entity group, not of each table.
+SINK_TABLES: dict[str, StructType] = {
+    "organizations": ORGANIZATIONS_TABLE,
+    "accreditations": ACCREDITATIONS_TABLE,
+    "authorizations": AUTHORIZATIONS_TABLE,
+    "contacts": CONTACTS_TABLE,
+    "addresses": ADDRESSES_TABLE,
+    "agents": AGENTS_TABLE,
+    "certificates": CERTIFICATES_TABLE,
+    "requests": REQUESTS_TABLE,
+    "standards": STANDARDS_TABLE,
+    "standard_versions": STANDARD_VERSIONS_TABLE,
+    "assertions": ASSERTIONS_TABLE,
 }

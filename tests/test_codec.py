@@ -17,6 +17,22 @@ def test_varint_roundtrip(n):
     assert out == n and pos == len(buf)
 
 
+def test_truncated_input_raises_value_error():
+    """Malformed payloads must fail with the codec's ValueError taxonomy
+    (classifiable -> W5 quarantine), never a bare IndexError."""
+    import pytest
+
+    from consensource_sds_spark.codec.wire import iter_fields
+
+    with pytest.raises(ValueError):
+        decode_varint(b"\x80\x80", 0)  # continuation bit set, buffer ends
+    with pytest.raises(ValueError):
+        decode_varint(b"", 0)
+    # tag says length-delimited of 100 bytes, payload shorter
+    with pytest.raises(ValueError):
+        list(iter_fields(b"\x0a\x64abc"))
+
+
 def test_agent_roundtrip():
     a = fx.make_agent()
     out = decode_message("Agent", encode_message("Agent", a))

@@ -162,6 +162,67 @@ def test_two_sets_same_block(spark, store):
     ]
 
 
+def test_crash_mid_apply_is_invisible_then_replay_converges(spark, store, monkeypatch):
+    """W1 atomicity: a crash after table writes but BEFORE the manifest
+    commit leaves the store exactly as it was; replaying the same batch
+    then applies once (no duplicate/zero-width rows in closed history)."""
+    d1 = [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])]
+    d2 = [fx.delivery(2, "b2", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="v2")])])]
+    _apply(spark, store, d1, batch_id=0)
+
+    real_commit = store._commit
+    monkeypatch.setattr(store, "_commit", lambda man: (_ for _ in ()).throw(OSError("crash")))
+    with pytest.raises(OSError):
+        _apply(spark, store, d2, batch_id=1)
+    # nothing of batch 1 is visible
+    assert _agent_versions(store) == [("test_public_key", "test", 1, MAX)]
+    assert store.last_applied_batch() == 0
+    # replay converges
+    monkeypatch.setattr(store, "_commit", real_commit)
+    _apply(spark, store, d2, batch_id=1)
+    assert _agent_versions(store) == [
+        ("test_public_key", "test", 1, 2),
+        ("test_public_key", "v2", 2, MAX),
+    ]
+    assert store.last_applied_batch() == 1
+
+
+def test_long_chain_fork_and_cursor_limit(spark, store):
+    """Fork detection looks up only the incoming block numbers (no O(chain)
+    collect) and the catch-up cursor pushes its limit into the plan."""
+    deliveries = [
+        fx.delivery(b, f"b{b}", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name=f"v{b}")])])
+        for b in range(1, 21)
+    ]
+    _apply(spark, store, deliveries)  # one 20-block microbatch
+    assert store.known_block_ids(3) == ["b20", "b19", "b18"]
+    _apply(
+        spark,
+        store,
+        [fx.delivery(15, "b15-fork", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="f15")])])],
+    )
+    cur = store.current("agents").collect()
+    assert [(r["name"], r["start_block_num"]) for r in cur] == [("f15", 15)]
+    blocks = {r["block_num"]: r["block_id"] for r in store.blocks().collect()}
+    assert blocks[14] == "b14" and blocks[15] == "b15-fork" and 16 not in blocks
+
+
+def test_partial_batch_without_member_table(spark, store):
+    """Public apply() contract: emissions for a group whose member tables
+    carry no new-rows DataFrame must merge (close) without crashing."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.operators.scd2 import PipelineBatch
+
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])])
+    emis = spark.createDataFrame(
+        [(fx.PUBLIC_KEY, 2, 0, 0, 0, True)],
+        "vkey string, block_num long, batch_ord long, change_idx long, entry_idx long, is_delete boolean",
+    )
+    store.apply(PipelineBatch(block=None, tables={}, emissions={"agent": emis}))
+    assert _agent_versions(store) == [("test_public_key", "test", 1, 2)]
+
+
 def test_streaming_file_source(spark, store, tmp_path):
     """End-to-end Structured Streaming: envelope parquet -> foreachBatch ->
     store, with checkpointed exactly-once resume."""
