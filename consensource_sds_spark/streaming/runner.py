@@ -63,3 +63,13 @@ def run_file_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stop_stream(query, timeout_sec: int = 60) -> None:
+    """S4 graceful shutdown (subscriber.rs:121-151 / main.rs:67-71 analog):
+    stop the microbatch trigger and wait for the in-flight batch to drain.
+    ``foreachBatch`` commits are atomic on the store manifest and the
+    checkpoint survives, so the next ``run_file_stream`` over the same
+    checkpoint resumes exactly-once."""
+    query.stop()
+    query.awaitTermination(timeout_sec)

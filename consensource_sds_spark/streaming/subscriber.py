@@ -1,0 +1,105 @@
+"""Validator subscription protocol (SURVEY §2.1 S3/S4), transport-agnostic.
+
+Mirrors the reference's ZMQ subscription client semantics
+(/root/reference/src/subscriber.rs) without binding to ZMQ (not available in
+this sandbox; any transport object with ``subscribe``/``unsubscribe``/
+``recv`` drops in — a ZMQ socket, a Kafka consumer bridge, a test fake):
+
+- S3 catch-up negotiation (subscriber.rs:58-106, 157-178): offer the
+  validator up to ``KNOWN_COUNT`` most-recent known block ids; on
+  UNKNOWN_BLOCK slide the window by ``KNOWN_COUNT`` and retry, walking back
+  through history until a common ancestor is found; past the end of the
+  list, offer the genesis sentinel ``NULL_BLOCK_ID`` (subscriber.rs:20,
+  162-164). The validator then replays events since the agreed block and
+  W4 fork repair fixes any divergent rows.
+- S4 graceful shutdown (subscriber.rs:121-151, main.rs:67-71): a stop flag
+  checked once per poll; on exit an unsubscribe request is sent and must be
+  acknowledged OK.
+
+Deviation from the reference, on purpose: if the validator rejects even the
+genesis sentinel the reference would recurse forever (start() at
+subscriber.rs:97-100 re-offers the same [NULL_BLOCK_ID] window);
+here that raises ``SubscriptionError`` — an unbounded retry against a
+validator that rejects genesis is a config error, not a fork.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+#: genesis sentinel block id (subscriber.rs:20)
+NULL_BLOCK_ID = "0000000000000000"
+#: how many known block ids are offered per attempt (subscriber.rs:21)
+KNOWN_COUNT = 10
+
+
+class SubscriptionError(Exception):
+    """Validator returned something other than OK/UNKNOWN_BLOCK, or
+    rejected the genesis sentinel."""
+
+
+def last_known_block_ids(known_block_ids: list[str], start_index: int) -> list[str]:
+    """At most KNOWN_COUNT ids starting at start_index, newest first; past
+    the end of the list, the genesis sentinel
+    (subscriber.rs:157-178 ``get_last_known_block_ids``)."""
+    if start_index >= len(known_block_ids):
+        return [NULL_BLOCK_ID]
+    return known_block_ids[start_index : start_index + KNOWN_COUNT]
+
+
+def negotiate_subscription(
+    subscribe: Callable[[list[str]], str], known_block_ids: list[str]
+) -> list[str]:
+    """Walk back through known blocks until the validator accepts a window
+    (S3). ``subscribe`` is the transport's subscription request: takes the
+    offered block ids, returns the response status string ('OK',
+    'UNKNOWN_BLOCK', or anything else = error). Returns the accepted
+    window."""
+    start_index = 0
+    while True:
+        window = last_known_block_ids(known_block_ids, start_index)
+        status = subscribe(window)
+        if status == "OK":
+            return window
+        if status != "UNKNOWN_BLOCK":
+            raise SubscriptionError(f"validator returned an invalid response {status!r}")
+        if window == [NULL_BLOCK_ID]:
+            raise SubscriptionError("validator did not recognize the genesis sentinel")
+        start_index += KNOWN_COUNT
+
+
+class EventSubscription:
+    """The reference's poll loop + shutdown wrapper (subscriber.rs:83-96,
+    121-151) over an abstract transport.
+
+    ``transport`` needs: ``subscribe(block_ids) -> status``,
+    ``unsubscribe() -> status``, ``recv(timeout_sec) -> bytes | None``
+    (None = timeout, exactly the reference's 1 s recv_timeout tick)."""
+
+    def __init__(self, transport, handler: Callable[[bytes], None], poll_timeout_sec: float = 1.0):
+        self.transport = transport
+        self.handler = handler
+        self.poll_timeout_sec = poll_timeout_sec
+        self._active = False
+
+    def start(self, known_block_ids: list[str]) -> None:
+        """Negotiate (S3), then poll until ``request_stop`` (S4)."""
+        negotiate_subscription(self.transport.subscribe, known_block_ids)
+        self._active = True
+        while self._active:
+            msg = self.transport.recv(self.poll_timeout_sec)
+            if msg is not None:
+                self.handler(msg)
+        self.stop()
+
+    def request_stop(self) -> None:
+        """Flip the stop flag (the reference's ctrl-c AtomicBool,
+        main.rs:67-71); the poll loop exits at the next tick."""
+        self._active = False
+
+    def stop(self) -> None:
+        """Send the unsubscribe request; OK required (subscriber.rs:121-151)."""
+        self._active = False
+        status = self.transport.unsubscribe()
+        if status != "OK":
+            raise SubscriptionError(f"unsubscribe rejected: {status!r}")
