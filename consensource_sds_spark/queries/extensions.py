@@ -277,6 +277,129 @@ def x05_simhash(spark, sf_dir):
     return weights.select("doc_id", F.expr(f"cast({terms} AS bigint) AS simhash"))
 
 
+_SIMHASH_ORACLE_CTE = """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), n AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS n FROM tok
+    ), bits AS (
+      SELECT doc_id, bitpos,
+             SUM(((n >> CAST(4 * (7 - bitpos // 4) + bitpos % 4 AS BIGINT)) & 1) * 2 - 1) AS weight
+      FROM n, (SELECT UNNEST(range(32)) AS bitpos)
+      GROUP BY doc_id, bitpos
+    ), sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN weight > 0
+                           THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "x07_simhash_neardup",
+    oracle=_SIMHASH_ORACLE_CTE
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, k, (simhash >> CAST(8 * k AS BIGINT)) & 255 AS byte
+      FROM sim, (SELECT UNNEST(range(4)) AS k)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def x07_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs at scale: pigeonhole banding over the 32-bit
+    signature. Two signatures within hamming distance 3 must agree on at
+    least one of 4 bytes, so candidates = docs sharing any (band, byte)
+    bucket — a bucket equi-join on the signature table, never doc x doc —
+    then the exact hamming check (one xor + popcount) verifies.
+
+    Scale: the signature table is ~12 bytes/doc; the band join shuffles 4
+    rows/doc on (k, byte); hot buckets are true near-dup clusters. This is
+    the standard production simhash dedup layout (Manku et al., WWW'07 —
+    public method)."""
+    sim = x05_simhash(spark, sf_dir)
+    bands = sim.selectExpr("doc_id", "simhash", "explode(array(0, 1, 2, 3)) AS k").selectExpr(
+        "doc_id", "simhash", "k", "shiftright(simhash, cast(8 * k AS int)) & 255 AS byte"
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "k", "byte"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), F.col("k").alias("k2"), F.col("byte").alias("byte2")
+    )
+    cand = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("byte") == F.col("byte2")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    return cand.selectExpr(
+        "doc_a", "doc_b", "cast(bit_count(sa ^ sb) AS bigint) AS hamming"
+    ).filter(F.col("hamming") <= 3)
+
+
+@register(
+    "x25_dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+          FROM documents)
+    """,
+)
+def x25_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by content-free
+    key hash — the standard reproducible dataset split: stable under
+    re-runs, re-partitioning, and incremental appends (a doc's split never
+    changes), no shuffle at all (pure map)."""
+    d = load(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        "CASE WHEN conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 100 < 80 THEN 'train' "
+        "WHEN conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) % 100 < 90 THEN 'val' "
+        "ELSE 'test' END AS split",
+    )
+
+
+@register(
+    "x26_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n
+      FROM documents)
+    WHERE rn <= CAST(CEIL(0.1 * n) AS BIGINT)
+    """,
+)
+def x26_stratified_sample(spark, sf_dir):
+    """Exact 10% stratified sample per (source, lang) stratum: rank rows by
+    a deterministic key hash inside each stratum and keep the top ceil(10%).
+    One shuffle on the stratum key; deterministic across runs (hash order,
+    not RNG), so pipeline re-runs sample identical docs."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(F.expr("md5(cast(doc_id AS string))"), "doc_id")
+    wn = Window.partitionBy("source", "lang")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")))
+        .select("doc_id", "source", "lang")
+    )
+
+
 @register(
     "x06_dedup_clusters",
     oracle="""
