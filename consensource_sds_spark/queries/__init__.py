@@ -52,10 +52,14 @@ def register(name: str, oracle: str | None = None):
 # this is the "hot dimension + working set cached, facts streamed" policy —
 # the cap below means a 100 TB fact table would not be cached wholesale.
 _POOL: dict[tuple[str, str, str], DataFrame] = {}
-# bytes of parquet per cached partition — small enough that the CPU-heavy
-# text/hash queries over `documents` (~600 KB at sf0.1) still fan out over
-# ~24 cores; per-task overhead is ~2 ms so over-chunking small dims is cheap
-_POOL_CHUNK = 24 * 1024
+# bytes of parquet per cached partition. Chunking follows CPU density, not
+# just bytes: text/vector tables burn ~100x more CPU per byte (md5 per
+# token, per-element float reduces) than relational scans, so they chunk
+# fine to use every core, while row-light tables chunk coarse — measured
+# on events (100k rows), 16 partitions beats 32 by ~40% wall-clock because
+# task scheduling dominates the per-row work.
+_POOL_CHUNK_DEFAULT = 128 * 1024
+_POOL_CHUNK = {"documents": 24 * 1024, "embeddings": 32 * 1024}
 _POOL_FILE_CAP = 4 << 30  # never pool files beyond 4 GiB; stream them
 
 
@@ -120,7 +124,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # a different knob): map-side work over pooled tables should be able
         # to use every core
         n_cpus = spark.sparkContext.defaultParallelism
-        parts = max(1, min(n_cpus, size // _POOL_CHUNK))
+        chunk = _POOL_CHUNK.get(name, _POOL_CHUNK_DEFAULT)
+        parts = max(1, min(n_cpus, size // chunk))
         df = (raw.repartition(parts) if parts > 1 else raw).cache()
         _POOL[key] = df
     return df
