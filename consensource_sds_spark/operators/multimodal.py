@@ -91,6 +91,77 @@ def extract_features(media: DataFrame, deterministic_fake: bool = False) -> Data
     return media.repartition("media_id").mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+#: header-sniff output: real decoded metadata (no media libraries needed)
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sniffed_format", StringType(), True),  # png | jpeg | gif | None
+        StructField("sniffed_width", LongType(), True),
+        StructField("sniffed_height", LongType(), True),
+    ]
+)
+
+
+def sniff_image_meta(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Parse (format, width, height) from image container headers — pure
+    byte-level parsing of the public PNG/JPEG/GIF container formats, a REAL
+    decode of the metadata plane (only pixel decode needs external codecs):
+
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height as
+      big-endian u32 at offsets 16/20;
+    - JPEG: marker stream; the SOFn frame header (FFC0-FFCF minus
+      C4/C8/CC) holds height/width as big-endian u16 after the precision
+      byte;
+    - GIF: 'GIF87a'/'GIF89a', then logical-screen width/height as
+      little-endian u16.
+    Unknown/truncated payloads return (None, None, None) — quarantine-able,
+    never an exception (same taxonomy as the protobuf codec's W5 path)."""
+    if payload is None:
+        return None, None, None
+    b = bytes(payload)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            return "png", int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            return "gif", int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+        if b[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(b) and b[pos] == 0xFF:
+                marker, seglen = b[pos + 1], int.from_bytes(b[pos + 2 : pos + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if pos + 9 <= len(b):
+                        return (
+                            "jpeg",
+                            int.from_bytes(b[pos + 7 : pos + 9], "big"),
+                            int.from_bytes(b[pos + 5 : pos + 7], "big"),
+                        )
+                    break
+                pos += 2 + seglen
+    except (IndexError, ValueError):
+        pass
+    return None, None, None
+
+
+def sniff_media(media: DataFrame) -> DataFrame:
+    """Header-sniff all payloads via mapInPandas (Arrow batches, payloads
+    never visit the driver); joins back against the carried metadata let a
+    pipeline validate declared width/height against the actual container."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = pdf["payload"].map(sniff_image_meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sniffed_format": sniffed.map(lambda t: t[0]),
+                    "sniffed_width": sniffed.map(lambda t: t[1]),
+                    "sniffed_height": sniffed.map(lambda t: t[2]),
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video row into frame
     timestamps JVM-side (sequence+explode); the per-frame decode would hang

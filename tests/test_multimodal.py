@@ -39,6 +39,56 @@ def test_extract_features_stub_raises(media):
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
 
 
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI + APP0 (minimal) + SOF0 frame header
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00\x00\x00"
+
+
+def test_sniff_image_meta_pure():
+    assert MM.sniff_image_meta(_png(640, 480)) == ("png", 640, 480)
+    assert MM.sniff_image_meta(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert MM.sniff_image_meta(_gif(32, 16)) == ("gif", 32, 16)
+    # unknown / truncated / None never raise (quarantine taxonomy)
+    assert MM.sniff_image_meta(b"RIFF....") == (None, None, None)
+    assert MM.sniff_image_meta(b"\x89PNG\r\n\x1a\n\x00") == (None, None, None)
+    assert MM.sniff_image_meta(b"\xff\xd8\xff") == (None, None, None)
+    assert MM.sniff_image_meta(None) == (None, None, None)
+
+
+def test_sniff_media_dataframe(spark):
+    rows = [
+        (1, "image", _png(640, 480), "image/png", 640, 480, None),
+        (2, "image", _jpeg(100, 50), "image/jpeg", 100, 50, None),
+        (3, "image", _gif(8, 8), "image/gif", 8, 8, None),
+        (4, "image", b"not an image", "image/png", 1, 1, None),
+        (5, "image", None, "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.sniff_media(media).collect()}
+    assert (out[1]["sniffed_format"], out[1]["sniffed_width"], out[1]["sniffed_height"]) == ("png", 640, 480)
+    assert (out[2]["sniffed_format"], out[2]["sniffed_width"], out[2]["sniffed_height"]) == ("jpeg", 100, 50)
+    assert (out[3]["sniffed_format"], out[3]["sniffed_width"], out[3]["sniffed_height"]) == ("gif", 8, 8)
+    assert out[4]["sniffed_format"] is None
+    assert out[5]["sniffed_format"] is None
+
+
 def test_frame_sample_plan(media, spark):
     frames = MM.frame_sample_plan(media, every_ms=1000).collect()
     assert sorted((r["media_id"], r["frame_ts_ms"]) for r in frames) == [
