@@ -1,0 +1,83 @@
+"""Event-time windowed aggregation with late-data watermarks.
+
+The reference pipeline needs no watermarks — the validator serializes
+blocks, so event time == arrival order (SURVEY §2.8). A general engine over
+the same tables does need them: this module is the streaming analytics
+surface for the ``events``-shaped stream (user activity / telemetry), built
+the idiomatic Structured Streaming way:
+
+- transformations are pure ``DataFrame -> DataFrame`` so identical code
+  runs in batch (tests, backfill) and under ``readStream``;
+- ``withWatermark`` bounds state: windows older than the watermark are
+  finalized and their state dropped; late rows beyond it are discarded
+  (exactly the pretraining-ingest contract: accept bounded disorder,
+  never hold unbounded state);
+- in append output mode a window is emitted exactly once, when the
+  watermark passes its end — the downstream sink sees finalized,
+  immutable window rows (the same append-only discipline as the SCD2
+  store's closed partitions).
+
+Scale: tumbling-window aggregation is a hash aggregate keyed on
+(window, group) — partial aggregation map-side, one shuffle, state size =
+open windows x groups, bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + value total.
+
+    Works unchanged on a batch DataFrame (watermark is a no-op there) and a
+    streaming one (bounds state / drops late rows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.expr("cast(round(value * 100) AS bigint)")) / 100.0, 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+):
+    """File-source shell for :func:`windowed_event_stats` into an
+    append-mode parquet sink: each emitted row is a finalized, immutable
+    window — the sink only ever grows, and checkpointed restarts resume
+    exactly-once. Any replayable source drops in; the transform is
+    source-agnostic."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_stats(stream, window=window, watermark=watermark)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

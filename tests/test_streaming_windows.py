@@ -1,0 +1,99 @@
+"""Watermarked windowed aggregation: batch/stream parity, append-mode
+finalization, and late-data dropping across checkpointed runs."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from consensource_sds_spark.streaming.windows import run_windowed_stream, windowed_event_stats
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+
+def _t(sec: int) -> datetime:
+    return datetime.fromtimestamp(1700000000 + sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_batch_parity(spark):
+    """The same transform runs on a batch frame (watermark no-op)."""
+    df = _rows(
+        spark,
+        [
+            (1, "click", 1.0, _t(1)),
+            (2, "click", 2.0, _t(9)),
+            (3, "view", 5.0, _t(12)),
+        ],
+    )
+    out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_stats(df).collect()
+    }
+    assert out[(_t(0), "click")] == (2, 3.0)
+    assert out[(_t(10), "view")] == (1, 5.0)
+
+
+def test_append_mode_emits_finalized_windows_and_drops_late(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink_rows():
+        return {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: events up to t=100 -> watermark 70 -> windows ending <= 70 emit
+    _rows(
+        spark,
+        [
+            (1, "click", 1.0, _t(5)),
+            (2, "click", 2.0, _t(8)),
+            (3, "view", 3.0, _t(65)),
+            (4, "click", 4.0, _t(100)),
+        ],
+    ).write.parquet(src)
+    q = run_windowed_stream(spark, src, out, ckpt, SCHEMA)
+    q.awaitTermination(120)
+    run1 = sink_rows()
+    assert run1 == {(_t(0), "click"): (2, 3.0), (_t(60), "view"): (1, 3.0)}
+
+    # run 2 over the same checkpoint: one fresh event at t=110 (advances the
+    # watermark) and one LATE event at t=6 — far beyond the 30 s watermark,
+    # its window is already finalized, so it must be dropped, not re-emitted
+    _rows(
+        spark,
+        [
+            (5, "view", 9.0, _t(110)),
+            (6, "click", 99.0, _t(6)),
+        ],
+    ).write.mode("append").parquet(src)
+    q2 = run_windowed_stream(spark, src, out, ckpt, SCHEMA)
+    q2.awaitTermination(120)
+    emitted = sink_rows()
+    new = {k: v for k, v in emitted.items() if k not in run1}
+    # run1's finalized windows are immutable in the sink
+    assert all(emitted[k] == v for k, v in run1.items())
+    # the late click at t=6 appears nowhere (its 99.0 would change totals);
+    # watermark is now 110-30=80 so [100,110) stays open (not emitted)
+    assert emitted[(_t(0), "click")] == (2, 3.0)
+    assert all(ws >= _t(70) for ws, _ in new)
+    assert (_t(100), "click") not in emitted
