@@ -839,6 +839,100 @@ def q45_distinct_agg(spark, sf_dir):
 
 
 @register(
+    "q48_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.event_id     AS click_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q48_asof_join(spark, sf_dir):
+    """AS-OF join — for every purchase, the same user's most recent click
+    at or before it. Spark has no asof-join operator; the scale-correct
+    composition is the union-then-window plan: tag both streams, sort each
+    user's rows once by (ts, kind), and carry the last click forward with
+    last(ignorenulls) — ONE shuffle on user_id, no per-row probe join, no
+    range explosion. (An inequality join would be O(clicks x purchases)
+    per user; a backend with native asof, e.g. DuckDB here, is the
+    oracle.) Ties (click exactly at purchase ts) match, clicks ordered
+    before purchases at equal timestamps."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),  # clicks first on ties
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_click = F.col("kind") == 0
+    carried = both.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "kind",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(is_click, F.col("ts_us")), ignorenulls=True).over(w).alias("click_ts_us"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "click_id",
+        "click_ts_us",
+    )
+
+
+@register(
+    "q49_range_join",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+    FROM events a JOIN events b
+      ON abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 1000000
+     AND a.event_id < b.event_id
+    """,
+)
+def q49_range_join(spark, sf_dir):
+    """Range (interval) join with NO equi key — pairs of events within 1
+    second of each other. A naive plan is a broadcast nested loop over
+    n^2; the scale plan is BIN BANDING: bucket time into band-width bins,
+    explode only the probe side into its bin and the two neighbors, and
+    equi-join on the bin — every qualifying pair shares exactly one
+    (probe_bin = build_bin) match, so no dedup pass is needed. Work drops
+    to sum of bin^2 and the shuffle key is the bin (AQE handles hot
+    bins). The oracle is the plain inequality join (DuckDB IEJoin)."""
+    e = load(spark, sf_dir, "events").select("event_id", "ts_us")
+    build = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("ts_us").alias("ts_b"),
+        F.expr("ts_us div 1000000").alias("bin"),
+    )
+    probe = e.select(
+        F.col("event_id").alias("event_a"),
+        F.col("ts_us").alias("ts_a"),
+        F.explode(F.expr("array(ts_us div 1000000 - 1, ts_us div 1000000, ts_us div 1000000 + 1)")).alias("bin"),
+    )
+    return (
+        probe.join(build, "bin")
+        .filter(
+            (F.abs(F.col("ts_b") - F.col("ts_a")) <= 1_000_000)
+            & (F.col("event_a") < F.col("event_b"))
+        )
+        .select("event_a", "event_b", (F.col("ts_b") - F.col("ts_a")).alias("dt_us"))
+    )
+
+
+@register(
     "q47_fulltext_search",
     oracle="""
     WITH inv AS (
