@@ -103,12 +103,14 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     # pass 1: cold (includes per-query planning + whole-stage codegen
-    # compilation); passes 2-3: steady state. Per query we report the MIN of
-    # the warm passes — the machine runs a multi-core build harness in the
-    # background, so any single pass can catch a multi-second CPU-steal
-    # artifact; the min is the reproducible steady-state number.
+    # compilation); passes 2-6: steady state. Per query we report the MIN of
+    # the warm passes — the HOST (not this VM) runs a multi-core build
+    # harness whose CPU steal can inflate any single pass 2-3x, and a
+    # many-task engine amplifies steal more than a single-process one, so
+    # several temporally-spread passes are needed for the min to land in a
+    # quiet window; the min is the reproducible steady-state number.
     cold: dict[str, float] = {name: run(name) for name in HEADLINE}
-    warm: list[dict[str, float]] = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+    warm: list[dict[str, float]] = [{name: run(name) for name in HEADLINE} for _ in range(5)]
     timings = {name: min(w[name] for w in warm) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)

@@ -26,7 +26,7 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    # same methodology as bench.py: one cold pass, then min of two warm
+    # same methodology as bench.py: one cold pass, then min of five warm
     # passes per query (the host runs a background build harness, so any
     # single pass can catch CPU-steal artifacts)
     def run(name: str) -> float:
@@ -37,9 +37,8 @@ def main() -> None:
     names = [n for n in HEADLINE if REGISTRY[n].oracle is not None]
     for name in names:
         run(name)
-    warm1 = {name: run(name) for name in names}
-    warm2 = {name: run(name) for name in names}
-    timings = {name: min(warm1[name], warm2[name]) for name in names}
+    warm = [{name: run(name) for name in names} for _ in range(5)]
+    timings = {name: min(w[name] for w in warm) for name in names}
     print(json.dumps({"engine": "duckdb", "total_sec": round(sum(timings.values()), 3), "queries": timings}))
 
 
