@@ -1,0 +1,60 @@
+"""Plan-shape regression gate: the scale posture of every registered query,
+asserted on the physical plan (VERDICT r1 graded these by hand; this pins
+them in CI).
+
+- no CartesianProduct anywhere;
+- BroadcastNestedLoopJoin only where a bounded broadcast side makes the
+  cross join the intended exact plan (the ANN brute-force baselines);
+- with the buffer pool disabled, selective filters reach the parquet scan
+  (PushedFilters non-empty) — i.e. nothing in the query layer breaks
+  source pushdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from consensource_sds_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+#: max BroadcastNestedLoopJoin occurrences per query — the bounded
+#: broadcast cross joins by design (docstring-documented): the exact-kNN
+#: baselines broadcast a fixed query/centroid set; x13 contains x11's
+#: centroid-assignment subtree once per pair-join side (its own pair join
+#: must be a hash/merge join on the cell key, which the cap enforces)
+_BNLJ_ALLOWED = {
+    "x10_cosine_topk": 1,
+    "x11_ivf_assign": 1,
+    "x12_embedding_neardup": 1,
+    "x13_ivf_neardup": 2,
+}
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unbounded_join_shapes(spark, name):
+    df = all_queries()[name](spark, SF)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= _BNLJ_ALLOWED.get(name, 0), (
+        f"{name} plans {n_bnlj} nested-loop join(s); allowed {_BNLJ_ALLOWED.get(name, 0)}"
+    )
+
+
+def test_filters_reach_parquet_scan(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "0")  # bypass the buffer pool
+    from consensource_sds_spark.queries.relational import q02_filter_pushdown
+
+    # sf0.01, not SF: the parametrized tests above pooled sf0.001 tables,
+    # and Spark's CacheManager substitutes a cached relation into any
+    # matching later scan — a different path guarantees a real FileScan
+    df = q02_filter_pushdown(spark, "/root/testdata/sf0.01")
+    # full formatted explain (executedPlan().toString() truncates scan attrs)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: []" not in plan
+    assert "PushedFilters: [" in plan
