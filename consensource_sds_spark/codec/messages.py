@@ -25,10 +25,14 @@ ENUMS: dict[str, list[str]] = {
     "AssertionType": ["UNSET_TYPE", "STANDARD", "CERTIFICATE", "FACTORY"],
     # sawtooth transaction_receipt.proto StateChange.Type
     "StateChangeType": ["TYPE_UNSET", "SET", "DELETE"],
+    # sawtooth client_event.proto (public sawtooth-core)
+    "FilterType": ["FILTER_TYPE_UNSET", "SIMPLE_ANY", "SIMPLE_ALL", "REGEX_ANY", "REGEX_ALL"],
+    "SubscribeStatus": ["STATUS_UNSET", "OK", "INVALID_FILTER", "UNKNOWN_BLOCK"],
+    "UnsubscribeStatus": ["STATUS_UNSET", "OK", "INTERNAL_ERROR"],
 }
 
 # field kind vocabulary: "string" | "bytes" | "uint64" | "enum:<E>"
-# | "msg:<M>" | "rep:<M>" (repeated message)
+# | "msg:<M>" | "rep:<M>" (repeated message) | "rep_string" (repeated string)
 MESSAGES: dict[str, dict[int, tuple[str, str]]] = {
     # --- Sawtooth envelope (public sawtooth-core field numbers) ---
     "Attribute": {1: ("key", "string"), 2: ("value", "string")},
@@ -36,6 +40,24 @@ MESSAGES: dict[str, dict[int, tuple[str, str]]] = {
     "EventList": {1: ("events", "rep:Event")},
     "StateChange": {1: ("address", "string"), 2: ("value", "bytes"), 3: ("change_type", "enum:StateChangeType")},
     "StateChangeList": {1: ("state_changes", "rep:StateChange")},
+    # --- Sawtooth subscription protocol (public client_event.proto;
+    # built/consumed by the reference at subscriber.rs:58-106, 180-223) ---
+    "EventFilter": {
+        1: ("key", "string"),
+        2: ("match_string", "string"),
+        3: ("filter_type", "enum:FilterType"),
+    },
+    "EventSubscription": {1: ("event_type", "string"), 2: ("filters", "rep:EventFilter")},
+    "ClientEventsSubscribeRequest": {
+        1: ("subscriptions", "rep:EventSubscription"),
+        2: ("last_known_block_ids", "rep_string"),
+    },
+    "ClientEventsSubscribeResponse": {
+        1: ("status", "enum:SubscribeStatus"),
+        2: ("response_message", "string"),
+    },
+    "ClientEventsUnsubscribeRequest": {},
+    "ClientEventsUnsubscribeResponse": {1: ("status", "enum:UnsubscribeStatus")},
     # --- certificate_registry entities (SURVEY §1.1 field lists) ---
     "OrgContact": {1: ("name", "string"), 2: ("phone_number", "string"), 3: ("language_code", "string")},
     "OrgAuthorization": {1: ("public_key", "string"), 2: ("role", "enum:Role")},
@@ -125,7 +147,7 @@ def _default(kind: str):
         return 0
     if kind.startswith("enum:"):
         return ENUMS[kind[5:]][0]
-    if kind.startswith("rep:"):
+    if kind.startswith("rep:") or kind == "rep_string":
         return []
     return None  # msg:
 
@@ -157,6 +179,9 @@ def encode_message(name: str, obj: dict) -> bytes:
         elif kind.startswith("rep:"):
             for item in val:
                 out += wire.encode_len_delimited(fnum, encode_message(kind[4:], item))
+        elif kind == "rep_string":
+            for item in val:
+                out += wire.encode_len_delimited(fnum, item.encode("utf-8"))
         else:  # pragma: no cover
             raise ValueError(f"unknown kind {kind}")
     return bytes(out)
@@ -193,4 +218,6 @@ def decode_message(name: str, buf: bytes, enums_as_number: bool = False) -> dict
             obj[fname] = decode_message(kind[4:], raw, enums_as_number)
         elif kind.startswith("rep:"):
             obj[fname].append(decode_message(kind[4:], raw, enums_as_number))
+        elif kind == "rep_string":
+            obj[fname].append(raw.decode("utf-8"))
     return obj

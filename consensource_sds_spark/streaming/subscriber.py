@@ -27,10 +27,57 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from consensource_sds_spark.addressing import NAMESPACE
+from consensource_sds_spark.codec.messages import decode_message, encode_message
+
 #: genesis sentinel block id (subscriber.rs:20)
 NULL_BLOCK_ID = "0000000000000000"
 #: how many known block ids are offered per attempt (subscriber.rs:21)
 KNOWN_COUNT = 10
+
+
+# -- wire messages (S2, subscriber.rs:180-223; public client_event.proto) ----
+
+
+def get_block_commit_subscription() -> dict:
+    return {"event_type": "sawtooth/block-commit", "filters": []}
+
+
+def get_state_delta_subscription(namespace: str = NAMESPACE) -> dict:
+    """State-delta subscription with the SERVER-SIDE address filter — the
+    reference's only pushdown (REGEX_ANY '^<namespace>' on key 'address',
+    subscriber.rs:199-223): the validator filters events before they ever
+    cross the wire, the connector-level twin of Catalyst source pushdown."""
+    return {
+        "event_type": "sawtooth/state-delta",
+        "filters": [
+            {"key": "address", "match_string": f"^{namespace}", "filter_type": "REGEX_ANY"}
+        ],
+    }
+
+
+def build_subscription_request(last_known_block_ids: list[str]) -> bytes:
+    """Encoded ClientEventsSubscribeRequest exactly as the reference builds
+    it (subscriber.rs:180-197): both subscriptions + the offered cursor."""
+    return encode_message(
+        "ClientEventsSubscribeRequest",
+        {
+            "subscriptions": [get_block_commit_subscription(), get_state_delta_subscription()],
+            "last_known_block_ids": list(last_known_block_ids),
+        },
+    )
+
+
+def parse_subscribe_response(buf: bytes) -> str:
+    return decode_message("ClientEventsSubscribeResponse", buf)["status"]
+
+
+def build_unsubscribe_request() -> bytes:
+    return encode_message("ClientEventsUnsubscribeRequest", {})
+
+
+def parse_unsubscribe_response(buf: bytes) -> str:
+    return decode_message("ClientEventsUnsubscribeResponse", buf)["status"]
 
 
 class SubscriptionError(Exception):

@@ -10,8 +10,12 @@ from consensource_sds_spark.streaming.subscriber import (
     NULL_BLOCK_ID,
     EventSubscription,
     SubscriptionError,
+    build_subscription_request,
+    build_unsubscribe_request,
     last_known_block_ids,
     negotiate_subscription,
+    parse_subscribe_response,
+    parse_unsubscribe_response,
 )
 
 
@@ -72,6 +76,38 @@ def test_genesis_rejection_errors_instead_of_looping():
 def test_invalid_status_errors():
     with pytest.raises(SubscriptionError):
         negotiate_subscription(lambda w: "INTERNAL_ERROR", ["b1"])
+
+
+def test_subscription_request_wire_roundtrip():
+    """The encoded ClientEventsSubscribeRequest carries exactly what the
+    reference sends (subscriber.rs:180-223): two subscriptions, the
+    server-side namespace regex filter, and the offered block cursor."""
+    from consensource_sds_spark.addressing import NAMESPACE
+    from consensource_sds_spark.codec.messages import decode_message
+
+    buf = build_subscription_request(["b2", "b1"])
+    req = decode_message("ClientEventsSubscribeRequest", buf)
+    assert [s["event_type"] for s in req["subscriptions"]] == [
+        "sawtooth/block-commit",
+        "sawtooth/state-delta",
+    ]
+    assert req["subscriptions"][0]["filters"] == []
+    (f,) = req["subscriptions"][1]["filters"]
+    assert f == {"key": "address", "match_string": f"^{NAMESPACE}", "filter_type": "REGEX_ANY"}
+    assert req["last_known_block_ids"] == ["b2", "b1"]
+
+
+def test_response_parsing():
+    from consensource_sds_spark.codec.messages import encode_message
+
+    ok = encode_message("ClientEventsSubscribeResponse", {"status": "OK"})
+    unk = encode_message("ClientEventsSubscribeResponse", {"status": "UNKNOWN_BLOCK"})
+    assert parse_subscribe_response(ok) == "OK"
+    assert parse_subscribe_response(unk) == "UNKNOWN_BLOCK"
+    assert build_unsubscribe_request() == b""  # empty message, like the reference
+    assert parse_unsubscribe_response(
+        encode_message("ClientEventsUnsubscribeResponse", {"status": "OK"})
+    ) == "OK"
 
 
 def test_poll_loop_stops_and_unsubscribes():
