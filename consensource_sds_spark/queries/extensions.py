@@ -501,6 +501,64 @@ def x06_dedup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "x08_dedup_apply",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                               AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), reach(doc_id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ), lab AS (
+      SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+    GROUP BY source, lang
+    """,
+)
+def x08_dedup_apply(spark, sf_dir):
+    """The dedup pipeline's final product: apply x06's keep decision to the
+    corpus and report the surviving volume per (source, lang) — what a
+    100 TB near-dedup run actually ships (survivor set + the accounting
+    that says how much each slice shrank). One broadcast-sized join of the
+    keep labels against the corpus, then a partial-agg rollup."""
+    keep = x06_dedup_clusters(spark, sf_dir).filter(F.col("keep"))
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------

@@ -115,6 +115,34 @@ def negotiate_subscription(
         start_index += KNOWN_COUNT
 
 
+class WireTransport:
+    """Byte-level transport: speaks the actual subscription protocol over
+    any request/reply channel (a ZMQ DEALER socket in the reference,
+    subscriber.rs:33-42; anything with the same two methods here).
+
+    ``channel`` needs: ``send_request(message_type: str, payload: bytes)
+    -> bytes`` (correlated request/reply, the reference's future.get) and
+    ``recv_event(timeout_sec) -> bytes | None`` (the event delivery path).
+    """
+
+    SUBSCRIBE = "CLIENT_EVENTS_SUBSCRIBE_REQUEST"
+    UNSUBSCRIBE = "CLIENT_EVENTS_UNSUBSCRIBE_REQUEST"
+
+    def __init__(self, channel):
+        self.channel = channel
+
+    def subscribe(self, block_ids: list[str]) -> str:
+        reply = self.channel.send_request(self.SUBSCRIBE, build_subscription_request(block_ids))
+        return parse_subscribe_response(reply)
+
+    def unsubscribe(self) -> str:
+        reply = self.channel.send_request(self.UNSUBSCRIBE, build_unsubscribe_request())
+        return parse_unsubscribe_response(reply)
+
+    def recv(self, timeout_sec: float):
+        return self.channel.recv_event(timeout_sec)
+
+
 class EventSubscription:
     """The reference's poll loop + shutdown wrapper (subscriber.rs:83-96,
     121-151) over an abstract transport.

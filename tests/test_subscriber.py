@@ -128,6 +128,44 @@ def test_poll_loop_stops_and_unsubscribes():
     assert v.unsubscribed
 
 
+def test_wire_transport_full_protocol_stack():
+    """EventSubscription over WireTransport over a byte-level fake
+    validator: the entire stack exchanges real protobuf bytes; only the
+    socket itself is faked."""
+    from consensource_sds_spark.codec.messages import decode_message, encode_message
+    from consensource_sds_spark.streaming.subscriber import WireTransport
+
+    class ByteValidator:
+        def __init__(self):
+            self.requests: list[tuple[str, dict]] = []
+            self.events = [b"evt1", None]
+
+        def send_request(self, message_type: str, payload: bytes) -> bytes:
+            if message_type == WireTransport.SUBSCRIBE:
+                req = decode_message("ClientEventsSubscribeRequest", payload)
+                self.requests.append((message_type, req))
+                status = "OK" if "known" in req["last_known_block_ids"] else "UNKNOWN_BLOCK"
+                return encode_message("ClientEventsSubscribeResponse", {"status": status})
+            self.requests.append((message_type, {}))
+            return encode_message("ClientEventsUnsubscribeResponse", {"status": "OK"})
+
+        def recv_event(self, timeout_sec: float):
+            return self.events.pop(0) if self.events else None
+
+    v = ByteValidator()
+    transport = WireTransport(v)
+    got: list[bytes] = []
+    sub = EventSubscription(transport, handler=lambda m: (got.append(m), sub.request_stop()))
+    # 25 unknown heads force one slide before the window containing 'known'
+    sub.start([f"h{i}" for i in range(KNOWN_COUNT)] + ["known"])
+    assert got == [b"evt1"]
+    kinds = [k for k, _ in v.requests]
+    assert kinds == [WireTransport.SUBSCRIBE, WireTransport.SUBSCRIBE, WireTransport.UNSUBSCRIBE]
+    assert v.requests[1][1]["last_known_block_ids"] == ["known"]
+    # the wire request always carries both subscriptions + the regex filter
+    assert len(v.requests[0][1]["subscriptions"]) == 2
+
+
 def test_spark_stream_graceful_stop_and_resume(spark, tmp_path):
     """S4 on the Spark side: stop a live processing-time stream mid-flight;
     the checkpoint + store manifest stay consistent and a later run resumes
