@@ -824,6 +824,75 @@ def x24_source_lang_profile(spark, sf_dir):
     )
 
 
+@register(
+    "x27_sequence_packing",
+    oracle="""
+    SELECT doc_id, n_tokens, bin_id,
+           CAST(SUM(n_tokens) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_tokens
+    FROM (
+      SELECT doc_id, n_tokens,
+             (CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1) // 2048 AS bin_id
+      FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents))
+    """,
+)
+def x27_sequence_packing(spark, sf_dir):
+    """Deterministic sequence packing for training batches: documents are
+    packed in stable doc_id order into ~2048-token bins by bucketing the
+    running token total (bin = (cumsum-1) div budget). Contiguous-cumsum
+    packing is the streaming-friendly packer: one window pass, fully
+    deterministic, and at scale the prefix sum distributes as per-partition
+    subtotals + a tiny driver-side offset broadcast (vs. first-fit bin
+    packing, which is inherently sequential)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr("cast(size(split(text, ' ')) AS bigint) AS n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    binned = toks.withColumn("bin_id", F.expr("-1") + F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", (F.col("bin_id") / 2048).cast("long")
+    )
+    wb = Window.partitionBy("bin_id")
+    return binned.select(
+        "doc_id", "n_tokens", "bin_id", F.sum("n_tokens").over(wb).alias("bin_tokens")
+    )
+
+
+@register(
+    "x28_top_bigrams",
+    oracle="""
+    SELECT bg, COUNT(*) AS n
+    FROM (
+      SELECT UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bg
+      FROM documents)
+    GROUP BY bg
+    ORDER BY n DESC, bg
+    LIMIT 50
+    """,
+)
+def x28_top_bigrams(spark, sf_dir):
+    """Corpus-wide n-gram count table (the building block of n-gram LMs and
+    contamination checks): explode bigrams, hash-aggregate, top-k. Scale:
+    partial aggregation collapses the long tail map-side; top-50 is
+    TakeOrderedAndProject — no global sort, no full count table collected."""
+    d = load(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    bg = d.select(
+        F.expr(
+            f"explode(zip_with(slice({toks}, 1, size({toks}) - 1),"
+            f" slice({toks}, 2, size({toks}) - 1), (a, b) -> concat_ws(' ', a, b))) AS bg"
+        )
+    )
+    return (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bg")
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Approximate aggregates (no SQL oracle — semantics are approximate;
 # the driver records the weaker rows-only check)
