@@ -40,10 +40,12 @@ HEADLINE = [
     "x01_dedup_exact",
     "x02_minhash_signatures",
     "x05_simhash",
+    "x07_simhash_neardup",
     "x10_cosine_topk",
     "x20_token_stats",
     "x21_quality_score",
     "x23_fingerprint",
+    "x28_top_bigrams",
 ]
 
 
