@@ -1002,6 +1002,89 @@ def q47_fulltext_search(spark, sf_dir):
 
 
 @register(
+    "q50_array_map_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                        AS dim,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4)         AS comp_max,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4)         AS comp_min,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4)                AS first_comp,
+           ROUND(CAST(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS DOUBLE), 4)
+                                                                 AS head_sum,
+           len(list_filter(embedding, x -> x > 0))               AS n_positive
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q50_array_map_funcs(spark, sf_dir):
+    """Array scalar-function family (§2.8): size / element_at / slice /
+    array_max / higher-order filter+aggregate, all JVM-side."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("comp_max"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("comp_min"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_comp"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("head_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
+    "q51_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, ts_us, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total_value
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def q51_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization, BATCH form (30-min inactivity gap): the
+    classic lag -> gap-marker -> running-sum -> group plan. This is the
+    backfill twin of streaming/sessions.py's applyInPandasWithState
+    operator — same session semantics, expressed as two windows + one
+    aggregation so historical corpus re-runs don't need streaming state.
+    One shuffle on user_id serves both windows and the final group."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(Window.unboundedPreceding, 0)
+    marked = e.select(
+        "user_id",
+        "ts_us",
+        "value",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn("session_idx", F.sum("new_session").over(wrun).cast("long"))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.expr("cast(round(value * 100) AS bigint)")) / 100.0, 2).alias("total_value"),
+    )
+
+
+@register(
     "q46_json_extract",
     oracle="""
     SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
