@@ -223,6 +223,63 @@ def test_partial_batch_without_member_table(spark, store):
     assert _agent_versions(store) == [("test_public_key", "test", 1, 2)]
 
 
+def test_version_chain_invariants_at_scale(spark, store):
+    """SCD2 structural invariants over a wider keyspace (500 agents x 3
+    re-emissions in multi-block batches): per key, intervals are
+    well-formed ([s,e) with s<=e), non-overlapping, contiguous across
+    versions, and at most one is open — the properties a 100 TB store
+    must keep under any partitioning."""
+    from pyspark.sql import functions as F
+
+    def batch(block, n=500):
+        return fx.delivery(
+            block,
+            f"b{block}",
+            [
+                fx.state_change(
+                    "agent", f"k{i}", [dict(fx.make_agent(), public_key=f"k{i}", name=f"v{block}")]
+                )
+                # every key re-emitted each block; a third of keys also get a
+                # same-block double-SET (zero-width version stress)
+                for i in range(n)
+            ]
+            + [
+                fx.state_change(
+                    "agent", f"k{i}", [dict(fx.make_agent(), public_key=f"k{i}", name=f"v{block}x")]
+                )
+                for i in range(0, n, 3)
+            ],
+        )
+
+    _apply(spark, store, [batch(1), batch(5)])  # multi-block microbatch
+    _apply(spark, store, [batch(9)])
+
+    agents = store.read("agents")
+    assert agents.count() == 500 * 3 + 167 * 3  # one row per emission
+    # interval sanity: s <= e everywhere
+    assert agents.filter(F.col("start_block_num") > F.col("end_block_num")).count() == 0
+    # exactly one open version per key
+    open_counts = (
+        agents.filter(F.col("end_block_num") == MAX)
+        .groupBy("public_key")
+        .count()
+        .filter(F.col("count") != 1)
+    )
+    assert open_counts.count() == 0
+    # chain contiguity: ordering each key's versions by (start, end), every
+    # version's end equals the next version's start (no gaps, no overlaps)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("public_key").orderBy("start_block_num", "end_block_num")
+    gaps = (
+        agents.withColumn("next_start", F.lead("start_block_num").over(w))
+        .filter(F.col("next_start").isNotNull() & (F.col("end_block_num") != F.col("next_start")))
+    )
+    assert gaps.count() == 0
+    # current() equals the open slice of read()
+    assert store.current("agents").count() == 500
+
+
 def test_streaming_file_source(spark, store, tmp_path):
     """End-to-end Structured Streaming: envelope parquet -> foreachBatch ->
     store, with checkpointed exactly-once resume."""
