@@ -719,6 +719,72 @@ def x13_ivf_neardup(spark, sf_dir):
     )
 
 
+@register(
+    "x14_multiprobe_ivf",
+    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
+    + """
+    , asg AS (
+      SELECT cid AS vec_id, qid AS centroid_id
+      FROM (SELECT qid, cid, dot / (qn * cn) AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                                      ORDER BY dot / (qn * cn) DESC, qid) AS rn
+            FROM p)
+      WHERE rn <= 2
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ), withv AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(x.embedding) + 1),
+                                     i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+             / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) AS cosine
+    FROM cand JOIN withv x ON x.vec_id = va JOIN withv y ON y.vec_id = vb
+    WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+                                  i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+          / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+           * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) > 0.4
+    """,
+)
+def x14_multiprobe_ivf(spark, sf_dir):
+    """Multi-probe IVF near-dup: each vector is assigned to its TOP-2
+    nearest centroids, and pairs sharing ANY cell are scored — the standard
+    recall lever over single-probe x13 (pairs straddling one cell boundary
+    are recovered at ~2x the candidate cost, still never doc x doc).
+    Candidate pairs are deduped BEFORE the expensive cosine (a pair can
+    share both cells)."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS qid", "embedding AS qe")
+    allv = e.selectExpr("vec_id AS cid", "embedding AS ce")
+    scored = allv.crossJoin(F.broadcast(cent)).select(
+        "cid", "qid", V.cosine(F.col("qe"), F.col("ce")).alias("cos")
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("cos").desc(), "qid")
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("cid").alias("vec_id"), F.col("qid").alias("centroid_id"))
+    )
+    a = asg.select(F.col("vec_id").alias("va"), "centroid_id")
+    b = asg.select(F.col("vec_id").alias("vb"), F.col("centroid_id").alias("c2"))
+    cand = (
+        a.join(b, (F.col("centroid_id") == F.col("c2")) & (F.col("va") < F.col("vb")))
+        .select("va", "vb")
+        .distinct()
+    )
+    ex = e.selectExpr("vec_id AS xid", "embedding AS xe")
+    ey = e.selectExpr("vec_id AS yid", "embedding AS ye")
+    pairs = (
+        cand.join(ex, F.col("va") == F.col("xid"))
+        .join(ey, F.col("vb") == F.col("yid"))
+        .select("va", "vb", V.cosine(F.col("xe"), F.col("ye")).alias("raw_cos"))
+    )
+    return pairs.filter(F.col("raw_cos") > 0.4).select(
+        F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), F.round("raw_cos", 6).alias("cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -897,6 +963,32 @@ def x28_top_bigrams(spark, sf_dir):
 # Approximate aggregates (no SQL oracle — semantics are approximate;
 # the driver records the weaker rows-only check)
 # --------------------------------------------------------------------------
+
+
+@register(
+    "x31_length_percentiles",
+    oracle="""
+    SELECT source,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4)  AS p50,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4)  AS p90,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 4) AS p99,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def x31_length_percentiles(spark, sf_dir):
+    """Exact per-source length percentiles (corpus QA / filter-threshold
+    tuning): Spark's exact `percentile` (interpolating, = DuckDB
+    quantile_cont). Exact quantiles shuffle each group's values; at 100 TB
+    swap to `approx_percentile` (t-digest sketch, mergeable, no value
+    shuffle) — the x30 pattern — once exactness stops being worth it."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(cast(n_chars AS double), 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(cast(n_chars AS double), 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(cast(n_chars AS double), 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n_docs"),
+    )
 
 
 @register("x30_approx_count_distinct", oracle=None)
