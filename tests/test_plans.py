@@ -28,7 +28,7 @@ _BNLJ_ALLOWED = {
     "x11_ivf_assign": 1,
     "x12_embedding_neardup": 1,
     "x13_ivf_neardup": 2,
-    "x14_multiprobe_ivf": 1,  # the 8-centroid assignment cross join
+    "x14_multiprobe_ivf": 2,  # assignment subtree on both pair-join sides, like x13
 }
 
 
