@@ -1000,3 +1000,145 @@ def x30_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy / compliance scrubbing
+# --------------------------------------------------------------------------
+
+#: PII patterns shared by the Spark plan and the DuckDB oracle. Kept to the
+#: regex subset that Java's engine and RE2 interpret identically (no
+#: backrefs, no lookaround), and backslash-free ([.] not \.) because Spark
+#: SQL string literals process backslash escapes while DuckDB's do not.
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "x32_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PII_IP}'))    AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+    FROM aug
+    """,
+)
+def x32_pii_redaction(spark, sf_dir):
+    """PII scrubbing (email / IPv4 / phone -> typed placeholders), the
+    compliance pass every pretraining corpus runs before training.
+
+    The synthetic documents are pre-normalized lowercase prose with no PII,
+    so the query first APPENDS deterministic fake PII derived from doc_id
+    (declared fixture step, identical expression in the oracle) — the
+    redaction chain is then exercised on every row instead of passing
+    vacuously. Phone counting is omitted on purpose: the phone pattern is a
+    substring of nothing else, but its count would double-count the IP octets
+    only after they are gone, so counts are taken on the raw text for the
+    disjoint patterns (email, IP) and redaction order is email -> IP ->
+    phone (each pattern matches disjoint spans of the raw text).
+
+    Scale: pure regexp_* projection — codegen'd, no shuffle, scales with the
+    scan; the patterns are shared constants with the oracle."""
+    d = load(spark, sf_dir, "documents")
+    raw = (
+        "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com ip 10.0.', "
+        "CAST(doc_id % 256 AS STRING), '.7 tel 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    )
+    aug = d.select("doc_id", F.expr(f"{raw} AS raw"))
+    return aug.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(raw, '{_PII_EMAIL}', 0)) AS n_emails"),
+        F.expr(f"size(regexp_extract_all(raw, '{_PII_IP}', 0)) AS n_ips"),
+        F.expr(
+            f"regexp_replace(regexp_replace(regexp_replace(raw,"
+            f" '{_PII_EMAIL}', '<EMAIL>'),"
+            f" '{_PII_IP}', '<IP>'),"
+            f" '{_PII_PHONE}', '<PHONE>') AS clean"
+        ),
+    )
+
+
+@register(
+    "x33_repetition_signals",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, tok, COUNT(*) AS n
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), st AS (
+      SELECT doc_id, tok, n,
+             CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT)   AS n_tokens,
+             COUNT(*) OVER (PARTITION BY doc_id)                 AS n_unique,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rn
+      FROM tc
+    ), bi AS (
+      SELECT doc_id,
+             ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, len(string_split(text,' '))),
+                       i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS DOUBLE)
+                       / NULLIF(len(string_split(text,' ')) - 1, 0), 4) AS dup_bigram_frac
+      FROM documents
+    )
+    SELECT st.doc_id, st.n_tokens, st.n_unique,
+           ROUND(1.0 - CAST(st.n_unique AS DOUBLE) / st.n_tokens, 4) AS dup_token_frac,
+           st.tok AS top_tok,
+           ROUND(CAST(st.n AS DOUBLE) / st.n_tokens, 4) AS top_tok_frac,
+           bi.dup_bigram_frac
+    FROM st JOIN bi ON st.doc_id = bi.doc_id
+    WHERE st.rn = 1
+    """,
+)
+def x33_repetition_signals(spark, sf_dir):
+    """Per-document repetition signals (the Gopher/C4-family quality
+    filters): duplicate-token fraction, duplicate-bigram fraction, and the
+    most-frequent token with its mass share (ties -> lexicographically
+    smallest token, deterministic).
+
+    Scale/plan: token frequencies come from explode -> (doc_id, tok)
+    hash-agg -> (doc_id) hash-agg — both shuffles are keyed by doc_id
+    prefixes and collapse map-side; the per-doc top token is a single
+    ``min(struct(-n, tok))`` (no window, no second sort). The bigram
+    fraction is a per-row higher-order-function projection joined back on
+    doc_id. Nothing is ever keyed by token alone, so skewed vocabulary
+    (stopwords) cannot hot-spot a reducer."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.expr("explode(split(text, ' ')) AS tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    st = tc.groupBy("doc_id").agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS n_tokens"),
+        F.expr("count(*) AS n_unique"),
+        F.expr("min(struct(-n AS neg_n, tok)) AS top"),
+    )
+    toks = "split(text, ' ')"
+    bi = d.select(
+        "doc_id",
+        F.expr(
+            f"round(1.0d - CAST(size(array_distinct(zip_with(slice({toks}, 1, size({toks}) - 1),"
+            f" slice({toks}, 2, size({toks}) - 1), (a, b) -> concat_ws(' ', a, b)))) AS DOUBLE)"
+            f" / nullif(size({toks}) - 1, 0), 4) AS dup_bigram_frac"
+        ),
+    )
+    return st.join(bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.expr("round(1.0d - CAST(n_unique AS DOUBLE) / n_tokens, 4) AS dup_token_frac"),
+        F.col("top.tok").alias("top_tok"),
+        F.expr("round(CAST(-top.neg_n AS DOUBLE) / n_tokens, 4) AS top_tok_frac"),
+        "dup_bigram_frac",
+    )
