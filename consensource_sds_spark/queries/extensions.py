@@ -1142,3 +1142,90 @@ def x33_repetition_signals(spark, sf_dir):
         F.expr("round(CAST(-top.neg_n AS DOUBLE) / n_tokens, 4) AS top_tok_frac"),
         "dup_bigram_frac",
     )
+
+
+@register(
+    "x34_benchmark_contamination",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 2),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]))) AS g
+      FROM documents)
+    SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+    FROM grams c JOIN grams b ON c.g = b.g
+    WHERE b.doc_id % 23 = 0 AND c.doc_id % 23 <> 0
+    GROUP BY c.doc_id, b.doc_id
+    """,
+)
+def x34_benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination check: flag corpus documents sharing word
+    n-grams with a held-out benchmark set (here: docs with doc_id % 23 == 0
+    standing in for the eval suite; 4-grams for the synthetic vocabulary —
+    production pipelines use the same shape with 8-13-grams).
+
+    Scale/plan: the benchmark side is tiny relative to the corpus (eval
+    suites are thousands of docs vs billions), so its distinct n-grams are
+    BROADCAST; the corpus n-gram stream probes the build map-side — no
+    shuffle of corpus n-grams, and the (doc, bench) pair counts collapse via
+    partial aggregation. The corpus is never self-joined."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(TXT.shingles(F.col("text"), 4))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.filter(F.col("doc_id") % 23 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "x38_passage_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, UNNEST(list_transform(
+               range(0, CAST(ceil(len(string_split(text,' ')) / 16.0) AS BIGINT)),
+               k -> array_to_string(string_split(text,' ')[k*16+1 : k*16+16], ' '))) AS passage
+      FROM documents)
+    SELECT md5(passage) AS passage_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*)               AS n_occurrences,
+           MIN(doc_id)            AS keep_doc_id
+    FROM p GROUP BY md5(passage) HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def x38_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup (sub-document granularity): chunk every
+    document into aligned 16-token passages, hash them, and report passages
+    occurring in more than one document with the survivor (min doc_id) — the
+    repeated-boilerplate remover that document-level dedup misses.
+
+    Scale/plan: one explode + one hash-agg keyed by the passage digest;
+    COUNT(DISTINCT doc_id) expands to a two-level partial aggregate
+    ((hash, doc) then (hash)), so no digest ever accumulates unbounded
+    state; HAVING filters before anything is returned. Digest-keyed shuffle
+    is uniform by construction."""
+    d = load(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    p = d.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, CAST(ceil(size({toks}) / 16.0) AS BIGINT) - 1),"
+            f" k -> concat_ws(' ', slice({toks}, k*16+1, 16)))) AS passage"
+        ),
+    )
+    return (
+        p.groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
