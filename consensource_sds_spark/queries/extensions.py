@@ -1229,3 +1229,79 @@ def x38_passage_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "x35_mixture_weights",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(CAST(n_docs AS DOUBLE)) OVER (), 6) AS raw_share,
+           ROUND(pow(n_docs, 0.5) / SUM(pow(n_docs, 0.5)) OVER (), 6)             AS weight,
+           CAST(ROUND(10000 * pow(n_docs, 0.5) / SUM(pow(n_docs, 0.5)) OVER (), 0) AS BIGINT)
+                                                                                  AS target_docs
+    FROM s
+    """,
+)
+def x35_mixture_weights(spark, sf_dir):
+    """Domain-mixture resampling weights: temperature-flattened source
+    shares (w_s proportional to n_s^alpha, alpha=0.5) and the per-source
+    document budget for a 10k-doc epoch — the source-balancing step of
+    pretraining data curation (upsamples small high-value sources, caps the
+    head).
+
+    Scale/plan: the corpus collapses to one count per source (partial agg);
+    the unpartitioned window then runs over the k-row source table, never
+    the corpus — single-reducer is the right plan for k ~ dozens of
+    sources."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return s.selectExpr(
+        "source",
+        "n_docs",
+        "round(CAST(n_docs AS DOUBLE) / sum(CAST(n_docs AS DOUBLE)) over (), 6) AS raw_share",
+        "round(pow(n_docs, 0.5d) / sum(pow(n_docs, 0.5d)) over (), 6) AS weight",
+        "CAST(round(10000 * pow(n_docs, 0.5d) / sum(pow(n_docs, 0.5d)) over (), 0) AS BIGINT)"
+        " AS target_docs",
+    )
+
+
+@register(
+    "x36_shard_assignment",
+    oracle="""
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (SELECT doc_id, n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS shard_id
+          FROM documents)
+    GROUP BY shard_id
+    """,
+)
+def x36_shard_assignment(spark, sf_dir):
+    """Deterministic output-shard assignment + skew audit: every doc maps to
+    shard md5(key) % 64 (stable under re-runs and appends — the writer-side
+    twin of x25's split), and the query reports per-shard doc/byte totals,
+    which is exactly the balance check run before committing a sharded
+    training dataset.
+
+    Scale/plan: pure map projection then one 64-group hash agg; in the real
+    writer the same expression feeds ``repartition(64, shard_id)`` +
+    partitioned write, so shard files are written co-located with no
+    post-hoc sort."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.selectExpr(
+            "doc_id",
+            "n_chars",
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 64"
+            " AS shard_id",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
