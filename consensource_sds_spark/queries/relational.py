@@ -1097,3 +1097,61 @@ def q46_json_extract(spark, sf_dir):
     return e.select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
     )
+
+
+@register(
+    "q52_bm25_rank",
+    oracle="""
+    WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM lens),
+    p AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('hash', 'join', 'window') GROUP BY doc_id, tok
+    ),
+    idf AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok)
+    SELECT doc_id,
+           ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1)
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+    FROM p JOIN idf USING (tok) JOIN lens USING (doc_id) CROSS JOIN st
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50
+    """,
+)
+def q52_bm25_rank(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) over the inverted index — the
+    scoring step the §2.7 FTS workload implies beyond q47's boolean
+    AND-match (Okapi BM25 is public textbook IR).
+
+    Plan/scale: term postings survive the explode map-side (the IN filter
+    lands inside the scan projection); df is a per-term count over the
+    postings (3 rows, broadcast back); avgdl/N is a 1-row aggregate
+    broadcast into the scoring join; one doc_id shuffle scores and sums;
+    top-50 is TakeOrderedAndProject. avgdl is exact (integer sum / count),
+    so the score is cross-engine deterministic."""
+    terms = ["hash", "join", "window"]
+    d = load(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.expr("size(split(text, ' ')) AS dl"))
+    st = lens.agg(
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"), F.expr("count(*) AS n")
+    )
+    p = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = p.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        p.join(F.broadcast(idf), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)"
+                " * tf * 2.2d / (tf + 1.2d * (0.25d + 0.75d * dl / avgdl))), 4) AS bm25"
+            )
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )

@@ -29,6 +29,7 @@ _BNLJ_ALLOWED = {
     "x12_embedding_neardup": 1,
     "x13_ivf_neardup": 2,
     "x14_multiprobe_ivf": 2,  # assignment subtree on both pair-join sides, like x13
+    "q52_bm25_rank": 1,  # 1-row corpus-stats (avgdl, N) scalar broadcast
 }
 
 
