@@ -1155,3 +1155,226 @@ def q52_bm25_rank(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated-subquery / decorrelation surface (TPC-H Q4/Q13/Q14/Q17/Q18/Q19
+# shapes adapted to the driver schema — no partsupp/commitdate columns)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q53_exists_correlated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q53_exists_correlated(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi inner predicate
+    (shipped >30 days after order), expressed as actual SQL EXISTS so the
+    plan exercises Catalyst's decorrelation — the optimizer rewrites it to a
+    left-semi hash join on l_orderkey with the date comparison as a join
+    residual; the orders date filter is pushed to the scan."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q53_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q53_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM q53_orders o
+        WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-07-01'
+          AND EXISTS (SELECT 1 FROM q53_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q54_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q54_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer-join fan-out then a histogram of group sizes
+    (customers by order count, zero-order customers included via the LEFT
+    join's NULL-preserving COUNT(col)). Two hash aggs; the second runs over
+    one row per customer — partial agg collapses both map-side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q55_promo_share",
+    oracle="""
+    SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+           ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE)
+                       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))) AS DOUBLE), 4) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q55_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share per
+    ship month). part is a broadcast dim; both sums accumulate in DECIMAL so
+    the ratio is order-insensitive (see dsum); the date filter is pushed to
+    the lineitem scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))")
+    promo = F.expr(
+        "CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+        " ELSE 0 END AS DECIMAL(30,10))"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q56_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+           o_totalprice, total_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+      ON big.l_orderkey = o_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q56_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery-over-aggregate rewritten as
+    aggregate-then-join (the decorrelated plan TPC-H engines converge on).
+    The HAVING filter shrinks the lineitem agg before it joins orders, so
+    the join builds on ~per-mille of orders; top-100 is
+    TakeOrderedAndProject. l_quantity values are integral doubles, so
+    SUM is exact and cross-engine deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q57_small_qty_revenue",
+    oracle="""
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def q57_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG subquery (small-quantity
+    orders below 20% of the part's average), written as SQL so Catalyst
+    decorrelates it into a per-part aggregate joined back on p_partkey.
+    AVG over integral-double quantities is exact, so the threshold is
+    cross-engine deterministic; revenue accumulates in DECIMAL."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q57_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("q57_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2)
+                 AS avg_yearly
+        FROM q57_lineitem JOIN q57_part ON p_partkey = l_partkey
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM q57_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "q58_disjunctive_pred",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    GROUP BY p_brand
+    """,
+)
+def q58_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive (brand, size, quantity)
+    triples across both join sides. The brand disjunction's common subterms
+    (p_brand IN ...) are implied per-branch, letting the scan prune part
+    rows; the residual OR evaluates post-join inside codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
