@@ -1305,3 +1305,128 @@ def x36_shard_assignment(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "x39_int8_quantize",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
+             embedding
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, s,
+             list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127 / s) * s / 127)) AS err
+      FROM b
+    )
+    SELECT vec_id, ROUND(s, 6) AS scale,
+           ROUND(CAST(list_max(err) AS DOUBLE), 6)            AS max_abs_err,
+           ROUND(CAST(list_sum(err) AS DOUBLE) / len(err), 6) AS mean_abs_err
+    FROM e
+    """,
+)
+def x39_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization audit (the storage/bandwidth
+    lever for ANN at scale: 4x smaller vectors, SIMD int8 dot products):
+    scale = max|x|, q = round(x * 127 / scale), and the query reports the
+    per-vector reconstruction error the quantizer introduces. The output is
+    scalar stats (not the int8 array) so the oracle hash is
+    representation-independent.
+
+    Scale/plan: pure per-row higher-order-function math inside codegen — no
+    shuffle, no UDF; the same expressions feed the actual quantized writer."""
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s"),
+    )
+    err = b.select(
+        "vec_id",
+        "s",
+        F.expr(
+            "transform(embedding, x -> abs(CAST(x AS DOUBLE)"
+            " - round(CAST(x AS DOUBLE) * 127 / s) * s / 127)) AS err"
+        ),
+    )
+    return err.select(
+        "vec_id",
+        F.round("s", 6).alias("scale"),
+        F.expr("round(array_max(err), 6) AS max_abs_err"),
+        F.expr("round(aggregate(err, 0.0d, (acc, x) -> acc + x) / size(err), 6) AS mean_abs_err"),
+    )
+
+
+@register(
+    "x40_kmeans_update",
+    oracle="""
+    WITH c AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+    p AS (
+      SELECT e.vec_id AS cid, e.embedding AS ce, qid,
+             list_sum(list_transform(range(1, len(qe) + 1),
+                                     i -> CAST(qe[i] AS DOUBLE) * ce[i]))
+             / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x)))) AS cos
+      FROM embeddings e, c
+    ), a AS (
+      SELECT cid, ce, qid FROM p
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cos DESC, qid) = 1
+    ), d0 AS (SELECT qid, ce, UNNEST(range(1, len(ce) + 1)) AS i FROM a),
+    d AS (SELECT qid AS centroid_id, i, AVG(CAST(ce[i] AS DOUBLE)) AS m FROM d0 GROUP BY 1, 2),
+    old0 AS (SELECT qid, qe, UNNEST(range(1, len(qe) + 1)) AS i FROM c),
+    old AS (SELECT qid, i, CAST(qe[i] AS DOUBLE) AS o FROM old0),
+    n AS (SELECT qid AS centroid_id, COUNT(*) AS n_members FROM a GROUP BY 1)
+    SELECT d.centroid_id, n_members,
+           ROUND(sqrt(SUM(m * m)), 6)             AS new_norm,
+           ROUND(sqrt(SUM((m - o) * (m - o))), 6) AS shift
+    FROM d JOIN old ON old.qid = d.centroid_id AND old.i = d.i
+           JOIN n ON n.centroid_id = d.centroid_id
+    GROUP BY d.centroid_id, n_members
+    """,
+)
+def x40_kmeans_update(spark, sf_dir):
+    """One Lloyd iteration of distributed k-means over the embeddings (the
+    training step behind x11's IVF index: assign -> recompute centroids),
+    reported as per-centroid membership plus new-centroid norm and shift
+    from the seed — scalar summaries, so the hash is layout-independent.
+
+    Scale/plan: assignment is the x11 broadcast argmax (centroids are tiny
+    and broadcast; candidates stream once). Centroid recompute explodes
+    members to (centroid, dim) and hash-aggregates AVG per dimension —
+    the shuffle key is (centroid, dim) (k x 64 cells), so partial
+    aggregation absorbs the member fan-in map-side; nothing ever gathers a
+    whole cluster's vectors on one node. Iterating = re-feeding the new
+    centroids; each round is this same two-shuffle job."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    allv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = allv.crossJoin(F.broadcast(cent)).select(
+        "cid", "ce", "qid", V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+    )
+    asg = scored.groupBy("cid").agg(
+        F.max_by("qid", F.struct(F.col("raw_cos"), (-F.col("qid")).alias("neg"))).alias(
+            "centroid_id"
+        ),
+        F.first("ce").alias("ce"),
+    )
+    dims = (
+        asg.select("centroid_id", F.posexplode("ce").alias("pos", "val"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    )
+    old = cent.select(F.col("qid").alias("centroid_id"), F.posexplode("qe").alias("pos", "o"))
+    members = asg.groupBy("centroid_id").agg(F.count("*").alias("n_members"))
+    return (
+        dims.join(F.broadcast(old), ["centroid_id", "pos"])
+        .groupBy("centroid_id")
+        .agg(
+            F.expr("round(sqrt(sum(m * m)), 6) AS new_norm"),
+            F.expr("round(sqrt(sum((m - CAST(o AS DOUBLE)) * (m - CAST(o AS DOUBLE)))), 6) AS shift"),
+        )
+        .join(members, "centroid_id")
+        .select("centroid_id", "n_members", "new_norm", "shift")
+    )

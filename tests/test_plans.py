@@ -30,6 +30,7 @@ _BNLJ_ALLOWED = {
     "x13_ivf_neardup": 2,
     "x14_multiprobe_ivf": 2,  # assignment subtree on both pair-join sides, like x13
     "q52_bm25_rank": 1,  # 1-row corpus-stats (avgdl, N) scalar broadcast
+    "x40_kmeans_update": 1,  # the 8-centroid assignment cross join
 }
 
 
