@@ -1413,20 +1413,22 @@ def x40_kmeans_update(spark, sf_dir):
         ),
         F.first("ce").alias("ce"),
     )
+    # per-(centroid, dim) count == cluster size, so membership falls out of
+    # the same aggregate — referencing asg twice would duplicate the
+    # assignment cross-join subtree in the plan
     dims = (
         asg.select("centroid_id", F.posexplode("ce").alias("pos", "val"))
         .groupBy("centroid_id", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .agg(F.avg(F.col("val").cast("double")).alias("m"), F.count("*").alias("cnt"))
     )
     old = cent.select(F.col("qid").alias("centroid_id"), F.posexplode("qe").alias("pos", "o"))
-    members = asg.groupBy("centroid_id").agg(F.count("*").alias("n_members"))
     return (
         dims.join(F.broadcast(old), ["centroid_id", "pos"])
         .groupBy("centroid_id")
         .agg(
+            F.max("cnt").alias("n_members"),
             F.expr("round(sqrt(sum(m * m)), 6) AS new_norm"),
             F.expr("round(sqrt(sum((m - CAST(o AS DOUBLE)) * (m - CAST(o AS DOUBLE)))), 6) AS shift"),
         )
-        .join(members, "centroid_id")
         .select("centroid_id", "n_members", "new_norm", "shift")
     )
