@@ -1378,3 +1378,73 @@ def q58_disjunctive_pred(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q59_window_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NTILE(4)       OVER w                   AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)         AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6)         AS cume,
+           FIRST_VALUE(l_linenumber) OVER w        AS top_line,
+           LAST_VALUE(l_linenumber)  OVER
+             (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_line,
+           NTH_VALUE(l_linenumber, 2) OVER
+             (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_line
+    FROM lineitem WHERE l_orderkey <= 500
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber)
+    """,
+)
+def q59_window_family(spark, sf_dir):
+    """The remaining ranking/distribution window shapes (§2.8): ntile,
+    percent_rank, cume_dist, first/last/nth value with explicit full-frame
+    bounds. One shuffle on the partition key serves all seven functions
+    (same window spec -> one Window physical operator); ordering ties are
+    broken by l_linenumber so every value is deterministic."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("l_linenumber").over(w).alias("top_line"),
+        F.last("l_linenumber").over(wf).alias("bottom_line"),
+        F.nth_value("l_linenumber", 2).over(wf).alias("second_line"),
+    )
+
+
+@register(
+    "q60_pivot",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS oyear,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM orders GROUP BY 1
+    """,
+)
+def q60_pivot(spark, sf_dir):
+    """Pivot (long -> wide reshape): order counts by year x status. The
+    explicit values list keeps the plan a single hash aggregate (no extra
+    distinct-values job, the trap of unparameterized pivot at scale);
+    empty cells coalesce to 0 to match the conditional-SUM oracle."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("oyear"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "oyear",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_fulfilled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
