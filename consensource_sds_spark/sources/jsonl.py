@@ -1,0 +1,50 @@
+"""Schema-pinned JSONL corpus source with corrupt-record quarantine.
+
+Raw training corpora arrive as newline-delimited JSON (one document per
+line, often mixed-quality). The production-safe read discipline:
+
+- the schema is ALWAYS supplied, never inferred — inference is an extra
+  full pass over 100 TB and silently widens types when a late file
+  disagrees;
+- PERMISSIVE mode + ``columnNameOfCorruptRecord`` routes malformed lines
+  into a quarantine DataFrame instead of failing the job or silently
+  dropping them (the source-side twin of the pipeline's W5 dead-letter
+  path);
+- the split is computed from one parse: Spark refuses to filter on only
+  the internal corrupt-record column of a lazy JSON scan, so the parsed
+  frame is persisted first. At cluster scale the same one-pass contract is
+  kept by materializing the parsed frame to parquet and deriving both
+  splits from that staging table (the SCD2 store's staging rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSONL at ``path`` against a pinned ``schema``; return
+    ``(good, quarantine)``. ``good`` carries exactly the schema's columns;
+    ``quarantine`` carries the raw offending line for replay/repair."""
+    with_corrupt = StructType(
+        [*schema.fields, StructField(CORRUPT_COL, StringType(), True)]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    ).persist()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).select(
+        *[f.name for f in schema.fields]
+    )
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, quarantine
