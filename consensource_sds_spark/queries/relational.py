@@ -1448,3 +1448,82 @@ def q60_pivot(spark, sf_dir):
         F.coalesce(F.col("F"), F.lit(0)).alias("n_fulfilled"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
     )
+
+
+@register(
+    "q61_hopping_windows",
+    oracle="""
+    WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+    s AS (SELECT event_type, us,
+                 UNNEST([(us // 300000000) * 300000000,
+                         ((us // 300000000) - 1) * 300000000]) AS ws
+          FROM e)
+    SELECT ws AS window_start_us, ws + 600000000 AS window_end_us, event_type,
+           COUNT(*) AS n_events
+    FROM s WHERE us >= ws AND us < ws + 600000000
+    GROUP BY 1, 2, 3
+    """,
+)
+def q61_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) event-time windows in batch: 10-minute windows
+    every 5 minutes per event_type — the backfill twin of the streaming
+    windowed aggregation (streaming/windows.py), same ``F.window`` call.
+    Each event lands in width/slide = 2 windows; Spark expands them
+    map-side (no self-join), then one (window, type) hash agg. Epoch-µs
+    projection keeps the hash timezone-proof."""
+    e = load(spark, sf_dir, "events")
+    win = F.window(F.timestamp_micros(F.col("ts_us")), "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            F.unix_micros("w.end").alias("window_end_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q62_gap_fill",
+    oracle="""
+    WITH e AS (SELECT (epoch_us(ts) // 86400000000) AS dnum, event_type FROM events),
+    b AS (SELECT MIN(dnum) AS lo, MAX(dnum) AS hi FROM e),
+    days AS (SELECT UNNEST(range(lo, hi + 1)) AS dnum FROM b),
+    types AS (SELECT DISTINCT event_type FROM e),
+    grid AS (SELECT dnum, event_type FROM days, types),
+    c AS (SELECT dnum, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2)
+    SELECT g.dnum * 86400000000 AS day_start_us, g.event_type,
+           COALESCE(n, 0) AS n_events
+    FROM grid g LEFT JOIN c ON g.dnum = c.dnum AND g.event_type = c.event_type
+    """,
+)
+def q62_gap_fill(spark, sf_dir):
+    """Date-series gap fill: daily event counts per type with zero rows for
+    silent days (the time-series densification every monitoring/trend query
+    needs; SQL engines use generate_series, Spark uses sequence+explode).
+
+    Plan/scale: the day spine is sequence() over the 1-row min/max
+    aggregate — rows = span x types, generated, never scanned; the spine
+    side is broadcast into the left join against the per-day counts, so
+    the fact table shuffles once for its own aggregation and never
+    again."""
+    e = load(spark, sf_dir, "events").select(
+        F.expr("ts_us div 86400000000 AS dnum"), "event_type"
+    )
+    days = e.agg(F.min("dnum").alias("lo"), F.max("dnum").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("dnum")
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    counts = e.groupBy("dnum", "event_type").agg(F.count("*").alias("n"))
+    return (
+        F.broadcast(grid)
+        .join(counts, ["dnum", "event_type"], "left")
+        .select(
+            F.expr("dnum * 86400000000 AS day_start_us"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )

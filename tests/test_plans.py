@@ -31,6 +31,7 @@ _BNLJ_ALLOWED = {
     "x14_multiprobe_ivf": 2,  # assignment subtree on both pair-join sides, like x13
     "q52_bm25_rank": 1,  # 1-row corpus-stats (avgdl, N) scalar broadcast
     "x40_kmeans_update": 1,  # the 8-centroid assignment cross join
+    "q62_gap_fill": 1,  # day-spine x event-type grid (both sides tiny, generated)
 }
 
 
