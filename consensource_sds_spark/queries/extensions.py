@@ -1308,6 +1308,38 @@ def x36_shard_assignment(spark, sf_dir):
 
 
 @register(
+    "x41_subword_chunking",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]{1,4}'))              AS n_pieces,
+           CAST(CEIL(len(regexp_extract_all(text, '[a-z]{1,4}')) / 128.0) AS BIGINT)
+                                                                    AS n_chunks,
+           len(regexp_extract_all(text, '[a-z]{1,4}')) % 128        AS last_chunk_fill
+    FROM documents
+    """,
+)
+def x41_subword_chunking(spark, sf_dir):
+    """BPE-ish subword counting + training-chunk sizing: a greedy regex
+    splits words into <=4-char pieces (the cheap stand-in for a BPE
+    tokenizer's piece count — same shape: regex scan, piece count, fixed
+    context-length math), then docs are sized into 128-piece training
+    chunks. Complements x20 (whitespace token model) and x27 (packing by
+    whitespace count).
+
+    Scale: regexp_extract_all + size is a pure codegen projection — no
+    shuffle; exactly the expression a real tokenizer-budget audit runs
+    before the (Python-side, Arrow-batched) tokenizer itself."""
+    d = load(spark, sf_dir, "documents")
+    pieces = "size(regexp_extract_all(text, '[a-z]{1,4}', 0))"
+    return d.selectExpr(
+        "doc_id",
+        f"CAST({pieces} AS BIGINT) AS n_pieces",
+        f"CAST(ceil({pieces} / 128.0d) AS BIGINT) AS n_chunks",
+        f"CAST({pieces} % 128 AS BIGINT) AS last_chunk_fill",
+    )
+
+
+@register(
     "x39_int8_quantize",
     oracle="""
     WITH b AS (
