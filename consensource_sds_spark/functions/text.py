@@ -45,9 +45,12 @@ def shingles(text: Column, n: int = 2) -> Column:
         return F.zip_with(
             F.slice(toks, 1, size - 1), F.slice(toks, 2, size - 1), lambda a, b: F.concat_ws(" ", a, b)
         )
-    out = F.slice(toks, 1, size - (n - 1))
+    # clamp: docs shorter than n tokens have zero n-shingles (slice raises on
+    # negative length; DuckDB's range() equivalent returns empty)
+    width = F.greatest(size - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, width)
     for k in range(1, n):
-        out = F.zip_with(out, F.slice(toks, 1 + k, size - (n - 1)), lambda a, b: F.concat_ws(" ", a, b))
+        out = F.zip_with(out, F.slice(toks, 1 + k, width), lambda a, b: F.concat_ws(" ", a, b))
     return out
 
 
