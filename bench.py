@@ -46,6 +46,12 @@ HEADLINE = [
     "x21_quality_score",
     "x23_fingerprint",
     "x28_top_bigrams",
+    "x32_pii_redaction",
+    "x33_repetition_signals",
+    "x38_passage_dedup",
+    "x41_subword_chunking",
+    "q52_bm25_rank",
+    "q61_hopping_windows",
 ]
 
 

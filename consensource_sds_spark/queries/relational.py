@@ -1130,21 +1130,30 @@ def q52_bm25_rank(spark, sf_dir):
     so the score is cross-engine deterministic."""
     terms = ["hash", "join", "window"]
     d = load(spark, sf_dir, "documents")
-    lens = d.select("doc_id", F.expr("size(split(text, ' ')) AS dl"))
-    st = lens.agg(
+    st = d.select(F.expr("size(split(text, ' ')) AS dl")).agg(
         F.expr("CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"), F.expr("count(*) AS n")
     )
+    # dl rides along through the explode (functionally dependent on doc_id),
+    # saving a separate doc-length join against the postings
     p = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        d.select(
+            "doc_id",
+            F.expr("size(split(text, ' ')) AS dl"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
         .filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
+        .groupBy("doc_id", "dl", "tok")
         .agg(F.count("*").alias("tf"))
     )
-    idf = p.groupBy("tok").agg(F.count("*").alias("df"))
+    # df via a window over tok rather than an aggregate joined back: the
+    # postings subtree would otherwise be evaluated twice (explode + scan
+    # duplicated in the physical plan). Reducer count = distinct query
+    # terms, which is bounded by the query text, not the corpus.
+    from pyspark.sql import Window
+
+    p = p.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
     return (
-        p.join(F.broadcast(idf), "tok")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(st))
+        p.crossJoin(F.broadcast(st))
         .groupBy("doc_id")
         .agg(
             F.expr(
