@@ -162,6 +162,116 @@ def sniff_media(media: DataFrame) -> DataFrame:
     return media.repartition("media_id").mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
+#: audio header-sniff output: real decoded metadata, pure byte parsing
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sniffed_format", StringType(), True),  # wav | flac | None
+        StructField("channels", LongType(), True),
+        StructField("sample_rate_hz", LongType(), True),
+        StructField("bits_per_sample", LongType(), True),
+        StructField("est_duration_ms", LongType(), True),
+    ]
+)
+
+_AUDIO_NONE = (None, None, None, None, None)
+
+
+def sniff_audio_meta(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """Parse (format, channels, sample_rate, bits, duration_ms) from audio
+    container headers — pure byte-level parsing of the public RIFF/WAVE and
+    FLAC container formats (the audio twin of :func:`sniff_image_meta`;
+    only sample decode needs external codecs):
+
+    - WAV: 'RIFF'+size+'WAVE', then a chunk list; 'fmt ' holds channels/
+      sample-rate/bits (little-endian), 'data' holds the payload size that
+      with the byte rate gives duration;
+    - FLAC: 'fLaC' magic, then the 34-byte STREAMINFO block packs
+      sample-rate (20 bits), channels (3 bits + 1), bits (5 bits + 1) and
+      total samples (36 bits) bitwise.
+    Unknown/truncated payloads return all-None — quarantine-able, never an
+    exception."""
+    if payload is None:
+        return _AUDIO_NONE
+    b = bytes(payload)
+    try:
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, ch, rate, bits, byte_rate, data_size = 12, None, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                if cid == b"fmt " and pos + 24 <= len(b):
+                    ch = int.from_bytes(b[pos + 10 : pos + 12], "little")
+                    rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
+                    byte_rate = int.from_bytes(b[pos + 16 : pos + 20], "little")
+                    bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+                elif cid == b"data":
+                    data_size = clen
+                pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+            if rate is None:
+                return _AUDIO_NONE
+            dur = (
+                data_size * 1000 // byte_rate
+                if data_size is not None and byte_rate
+                else None
+            )
+            return "wav", ch, rate, bits, dur
+        if b[:4] == b"fLaC" and len(b) >= 8 + 18:
+            si = b[8:]  # first metadata block body (STREAMINFO is mandatory first)
+            rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+            ch = ((si[12] >> 1) & 0x7) + 1
+            bits = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+            total = ((si[13] & 0xF) << 32) | int.from_bytes(si[14:18], "big")
+            dur = total * 1000 // rate if rate else None
+            return "flac", ch, rate, bits, dur
+    except (IndexError, ValueError):
+        pass
+    return _AUDIO_NONE
+
+
+def sniff_audio(media: DataFrame) -> DataFrame:
+    """Audio-header sniff via mapInPandas (Arrow batches) — validates
+    declared duration against the container the same way :func:`sniff_media`
+    does for images."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = pdf["payload"].map(sniff_audio_meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sniffed_format": sniffed.map(lambda t: t[0]),
+                    "channels": sniffed.map(lambda t: t[1]),
+                    "sample_rate_hz": sniffed.map(lambda t: t[2]),
+                    "bits_per_sample": sniffed.map(lambda t: t[3]),
+                    "est_duration_ms": sniffed.map(lambda t: t[4]),
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000, overlap_ms: int = 1_000) -> DataFrame:
+    """Audio chunking *plan*: expand each audio row into overlapping
+    [start, end) windows JVM-side (the ASR/embedding pre-split — 30 s
+    chunks with 1 s overlap by default); the per-chunk decode would hang
+    off the exploded rows via :func:`extract_features`."""
+    step = chunk_ms - overlap_ms
+    auds = media.filter(F.col("modality") == "audio")
+    return auds.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(step))
+        ).alias("chunk_start_ms"),
+    ).select(
+        "media_id",
+        "chunk_start_ms",
+        (F.col("chunk_start_ms") + chunk_ms).alias("chunk_end_ms"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video row into frame
     timestamps JVM-side (sequence+explode); the per-frame decode would hang

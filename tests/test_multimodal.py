@@ -97,3 +97,66 @@ def test_frame_sample_plan(media, spark):
         (3, 2000),
         (3, 3000),
     ]
+
+
+def _wav(channels: int, rate: int, bits: int, n_data: int) -> bytes:
+    byte_rate = rate * channels * bits // 8
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + n_data.to_bytes(4, "little") + b"\x00" * n_data
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _flac(channels: int, rate: int, bits: int, total_samples: int) -> bytes:
+    si = bytearray(34)
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) | (((bits - 1) >> 4) & 1)
+    si[13] = (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    si[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(si)
+
+
+def test_sniff_audio_meta_pure():
+    # 1 second of 16-bit stereo 44.1 kHz
+    assert MM.sniff_audio_meta(_wav(2, 44100, 16, 44100 * 4)) == ("wav", 2, 44100, 16, 1000)
+    assert MM.sniff_audio_meta(_flac(1, 16000, 16, 32000)) == ("flac", 1, 16000, 16, 2000)
+    # unknown / truncated / None never raise (quarantine taxonomy)
+    assert MM.sniff_audio_meta(b"RIFF\x00\x00\x00\x00JUNK") == (None, None, None, None, None)
+    assert MM.sniff_audio_meta(b"fLaC\x00") == (None, None, None, None, None)
+    assert MM.sniff_audio_meta(b"\x89PNG") == (None, None, None, None, None)
+    assert MM.sniff_audio_meta(None) == (None, None, None, None, None)
+
+
+def test_sniff_audio_dataframe(spark):
+    rows = [
+        (1, "audio", _wav(1, 16000, 16, 16000 * 2 * 3), "audio/wav", None, None, 3000),
+        (2, "audio", _flac(2, 48000, 24, 48000 * 2), "audio/flac", None, None, 2000),
+        (3, "audio", b"not audio", "audio/wav", None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.sniff_audio(media).collect()}
+    assert (out[1]["sniffed_format"], out[1]["channels"], out[1]["sample_rate_hz"],
+            out[1]["bits_per_sample"], out[1]["est_duration_ms"]) == ("wav", 1, 16000, 16, 3000)
+    # FLAC total_samples is inter-channel: 96000 samples at 48 kHz = 2 s
+    assert (out[2]["sniffed_format"], out[2]["channels"], out[2]["sample_rate_hz"],
+            out[2]["bits_per_sample"], out[2]["est_duration_ms"]) == ("flac", 2, 48000, 24, 2000)
+    assert out[3]["sniffed_format"] is None
+
+
+def test_audio_chunk_plan(spark):
+    rows = [(2, "audio", None, "audio/wav", None, None, 65000),
+            (9, "video", None, "video/mp4", None, None, 99000)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    chunks = MM.audio_chunk_plan(media, chunk_ms=30_000, overlap_ms=1_000).collect()
+    got = sorted((r["media_id"], r["chunk_start_ms"], r["chunk_end_ms"]) for r in chunks)
+    assert got == [(2, 0, 30000), (2, 29000, 59000), (2, 58000, 88000)]
