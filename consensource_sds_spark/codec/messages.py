@@ -198,10 +198,18 @@ def decode_message(name: str, buf: bytes, enums_as_number: bool = False) -> dict
         fname: (0 if enums_as_number and kind.startswith("enum:") else _default(kind))
         for fname, kind in desc.values()
     }
-    for fnum, _wt, raw in wire.iter_fields(bytes(buf)):
+    for fnum, wt, raw in wire.iter_fields(bytes(buf)):
         if fnum not in desc:
             continue  # unknown-field tolerance
         fname, kind = desc[fnum]
+        # wire-type/kind agreement: a varint payload for a declared string
+        # (or vice versa) is a malformed message and must fail with the
+        # codec's classifiable ValueError, not an AttributeError downstream
+        expect_wt = 0 if kind == "uint64" or kind.startswith("enum:") else 2
+        if wt != expect_wt:
+            raise ValueError(
+                f"wire type {wt} for field {fname} ({kind}): expected {expect_wt}"
+            )
         if kind == "string":
             obj[fname] = raw.decode("utf-8")
         elif kind == "bytes":

@@ -89,3 +89,34 @@ def test_delete_state_change_defaults():
 def test_agent_property_roundtrip(pk, name, ts):
     a = {"public_key": pk, "organization_id": "", "name": name, "timestamp": ts}
     assert decode_message("Agent", encode_message("Agent", a)) == a
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_arbitrary_bytes_never_escape_value_error(buf):
+    """Fuzz the quarantine taxonomy: any byte string either decodes to a
+    dict or raises ValueError — never IndexError/KeyError/OverflowError
+    (those would surface as opaque Python-worker crashes inside the Arrow
+    decode UDF instead of classifiable W5 dead-letter rows)."""
+    try:
+        out = decode_message("Agent", buf)
+        assert isinstance(out, dict)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_mutated_valid_message_never_escapes_value_error(data):
+    """Bit-flip / truncation fuzz over a structurally valid message."""
+    a = {"public_key": "pk", "organization_id": "org", "name": "n", "timestamp": 7}
+    buf = bytearray(encode_message("Agent", a))
+    cut = data.draw(st.integers(min_value=0, max_value=len(buf)))
+    flip = data.draw(st.integers(min_value=0, max_value=max(0, len(buf) - 1)))
+    mutated = buf[:flip] + bytes([buf[flip] ^ data.draw(st.integers(1, 255))]) + buf[flip + 1 :]
+    for payload in (bytes(buf[:cut]), bytes(mutated)):
+        try:
+            out = decode_message("Agent", payload)
+            assert isinstance(out, dict)
+        except ValueError:
+            pass
