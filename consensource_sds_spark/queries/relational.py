@@ -1460,6 +1460,38 @@ def q60_pivot(spark, sf_dir):
 
 
 @register(
+    "q63_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4)                       AS med_qty,
+           ROUND(quantile_cont(l_quantity, 0.25), 4)          AS q1_qty,
+           quantile_disc(l_quantity, 0.9)                     AS p90_disc,
+           ROUND(stddev_samp(l_quantity), 4)                  AS sd_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4)                               AS mean_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q63_stat_aggs(spark, sf_dir):
+    """Statistical aggregate family (§2.8): median / interpolated +
+    discrete percentiles / sample stddev / exact mean. Quantities are
+    integral doubles, so sums of squares are exact and stddev is
+    cross-engine deterministic at 4 decimals; the mean accumulates in
+    DECIMAL (dsum rule). Exact percentiles shuffle group values — the
+    approx_percentile sketch (x30/x31 note) is the 100 TB swap."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("median(l_quantity)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("p90_disc"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        davg("l_quantity").alias("mean_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q61_hopping_windows",
     oracle="""
     WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
