@@ -1340,6 +1340,56 @@ def x41_subword_chunking(spark, sf_dir):
 
 
 @register(
+    "x42_vocab_oov",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok ORDER BY n DESC, tok LIMIT 20)),
+    j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+    SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 4) AS oov_rate
+    FROM j GROUP BY doc_id
+    """,
+)
+def x42_vocab_oov(spark, sf_dir):
+    """Frequency-based vocabulary construction + out-of-vocabulary audit:
+    build the top-20 token vocabulary (ties -> lexicographic, so the cut is
+    deterministic), then report each document's OOV token rate — the
+    tokenizer-fitting step and the coverage metric that decides whether a
+    vocab/corpus pairing is usable.
+
+    Scale/plan: vocab = one token-keyed partial agg + TakeOrdered (no
+    global sort); the corpus-sized side then LEFT-joins the vocab as a
+    BROADCAST build (real vocabs are ~100k entries — always the small
+    side), so the token stream never shuffles for membership, and the
+    per-doc rollup shuffles once on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
+@register(
     "x39_int8_quantize",
     oracle="""
     WITH b AS (
