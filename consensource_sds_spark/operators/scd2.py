@@ -269,10 +269,24 @@ class ScdParquetStore:
             closed_rel if os.path.isdir(os.path.join(self.path, closed_rel)) else None,
         )
 
-    def apply(self, batch: PipelineBatch, batch_id: int | None = None) -> None:
+    def apply(
+        self, batch: PipelineBatch, batch_id: int | None = None, txn_app_id: str | None = None
+    ) -> None:
         man = self._manifest()
-        if batch_id is not None and batch_id <= man["last_batch_id"]:
-            return  # replayed microbatch after restart — already committed
+        # Replay idempotency, the Delta txnAppId/txnVersion pattern: batch
+        # ids are monotonic only WITHIN one stream identity (the engine's
+        # persistent query id, stable across restarts of one checkpoint).
+        # Keyed per app id, a REBUILT checkpoint (new query id, batch ids
+        # restart at 0) is correctly treated as a new stream rather than a
+        # replay; bare batch_id callers keep the legacy global guard.
+        if batch_id is not None:
+            last = (
+                man.setdefault("txn", {}).get(txn_app_id, -1)
+                if txn_app_id is not None
+                else man["last_batch_id"]
+            )
+            if batch_id <= last:
+                return  # replayed microbatch after restart — already committed
 
         blocks_new = batch.block.collect() if batch.block is not None else []
         if blocks_new:
@@ -330,7 +344,10 @@ class ScdParquetStore:
             ).parquet(os.path.join(self.path, seg))
             new_man["blocks"].append(seg)
         if batch_id is not None:
-            new_man["last_batch_id"] = batch_id
+            if txn_app_id is not None:
+                new_man.setdefault("txn", {})[txn_app_id] = batch_id
+            else:
+                new_man["last_batch_id"] = batch_id
         self._commit(new_man)
 
     def rewind(self, block_num: int) -> None:

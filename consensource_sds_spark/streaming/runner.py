@@ -29,6 +29,22 @@ from consensource_sds_spark.operators.scd2 import ScdParquetStore
 from consensource_sds_spark.pipeline import transform_events
 
 
+def _query_id(checkpoint_dir: str) -> str | None:
+    """The engine's persistent streaming query id (written to
+    ``<checkpoint>/metadata`` at stream start, stable across restarts of
+    the same checkpoint) — the store's replay-idempotency app id, exactly
+    Delta's txnAppId. Rebuilt checkpoint => new id => batch 0 is a new
+    stream, not a replay."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def run_file_stream(
     spark: SparkSession,
     source_dir: str,
@@ -44,8 +60,13 @@ def run_file_stream(
 
     def apply_batch(batch_df, batch_id: int):
         # transform_events is lazy; ScdParquetStore.apply is the transaction
-        # boundary (W1) and is idempotent on batch_id replay.
-        store.apply(transform_events(batch_df), batch_id=batch_id)
+        # boundary (W1) and is idempotent on (stream identity, batch_id)
+        # replay — the stream identity is the engine's persistent query id.
+        store.apply(
+            transform_events(batch_df),
+            batch_id=batch_id,
+            txn_app_id=_query_id(checkpoint_dir),
+        )
 
     reader = (
         spark.readStream.schema(
@@ -58,6 +79,54 @@ def run_file_stream(
         .parquet(source_dir)
     )
     writer = reader.writeStream.foreachBatch(apply_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_validator_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    store: ScdParquetStore,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    processing_time: str = "1 second",
+):
+    """Stream wire envelopes from the validator spool source
+    (``sources/validator_source.py``) through the pipeline into the store —
+    the full S1->W1 path on the custom DataSource.
+
+    The S3 handshake: the store's highest known block seeds the source's
+    ``start_block`` so a rebuilt checkpoint never re-ingests history the
+    store already holds (the reference's fetch_known_blocks -> subscribe
+    flow, main.rs:57-63). With an existing checkpoint, the engine's offset
+    log takes precedence — exactly-once either way."""
+    from consensource_sds_spark.sources import validator_source as vs
+
+    from pyspark.sql import functions as F
+
+    vs.register(spark)
+    head = store.blocks().agg(F.max("block_num").alias("m")).collect()[0]["m"]
+    start_block = head if head is not None else -1
+
+    def apply_batch(batch_df, batch_id: int):
+        store.apply(
+            transform_events(batch_df),
+            batch_id=batch_id,
+            txn_app_id=_query_id(checkpoint_dir),
+        )
+
+    reader = (
+        spark.readStream.format(vs.FORMAT_NAME)
+        .option("path", spool_dir)
+        .option("start_block", str(start_block))
+        .load()
+    )
+    writer = reader.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     else:

@@ -77,3 +77,33 @@ def test_start_block_catch_up_skip(spark, tmp_path):
     _drain(spark, spool, out, ckpt, start_block=2)
     df = spark.read.parquet(out)
     assert sorted(r["delivery_id"] for r in df.select("delivery_id").distinct().collect()) == [3]
+
+
+def test_validator_stream_to_scd2_store(spark, tmp_path):
+    """Full S1->W1 path on the custom source: spooled wire envelopes ->
+    decode -> transforms -> SCD2 store, then catch-up on restart."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.operators.scd2 import ScdParquetStore
+    from consensource_sds_spark.streaming.runner import run_validator_stream
+
+    spool = str(tmp_path / "spool")
+    store = ScdParquetStore(spark, str(tmp_path / "reporting"))
+    ckpt = str(tmp_path / "ck")
+
+    for b in (1, 2):
+        _spool_block(spool, b)
+    q = run_validator_stream(spark, spool, store, ckpt)
+    q.awaitTermination(180)
+
+    cur = {r["public_key"]: r["start_block_num"] for r in store.current("agents").collect()}
+    assert cur == {"pk1": 1, "pk2": 2}
+    assert sorted(r["block_num"] for r in store.blocks().collect()) == [1, 2]
+
+    # restart with a FRESH checkpoint: the store head seeds start_block, so
+    # history is not re-ingested (S3 catch-up), only the new block applies
+    _spool_block(spool, 3)
+    q2 = run_validator_stream(spark, spool, store, str(tmp_path / "ck2"))
+    q2.awaitTermination(180)
+    assert sorted(r["block_num"] for r in store.blocks().collect()) == [1, 2, 3]
+    assert {r["public_key"] for r in store.current("agents").collect()} == {"pk1", "pk2", "pk3"}
