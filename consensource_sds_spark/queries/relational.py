@@ -1460,6 +1460,25 @@ def q60_pivot(spark, sf_dir):
 
 
 @register(
+    "q64_posexplode_ordinality",
+    oracle="""
+    SELECT doc_id, string_split(text, ' ')[i] AS tok, CAST(i AS BIGINT) AS ord
+    FROM documents, LATERAL (SELECT UNNEST(range(1, 6)) AS i)
+    WHERE i <= len(string_split(text, ' '))
+    """,
+)
+def q64_posexplode_ordinality(spark, sf_dir):
+    """Ordinality-preserving unnest (U1's posexplode, §2.4: the reference
+    relies on Vec order, a DataFrame must carry the ordinal explicitly):
+    each document's first five tokens with their 1-based position. Pure
+    map-side generate — no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.expr("slice(split(text, ' '), 1, 5)")).alias("pos", "tok")
+    ).select("doc_id", "tok", (F.col("pos") + 1).cast("long").alias("ord"))
+
+
+@register(
     "q63_stat_aggs",
     oracle="""
     SELECT l_returnflag,
