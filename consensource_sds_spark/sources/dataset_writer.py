@@ -1,0 +1,48 @@
+"""Sharded training-dataset writer — the sink side of the corpus pipeline.
+
+x36 computes the deterministic shard assignment and its skew audit; this
+module is the writer-side twin it documents: repartition BY THE SHARD KEY so
+each output file is exactly one shard, written co-located (no post-hoc sort
+or file-stitching), plus the split column from x25 so the layout is
+``split=train/shard_id=17/part-*.parquet`` — the layout a training loader
+expects (deterministic shard membership, stable under re-runs and appends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: same expression family as x25/x36 (content-free key hash)
+_SHARD = "CAST(conv(substring(md5(CAST({key} AS STRING)), 1, 8), 16, 10) AS BIGINT) % {n}"
+_BUCKET = "conv(substring(md5(CAST({key} AS STRING)), 1, 4), 16, 10) % 100"
+
+
+def with_shard_columns(df: DataFrame, key: str = "doc_id", n_shards: int = 64) -> DataFrame:
+    """Attach deterministic ``split`` (80/10/10) and ``shard_id`` columns."""
+    bucket = _BUCKET.format(key=key)
+    return df.withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN {bucket} < 80 THEN 'train' WHEN {bucket} < 90 THEN 'val'"
+            " ELSE 'test' END"
+        ),
+    ).withColumn("shard_id", F.expr(_SHARD.format(key=key, n=n_shards)))
+
+
+def write_training_shards(
+    df: DataFrame, out_dir: str, key: str = "doc_id", n_shards: int = 64
+) -> None:
+    """Write ``split=<s>/shard_id=<k>/`` partitioned parquet, one file per
+    (split, shard): ``repartition(split, shard_id)`` co-locates each
+    partition's rows on one task BEFORE the partitioned write, so the
+    writer emits one file per directory instead of one-per-input-task
+    (the small-files problem at 100 TB is writer-task x partition count —
+    this bounds it at partition count)."""
+    sharded = with_shard_columns(df, key=key, n_shards=n_shards)
+    (
+        sharded.repartition("split", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard_id")
+        .parquet(out_dir)
+    )
