@@ -1390,6 +1390,59 @@ def x42_vocab_oov(spark, sf_dir):
 
 
 @register(
+    "x43_filter_pipeline",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 20       THEN 'too_short'
+                WHEN lang <> 'en'        THEN 'non_english'
+                WHEN uniq_ratio < 0.25   THEN 'too_repetitive'
+                ELSE 'keep' END AS verdict,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(uniq_ratio, 4) AS uniq_ratio
+    FROM sig
+    """,
+)
+def x43_filter_pipeline(spark, sf_dir):
+    """Composite document-filter pipeline: the final keep/drop decision
+    with a REASON column (first tripped rule wins, rules ordered
+    cheapest-first) — the auditable filter stage real corpus pipelines ship
+    (every dropped doc is attributable, rates per reason are monitorable
+    via one groupBy on the output).
+
+    Scale: single codegen projection over the signal expressions — the
+    CASE chain short-circuits, so the expensive signals only evaluate for
+    docs that survive the cheap gates; no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.expr("size(split(text, ' ')) AS n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' ')) AS uniq_ratio"
+        ),
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN n_tokens < 20 THEN 'too_short'"
+            " WHEN lang != 'en' THEN 'non_english'"
+            " WHEN uniq_ratio < 0.25 THEN 'too_repetitive'"
+            " ELSE 'keep' END AS verdict"
+        ),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("uniq_ratio", 4).alias("uniq_ratio"),
+    )
+
+
+@register(
     "x39_int8_quantize",
     oracle="""
     WITH b AS (

@@ -62,6 +62,8 @@ _QUERIES = [
     "x36_shard_assignment",
     "x38_passage_dedup",
     "x41_subword_chunking",
+    "x42_vocab_oov",
+    "x43_filter_pipeline",
     "q47_fulltext_search",
     "q52_bm25_rank",
 ]
