@@ -1128,39 +1128,33 @@ def q52_bm25_rank(spark, sf_dir):
     broadcast into the scoring join; one doc_id shuffle scores and sums;
     top-50 is TakeOrderedAndProject. avgdl is exact (integer sum / count),
     so the score is cross-engine deterministic."""
+    # Small fixed query-term sets admit a SHUFFLE-FREE scoring plan: per-row
+    # higher-order term counts (no explode, no postings shuffle), one 1-row
+    # corpus-stats aggregate broadcast back, score as a pure projection,
+    # top-50 via TakeOrderedAndProject. The inverted-index form (see q47)
+    # is the variant for large/ad-hoc query sets.
     terms = ["hash", "join", "window"]
     d = load(spark, sf_dir, "documents")
-    st = d.select(F.expr("size(split(text, ' ')) AS dl")).agg(
-        F.expr("CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"), F.expr("count(*) AS n")
+    toks = d.select("doc_id", F.expr("split(text, ' ') AS toks"))
+    tf_cols = [
+        F.expr(f"size(filter(toks, t -> t = '{t}')) AS tf{i}") for i, t in enumerate(terms)
+    ]
+    sig = toks.select("doc_id", F.expr("size(toks) AS dl"), *tf_cols)
+    stats = sig.agg(
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"),
+        F.expr("count(*) AS n"),
+        *[F.expr(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}") for i in range(len(terms))],
     )
-    # dl rides along through the explode (functionally dependent on doc_id),
-    # saving a separate doc-length join against the postings
-    p = (
-        d.select(
-            "doc_id",
-            F.expr("size(split(text, ' ')) AS dl"),
-            F.explode(F.split("text", " ")).alias("tok"),
-        )
-        .filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count("*").alias("tf"))
+    contrib = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * tf{i} * 2.2d / (tf{i} + 1.2d * (0.25d + 0.75d * dl / avgdl))"
+        for i in range(len(terms))
     )
-    # df via a window over tok rather than an aggregate joined back: the
-    # postings subtree would otherwise be evaluated twice (explode + scan
-    # duplicated in the physical plan). Reducer count = distinct query
-    # terms, which is bounded by the query text, not the corpus.
-    from pyspark.sql import Window
-
-    p = p.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+    any_hit = " + ".join(f"tf{i}" for i in range(len(terms)))
     return (
-        p.crossJoin(F.broadcast(st))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)"
-                " * tf * 2.2d / (tf + 1.2d * (0.25d + 0.75d * dl / avgdl))), 4) AS bm25"
-            )
-        )
+        sig.crossJoin(F.broadcast(stats))
+        .filter(F.expr(f"{any_hit} > 0"))
+        .select("doc_id", F.expr(f"round({contrib}, 4) AS bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(50)
     )
