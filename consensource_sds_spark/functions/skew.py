@@ -1,0 +1,81 @@
+"""Skew-mitigation primitives: salted aggregation and salted joins.
+
+AQE's skew-join splitting (SCALE.md) handles most hot keys at runtime, but
+two cases still need explicit salting on a 1000-executor cluster:
+
+- aggregation skew: one groupBy key holding a double-digit percent of the
+  rows serializes its partial merge onto one reducer; AQE cannot split an
+  aggregation key;
+- join skew where the skewed side must shuffle (both sides large) and the
+  hot key exceeds what AQE's split threshold can amortize.
+
+Salts here are DETERMINISTIC (content hash % buckets, not rand()): task
+retries and speculative execution re-produce identical salted rows, so the
+helpers stay exactly-once-safe and results are stable under any
+re-partitioning (the repo-wide determinism rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def _row_salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt: xxhash64 over all columns, spread across
+    ``buckets``. Identical rows share a salt — fine: salting only needs to
+    split a KEY's rows across reducers, and duplicate full rows are exactly
+    the payload partial aggregation collapses anyway."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: groupBy(keys + salt) then
+    groupBy(keys), for the re-aggregable functions ``count``/``sum``/
+    ``min``/``max``. A hot key's rows fan out over ``buckets`` reducers in
+    phase 1; phase 2 merges ``buckets`` partials per key — O(buckets), not
+    O(rows).
+
+    ``aggs`` maps output column -> "fn(col)", e.g. {"n": "count(*)",
+    "qty": "sum(l_quantity)"}."""
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    phase1 = df.withColumn(SALT_COL, _row_salt(df, buckets)).groupBy(
+        *keys, SALT_COL
+    )
+    p1_cols, p2_cols = [], []
+    for out, expr in aggs.items():
+        fn = expr.split("(", 1)[0].strip().lower()
+        if fn not in merge_fn:
+            raise ValueError(f"{fn} is not re-aggregable; salting would change its value")
+        p1_cols.append(F.expr(f"{expr} AS {out}"))
+        p2_cols.append(F.expr(f"{merge_fn[fn]}({out}) AS {out}"))
+    return phase1.agg(*p1_cols).groupBy(*keys).agg(*p2_cols)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the skewed side gets a deterministic row salt;
+    the other side is replicated ``buckets`` times (explode over the salt
+    range) so every (key, salt) bucket finds its match. Join key becomes
+    (key, salt) — the hot key spreads over ``buckets`` reducers.
+
+    Use when BOTH sides are too big to broadcast and AQE's split threshold
+    can't absorb the hot key; the replicated side costs buckets x its size,
+    so keep it the smaller one."""
+    salted = skewed.withColumn(SALT_COL, _row_salt(skewed, buckets))
+    replicated = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return salted.join(replicated, [key, SALT_COL], how).drop(SALT_COL)

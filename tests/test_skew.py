@@ -1,0 +1,86 @@
+"""Skew mitigation: salted helpers match unsalted results; AQE splits a
+skewed shuffle join at runtime (the SCALE.md claims, pinned)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from consensource_sds_spark.functions.skew import salted_aggregate, salted_join
+
+
+@pytest.fixture()
+def skewed_df(spark):
+    # key 0 holds ~90% of rows; keys 1..20 share the rest
+    return spark.range(50_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE 1 + id % 20 END AS k",
+        "id AS v",
+    )
+
+
+def test_salted_aggregate_matches_plain(spark, skewed_df):
+    plain = {
+        (r["k"],): (r["n"], r["s"], r["mx"])
+        for r in skewed_df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["k"],): (r["n"], r["s"], r["mx"])
+        for r in salted_aggregate(
+            skewed_df, ["k"], {"n": "count(*)", "s": "sum(v)", "mx": "max(v)"}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_aggregate_rejects_non_reaggregable(skewed_df):
+    with pytest.raises(ValueError):
+        salted_aggregate(skewed_df, ["k"], {"a": "avg(v)"})
+
+
+def test_salted_join_matches_plain(spark, skewed_df):
+    dim = spark.range(25).selectExpr("id AS k", "concat('name', id) AS name")
+    plain = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in skewed_df.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(skewed_df, dim, "k", buckets=8).collect()
+    )
+    assert salted == plain
+
+
+def test_aqe_splits_skewed_join(spark, skewed_df, tmp_path):
+    """Cluster-profile claim: AQE detects the hot key's oversized shuffle
+    partition and splits it (skew=true in the adaptive plan)."""
+    left = str(tmp_path / "left")
+    right = str(tmp_path / "right")
+    skewed_df.write.parquet(left)
+    spark.range(30).selectExpr("id AS k", "id * 2 AS w").write.parquet(right)
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(left).join(spark.read.parquet(right), "k")
+        # execute THIS QueryExecution (a write would spawn its own; AQE
+        # finalizes the adaptive plan only for the execution that ran)
+        assert len(df.collect()) == 50_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan}"
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
