@@ -350,6 +350,41 @@ class ScdParquetStore:
                 new_man["last_batch_id"] = batch_id
         self._commit(new_man)
 
+    def compact(self, min_segments: int = 2) -> bool:
+        """Table maintenance: coalesce each table's accumulated closed
+        segments (one per batch that closed versions — the streaming
+        small-files problem) into a single segment, and the blocks segments
+        likewise. One generation, one atomic manifest commit; readers on
+        the old manifest keep consistent snapshots until the swap, and
+        ``_vacuum`` reclaims the merged inputs afterwards. The Delta
+        OPTIMIZE / Iceberg rewrite-data-files analog; run it on a cadence,
+        not per batch. Returns True if anything was compacted."""
+        man = self._manifest()
+        gen = man["gen"] + 1
+        new_man = json.loads(json.dumps(man))
+        new_man["gen"] = gen
+        did = False
+        for table, tman in man["tables"].items():
+            closed = [c for c in tman.get("closed", []) if c]
+            if len(closed) < min_segments:
+                continue
+            merged_rel = f"{table}/closed-compact-g{gen}"
+            self._read_dirs(closed, schemas.SINK_TABLES[table]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, merged_rel))
+            new_man["tables"][table]["closed"] = [merged_rel]
+            did = True
+        if len(man["blocks"]) >= min_segments:
+            merged_rel = f"blocks/compact-g{gen}"
+            self._read_dirs(man["blocks"], schemas.BLOCKS_TABLE).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, merged_rel))
+            new_man["blocks"] = [merged_rel]
+            did = True
+        if did:
+            self._commit(new_man)
+        return did
+
     def rewind(self, block_num: int) -> None:
         """W4 fork repair: drop versions born at >= block_num, re-open
         versions closed at >= block_num, forget blocks >= block_num.

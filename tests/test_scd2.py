@@ -304,3 +304,36 @@ def test_streaming_file_source(spark, store, tmp_path):
         ("test_public_key", "test", 1, 2),
         ("test_public_key", "v2", 2, MAX),
     ]
+
+
+def test_compact_preserves_reads_and_prunes_segments(spark, store):
+    """Closed segments accumulate one per closing batch; compact() merges
+    them behind one atomic manifest swap with identical read results."""
+    for b in range(1, 6):
+        a = dict(fx.make_agent(), name=f"v{b}")
+        _apply(
+            spark, store, [fx.delivery(b, f"b{b}", [fx.state_change("agent", fx.PUBLIC_KEY, [a])])]
+        )
+    before_versions = _agent_versions(store)
+    before_asof = sorted(tuple(r) for r in store.as_of("agents", 3).collect())
+    man = store._manifest()
+    assert len(man["tables"]["agents"]["closed"]) == 4  # one per closing batch
+    assert len(man["blocks"]) == 5
+
+    assert store.compact() is True
+
+    man2 = store._manifest()
+    assert len(man2["tables"]["agents"]["closed"]) == 1
+    assert len(man2["blocks"]) == 1
+    assert _agent_versions(store) == before_versions
+    assert sorted(tuple(r) for r in store.as_of("agents", 3).collect()) == before_asof
+    assert sorted(r["block_num"] for r in store.blocks().collect()) == [1, 2, 3, 4, 5]
+    # idempotent: nothing left to merge
+    assert store.compact() is False
+
+    # the store still applies new batches on top of the compacted layout
+    a6 = dict(fx.make_agent(), name="v6")
+    _apply(spark, store, [fx.delivery(6, "b6", [fx.state_change("agent", fx.PUBLIC_KEY, [a6])])])
+    cur = store.current("agents").collect()
+    assert len(cur) == 1 and cur[0]["name"] == "v6"
+    assert len(store.read("agents").collect()) == 6
