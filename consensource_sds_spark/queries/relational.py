@@ -1454,6 +1454,41 @@ def q60_pivot(spark, sf_dir):
 
 
 @register(
+    "q65_multiset_ops",
+    oracle="""
+    SELECT 'except_all' AS op, l_partkey FROM (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+                                       AND l_shipdate <  DATE '1997-02-01'
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+                                       AND l_shipdate <  DATE '1998-02-01')
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_partkey FROM (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+                                       AND l_shipdate <  DATE '1997-02-01'
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+                                       AND l_shipdate <  DATE '1998-02-01')
+    """,
+)
+def q65_multiset_ops(spark, sf_dir):
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL — q22/q23 cover
+    the DISTINCT forms): multiplicity-preserving bag semantics, which Spark
+    plans as a counted hash aggregate + generate rather than a distinct —
+    the form dedup accounting actually needs (how many copies survive)."""
+    li = load(spark, sf_dir, "lineitem")
+    jan97 = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    ).select("l_partkey")
+    jan98 = li.filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-02-01")
+    ).select("l_partkey")
+    ex = jan97.exceptAll(jan98).select(F.lit("except_all").alias("op"), "l_partkey")
+    inter = jan97.intersectAll(jan98).select(F.lit("intersect_all").alias("op"), "l_partkey")
+    return ex.unionByName(inter)
+
+
+@register(
     "q64_posexplode_ordinality",
     oracle="""
     SELECT doc_id, string_split(text, ' ')[i] AS tok, CAST(i AS BIGINT) AS ord
