@@ -1489,6 +1489,28 @@ def q65_multiset_ops(spark, sf_dir):
 
 
 @register(
+    "q66_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+           len(list_distinct(list(o_custkey)))                                 AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q66_string_agg(spark, sf_dir):
+    """Collection aggregates (§2.8): collect_set + sort + string join, made
+    deterministic by sorting before concatenation (bare collect_list order
+    is partition-dependent — never hash a raw one). The distinct-set
+    accumulators are partial-agg mergeable, so this scales like any hash
+    agg as long as per-group distinct cardinality is bounded."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("concat_ws(',', array_sort(collect_set(o_orderstatus))) AS statuses"),
+        F.expr("size(collect_set(o_custkey)) AS n_customers"),
+    )
+
+
+@register(
     "q64_posexplode_ordinality",
     oracle="""
     SELECT doc_id, string_split(text, ' ')[i] AS tok, CAST(i AS BIGINT) AS ord
