@@ -145,6 +145,65 @@ def x03_minhash_lsh_pairs(spark, sf_dir):
 
 
 @register(
+    "x44_minhash_jaccard_estimate",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 8.0, 4)
+             AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+    GROUP BY p.doc_a, p.doc_b
+    """,
+)
+def x44_minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash Jaccard ESTIMATION over the LSH candidates: matching-slot
+    fraction of the 8-slot signatures — the cheap ranking pass between
+    candidate generation (x03) and exact verification (x04) that lets a
+    100 TB pipeline verify only high-estimate pairs.
+
+    Scale/plan: pure equi joins — pairs join the signature table per side
+    on doc id + seed (signatures are 8 rows/doc, so the join input is
+    O(pairs x 8), never corpus-sized), then an 8-row-per-pair count."""
+    pairs = x03_minhash_lsh_pairs(spark, sf_dir)
+    sig = x02_minhash_signatures(spark, sf_dir)
+    sa = sig.selectExpr("doc_id AS doc_a", "seed", "minhash AS ma")
+    sb = sig.selectExpr("doc_id AS doc_b", "seed", "minhash AS mb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)) / 8.0, 4
+            ).alias("est_jaccard")
+        )
+    )
+
+
+@register(
     "x04_ngram_jaccard_pairs",
     oracle="""
     WITH sh AS (
