@@ -1626,3 +1626,121 @@ def x40_kmeans_update(spark, sf_dir):
         )
         .select("centroid_id", "n_members", "new_norm", "shift")
     )
+
+
+@register(
+    "x45_tfidf_top_term",
+    oracle="""
+    WITH tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    dfc AS (
+      SELECT doc_id, term, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM tfc),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, df ASC, term ASC) AS rk
+      FROM dfc)
+    SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf, df,
+           ROUND(tf * ln((SELECT COUNT(*) FROM documents) / CAST(df AS DOUBLE)), 4)
+             AS tfidf
+    FROM ranked WHERE rk = 1
+    """,
+)
+def x45_tfidf_top_term(spark, sf_dir):
+    """Per-document most-distinctive term by TF-IDF — the keyword-extraction
+    primitive of corpus triage (topic drift audits, cluster labeling).
+
+    Plan: one explode -> (doc_id, term) hash agg for tf, then document
+    frequency as a COUNT window over the term partition (reuses the same
+    shuffled data — no second explode, no self-join), then a per-doc
+    row_number pick. Ranking ties break on exact integers (tf DESC, df ASC,
+    term ASC), so top-term selection is cross-engine deterministic; the
+    logged idf only decorates the already-chosen row. Scale: two shuffles
+    (term-grouped agg is partial-agg friendly; per-doc pick shuffles the
+    distinct doc-term pairs, far smaller than the token stream)."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        dfc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "x46_unigram_lm_score",
+    oracle="""
+    WITH tfc AS (
+      SELECT doc_id, term, COUNT(*) AS k
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    cc AS (
+      SELECT doc_id, k,
+             CAST(SUM(k) OVER (PARTITION BY term) AS BIGINT) AS c
+      FROM tfc),
+    stats AS (
+      SELECT CAST(SUM(k) AS BIGINT) AS t_total, COUNT(DISTINCT term) AS v
+      FROM tfc)
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+           ROUND(ln(t_total + v) - SUM(k * ln(c + 1)) / SUM(k), 4) AS nll
+    FROM cc, stats GROUP BY doc_id, t_total, v
+    """,
+)
+def x46_unigram_lm_score(spark, sf_dir):
+    """Per-document mean negative log-likelihood under a corpus unigram
+    language model with add-one smoothing — the cheap statistical
+    perplexity-style quality filter (documents of improbable words score
+    high): nll = ln(T+V) - mean_tokens(ln(count(term)+1)).
+
+    Plan: one explode -> (doc_id, term, k) agg; corpus term counts as a SUM
+    window over the term partition (no second pass over the token stream);
+    corpus totals (T = tokens, V = vocab) as a 1-row aggregate broadcast;
+    final per-doc agg weights each distinct term by its in-doc count. Scale:
+    the token stream is shuffled once, everything after runs on distinct
+    doc-term pairs; T/V recompute one extra agg over those pairs — at 100 TB
+    they'd come from the corpus-stats table the vocab job (x42) maintains."""
+    d = load(spark, sf_dir, "documents")
+    tfc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    stats = tfc.agg(
+        F.sum("k").alias("t_total"), F.count_distinct("term").alias("v")
+    )
+    cc = tfc.withColumn("c", F.sum("k").over(Window.partitionBy("term")))
+    return (
+        cc.crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "t_total", "v")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(
+                F.log(F.col("t_total") + F.col("v"))
+                - F.sum(F.col("k") * F.log(F.col("c") + 1)) / F.sum("k"),
+                4,
+            ).alias("nll"),
+        )
+        .select("doc_id", "n_tokens", "nll")
+    )

@@ -1638,3 +1638,135 @@ def q62_gap_fill(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "q67_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity >= 30)                          AS n_bulk,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
+                 FILTER (WHERE l_quantity >= 30) AS DOUBLE), 2)              AS rev_bulk,
+           COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')      AS n_recent,
+           COUNT(*) FILTER (WHERE l_discount > 0.05)                         AS n_discounted,
+           COUNT(*)                                                          AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q67_conditional_agg(spark, sf_dir):
+    """Conditional (FILTER-clause) aggregates: several differently-filtered
+    aggregates computed in ONE pass over the fact table — the idiomatic
+    replacement for N self-joining subqueries. Spark expresses FILTER as
+    when()-guarded aggregates; all partial-agg friendly (one shuffle on the
+    group key, conditions evaluated map-side inside codegen)."""
+    li = load(spark, sf_dir, "lineitem")
+    bulk = F.col("l_quantity") >= 30
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(bulk, 1)).alias("n_bulk"),
+        F.round(
+            F.sum(
+                F.when(bulk, (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)"))
+            ).cast("double"),
+            2,
+        ).alias("rev_bulk"),
+        F.count(
+            F.when(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"), 1)
+        ).alias("n_recent"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q68_lateral_topn",
+    oracle="""
+    SELECT n_name, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM nation, LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier
+      WHERE s_nationkey = n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 2)
+    """,
+)
+def q68_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery: per-nation top-2 suppliers by balance.
+    The lateral formulation is the API surface under test (Spark supports
+    LATERAL joins with correlated LIMIT subqueries); Catalyst rewrites it
+    into the same rank-then-filter window plan as q10 — one shuffle on the
+    correlation key, no nested-loop per outer row."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("q68_nation")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q68_supplier")
+    return spark.sql(
+        """
+        SELECT n_name, s_name, ROUND(s_acctbal, 2) AS acctbal
+        FROM q68_nation JOIN LATERAL (
+          SELECT s_name, s_acctbal
+          FROM q68_supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_name
+          LIMIT 2)
+        """
+    )
+
+
+@register(
+    "q69_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+           COUNT(*)                                                AS n_orders,
+           ROUND(MIN(o_totalprice), 2)                             AS lo_price,
+           ROUND(MAX(o_totalprice), 2)                             AS hi_price
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q69_histogram(spark, sf_dir):
+    """Fixed-width histogram bucketing (width_bucket semantics, spelled as
+    explicit arithmetic so both engines evaluate the identical IEEE
+    expression): bucket = min(floor(price/50k), 9), then count + bounds per
+    bucket. One map-side projection + one 10-group hash agg — the profile
+    shape for any numeric-distribution audit at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+@register(
+    "q70_bool_bit_aggs",
+    oracle="""
+    SELECT l_linestatus,
+           bool_and(l_quantity < 50)            AS all_small,
+           bool_or(l_discount > 0.09)           AS any_deep_discount,
+           CAST(bit_and(l_orderkey) AS BIGINT)  AS key_and,
+           CAST(bit_or(l_partkey) AS BIGINT)    AS part_or,
+           CAST(bit_xor(l_suppkey) AS BIGINT)   AS supp_xor,
+           COUNT(*)                             AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q70_bool_bit_aggs(spark, sf_dir):
+    """Boolean and bitwise aggregate family (EVERY/ANY + BIT_AND/OR/XOR):
+    order-insensitive, partial-agg-perfect aggregates (AND/OR/XOR are
+    associative+commutative, so map-side combine loses nothing) — also the
+    building block for bitmap-style audits (xor-fold checksums)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") < 50).alias("all_small"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and("l_orderkey").alias("key_and"),
+        F.bit_or("l_partkey").alias("part_or"),
+        F.bit_xor("l_suppkey").alias("supp_xor"),
+        F.count("*").alias("n"),
+    )
