@@ -1770,3 +1770,42 @@ def q70_bool_bit_aggs(spark, sf_dir):
         F.bit_xor("l_suppkey").alias("supp_xor"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q71_range_frame",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS n_5min,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE), 2)
+             AS val_5min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q71_range_frame(spark, sf_dir):
+    """RANGE-frame window: per-user trailing 5-minute event count and value
+    sum — the value-based frame (all rows within an interval of the current
+    row's timestamp, peers included) that ROWS frames can't express; the
+    rate-limit / rolling-exposure shape. Epoch-µs numeric ordering keeps the
+    frame arithmetic integer and timezone-proof; the sum accumulates in
+    DECIMAL (dsum rule) so frame summation order can't flip the rounded
+    double. One shuffle on user_id serves both aggregates."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_5min"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double"), 2
+        ).alias("val_5min"),
+    )

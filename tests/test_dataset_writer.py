@@ -41,3 +41,26 @@ def test_write_one_file_per_shard_dir(spark, tmp_path):
     write_training_shards(_docs(spark), out, n_shards=8)
     second = {r["doc_id"]: r["shard_id"] for r in spark.read.parquet(out).collect()}
     assert first == second
+
+
+def test_partition_pruned_read(spark, tmp_path):
+    """The layout's point at 100 TB: a loader asking for one (split, shard)
+    must scan ONE directory, not the dataset. Pin it on the physical plan:
+    the filters land in PartitionFilters (directory pruning, zero data
+    files from other partitions touched), not PushedFilters."""
+    out = str(tmp_path / "ds")
+    write_training_shards(_docs(spark), out, n_shards=8)
+    back = spark.read.parquet(out)
+    one = back.filter("split = 'train' AND shard_id = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "split" in pf.group(1) and "shard_id" in pf.group(1), plan
+    # and the pruned read returns exactly the rows of that partition
+    want = {
+        r["doc_id"]
+        for r in with_shard_columns(_docs(spark), n_shards=8).collect()
+        if r["split"] == "train" and r["shard_id"] == 3
+    }
+    assert {r["doc_id"] for r in one.collect()} == want and want
