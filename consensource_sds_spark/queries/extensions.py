@@ -1744,3 +1744,76 @@ def x46_unigram_lm_score(spark, sf_dir):
         )
         .select("doc_id", "n_tokens", "nll")
     )
+
+
+#: signed-random-projection signature: bit b = sign of <embedding, w_b>,
+#: where hyperplane weights w_b[i] derive from md5(b || '_' || i) — the
+#: engines share the hash, so the planes are identical everywhere with no
+#: shipped weight table. 12 bits over dim 64.
+_SRP_SPARK = (
+    "array_join(transform(sequence(0, 7), b -> IF("
+    "aggregate(zip_with(embedding, transform(sequence(1, 64), i -> "
+    "conv(substring(md5(concat(b, '_', i)), 1, 8), 16, 10) / 4294967296.0 - 0.5),"
+    " (x, w) -> cast(x AS double) * w), cast(0.0 AS double), (acc, v) -> acc + v)"
+    " >= 0.0, '1', '0')), '')"
+)
+
+_SRP_DUCK = """
+    list_aggregate(list_transform(range(0, 8), b -> CASE WHEN
+      list_sum(list_transform(range(1, 65), i ->
+        CAST(embedding[i] AS DOUBLE) *
+        (('0x' || substr(md5(b || '_' || i), 1, 8))::BIGINT / 4294967296.0 - 0.5)))
+      >= 0.0 THEN '1' ELSE '0' END), 'string_agg', '')
+"""
+
+
+@register(
+    "x47_srp_neardup",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_SRP_DUCK} AS srp
+      FROM embeddings)
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(x.embedding) + 1),
+                                     i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+             / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) AS cosine
+    FROM sig x JOIN sig y ON x.srp = y.srp AND x.vec_id < y.vec_id
+    WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+                                  i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+          / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+           * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) > 0.2
+    """,
+)
+def x47_srp_neardup(spark, sf_dir):
+    """Signed-random-projection (hyperplane) LSH near-dup — the fourth ANN
+    family next to MinHash (Jaccard), SimHash (token cosine) and IVF
+    (centroid cells): 8 sign bits of md5-derived hyperplane projections
+    form the bucket key; only same-bucket pairs are exactly cosine-verified.
+    P(bucket collision) = (1 - theta/pi)^8, so near-parallel vectors
+    collide and the bucket join never goes doc x doc.
+
+    Scale: signatures are one map-side pass (512 md5-derived weights per
+    row, no weight table shipped); the pair join shuffles on the 8-bit
+    bucket key — same posture as x03/x13. Unlike IVF it needs no trained
+    centroids (data-independent), the standard cold-start ANN choice; the
+    recall lever is multiple independent bucket tables (x14's multi-probe
+    analog), traded here for the single-table plan."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_SRP_SPARK).alias("srp")
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("srp").alias("sa"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("srp").alias("sb"), F.col("embedding").alias("eb")
+    )
+    scored = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("va") < F.col("vb"))).select(
+        F.col("va").alias("vec_a"),
+        F.col("vb").alias("vec_b"),
+        V.cosine(F.col("ea"), F.col("eb")).alias("raw_cos"),
+    )
+    return scored.filter(F.col("raw_cos") > 0.2).select(
+        "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")
+    )
