@@ -1817,3 +1817,69 @@ def x47_srp_neardup(spark, sf_dir):
     return scored.filter(F.col("raw_cos") > 0.2).select(
         "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")
     )
+
+
+@register(
+    "x48_winnowing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(range(1, len(ts) - 1)) AS pos,
+             UNNEST(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+      FROM toks WHERE len(ts) >= 3),
+    enc AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT * 1048576
+               + (1048575 - pos) AS e
+      FROM sh),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+      FROM enc)
+    SELECT DISTINCT doc_id,
+           CAST(1048575 - sel % 1048576 AS BIGINT) AS fp_pos,
+           CAST(sel // 1048576 AS BIGINT)          AS fp_hash
+    FROM win WHERE pos >= 4
+    """,
+)
+def x48_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (the MOSS local-fingerprinting scheme,
+    Schleimer/Wilkerson/Aiken 2003 [PK]): hash word 3-grams, slide a
+    4-hash window, keep each window's minimum hash (ties -> rightmost),
+    dedupe selections. Guarantees a shared fingerprint for any match of
+    >= w+k-1 tokens — position-robust partial-overlap detection, where
+    shingle-set methods (x02-x04) only score whole documents.
+
+    Plan: one explode -> encoded (hash, pos) pair packed into a single
+    BIGINT (hash*2^20 + (2^20-1-pos), so MIN implements min-hash with
+    rightmost tie-break in one window pass — no argmin self-join), one
+    window over (doc_id, pos), one distinct. Scale: everything partitions
+    by doc_id (the explode never shuffles across documents); the 2^52
+    encode bound caps docs at 2^20 shingles — chunk longer docs (x41's
+    chunker) before fingerprinting."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.posexplode(TXT.shingles(F.col("text"), 3)).alias("pos0", "g")
+    )
+    enc = sh.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.expr("cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint)") * 1048576
+            + (F.lit(1048575) - F.col("pos0") - 1)
+        ).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    win = enc.select("doc_id", "pos", F.min("e").over(w).alias("sel"))
+    return (
+        win.filter(F.col("pos") >= 4)
+        .select(
+            "doc_id",
+            (F.lit(1048575) - F.col("sel") % 1048576).alias("fp_pos"),
+            (F.col("sel") / 1048576).cast("long").alias("fp_hash"),
+        )
+        .distinct()
+    )
