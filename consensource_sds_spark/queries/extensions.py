@@ -1883,3 +1883,81 @@ def x48_winnowing(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@register(
+    "x49_fingerprint_matches",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(range(1, len(ts) - 1)) AS pos,
+             UNNEST(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+      FROM toks WHERE len(ts) >= 3),
+    enc AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT * 1048576
+               + (1048575 - pos) AS e
+      FROM sh),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+      FROM enc),
+    fp AS (
+      SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp_hash
+      FROM win WHERE pos >= 4),
+    sized AS (
+      SELECT doc_id, fp_hash,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_fp
+      FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+           ROUND(COUNT(*) / CAST(LEAST(ANY_VALUE(a.n_fp), ANY_VALUE(b.n_fp)) AS DOUBLE), 4)
+             AS containment
+    FROM sized a JOIN sized b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def x49_fingerprint_matches(spark, sf_dir):
+    """The MOSS match step over x48's winnowed fingerprints: an inverted
+    index on fp_hash joins documents sharing any fingerprint, pairs are
+    scored by shared-fingerprint count and containment (shared / smaller
+    doc's fingerprint count — the asymmetric measure that catches a doc
+    quoted inside a larger one, which symmetric Jaccard dilutes).
+
+    Plan: fingerprints -> per-doc count window -> inverted-index self-join
+    on fp_hash -> (doc_a, doc_b) count agg. Scale: the join key is the
+    fingerprint hash (never doc x doc); winnowing already thinned postings
+    ~2x/w, and hot boilerplate hashes get a postings-length cap before the
+    join (the x03/x04 LSH-prefilter rule — drop hashes with df above a
+    skew bound; df maxes at 7 on this corpus, so the cap is a no-op
+    here). At 100 TB, x48's fingerprints would be a materialized table,
+    not recomputed per query."""
+    # x48 keys fingerprints by (doc_id, pos, hash); the index wants the
+    # distinct hash SET per doc (a hash winnowed at two positions is one
+    # posting, else shared counts double)
+    fps = x48_winnowing(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    sized = fps.withColumn(
+        "n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = sized.select(
+        F.col("doc_id").alias("doc_a"), "fp_hash", F.col("n_fp").alias("na")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp_hash").alias("fb"), F.col("n_fp").alias("nb")
+    )
+    return (
+        a.join(b, (F.col("fp_hash") == F.col("fb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.round(
+                F.count(F.lit(1))
+                / F.least(F.any_value("na"), F.any_value("nb")).cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("shared") >= 2)
+    )
