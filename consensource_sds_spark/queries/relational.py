@@ -1809,3 +1809,38 @@ def q71_range_frame(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double"), 2
         ).alias("val_5min"),
     )
+
+
+@register(
+    "q72_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT)  AS g_status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                                                   AS gid,
+           COUNT(*)                                AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q72_grouping_id(spark, sf_dir):
+    """GROUPING()/GROUPING_ID() over a rollup: the indicator columns that
+    let a consumer tell a subtotal row's NULL from a data NULL (without
+    them, rollup output is ambiguous the moment a grouping column is
+    nullable). Spark's grouping_id() bit order matches the grouping-list
+    order, recomputed here as grouping()*2+grouping() so both engines
+    state the same arithmetic. Same single-pass expand+agg plan as q15."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n")
+    )
