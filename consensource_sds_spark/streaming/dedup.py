@@ -44,11 +44,19 @@ def attribute_within(
     views: DataFrame,
     within: str = "10 seconds",
     watermark: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream attribution join: each click is matched to the same
     user's views landing in (click.ts, click.ts + within]. The time-range
     predicate is what lets the planner bound both join-state buffers by the
-    watermark (an equi-only stream-stream join would buffer forever)."""
+    watermark (an equi-only stream-stream join would buffer forever).
+
+    ``how="leftOuter"`` additionally emits every unmatched click with NULL
+    view columns — the conversion-funnel "no follow-up" signal. The engine
+    can only declare a click unmatched once the watermark passes
+    ``click.ts + within`` (its match window is provably closed), so outer
+    rows trail the inner ones by the watermark delay; state stays
+    watermark-bounded either way."""
     c = clicks.withWatermark("ts", watermark).alias("c")
     v = views.withWatermark("ts", watermark).alias("v")
     return c.join(
@@ -56,6 +64,7 @@ def attribute_within(
         F.expr(
             f"c.user_id = v.user_id AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL {within}"
         ),
+        how,
     ).select(
         F.col("c.event_id").alias("click_id"),
         F.col("v.event_id").alias("view_id"),

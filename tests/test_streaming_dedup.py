@@ -104,3 +104,33 @@ def test_batch_parity_attribution(spark):
     )
     got = [(r["click_id"], r["view_id"]) for r in attribute_within(clicks, views).collect()]
     assert got == [(1, 101)]
+
+
+def test_stream_stream_left_outer_attribution(spark, tmp_path):
+    """Unmatched clicks surface with NULL view columns, but only after the
+    watermark proves their match window closed (outer emission is
+    watermark-gated — needs a later batch to advance the watermark)."""
+    csrc, vsrc = str(tmp_path / "clicks"), str(tmp_path / "views")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write(spark, csrc, [(1, 10, "click", _t(0)), (2, 20, "click", _t(5))])
+    _write(spark, vsrc, [(101, 10, "view", _t(4))])
+    # second files: watermark advancers, forcing a later microbatch
+    _write(spark, csrc, [(9, 99, "click", _t(300))])
+    _write(spark, vsrc, [(109, 98, "view", _t(300))])
+    clicks = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(csrc)
+    )
+    views = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(vsrc)
+    q = (
+        attribute_within(clicks, views, how="leftOuter")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["click_id"], r["view_id"]) for r in spark.read.parquet(out).collect()}
+    assert (1, 101) in got, got  # matched pair
+    assert (2, None) in got, got  # window closed with no view -> outer row
