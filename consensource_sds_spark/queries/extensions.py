@@ -1961,3 +1961,30 @@ def x49_fingerprint_matches(spark, sf_dir):
         )
         .filter(F.col("shared") >= 2)
     )
+
+
+@register("x50_hll_sketch_rollup", oracle=None)
+def x50_hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    Spark 4 built-ins): month-level sketches of distinct customers are
+    UNIONED into per-year estimates — the re-aggregation that exact
+    COUNT(DISTINCT) cannot do (distinct counts don't add) and x30's
+    approx_count_distinct doesn't expose (its sketch never leaves the
+    aggregate). This is the at-scale architecture: a 100 TB fact table is
+    sketched ONCE into a tiny (group, sketch-blob) table, and every
+    coarser rollup (year, region, all-time) is a cheap sketch union over
+    that table — no second pass over raw data. Rows-only check here
+    (estimates are approximate by design); tests/test_sketches.py pins the
+    accuracy envelope against exact counts."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("oyear"), F.month("o_orderdate").alias("omonth")
+    ).agg(F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"))
+    return (
+        monthly.groupBy("oyear")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("est_customers"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .select("oyear", "est_customers", "n_months")
+    )
