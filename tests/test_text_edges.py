@@ -66,6 +66,10 @@ _QUERIES = [
     "x43_filter_pipeline",
     "q47_fulltext_search",
     "q52_bm25_rank",
+    "x45_tfidf_top_term",
+    "x46_unigram_lm_score",
+    "x48_winnowing",
+    "x49_fingerprint_matches",
 ]
 
 
