@@ -1988,3 +1988,140 @@ def x50_hll_sketch_rollup(spark, sf_dir):
         )
         .select("oyear", "est_customers", "n_months")
     )
+
+
+@register(
+    "x51_mixture_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (
+      SELECT source, n_docs,
+             CAST(ROUND(10000 * pow(n_docs, 0.5) / SUM(pow(n_docs, 0.5)) OVER (), 0)
+                  AS BIGINT) AS target_docs
+      FROM s),
+    rated AS (
+      SELECT d.doc_id, d.source,
+             CAST(t.target_docs AS DOUBLE) / t.n_docs AS rate,
+             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000)
+               / 1000000.0 AS u
+      FROM documents d JOIN t USING (source)),
+    copies AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(rate) AS BIGINT)
+               + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS n_copies
+      FROM rated)
+    SELECT doc_id, source, UNNEST(range(0, n_copies)) AS copy_id
+    FROM copies
+    """,
+)
+def x51_mixture_sample(spark, sf_dir):
+    """Materialize the training mixture: apply x35's temperature-flattened
+    per-source budgets to the corpus — stochastic-rounding replication
+    (floor(rate) copies + one more iff the doc's hash-uniform < the
+    fractional part), so small sources upsample and large ones downsample
+    to their budget, deterministically (a doc's copy count never changes
+    across runs or partitionings; no RNG state).
+
+    Plan/scale: per-source budgets are a k-row aggregate broadcast into
+    the corpus scan; copy fan-out is posexplode(array_repeat) map-side —
+    the corpus is read once, shuffled zero times. The epoch writer (x36's
+    sharder) consumes (doc_id, copy_id) directly."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = s.selectExpr(
+        "source",
+        "n_docs",
+        "CAST(round(10000 * pow(n_docs, 0.5d) / sum(pow(n_docs, 0.5d)) over (), 0)"
+        " AS BIGINT) AS target_docs",
+    )
+    rated = d.select("doc_id", "source").join(F.broadcast(t), "source").select(
+        "doc_id",
+        "source",
+        (F.col("target_docs").cast("double") / F.col("n_docs")).alias("rate"),
+        (
+            F.expr(
+                "conv(substring(md5(CAST(doc_id AS string)), 1, 6), 16, 10) % 1000000"
+            )
+            / 1000000.0
+        ).alias("u"),
+    )
+    copies = rated.select(
+        "doc_id",
+        "source",
+        (
+            F.floor("rate")
+            + F.when(F.col("u") < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return copies.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.array_repeat(F.lit(1), F.col("n_copies").cast("int"))).alias(
+            "copy_id", "_one"
+        ),
+    ).select("doc_id", "source", F.col("copy_id").cast("long").alias("copy_id"))
+
+
+@register(
+    "x52_length_batching",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    binned AS (
+      SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+             (ROW_NUMBER() OVER (PARTITION BY n_tokens // 64 ORDER BY doc_id) - 1) // 32
+               AS batch_id
+      FROM toks),
+    withmax AS (
+      SELECT bucket, batch_id, n_tokens,
+             MAX(n_tokens) OVER (PARTITION BY bucket, batch_id) AS bmax
+      FROM binned)
+    SELECT bucket, batch_id, COUNT(*) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(bmax - n_tokens) AS BIGINT) AS padding_waste
+    FROM withmax
+    GROUP BY bucket, batch_id
+    """,
+)
+def x52_length_batching(spark, sf_dir):
+    """Length-grouped batching for inference/training: documents are
+    bucketed by token-length band (64-token bands), then packed 32 to a
+    batch in stable doc_id order; each batch reports its padding waste
+    (sum of pad tokens if every member pads to the batch max) — the
+    batching policy that minimizes pad FLOPs vs random batching.
+
+    Plan: one map pass for lengths, one window per (bucket) for batch
+    numbering, one (bucket, batch) agg. Scale: the shuffle key is the
+    length band — bounded cardinality, uniform by construction; at 100 TB
+    the row_number window becomes the per-band monotonic id the sharded
+    writer already assigns per partition."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("CAST(size(split(text, ' ')) AS bigint)").alias("n_tokens")
+    )
+    binned = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("n_tokens div 64").alias("bucket"),
+        (
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.expr("n_tokens div 64")).orderBy("doc_id")
+                )
+                - 1
+            )
+            / 32
+        ).cast("long").alias("batch_id"),
+    )
+    wmax = Window.partitionBy("bucket", "batch_id")
+    return (
+        binned.withColumn("bmax", F.max("n_tokens").over(wmax))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum(F.col("bmax") - F.col("n_tokens")).alias("padding_waste"),
+        )
+    )
