@@ -1844,3 +1844,71 @@ def q72_grouping_id(spark, sf_dir):
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n")
     )
+
+
+@register(
+    "q73_regression_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           ROUND(corr(l_extendedprice, l_quantity), 6)           AS pearson,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q73_regression_aggs(spark, sf_dir):
+    """Linear-regression aggregate family (REGR_SLOPE/INTERCEPT/R2 + CORR):
+    price-vs-quantity fit per return flag, one pass, no self-join — the
+    SQL-standard bivariate statistics every profiling layer leans on.
+    Partial-agg friendly (the regr_* family reduces to co-moment sums, so
+    map-side combine holds); results rounded (co-moment accumulation order
+    differs across engines in the last ULPs)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("pearson"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@register(
+    "q74_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+)
+def q74_fuzzy_join(spark, sf_dir):
+    """Edit-distance fuzzy matching with a blocked join: candidate pairs
+    are generated only within (brand, size) blocks — the classic
+    entity-resolution blocking step — then scored with levenshtein. Scale:
+    the join shuffles on the block key, never name x name; O(len^2)
+    levenshtein runs only on block-mates. Tighter blocking (sorted
+    neighborhood, q-gram prefilter — x04's pattern) is the lever if blocks
+    skew."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(
+        F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("pk_a", "pk_b", "name_a", "name_b", "edit_dist")
+    )
