@@ -2125,3 +2125,97 @@ def x52_length_batching(spark, sf_dir):
             F.sum(F.col("bmax") - F.col("n_tokens")).alias("padding_waste"),
         )
     )
+
+
+#: x03's candidate-pair CTE chain (shared by the graph-analytics oracles)
+_LSH_CAND_CTE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                               AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    )
+"""
+
+
+@register(
+    "x53_pagerank",
+    oracle=_LSH_CAND_CTE
+    + """
+    , deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS doc_id, 1.0 AS r FROM deg),
+    r1 AS (SELECT e.dst AS doc_id, 0.15 + 0.85 * CAST(SUM(CAST(p.r / d.deg AS DECIMAL(30,15))) AS DOUBLE) AS r
+           FROM edges e JOIN r0 p ON p.doc_id = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS doc_id, 0.15 + 0.85 * CAST(SUM(CAST(p.r / d.deg AS DECIMAL(30,15))) AS DOUBLE) AS r
+           FROM edges e JOIN r1 p ON p.doc_id = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS doc_id, 0.15 + 0.85 * CAST(SUM(CAST(p.r / d.deg AS DECIMAL(30,15))) AS DOUBLE) AS r
+           FROM edges e JOIN r2 p ON p.doc_id = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)
+    SELECT r3.doc_id, ROUND(r3.r, 6) AS rank, CAST(d.deg AS BIGINT) AS degree
+    FROM r3 JOIN deg d ON d.src = r3.doc_id
+    """,
+)
+def x53_pagerank(spark, sf_dir):
+    """Damped PageRank (d=0.85, 3 synchronous iterations) over the LSH
+    candidate graph — centrality on the near-dup graph ranks template/
+    boilerplate hubs (documents similar to MANY others), the signal dedup
+    triage uses to distinguish a mirrored page from a template family.
+
+    Iterative dataflow done Spark-style: degrees computed once and the
+    edge list localCheckpoint'ed (reused every round without replanning);
+    each round is one shuffle — contributions r/deg flow along edges,
+    grouped on the destination, accumulated in DECIMAL (the dsum rule) so
+    per-round sums are independent of partitioning/summation order. Fixed iteration count keeps it
+    deterministic and oracle-expressible (unrolled CTEs); production runs
+    to convergence with x06's monotone-sum stopping rule. Scale: state per
+    round is one (node, rank) table partitioned by node id; the classic
+    power-iteration plan."""
+    pairs = x03_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("r"))
+    contrib_edges = edges.join(deg, "src").select(
+        "src", "dst", "deg"
+    ).localCheckpoint()
+    for _ in range(3):
+        ranks = (
+            contrib_edges.join(ranks, F.col("src") == F.col("doc_id"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15)
+                    + 0.85
+                    * F.sum((F.col("r") / F.col("deg")).cast("decimal(30,15)")).cast("double")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("doc_id"), "r")
+        )
+    return (
+        ranks.join(deg, F.col("doc_id") == F.col("src"))
+        .select("doc_id", F.round("r", 6).alias("rank"), F.col("deg").alias("degree"))
+    )
