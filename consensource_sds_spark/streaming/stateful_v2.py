@@ -1,0 +1,77 @@
+"""Arbitrary stateful processing on the Spark 4 ``transformWithState`` API.
+
+``streaming/sessions.py`` uses ``applyInPandasWithState`` (the Spark 3.4+
+stateful operator); this module is the same capability on its successor —
+``StatefulProcessor`` + ``transformWithStateInPandas`` — which adds typed
+composite state (value/list/map), state TTL, and timers as first-class
+handles. Running per-key totals is the reference shape: the state schema,
+batch accumulation, and update-mode emission carry over to any
+register-style aggregate a pipeline keeps per entity (rate counters,
+last-seen markers, per-user quotas).
+
+State is checkpoint-backed (RocksDB/HDFS state store on a cluster), so the
+totals survive restarts exactly-once per batch; at 100 TB state shards by
+the grouping key — the per-key footprint here is two scalars.
+
+Environment note: the transformWithState protocol serializes its control
+messages with protobuf; this container has no ``google.protobuf``, so the
+operator can only be smoke-tested where that wheel exists.
+:func:`api_available` reports it, the test suite skips accordingly, and
+``streaming/sessions.py`` (applyInPandasWithState, no protobuf dependency)
+remains the tested stateful path here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+
+
+def api_available() -> bool:
+    """True when the runtime can actually execute transformWithState
+    (its state-server protocol needs the protobuf python package)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user event count + value sum, emitted after every batch that
+    touches the key (update mode)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = 0, 0.0
+        if self._totals.exists():
+            prev = self._totals.get()
+            n, total = int(prev[0]), float(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """events(user_id, value, ...) -> cumulative (user_id, n_events,
+    total_value), one row per updated key per microbatch."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
