@@ -1912,3 +1912,38 @@ def q74_fuzzy_join(spark, sf_dir):
         .filter(F.col("edit_dist") <= 12)
         .select("pk_a", "pk_b", "name_a", "name_b", "edit_dist")
     )
+
+
+@register(
+    "q75_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS oyear,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+      FROM orders GROUP BY 1)
+    SELECT oyear, status, n FROM (
+      SELECT oyear, 'n_open' AS status, n_open AS n FROM wide
+      UNION ALL SELECT oyear, 'n_fulfilled', n_fulfilled FROM wide
+      UNION ALL SELECT oyear, 'n_pending', n_pending FROM wide)
+    """,
+)
+def q75_unpivot(spark, sf_dir):
+    """UNPIVOT (wide -> long reshaping, the inverse of q60's pivot) via the
+    DataFrame ``unpivot`` API — melts the per-status count columns into
+    (year, status, n) rows. Map-side only after the q60-shaped aggregate
+    (unpivot is a generate, no shuffle of its own); the oracle states the
+    same reshape as the portable UNION ALL form."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy(F.year("o_orderdate").cast("long").alias("oyear")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_fulfilled"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+    )
+    return wide.unpivot(
+        ids=["oyear"],
+        values=["n_open", "n_fulfilled", "n_pending"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
