@@ -2219,3 +2219,136 @@ def x53_pagerank(spark, sf_dir):
         ranks.join(deg, F.col("doc_id") == F.col("src"))
         .select("doc_id", F.round("r", 6).alias("rank"), F.col("deg").alias("degree"))
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality / profiling gates (the audits a pipeline runs before a
+# training job consumes a drop)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x54_column_profile",
+    oracle="""
+    WITH long AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'l_shipmode', l_returnflag FROM lineitem),
+    counted AS (
+      SELECT col, val, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY col ORDER BY COUNT(*) DESC, val) AS rk
+      FROM long GROUP BY col, val)
+    SELECT col, val, n, CAST(rk AS BIGINT) AS rk
+    FROM counted WHERE rk <= 3
+    """,
+)
+def x54_column_profile(spark, sf_dir):
+    """Categorical column profiling: top-3 most frequent values per audited
+    column — the "what's actually in this column" check every intake audit
+    starts with. Columns are unpivoted to (col, val) long form so ONE
+    hash-agg + one per-column rank serves any number of columns (vs. one
+    job per column); ties break on value for determinism. Scale: the agg
+    collapses to distinct (col, value) pairs map-side; the rank window
+    partitions by column — parallel across audited columns."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    long = (
+        o.selectExpr("'o_orderstatus' AS col", "o_orderstatus AS val")
+        .unionByName(o.selectExpr("'o_orderpriority' AS col", "o_orderpriority AS val"))
+        .unionByName(li.selectExpr("'l_shipmode' AS col", "l_returnflag AS val"))
+    )
+    counted = long.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col").orderBy(F.col("n").desc(), "val")
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("col", "val", "n", "rk")
+    )
+
+
+@register(
+    "x55_fk_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL) AS orphans,
+           (SELECT COUNT(*) FROM lineitem) AS total
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL),
+           (SELECT COUNT(*) FROM customer)
+    """,
+)
+def x55_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit: orphan-row counts for each declared FK
+    edge (child rows whose parent key is missing), as one result table —
+    the join-safety gate run before any star-join workload trusts the
+    drop. Each edge is a LEFT ANTI join (Spark's native orphan scan);
+    parent key sets are dims or dim-sized, so the audits broadcast where
+    it matters and never shuffle the child twice. Rates are left to the
+    consumer (orphans/total both reported)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        ).count()
+        total = child.count()
+        return (name, orphans, total)
+
+    rows = [
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+    ]
+    return spark.createDataFrame(rows, "fk string, orphans bigint, total bigint")
+
+
+@register(
+    "x56_completeness_profile",
+    oracle="""
+    SELECT 'c_name' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_name) AS n_null,
+           COUNT(DISTINCT c_name)   AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+           COUNT(DISTINCT c_acctbal)
+    FROM customer
+    """,
+)
+def x56_completeness_profile(spark, sf_dir):
+    """Column completeness/cardinality profile: rows, nulls, exact distinct
+    per audited column — the schema-health gate (a column going 90% null
+    or collapsing to one value is the classic upstream-breakage signal).
+    One aggregate per column over a single scan (Spark computes all three
+    columns' stats in one pass — the selects share the cached relation);
+    at 100 TB exact COUNT(DISTINCT) swaps for the x50 HLL sketch, same
+    output contract."""
+    c = load(spark, sf_dir, "customer")
+    parts = [
+        c.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+        )
+        for col in ("c_name", "c_mktsegment", "c_acctbal")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
