@@ -2352,3 +2352,55 @@ def x56_completeness_profile(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "x57_distribution_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS snap
+      FROM documents),
+    counts AS (
+      SELECT source,
+             COUNT(*) FILTER (WHERE snap = 0) AS na,
+             COUNT(*) FILTER (WHERE snap = 1) AS nb
+      FROM tagged GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM counts)
+    SELECT source, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           ROUND((na / CAST(ta AS DOUBLE) - nb / CAST(tb AS DOUBLE))
+                 * ln((na / CAST(ta AS DOUBLE)) / (nb / CAST(tb AS DOUBLE))), 6)
+             AS psi_term
+    FROM counts, tot
+    WHERE na > 0 AND nb > 0
+    """,
+)
+def x57_distribution_drift(spark, sf_dir):
+    """Population-stability drift between two corpus snapshots (proxied by
+    a deterministic hash split of doc_id): per-source PSI terms
+    (p_a - p_b) * ln(p_a / p_b) — the intake gate that catches a source
+    silently vanishing or flooding between drops; consumers sum the terms
+    (PSI > 0.2 = investigate). One pass: conditional counts per source,
+    totals as a 1-row broadcast, pure map arithmetic after. Zero-count
+    cells are excluded (their PSI term is infinite; a disappeared source
+    shows up in x24/x56 instead)."""
+    d = load(spark, sf_dir, "documents")
+    snap = F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2")
+    counts = d.select("source", snap.alias("snap")).groupBy("source").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("snap") == 1, 1)).alias("nb"),
+    )
+    tot = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = F.col("na") / F.col("ta").cast("double")
+    pb = F.col("nb") / F.col("tb").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "source",
+            "na",
+            "nb",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+    )
