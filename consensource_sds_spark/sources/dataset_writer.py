@@ -46,3 +46,21 @@ def write_training_shards(
         .partitionBy("split", "shard_id")
         .parquet(out_dir)
     )
+
+
+def write_range_clustered(
+    df: DataFrame, out_dir: str, col: str, n_files: int = 8
+) -> None:
+    """Range-clustered layout: ``repartitionByRange`` + in-partition sort on
+    the cluster key before writing, so each output file owns a disjoint key
+    range and its parquet row-group min/max stats are tight. Readers
+    filtering on the key then skip whole files/row groups from footer stats
+    alone — the sort-based data-skipping that makes selective scans on a
+    100 TB table touch O(selectivity) bytes (the single-dimension form of
+    Z-ordering; OPTIMIZE ... ZORDER in table-format terms)."""
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

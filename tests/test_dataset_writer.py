@@ -64,3 +64,31 @@ def test_partition_pruned_read(spark, tmp_path):
         if r["split"] == "train" and r["shard_id"] == 3
     }
     assert {r["doc_id"] for r in one.collect()} == want and want
+
+
+def test_range_clustered_files_have_disjoint_stats(spark, tmp_path):
+    """The clustering property itself, asserted on parquet footers: file
+    key ranges must not overlap, so a point/range predicate maps to one
+    file — the data-skipping contract at scale."""
+    import pyarrow.parquet as pq
+
+    from consensource_sds_spark.sources.dataset_writer import write_range_clustered
+
+    out = str(tmp_path / "clustered")
+    df = spark.range(10_000).selectExpr("id AS k", "concat('v', id) AS payload")
+    write_range_clustered(df, out, "k", n_files=8)
+    ranges = []
+    for f in sorted(Path(out).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, f"overlapping file ranges ({lo_a},{hi_a}) vs ({lo_b},{hi_b})"
+    # and the clustered copy still round-trips completely
+    assert spark.read.parquet(out).count() == 10_000
