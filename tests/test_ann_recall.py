@@ -1,0 +1,68 @@
+"""ANN quality envelope: the approximate near-dup paths (IVF x13,
+multi-probe x14, SRP x47) are graded against the exact brute-force pairs
+(x12) — precision is 1.0 by construction (every candidate is exactly
+cosine-verified), so the quality axis is recall, pinned here with floors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from consensource_sds_spark.queries.extensions import (
+    x12_embedding_neardup,
+    x13_ivf_neardup,
+    x14_multiprobe_ivf,
+    x47_srp_neardup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r["vec_a"], r["vec_b"]) for r in df.select("vec_a", "vec_b").collect()}
+
+
+def _bipartite(pairs):
+    """x12's exact baseline scores the (id < 250) x (id >= 250) bipartite
+    universe; restrict any all-pairs candidate set to it before comparing."""
+    return {(a, b) for a, b in pairs if a < 250 <= b}
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    got = _pairs(x12_embedding_neardup(spark, SF))
+    assert got, "exact baseline found no pairs; recall floors are vacuous"
+    return got
+
+
+def test_ivf_recall(spark, exact):
+    found = _bipartite(_pairs(x13_ivf_neardup(spark, SF)))
+    assert found <= exact  # same threshold + exact verify => no false positives
+    recall = len(found & exact) / len(exact)
+    # mid-band pairs (cosine just over the 0.4 threshold) frequently
+    # straddle a coarse cell boundary, so single-probe recall is modest by
+    # design — the floor pins it from collapsing, and
+    # test_multiprobe_beats_single_probe pins the recovery path
+    assert recall >= 0.2, f"single-probe IVF recall {recall:.2f} below floor"
+
+
+def test_multiprobe_beats_single_probe(spark, exact):
+    single = _bipartite(_pairs(x13_ivf_neardup(spark, SF))) & exact
+    multi = _bipartite(_pairs(x14_multiprobe_ivf(spark, SF))) & exact
+    assert len(multi) >= len(single), "multi-probe must not lose recall"
+    assert len(multi) / len(exact) >= 0.7, "multi-probe recall below floor"
+
+
+def test_srp_finds_top_similarity_band(spark, exact):
+    """SRP's collision probability rises with cosine, so the HIGHEST-
+    similarity exact pairs are the ones it must not miss: every exact pair
+    with cosine > 0.6 collides on all 8 sign bits with high probability."""
+    strong = {
+        (r["vec_a"], r["vec_b"])
+        for r in x12_embedding_neardup(spark, SF).filter("cosine > 0.6").collect()
+    }
+    if not strong:
+        pytest.skip("no strong pairs at this scale")
+    found = _bipartite(_pairs(x47_srp_neardup(spark, SF)))
+    recall = len(found & strong) / len(strong)
+    assert recall >= 0.5, f"SRP recall on strong pairs {recall:.2f} below floor"
