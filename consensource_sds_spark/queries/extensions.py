@@ -2404,3 +2404,56 @@ def x57_distribution_drift(spark, sf_dir):
             F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
         )
     )
+
+
+@register(
+    "x58_incremental_dedup",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS digest,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS snap
+      FROM documents),
+    corpus AS (
+      SELECT digest, MIN(doc_id) AS keep_doc_id
+      FROM tagged WHERE snap = 0 GROUP BY digest)
+    SELECT t.doc_id, t.digest, c.keep_doc_id AS dup_of,
+           c.keep_doc_id IS NOT NULL AS is_dup
+    FROM tagged t LEFT JOIN corpus c ON t.digest = c.digest
+    WHERE t.snap = 1
+    """,
+)
+def x58_incremental_dedup(spark, sf_dir):
+    """Incremental (new-batch-vs-corpus) exact dedup: each incoming
+    document's content digest is probed against the standing corpus digest
+    table; hits report which retained document they duplicate. This is the
+    ingest-time form of x01 — the corpus is NOT rescanned per batch, only
+    its (digest, keep_doc_id) index is joined (here both sides derive from
+    the same table via the x57 hash split; in production the index is the
+    materialized table the SCD2 store maintains).
+
+    Scale: the probe is a hash join keyed on digest — the incoming batch
+    (small) builds, the corpus index streams; with the index bucketed on
+    digest the join is shuffle-free on the corpus side. The streaming twin
+    is dedup.py's dropDuplicatesWithinWatermark when "corpus" means the
+    watermark horizon instead of all history."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2").alias("snap"),
+    )
+    corpus = (
+        tagged.filter(F.col("snap") == 0)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    return (
+        tagged.filter(F.col("snap") == 1)
+        .join(corpus, "digest", "left")
+        .select(
+            "doc_id",
+            "digest",
+            F.col("keep_doc_id").alias("dup_of"),
+            F.col("keep_doc_id").isNotNull().alias("is_dup"),
+        )
+    )
