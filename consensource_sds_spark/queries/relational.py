@@ -1947,3 +1947,45 @@ def q75_unpivot(spark, sf_dir):
         variableColumnName="status",
         valueColumnName="n",
     )
+
+
+@register(
+    "q76_map_funcs",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           COUNT(*)                                             AS n_types,
+           MAX(CASE WHEN event_type = 'click' THEN n END)       AS n_clicks,
+           MIN(event_type)                                      AS first_type,
+           CAST(SUM(n) AS BIGINT)                               AS total_events
+    FROM counts GROUP BY user_id
+    """,
+)
+def q76_map_funcs(spark, sf_dir):
+    """Map scalar-function family (the q50 twin for map columns): per-user
+    event-type histograms are materialized as a MAP column
+    (map_from_entries over sort-stabilized collected entries), then
+    consumed with size / element_at / map_keys / map_values + a
+    higher-order fold. Maps don't hash portably across engines, so the
+    gate compares the SCALAR projections; the oracle states the same
+    values relationally. Scale: the map per user is bounded by the
+    event-type cardinality (small by design — maps are for bounded keys;
+    unbounded keys stay as rows)."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.element_at("m", "click").alias("n_clicks"),
+        F.element_at(F.map_keys("m"), 1).alias("first_type"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_events"),
+    )
