@@ -1989,3 +1989,48 @@ def q76_map_funcs(spark, sf_dir):
             F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total_events"),
     )
+
+
+@register(
+    "q77_session_window_fn",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked)
+    SELECT user_id,
+           MIN(ts_us)              AS session_start_us,
+           MAX(ts_us) + 1800000000 AS session_end_us,
+           COUNT(*)                AS n_events
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def q77_session_window_fn(spark, sf_dir):
+    """Native ``session_window`` aggregation (the built-in q51): Spark's
+    dynamic-gap session operator merges events closer than the gap and
+    stamps [first_event, last_event + gap) bounds — note the half-open
+    boundary (a gap of EXACTLY 30 min starts a new session), which the
+    lag-cumsum oracle mirrors with >=. Same one-shuffle-on-user plan as
+    q51; this form is also directly streamable (session_window works on
+    streams with a watermark, merging state server-side)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.timestamp_micros(F.col("ts_us")), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
