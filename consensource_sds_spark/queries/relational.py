@@ -2034,3 +2034,41 @@ def q77_session_window_fn(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "q78_dormant_accounts",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c_nationkey
+    """,
+)
+def q78_dormant_accounts(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no qualifying
+    activity (no large order), per nation — the scalar-subquery +
+    correlated NOT EXISTS combination. Catalyst decorrelates the EXISTS
+    into a LEFT ANTI join on c_custkey (the orders side pre-filtered on
+    totalprice BEFORE the join, so the anti probe is small) and the AVG
+    into a 1-row broadcast — no per-row subquery execution anywhere."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    big_orders = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
