@@ -81,3 +81,52 @@ def run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def topk_per_window(stats: DataFrame, k: int = 3) -> DataFrame:
+    """Rank :func:`windowed_event_stats` output to the top-k event types
+    per window (count desc, type asc ties). Pure batch transform."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("window_start", "window_end", "event_type", "n_events", "rk")
+    )
+
+
+def run_trending_stream(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    k: int = 3,
+):
+    """Streaming top-k "trending" — windowed counts ranked to the k busiest
+    event types per window. Window functions can't run on an unbounded
+    stream (rank needs the whole partition), so the rank step runs per
+    MICROBATCH over that batch's updated windows via foreachBatch: the
+    stream maintains the windowed counts (update mode, watermark-bounded
+    state), each batch re-ranks only the windows it touched, and the sink
+    append holds one top-k snapshot per (batch, window) — latest batch
+    wins at read time. The standard streaming-rank pattern; at scale the
+    rank is per-window (tiny) regardless of stream volume."""
+
+    def emit(batch_df, _batch_id: int):
+        topk_per_window(batch_df, k=k).write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_stats(stream, window=window, watermark=watermark)
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -97,3 +97,28 @@ def test_append_mode_emits_finalized_windows_and_drops_late(spark, tmp_path):
     assert emitted[(_t(0), "click")] == (2, 3.0)
     assert all(ws >= _t(70) for ws, _ in new)
     assert (_t(100), "click") not in emitted
+
+
+def test_trending_topk_per_window(spark, tmp_path):
+    from consensource_sds_spark.streaming.windows import run_trending_stream
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "outk"), str(tmp_path / "ckptk")
+    rows = (
+        [(i, "view", 1.0, _t(1)) for i in range(5)]
+        + [(10 + i, "click", 1.0, _t(2)) for i in range(3)]
+        + [(20 + i, "scroll", 1.0, _t(3)) for i in range(2)]
+        + [(30, "buy", 1.0, _t(4))]
+        + [(99, "view", 1.0, _t(120))]  # advances the watermark
+    )
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds", k=3)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    first_window = got.filter("n_events >= 1").orderBy("window_start", "rk").collect()
+    ranked = [(r["event_type"], r["n_events"], r["rk"]) for r in first_window if r["n_events"] > 1 or r["rk"] <= 3][:3]
+    assert ranked[0] == ("view", 5, 1), ranked
+    assert ranked[1] == ("click", 3, 2)
+    assert ranked[2] == ("scroll", 2, 3)
+    # k bound respected per window
+    per_win = got.groupBy("window_start").count().collect()
+    assert all(r["count"] <= 3 for r in per_win)
