@@ -1,0 +1,69 @@
+"""Text-dedup quality envelope: MinHash-LSH banding (x03) graded against
+exact shingle-Jaccard over all pairs at sf0.001 — the s-curve promise
+(high-similarity pairs must be candidates) pinned as a recall floor.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from consensource_sds_spark.functions.text import shingles
+from consensource_sds_spark.queries import load
+from consensource_sds_spark.queries.extensions import x03_minhash_lsh_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def exact_sim_pairs(spark):
+    """All doc pairs with true bigram-shingle Jaccard >= 0.5, via the
+    inverted-index join (pairs sharing >= 1 shingle), so no doc x doc
+    cross join even in the test harness."""
+    d = load(spark, SF, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.selectExpr("doc_id AS da", "sh")
+    b = sh.selectExpr("doc_id AS db", "sh AS shb")
+    inter = (
+        a.join(b, (F.col("sh") == F.col("shb")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.selectExpr("doc_id AS da", "n AS na")
+    nb = sizes.selectExpr("doc_id AS db", "n AS nb")
+    jac = (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .withColumn("j", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return {
+        (r["da"], r["db"]): r["j"] for r in jac.filter(F.col("j") >= 0.5).collect()
+    }
+
+
+def test_lsh_recall_on_high_jaccard_pairs(spark, exact_sim_pairs):
+    if not exact_sim_pairs:
+        pytest.skip("no high-jaccard pairs at this scale")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in x03_minhash_lsh_pairs(spark, SF).collect()
+    }
+    hit = sum(1 for p in exact_sim_pairs if p in cand)
+    recall = hit / len(exact_sim_pairs)
+    # 4 bands x 2 rows: P(candidate) = 1-(1-j^2)^4 = 0.78 at j=0.5, ~1 at
+    # j>=0.8 — the duplicate band the pipeline exists for; floor below the
+    # j=0.5 expectation to keep the pin insensitive to the mix
+    assert recall >= 0.6, f"LSH recall {recall:.2f} on {len(exact_sim_pairs)} pairs"
+
+
+def test_lsh_candidates_not_explosive(spark, exact_sim_pairs):
+    """The other side of the s-curve: the candidate set must stay near the
+    true-pair scale, not degenerate toward doc x doc."""
+    d_count = load(spark, SF, "documents").count()
+    cand_count = x03_minhash_lsh_pairs(spark, SF).count()
+    assert cand_count <= d_count * 5, (
+        f"{cand_count} candidates for {d_count} docs — banding too loose"
+    )
