@@ -2457,3 +2457,68 @@ def x58_incremental_dedup(spark, sf_dir):
             F.col("keep_doc_id").isNotNull().alias("is_dup"),
         )
     )
+
+
+@register(
+    "x60_rendezvous_resharding",
+    oracle="""
+    WITH w8 AS (
+      SELECT doc_id, s AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || s), 1, 8))::BIGINT AS wt
+      FROM documents, (SELECT UNNEST(range(0, 8)) AS s)),
+    a8 AS (
+      SELECT doc_id, shard
+      FROM w8 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY wt DESC, shard) = 1),
+    w9 AS (
+      SELECT doc_id, s AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || s), 1, 8))::BIGINT AS wt
+      FROM documents, (SELECT UNNEST(range(0, 9)) AS s)),
+    a9 AS (
+      SELECT doc_id, shard
+      FROM w9 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY wt DESC, shard) = 1)
+    SELECT a8.shard AS shard_before, a9.shard AS shard_after,
+           COUNT(*) AS n_docs
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def x60_rendezvous_resharding(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding + reshard audit: each
+    doc's shard is argmax over shards of md5(doc:shard); the query compares
+    the 8-shard and 9-shard assignments as a movement matrix. The property
+    under audit is WHY consistent placement matters at 100 TB: adding a
+    shard moves only the docs whose new shard WINS their argmax (~1/9 of
+    the corpus, all into the new shard — every off-diagonal cell lands in
+    shard 8), where mod-hashing (x36) reshuffles nearly everything.
+
+    Plan: weights are generated map-side (shards x docs rows from one
+    explode), argmax is one window per assignment, the matrix is a tiny
+    agg. The x36 sharder would adopt this expression for stable
+    incremental re-partitioning."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(n):
+        w = d.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("shard")
+        ).withColumn(
+            "wt",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS string), ':', "
+                "CAST(shard AS string))), 1, 8), 16, 10) AS BIGINT)"
+            ),
+        )
+        win = Window.partitionBy("doc_id").orderBy(F.col("wt").desc(), "shard")
+        return (
+            w.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "shard")
+        )
+    before = assign(8).withColumnRenamed("shard", "shard_before")
+    after = assign(9).withColumnRenamed("shard", "shard_after")
+    return (
+        before.join(after, "doc_id")
+        .groupBy("shard_before", "shard_after")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -92,3 +92,18 @@ def test_range_clustered_files_have_disjoint_stats(spark, tmp_path):
         assert hi_a < lo_b, f"overlapping file ranges ({lo_a},{hi_a}) vs ({lo_b},{hi_b})"
     # and the clustered copy still round-trips completely
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_rendezvous_reshard_moves_only_into_new_shard(spark):
+    """HRW's minimal-disruption property: growing 8 -> 9 shards moves docs
+    ONLY into the new shard (an argmax can change only when the new
+    entrant wins), and roughly 1/9 of the corpus."""
+    from consensource_sds_spark.queries.extensions import x60_rendezvous_resharding
+
+    cells = x60_rendezvous_resharding(spark, "/root/testdata/sf0.001").collect()
+    moved = sum(r["n_docs"] for r in cells if r["shard_before"] != r["shard_after"])
+    total = sum(r["n_docs"] for r in cells)
+    assert all(
+        r["shard_after"] == 8 for r in cells if r["shard_before"] != r["shard_after"]
+    ), cells
+    assert 0.02 < moved / total < 0.3, f"moved {moved}/{total}"
