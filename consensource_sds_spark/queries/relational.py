@@ -2072,3 +2072,38 @@ def q78_dormant_accounts(spark, sf_dir):
             ).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q79_forward_fill",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           ROUND(LAST_VALUE(CASE WHEN value >= 10 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS filled_value
+    FROM events
+    """,
+)
+def q79_forward_fill(spark, sf_dir):
+    """Forward fill / LOCF (last observation carried forward): low readings
+    are nulled as sensor dropouts, then each row carries the most recent
+    valid value — ``last(..., ignorenulls)`` over a running frame, the
+    IGNORE NULLS window surface (and the standard time-series repair
+    before any resampling/join). Rows before a user's first valid reading
+    stay NULL (no peeking forward). One shuffle on user_id; at scale this
+    is the same plan as the q11/q27 running windows."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.when(F.col("value") >= 10, F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.last(v, ignorenulls=True).over(w), 2).alias("filled_value"),
+    )
