@@ -73,7 +73,16 @@ def salted_join(
 
     Use when BOTH sides are too big to broadcast and AQE's split threshold
     can't absorb the hot key; the replicated side costs buckets x its size,
-    so keep it the smaller one."""
+    so keep it the smaller one.
+
+    Only ``inner``/``left`` (skewed-side-preserving) joins are supported:
+    with ``right``/``full``, an unmatched replicated-side row would surface
+    once per salt bucket (buckets-fold duplication of null-extended rows)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "joins would emit unmatched replicated rows once per salt bucket"
+        )
     salted = skewed.withColumn(SALT_COL, _row_salt(skewed, buckets))
     replicated = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -185,11 +185,33 @@ class ScdParquetStore:
         except (OSError, ValueError):
             return {"gen": 0, "last_batch_id": -1, "tables": {}, "blocks": []}
 
+    @staticmethod
+    def _referenced(manifest: dict) -> set[str]:
+        referenced: set[str] = set()
+        for t in manifest["tables"].values():
+            for p in [t.get("open"), *t.get("closed", [])]:
+                if p:
+                    referenced.add(p.split("/_open=")[0])
+        referenced.update(manifest["blocks"])
+        return referenced
+
     def _commit(self, manifest: dict) -> None:
         """The transaction boundary: write-then-rename is atomic on POSIX;
         everything the manifest references was durably written before this
         point, so a crash on either side of the rename leaves a consistent
-        store. Unreferenced directories are vacuumed afterwards."""
+        store.
+
+        Vacuum is deferred by ONE generation (a minimal Delta-style
+        retention window): directories superseded by THIS commit are
+        recorded in ``retired`` and stay on disk until the NEXT commit, so
+        lazy DataFrames handed out under the previous manifest remain
+        scannable across one apply/compact/rewind. Never-committed staging
+        leftovers (a crashed attempt's directories, referenced by no
+        manifest) are reclaimed immediately."""
+        prev = self._manifest()
+        prev_refs = self._referenced(prev)
+        new_refs = self._referenced(manifest)
+        manifest["retired"] = sorted(prev_refs - new_refs)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -197,19 +219,14 @@ class ScdParquetStore:
         self._vacuum(manifest)
 
     def _vacuum(self, manifest: dict) -> None:
-        referenced: set[str] = set()
-        for t in manifest["tables"].values():
-            for p in [t.get("open"), *t.get("closed", [])]:
-                if p:
-                    referenced.add(p.split("/_open=")[0])
-        referenced.update(manifest["blocks"])
+        keep = self._referenced(manifest) | set(manifest.get("retired", []))
         for table in [*schemas.SINK_TABLES, "blocks"]:
             base = os.path.join(self.path, table)
             if not os.path.isdir(base):
                 continue
             for d in os.listdir(base):
                 rel = f"{table}/{d}"
-                if rel not in referenced:
+                if rel not in keep:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- reads ------------------------------------------------------------

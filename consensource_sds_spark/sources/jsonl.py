@@ -19,6 +19,8 @@ line, often mixed-quality). The production-safe read discipline:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -26,12 +28,34 @@ from pyspark.sql.types import StringType, StructField, StructType
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_jsonl(
-    spark: SparkSession, path: str, schema: StructType
-) -> tuple[DataFrame, DataFrame]:
-    """Read JSONL at ``path`` against a pinned ``schema``; return
-    ``(good, quarantine)``. ``good`` carries exactly the schema's columns;
-    ``quarantine`` carries the raw offending line for replay/repair."""
+@dataclass
+class JsonlRead:
+    """Handle owning the persisted parse behind both splits. Unpack it like
+    the former tuple (``good, quarantine = read_jsonl(...)``) or use it as a
+    context manager; call :meth:`unpersist` (or exit the ``with`` block)
+    when done with BOTH frames, else the cached parse lives for the session."""
+
+    good: DataFrame
+    quarantine: DataFrame
+    _parsed: DataFrame
+
+    def unpersist(self) -> None:
+        self._parsed.unpersist()
+
+    def __enter__(self) -> JsonlRead:
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+    def __iter__(self):
+        return iter((self.good, self.quarantine))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> JsonlRead:
+    """Read JSONL at ``path`` against a pinned ``schema``; return a
+    :class:`JsonlRead` whose ``good`` carries exactly the schema's columns
+    and ``quarantine`` the raw offending line for replay/repair."""
     with_corrupt = StructType(
         [*schema.fields, StructField(CORRUPT_COL, StringType(), True)]
     )
@@ -47,4 +71,4 @@ def read_jsonl(
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    return good, quarantine
+    return JsonlRead(good, quarantine, df)

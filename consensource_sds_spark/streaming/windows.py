@@ -114,12 +114,16 @@ def run_trending_stream(
     MICROBATCH over that batch's updated windows via foreachBatch: the
     stream maintains the windowed counts (update mode, watermark-bounded
     state), each batch re-ranks only the windows it touched, and the sink
-    append holds one top-k snapshot per (batch, window) — latest batch
-    wins at read time. The standard streaming-rank pattern; at scale the
-    rank is per-window (tiny) regardless of stream volume."""
+    append holds one top-k snapshot per (batch, window) stamped with
+    ``batch_id`` — readers materialize "latest wins" as the max-batch_id
+    snapshot per window (see :func:`latest_trending`). The standard
+    streaming-rank pattern; at scale the rank is per-window (tiny)
+    regardless of stream volume."""
 
-    def emit(batch_df, _batch_id: int):
-        topk_per_window(batch_df, k=k).write.mode("append").parquet(out_dir)
+    def emit(batch_df, batch_id: int):
+        topk_per_window(batch_df, k=k).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_dir)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     agg = windowed_event_stats(stream, window=window, watermark=watermark)
@@ -129,4 +133,18 @@ def run_trending_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def latest_trending(snapshots: DataFrame) -> DataFrame:
+    """Resolve :func:`run_trending_stream` output to the latest snapshot per
+    window: keep only rows from each window's max ``batch_id``. One window
+    function over a (window, batch) partition count's worth of rows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start")
+    return (
+        snapshots.withColumn("_maxb", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("_maxb"))
+        .drop("_maxb", "batch_id")
     )
