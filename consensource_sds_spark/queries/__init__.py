@@ -132,17 +132,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark 4 rejects outright; read it as raw nanos (legacy conf, set once in
-    ``_ensure_session_conf``) and expose ``ts_us`` (epoch microseconds,
-    BIGINT) — integer ``div`` so no double-precision loss at 1.7e18. DuckDB
-    truncates the same column to microseconds on read, so ``ts_us`` ==
-    ``epoch_us(ts)``."""
+    """Expose ``ts_us`` (epoch microseconds, BIGINT) regardless of how the
+    generator wrote ``ts``:
+
+    - parquet TIMESTAMP(NANOS): Spark 4 rejects it unless the legacy
+      nanosAsLong conf (set in ``_ensure_session_conf``) maps it to raw
+      nano longs -> integer ``div 1000`` (no double-precision loss at
+      1.7e18);
+    - parquet TIMESTAMP(MICROS/MILLIS): read as TIMESTAMP_NTZ / TIMESTAMP
+      -> ``unix_micros`` after a cast that is identity under the pinned
+      UTC session timezone.
+
+    DuckDB truncates the same column to microseconds on read, so
+    ``ts_us`` == ``epoch_us(ts)`` on both branches."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_us", F.expr("ts div 1000"))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_us", ts_us)
 
 
 # The driver's correctness gate checks a 50-slot window of the registry in
