@@ -24,10 +24,14 @@ Storage/commit design — a miniature table-format log (the same shape as a
 Delta/Iceberg transaction log, which is what a real cluster deployment
 would use via MERGE):
 
-- every batch writes each touched table's merged state to a NEW immutable
-  directory, partitioned by liveness (``_open=true`` -> the table's current
-  versions, ``_open=false`` -> the closed-version increment);
-- ``_manifest.json`` maps each table to its current open directory + the
+- each table's OPEN partition (current versions) is hash-bucketed by the
+  table's version key: bucket ``pmod(hash(vkey), n_buckets)`` -> its own
+  immutable leaf directory. A batch computes the set of buckets its
+  emission keys touch, merges ONLY those buckets' open rows, and writes
+  the result to NEW per-bucket directories; untouched buckets' manifest
+  pointers carry over byte-for-byte. Closed-version increments land in a
+  per-batch closed segment (``_bucket=-1``, liveness split ``_open``);
+- ``_manifest.json`` maps each table to its open bucket directories + the
   list of closed segments, plus the blocks segments and the last applied
   ``foreachBatch`` batch id. A batch COMMITS by atomically replacing the
   manifest (single ``os.replace``) — all 11 tables + blocks + the batch-id
@@ -38,8 +42,11 @@ would use via MERGE):
   source directories are only vacuumed AFTER a successful commit, so the
   durable parquet write itself is the materialization barrier (no
   cache()+count(), no recompute-after-swap hazard);
-- a batch therefore rewrites O(live state) and appends O(changed rows);
-  closed history is never rewritten except by fork rewind (exactly Delta's
+- a batch therefore rewrites O(touched buckets) and appends O(changed
+  rows) — the Delta-MERGE "rewrite only touched files" cost, NOT O(live
+  state): at 100 TB live state with n_buckets sized so a bucket is a few
+  GB, a one-key microbatch rewrites a few GB, not the table. Closed
+  history is never rewritten except by fork rewind (exactly Delta's
   RESTORE cost).
 
 The merge itself is one declarative plan (window ``lead`` over emission
@@ -169,9 +176,15 @@ class ScdParquetStore:
     reference's transactional per-block apply + catch-up cursor,
     main.rs:57-63)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
         self.spark = spark
         self.path = path
+        # Bucket count for the open partitions. Persisted into the manifest
+        # on first commit and read back thereafter — the on-disk layout owns
+        # the number, not the constructor (a store reopened with a different
+        # default keeps its original bucketing). local[32]-test default 16;
+        # size so one bucket ~ a few GB at the deployment's live-state scale.
+        self._default_n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -185,11 +198,23 @@ class ScdParquetStore:
         except (OSError, ValueError):
             return {"gen": 0, "last_batch_id": -1, "tables": {}, "blocks": []}
 
+    def _n_buckets(self) -> int:
+        return self._manifest().get("n_buckets") or self._default_n_buckets
+
+    @staticmethod
+    def _bucket_expr(vkey: str, n: int):
+        # Murmur3 (F.hash) is a fixed, documented algorithm — the mapping is
+        # part of the on-disk layout and must be reproducible across sessions.
+        return F.pmod(F.hash(F.col(vkey)), F.lit(n))
+
     @staticmethod
     def _referenced(manifest: dict) -> set[str]:
+        # Truncate refs at the write root ("/_open="): a generation directory
+        # stays alive while ANY of its bucket leaves is still referenced by
+        # the current manifest (untouched buckets outlive their writing gen).
         referenced: set[str] = set()
         for t in manifest["tables"].values():
-            for p in [t.get("open"), *t.get("closed", [])]:
+            for p in [*t.get("open_buckets", {}).values(), *t.get("closed", [])]:
                 if p:
                     referenced.add(p.split("/_open=")[0])
         referenced.update(manifest["blocks"])
@@ -239,12 +264,20 @@ class ScdParquetStore:
 
     def read(self, table: str) -> DataFrame:
         t = self._manifest()["tables"].get(table, {})
-        return self._read_dirs([t.get("open"), *t.get("closed", [])], schemas.SINK_TABLES[table])
+        dirs = [*t.get("open_buckets", {}).values(), *t.get("closed", [])]
+        return self._read_dirs(dirs, schemas.SINK_TABLES[table])
 
-    def current(self, table: str) -> DataFrame:
-        """Current state = the open partition (end == MAX by construction)."""
-        t = self._manifest()["tables"].get(table, {})
-        return self._read_dirs([t.get("open")], schemas.SINK_TABLES[table])
+    def current(self, table: str, buckets: list[int] | None = None) -> DataFrame:
+        """Current state = the open partition (end == MAX by construction).
+        ``buckets`` restricts the scan to those hash buckets — the bucketed
+        analog of partition pruning; ``apply`` uses it to read only the
+        buckets a batch's keys land in."""
+        ob = self._manifest()["tables"].get(table, {}).get("open_buckets", {})
+        if buckets is None:
+            dirs = list(ob.values())
+        else:
+            dirs = [ob[str(b)] for b in buckets if str(b) in ob]
+        return self._read_dirs(dirs, schemas.SINK_TABLES[table])
 
     def as_of(self, table: str, block_num: int) -> DataFrame:
         """Time travel: state as of block b (start <= b < end)."""
@@ -269,20 +302,32 @@ class ScdParquetStore:
         return self._manifest()["last_batch_id"]
 
     # -- writes -----------------------------------------------------------
-    def _write_split(self, df: DataFrame, rel: str) -> tuple[str | None, str | None]:
-        """Write a merged table state partitioned by liveness; returns the
-        (open, closed) relative paths that actually materialized. The write
-        is the durability barrier — nothing existing is touched."""
+    def _write_split(self, df: DataFrame, rel: str, vkey: str, n: int) -> tuple[dict[str, str], str | None]:
+        """Write a merged table state partitioned by (liveness, open-row
+        hash bucket); returns ``(open_buckets, closed)`` relative LEAF paths
+        that actually materialized (closed rows carry sentinel bucket -1 so
+        every manifest ref is a leaf directory — no partition discovery on
+        read). The write is the durability barrier — nothing existing is
+        touched."""
         out = os.path.join(self.path, rel)
         # mode=overwrite ONLY ever replaces leftover staging from a crashed
         # attempt at this same generation — committed manifests never share
         # a generation number, so committed data is never overwritten
-        df.withColumn("_open", F.col("end_block_num") == MAX_BLOCK_NUM).write.mode(
-            "overwrite"
-        ).partitionBy("_open").parquet(out)
-        open_rel, closed_rel = f"{rel}/_open=true", f"{rel}/_open=false"
+        staged = df.withColumn("_open", F.col("end_block_num") == MAX_BLOCK_NUM).withColumn(
+            "_bucket",
+            F.when(F.col("end_block_num") == MAX_BLOCK_NUM, self._bucket_expr(vkey, n)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        staged.write.mode("overwrite").partitionBy("_open", "_bucket").parquet(out)
+        open_buckets: dict[str, str] = {}
+        for b in range(n):
+            leaf = f"{rel}/_open=true/_bucket={b}"
+            if os.path.isdir(os.path.join(self.path, leaf)):
+                open_buckets[str(b)] = leaf
+        closed_rel = f"{rel}/_open=false/_bucket=-1"
         return (
-            open_rel if os.path.isdir(os.path.join(self.path, open_rel)) else None,
+            open_buckets,
             closed_rel if os.path.isdir(os.path.join(self.path, closed_rel)) else None,
         )
 
@@ -328,8 +373,10 @@ class ScdParquetStore:
                 man = self._manifest()
 
         gen = man["gen"] + 1
+        n = self._n_buckets()
         new_man = json.loads(json.dumps(man))
         new_man["gen"] = gen
+        new_man["n_buckets"] = n
 
         for group, (vkey, tables) in ENTITY_GROUPS.items():
             emis = batch.emissions.get(group)
@@ -339,17 +386,26 @@ class ScdParquetStore:
             if emis.isEmpty():
                 emis.unpersist()
                 continue
+            # the buckets this batch's keys land in — one tiny distinct over
+            # the cached emissions, bounded by n_buckets. All member tables
+            # of a group share the same key VALUES, hence the same buckets.
+            touched = sorted(
+                r["b"] for r in emis.select(self._bucket_expr("vkey", n).alias("b")).distinct().collect()
+            )
             for table in tables:
                 schema = schemas.SINK_TABLES[table]
                 new_rows = batch.tables.get(table)
                 if new_rows is None:
                     new_rows = _empty_new_rows(self.spark, schema)
-                # only the open partition participates; closed history is
+                # only the TOUCHED open buckets participate; untouched
+                # buckets carry over by pointer and closed history is
                 # immutable and never rescanned during apply
-                merged = merge_scd2(self.current(table), new_rows, vkey, emis, schema)
-                open_rel, closed_rel = self._write_split(merged, f"{table}/merged-g{gen}")
-                tman = new_man["tables"].setdefault(table, {"open": None, "closed": []})
-                tman["open"] = open_rel
+                merged = merge_scd2(self.current(table, buckets=touched), new_rows, vkey, emis, schema)
+                open_new, closed_rel = self._write_split(merged, f"{table}/merged-g{gen}", vkey, n)
+                tman = new_man["tables"].setdefault(table, {"open_buckets": {}, "closed": []})
+                for b in touched:
+                    tman["open_buckets"].pop(str(b), None)
+                tman["open_buckets"].update(open_new)
                 if closed_rel:
                     tman["closed"].append(closed_rel)
             emis.unpersist()
@@ -409,8 +465,11 @@ class ScdParquetStore:
         (the Delta RESTORE cost — rare by construction)."""
         man = self._manifest()
         gen = man["gen"] + 1
+        n = self._n_buckets()
         new_man = json.loads(json.dumps(man))
         new_man["gen"] = gen
+        new_man["n_buckets"] = n
+        vkey_of = {t: vkey for _, (vkey, tables) in ENTITY_GROUPS.items() for t in tables}
         for table in schemas.SINK_TABLES:
             if table not in man["tables"]:
                 continue
@@ -424,8 +483,8 @@ class ScdParquetStore:
                     ),
                 )
             )
-            open_rel, closed_rel = self._write_split(repaired, f"{table}/rewind-g{gen}")
-            new_man["tables"][table] = {"open": open_rel, "closed": [closed_rel] if closed_rel else []}
+            open_new, closed_rel = self._write_split(repaired, f"{table}/rewind-g{gen}", vkey_of[table], n)
+            new_man["tables"][table] = {"open_buckets": open_new, "closed": [closed_rel] if closed_rel else []}
         if man["blocks"]:
             seg = f"blocks/seg-g{gen}"
             kept = self.blocks().filter(F.col("block_num") < block_num).coalesce(1)
