@@ -67,6 +67,52 @@ def _pool_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CACHE", "1") != "0"
 
 
+# Cache-off path remediation for pathological inputs: a parquet file with ONE
+# row group is structurally a one-task scan no matter what maxPartitionBytes
+# says (byte-range splits assign a row group to the task holding its
+# midpoint), so a 32-core engine reads it serially. On first read of such a
+# file we re-layout a multi-file copy into the session's scratch dir — a
+# one-time O(table) import, after which every scan is parallel. This is what
+# the engine's own writers do at scale anyway (multi-file, bounded row
+# groups); the re-layout only ever fires on externally-produced single-row-
+# group files. Worth-it test is chunk-relative, not byte-absolute: the
+# _POOL_CHUNK table encodes CPU density (text/vector tables burn ~100x more
+# CPU per byte than relational scans), so a 600 KB documents file re-lays
+# to ~24 files while a 2 KB nation file never does. Disable with
+# SPARK_GRAFT_RELAYOUT=0.
+_LAYOUT: dict[tuple[str, str, str], str] = {}
+
+
+def _relayout_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_RELAYOUT", "1") != "0"
+
+
+def _relayout(spark: SparkSession, sf_dir: str, name: str, raw: DataFrame, path: str, size: int) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    laid = _LAYOUT.get(key)
+    if laid is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n_groups = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return raw  # directory / remote / unreadable metadata: leave as-is
+        n_cpus = spark.sparkContext.defaultParallelism
+        chunk = _POOL_CHUNK.get(name, _POOL_CHUNK_DEFAULT)
+        parts = max(1, min(n_cpus, size // chunk))
+        if parts < 2 or size >= _POOL_FILE_CAP or n_groups >= parts:
+            _LAYOUT[key] = path  # already splittable enough; remember that
+            return raw
+        import tempfile
+
+        laid = tempfile.mkdtemp(prefix=f"spark_graft_layout_{name}_")
+        raw.repartition(parts).write.mode("overwrite").parquet(laid)
+        _LAYOUT[key] = laid
+    if laid == path:
+        return raw
+    return spark.read.parquet(laid)
+
+
 def profile() -> str:
     """Execution profile: ``local`` (default — single-JVM latency: static
     broadcast hints allowed on anything measured small at this scale) or
@@ -114,7 +160,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         size = _POOL_FILE_CAP  # directory-or-remote input: stream it
     if not _pool_enabled() or size >= _POOL_FILE_CAP:
-        return raw if raw is not None else spark.read.parquet(path)
+        if raw is None:
+            raw = spark.read.parquet(path)
+        if _relayout_enabled():
+            return _relayout(spark, sf_dir, name, raw, path, size)
+        return raw
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _POOL.get(key)
     if df is None:

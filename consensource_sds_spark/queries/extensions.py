@@ -507,52 +507,85 @@ def x06_dedup_clusters(spark, sf_dir):
     keep = (doc_id == min doc_id of its component); singletons keep
     themselves.
 
-    Algorithm: iterative min-label propagation over the undirected candidate
-    graph. Each round every node takes the min of its own label and its
-    neighbors' labels; converges in O(component diameter) rounds —
-    near-dup components are tiny and dense (near-cliques from shared LSH
-    buckets), so 2-3 rounds in practice, capped at 25. Convergence is
-    detected by the monotonically decreasing label sum (one scalar action
-    per round), and ``localCheckpoint`` truncates the per-iteration lineage
-    so plans stay bounded.
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) over the
+    candidate graph — O(log n) rounds even on adversarially long chains,
+    vs O(diameter) for label propagation. Edges are kept child>parent;
+    large-star re-points every larger-than-center neighbor at the center's
+    minimum, small-star re-points the smaller neighbors; the fixpoint is a
+    set of stars centered at each component's minimum doc_id.
 
-    Scale: each round is one shuffle keyed on doc_id over the CANDIDATE
-    subgraph only (O(near-dup pairs), not O(docs)); the final left join
-    back to documents is a single pass. For adversarially long chains the
-    same loop upgrades to the alternating large-star/small-star rounds of
-    Kiveris et al. "Connected Components in MapReduce" — the plan shape
-    (bounded self-join rounds + label table) is unchanged."""
+    Driver actions: ZERO per round. Each round materializes exactly once
+    (``localCheckpoint`` truncates lineage so plans stay bounded) with an
+    ``Observation`` riding the same job — the convergence fingerprint
+    (edge count + endpoint sums + pair hash-sum) costs no extra action;
+    the loop stops when the canonical (distinct) edge set is a fixpoint.
+
+    Scale: each round is two shuffles keyed on the child endpoint over the
+    CANDIDATE subgraph only (O(near-dup pairs), not O(docs)); the final
+    left join back to documents is a single pass. ``last_rounds`` on the
+    function records the converged round count for tests."""
+    from pyspark.sql import Observation
+
     pairs = x03_minhash_lsh_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # invariant through every round: u > v (child points at smaller parent)
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    edges = edges.localCheckpoint()  # pairs are reused every round: compute once
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "cluster_id", F.col("doc_id")
-    )
-    labels = labels.localCheckpoint()
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    if prev_sum is not None:  # empty candidate graph -> nothing to propagate
-        for _ in range(25):
-            nbr = (
-                edges.join(labels, edges["dst"] == labels["doc_id"])
-                .groupBy(F.col("src").alias("doc_id"))
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            labels = (
-                labels.join(nbr, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+    x06_dedup_clusters.last_rounds = 0
+    prev = None
+    for rnd in range(25):
+        # large-star: for each center c, neighbors larger than c re-point at
+        # m(c) = min(neighborhood(c) U {c}). Both orientations of every
+        # undirected edge are considered; exactly the larger-endpoint
+        # orientation emits.
+        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star: group by child, point every parent (and the child) at
+        # the minimum parent.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(mins2, "u")
+        small = (
+            mins2.select("u", F.col("m").alias("v"))
+            .unionByName(
+                joined.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
                 )
-                .localCheckpoint()
             )
-            new_sum = labels.agg(F.sum("cluster_id")).first()[0]
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
+            .distinct()
+        )
+        obs = Observation()
+        # fingerprint = (cardinality, order-independent XOR of pair hashes):
+        # bit_xor never overflows (ANSI-safe) and is a set identity up to
+        # 64-bit collision
+        e = small.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).localCheckpoint()  # the one job this round; metrics ride along
+        x06_dedup_clusters.last_rounds = rnd + 1
+        cur = tuple(obs.get.values())
+        if cur == prev or cur[0] == 0:
+            break
+        prev = cur
+    # fixpoint is stars: every non-root points at its component minimum
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")).unionByName(
+        e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    )
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    lab = labels.select(F.col("doc_id").alias("l_doc"), "cluster_id")
+    lab = labels.groupBy(F.col("doc_id").alias("l_doc")).agg(F.min("cluster_id").alias("cluster_id"))
     return docs.join(lab, docs["doc_id"] == lab["l_doc"], "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),

@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 _SHARD = "CAST(conv(substring(md5(CAST({key} AS STRING)), 1, 8), 16, 10) AS BIGINT) % {n}"
 _BUCKET = "conv(substring(md5(CAST({key} AS STRING)), 1, 4), 16, 10) % 100"
 
+#: parquet row-group bound for every file this engine writes. One-file-per-
+#: shard layouts are deliberate (loader-friendly), but a single-row-group
+#: file is a ONE-TASK scan for any later reader (byte-range splits assign a
+#: row group to the task holding its midpoint) — bounding row groups at
+#: 16 MiB keeps even one-file shards splittable ~8-way per 128 MiB, so
+#: downstream scan parallelism never depends on file count.
+ROW_GROUP_BYTES = 16 * 1024 * 1024
+
 
 def with_shard_columns(df: DataFrame, key: str = "doc_id", n_shards: int = 64) -> DataFrame:
     """Attach deterministic ``split`` (80/10/10) and ``shard_id`` columns."""
@@ -43,6 +51,7 @@ def write_training_shards(
     (
         sharded.repartition("split", "shard_id")
         .write.mode("overwrite")
+        .option("parquet.block.size", ROW_GROUP_BYTES)
         .partitionBy("split", "shard_id")
         .parquet(out_dir)
     )
@@ -62,5 +71,6 @@ def write_range_clustered(
         df.repartitionByRange(n_files, col)
         .sortWithinPartitions(col)
         .write.mode("overwrite")
+        .option("parquet.block.size", ROW_GROUP_BYTES)
         .parquet(out_dir)
     )

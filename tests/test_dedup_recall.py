@@ -67,3 +67,44 @@ def test_lsh_candidates_not_explosive(spark, exact_sim_pairs):
     assert cand_count <= d_count * 5, (
         f"{cand_count} candidates for {d_count} docs — banding too loose"
     )
+
+
+def test_cluster_resolution_star_contraction(spark):
+    """x06's large-star/small-star loop: converges well under the 25-round
+    cap (O(log n) rounds, Kiveris et al.), labels equal the transitive
+    closure of the candidate graph (each node -> min doc_id reachable),
+    and exactly one keep per cluster."""
+    from consensource_sds_spark.queries.extensions import (
+        x03_minhash_lsh_pairs,
+        x06_dedup_clusters,
+    )
+
+    out = x06_dedup_clusters(spark, SF).collect()
+    assert 0 < x06_dedup_clusters.last_rounds <= 10
+
+    # oracle: NetworkX-free transitive closure in plain Python
+    pairs = [(r["doc_a"], r["doc_b"]) for r in x03_minhash_lsh_pairs(spark, SF).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for a, b in pairs:
+        for n in (a, b):
+            expect[n] = find(n)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    for node, root in expect.items():
+        assert got[node] == root, (node, got[node], root)
+    keeps = [r for r in out if r["keep"]]
+    clusters = {r["cluster_id"] for r in out}
+    assert len(keeps) == len(clusters)
+    assert all(r["doc_id"] == r["cluster_id"] for r in keeps)
