@@ -741,13 +741,28 @@ def x11_ivf_assign(spark, sf_dir):
     FROM p WHERE dot / (qn * cn) > 0.4
     """,
 )
+#: x12's broadcast-side row cap: ~100k x 64-float vectors ~ 25 MB serialized,
+#: safely under executor broadcast budgets. Above this the exact baseline is
+#: the wrong tool and callers are refused toward the bucketed paths.
+_X12_MAX_BROADCAST_ROWS = 100_000
+
+
 def x12_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: pairs above a similarity threshold.
-    Bounded halves keep the local test exact; the scale path buckets by
-    x11 cells first so only intra-cell pairs are scored."""
+    This is the BOUNDED-EXACT baseline (the recall yardstick for x13/x14);
+    its broadcast side is size-guarded in-signature — a limit-probe
+    (O(cap), never O(n)) refuses inputs past ``_X12_MAX_BROADCAST_ROWS``
+    so no unbounded crossJoin is reachable through the registry. The scale
+    path is x13 (IVF cells) / x14 (multi-probe)."""
     e = load(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") < 250).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     b = e.filter(F.col("vec_id") >= 250).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    if a.limit(_X12_MAX_BROADCAST_ROWS + 1).count() > _X12_MAX_BROADCAST_ROWS:
+        raise ValueError(
+            "x12 is the bounded-exact near-dup baseline; its broadcast side "
+            f"exceeds {_X12_MAX_BROADCAST_ROWS} rows. Use x13_ivf_neardup / "
+            "x14_multiprobe_ivf for unbounded corpora."
+        )
     scored = b.crossJoin(F.broadcast(a)).select(
         F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
     )
