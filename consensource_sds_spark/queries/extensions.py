@@ -733,6 +733,12 @@ def x11_ivf_assign(spark, sf_dir):
     )
 
 
+#: x12's broadcast-side row cap: ~100k x 64-float vectors ~ 25 MB serialized,
+#: safely under executor broadcast budgets. Above this the exact baseline is
+#: the wrong tool and callers are refused toward the bucketed paths.
+_X12_MAX_BROADCAST_ROWS = 100_000
+
+
 @register(
     "x12_embedding_neardup",
     oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 250").replace("vec_id >= 5", "vec_id >= 250")
@@ -741,12 +747,6 @@ def x11_ivf_assign(spark, sf_dir):
     FROM p WHERE dot / (qn * cn) > 0.4
     """,
 )
-#: x12's broadcast-side row cap: ~100k x 64-float vectors ~ 25 MB serialized,
-#: safely under executor broadcast budgets. Above this the exact baseline is
-#: the wrong tool and callers are refused toward the bucketed paths.
-_X12_MAX_BROADCAST_ROWS = 100_000
-
-
 def x12_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: pairs above a similarity threshold.
     This is the BOUNDED-EXACT baseline (the recall yardstick for x13/x14);
