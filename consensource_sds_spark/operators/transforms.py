@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from consensource_sds_spark.addressing import INFIX_TO_SPACE, NAMESPACE
+from consensource_sds_spark.codec import descriptor
 from consensource_sds_spark.codec.spark_udfs import decode_container, decode_state_changes
 from consensource_sds_spark.schemas import MAX_BLOCK_NUM
 
@@ -96,10 +97,16 @@ def parse_state_deltas(events: DataFrame) -> DataFrame:
     (batch_ord, change_idx) preserve intra-delivery order — the reference
     applies operations in Vec order (event_handler.rs:56-58)."""
     events = _ensure_delivery(events)
-    dec = decode_state_changes()
+    # decode backend: from_protobuf (JVM, zero Python crossings) when the
+    # spark-protobuf classes are on the classpath, Arrow pandas UDF otherwise
+    # — see codec.descriptor.decode_backend
+    if descriptor.decode_backend(events.sparkSession) == "jvm":
+        decoded = descriptor.state_changes_col(F.col("data"))
+    else:
+        decoded = decode_state_changes()(F.col("data"))
     return (
         events.filter(F.col("event_type") == STATE_DELTA)
-        .select("delivery_id", "batch_ord", F.posexplode(dec(F.col("data"))).alias("change_idx", "sc"))
+        .select("delivery_id", "batch_ord", F.posexplode(decoded).alias("change_idx", "sc"))
         .select(
             "delivery_id",
             "batch_ord",
@@ -143,7 +150,10 @@ def entity_entries(deltas_with_space: DataFrame, space: str) -> DataFrame:
     """P7 + U2 for one entity type: decode the container, explode entries.
     Non-assertion spaces only consume SET changes (DELETE is only produced
     for assertions in the certificate_registry family)."""
-    dec = decode_container(space)
+    if descriptor.decode_backend(deltas_with_space.sparkSession) == "jvm":
+        decoded = descriptor.container_entries_col(space, F.col("value"))
+    else:
+        decoded = decode_container(space)(F.col("value"))
     return (
         deltas_with_space.filter((F.col("address_space") == space) & (F.col("change_type") == "SET"))
         .select(
@@ -152,7 +162,7 @@ def entity_entries(deltas_with_space: DataFrame, space: str) -> DataFrame:
             "change_idx",
             "address",
             "block_num",
-            F.posexplode(dec(F.col("value"))).alias("entry_idx", "e"),
+            F.posexplode(decoded).alias("entry_idx", "e"),
         )
     )
 
