@@ -213,6 +213,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so they lead the ordering until a driver round covers them; everything
 # else follows in registration order. Keep newly added queries in this list.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # round-4 additions: never driver-checked yet
+    "x61_domain_doc_cap",
+    "x62_vocab_heavy_hitters",
+    "x63_source_vocab_overlap",
+    # round-3 window re-checks (9 of these errored on the ts regression)
     "q47_fulltext_search",
     "q48_asof_join",
     "q49_range_join",

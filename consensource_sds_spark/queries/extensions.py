@@ -2570,3 +2570,133 @@ def x60_rendezvous_resharding(spark, sf_dir):
         .groupBy("shard_before", "shard_after")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "x61_domain_doc_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+    WHERE rk <= 10
+    """,
+)
+def x61_domain_doc_cap(spark, sf_dir):
+    """Per-domain document cap (the C4/RefinedWeb anti-boilerplate step):
+    keep at most K docs per source, preferring longer documents, with
+    doc_id as the deterministic tie-break — so re-runs and appends pick
+    identical survivors.
+
+    Scale: one shuffle keyed on source. A mega-domain is exactly the AQE
+    skew-join shape (one hot key), but rank-then-filter also composes with
+    a pre-aggregation guard: count per source first (partial-agg, cheap),
+    and only route sources OVER the cap through the rank — bounded domains
+    skip the sort entirely. The rank itself never materializes more than K
+    rows per source downstream."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+
+
+@register(
+    "x62_vocab_heavy_hitters",
+    oracle="""
+    SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    HAVING COUNT(*) >= 100
+    """,
+)
+def x62_vocab_heavy_hitters(spark, sf_dir):
+    """Vocabulary heavy hitters via approx_top_k (Spark 4's frequent-items
+    sketch): the tokens a tokenizer-training / stopword-mining pass wants,
+    without a full groupBy over 10^11 token occurrences.
+
+    The sketch is mergeable (partial per partition, one combine), so the
+    shuffle moves sketch bytes, not token rows. Selection is by count
+    THRESHOLD, not rank, so the output set is deterministic whenever the
+    tracked-item budget covers the tail (exact regime — true at test SF;
+    at 100 TB the same plan returns epsilon-bounded counts and the
+    threshold keeps the set stable for any item far from the boundary)."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    top = toks.agg(F.expr("approx_top_k(tok, 100, 100000)").alias("tk"))
+    return (
+        top.select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("token"),
+            F.col("s.count").cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 100)
+    )
+
+
+@register(
+    "x63_source_vocab_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, tok
+      FROM (SELECT source, UNNEST(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), c AS (
+      SELECT source, COUNT(*) AS n FROM v GROUP BY source
+    ), i AS (
+      SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT ca.source AS source_a, cb.source AS source_b,
+           CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter_cnt,
+           CAST(ca.n + cb.n - COALESCE(i.inter, 0) AS BIGINT) AS union_cnt,
+           ROUND(COALESCE(i.inter, 0)
+                 / CAST(ca.n + cb.n - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard
+    FROM c ca
+    JOIN c cb ON ca.source < cb.source
+    LEFT JOIN i ON i.sa = ca.source AND i.sb = cb.source
+    """,
+)
+def x63_source_vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary overlap via theta sketches — the
+    sketch-based contamination/diversity screen (x34 is the exact join
+    check; this is what actually runs first at corpus scale). Theta
+    sketches, unlike HLL, support set INTERSECTION, so per-slice sketches
+    built in one pass answer all O(slices^2) overlap questions without
+    re-touching the data.
+
+    One shuffle builds a sketch per source (mergeable partial aggs); the
+    pair grid is |sources|^2 sketch pairs — driver-tiny, broadcast — and
+    every estimate is sketch-local. Below the sketch's nominal capacity
+    (2^12 entries) theta is EXACT, which is what the oracle pins at test
+    SF; at 100 TB the same plan returns ~1.6% relative-error estimates."""
+    v = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sk = v.groupBy("source").agg(
+        F.expr("theta_sketch_agg(tok)").alias("sk"),
+        F.count_distinct("tok").alias("n"),
+    )
+    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"), F.col("n").alias("n_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"), F.col("n").alias("n_b"))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    inter = F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").cast("long")
+    union = F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").cast("long")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        inter.alias("inter_cnt"),
+        union.alias("union_cnt"),
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
