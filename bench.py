@@ -52,6 +52,9 @@ HEADLINE = [
     "x41_subword_chunking",
     "q52_bm25_rank",
     "q61_hopping_windows",
+    "x61_domain_doc_cap",
+    "x62_vocab_heavy_hitters",
+    "x63_source_vocab_overlap",
 ]
 
 
@@ -131,10 +134,67 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "ingest": _ingest_bench(spark),
             }
         )
     )
     spark.stop()
+
+
+def _ingest_bench(spark) -> dict:
+    """Ingest-side throughput: one microbatch (1000 blocks x 10 agent SETs)
+    through the full foreachBatch body — decode, transform, bucketed SCD2
+    merge + concurrent per-table writes, atomic commit. Warm number (second
+    apply over a prior batch's open state; the first absorbs codegen). The
+    batch is sized so per-batch fixed cost (~10 local-mode job round trips)
+    amortizes and the number reflects per-change throughput."""
+    import shutil
+    import tempfile
+
+    from consensource_sds_spark.operators.scd2 import ScdParquetStore
+    from consensource_sds_spark.pipeline import transform_events
+    from consensource_sds_spark.sources import fixtures as fx
+
+    n_blocks, n_per_block = 1000, 10
+
+    def one_batch(first_block: int, nb: int):
+        return fx.events_df(
+            spark,
+            [
+                fx.delivery(
+                    b,
+                    f"b{b}",
+                    [
+                        fx.state_change(
+                            "agent",
+                            f"k{i}",
+                            [dict(fx.make_agent(), public_key=f"k{i}", name=f"v{b}")],
+                        )
+                        for i in range(n_per_block)
+                    ],
+                )
+                for b in range(first_block, first_block + nb)
+            ],
+        )
+
+    n_changes = n_blocks * n_per_block
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        store = ScdParquetStore(spark, tmp)
+        # cold: codegen + store init (small batch — warmup, not measurement)
+        store.apply(transform_events(one_batch(1, 100), materialize=True))
+        big = one_batch(101, n_blocks)  # fixture build excluded from timing
+        t0 = time.perf_counter()
+        store.apply(transform_events(big, materialize=True))
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "blocks": n_blocks,
+        "state_changes": n_changes,
+        "sec": round(dt, 3),
+        "changes_per_sec": round(n_changes / dt, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -378,17 +378,27 @@ class ScdParquetStore:
         new_man["gen"] = gen
         new_man["n_buckets"] = n
 
+        # Build every touched table's merge plan first, then run the writes
+        # CONCURRENTLY (Spark schedules jobs from multiple submitter threads
+        # onto the same executors; an 11-table batch becomes one wave of
+        # overlapping jobs instead of 11 serial ones — ingest latency is the
+        # slowest table, not the sum). Crash semantics are unchanged: every
+        # write lands in fresh generation directories and the manifest only
+        # commits after ALL writes returned.
+        jobs: list[tuple[str, str, list[int], DataFrame]] = []
         for group, (vkey, tables) in ENTITY_GROUPS.items():
             emis = batch.emissions.get(group)
             if emis is None:
                 continue
-            emis = emis.cache()
+            # materialize once (eager localCheckpoint): the member tables'
+            # concurrent jobs share the emission rows without racing to
+            # recompute them, and the per-round lineage is truncated
+            emis = emis.localCheckpoint()
             if emis.isEmpty():
-                emis.unpersist()
                 continue
             # the buckets this batch's keys land in — one tiny distinct over
-            # the cached emissions, bounded by n_buckets. All member tables
-            # of a group share the same key VALUES, hence the same buckets.
+            # the checkpointed emissions, bounded by n_buckets. All member
+            # tables of a group share the same key VALUES, hence buckets.
             touched = sorted(
                 r["b"] for r in emis.select(self._bucket_expr("vkey", n).alias("b")).distinct().collect()
             )
@@ -401,20 +411,42 @@ class ScdParquetStore:
                 # buckets carry over by pointer and closed history is
                 # immutable and never rescanned during apply
                 merged = merge_scd2(self.current(table, buckets=touched), new_rows, vkey, emis, schema)
-                open_new, closed_rel = self._write_split(merged, f"{table}/merged-g{gen}", vkey, n)
+                jobs.append((table, vkey, touched, merged))
+
+        if jobs:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
+                results = list(
+                    pool.map(
+                        lambda j: self._write_split(j[3], f"{j[0]}/merged-g{gen}", j[1], n), jobs
+                    )
+                )
+            for (table, _vkey, touched, _df), (open_new, closed_rel) in zip(jobs, results):
                 tman = new_man["tables"].setdefault(table, {"open_buckets": {}, "closed": []})
                 for b in touched:
                     tman["open_buckets"].pop(str(b), None)
                 tman["open_buckets"].update(open_new)
                 if closed_rel:
                     tman["closed"].append(closed_rel)
-            emis.unpersist()
 
         if blocks_new:
+            # blocks_new is already driver-side (one tiny row per block) —
+            # write the segment directly with pyarrow instead of paying a
+            # Spark job round trip for kilobytes
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
             seg = f"blocks/seg-g{gen}"
-            self.spark.createDataFrame(blocks_new, schemas.BLOCKS_TABLE).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.path, seg))
+            seg_dir = os.path.join(self.path, seg)
+            os.makedirs(seg_dir, exist_ok=True)
+            table = pa.table(
+                {
+                    "block_num": pa.array([r["block_num"] for r in blocks_new], pa.int64()),
+                    "block_id": pa.array([r["block_id"] for r in blocks_new], pa.string()),
+                }
+            )
+            pq.write_table(table, os.path.join(seg_dir, "part-0.parquet"))
             new_man["blocks"].append(seg)
         if batch_id is not None:
             if txn_app_id is not None:

@@ -48,29 +48,50 @@ def _emissions(entries: DataFrame, key_expr: str) -> DataFrame:
     )
 
 
-def transform_events(events: DataFrame) -> PipelineBatch:
-    """Parse + dispatch + decode + project one microbatch of envelope rows."""
+def transform_events(events: DataFrame, materialize: bool = False) -> PipelineBatch:
+    """Parse + dispatch + decode + project one microbatch of envelope rows.
+
+    ``materialize=False`` (default) keeps the batch a pure plan — no
+    actions, replayable under ``spark.read`` for tests/backfill.
+    ``materialize=True`` localCheckpoints the decoded+dispatched state
+    changes ONCE, so the 11 table builds and 6 emission streams that all
+    hang off them become cheap filters over an in-memory table instead of
+    each re-running the protobuf decode — the foreachBatch body uses this
+    (decode cost per microbatch drops from O(groups x tables) passes to
+    one)."""
     blocks = T.parse_blocks(events)
     deltas = T.with_address_space(T.parse_state_deltas(events))
     changes = T.changes_at_blocks(deltas, blocks)
+    present: set[str] | None = None
+    if materialize:
+        changes = changes.localCheckpoint()
+        # group pruning: one tiny distinct over the materialized changes
+        # tells us which address spaces this batch actually touches, so the
+        # per-group/per-table plans below are only BUILT for present groups
+        # — a single-entity microbatch costs O(1) downstream jobs, not
+        # O(groups). (A partial PipelineBatch is a legal apply() input.)
+        present = {r["address_space"] for r in changes.select("address_space").distinct().collect()}
 
     tables: dict[str, DataFrame] = {}
     emissions: dict[str, DataFrame] = {}
     for group, (key_expr, builders) in _GROUPS.items():
+        if present is not None and group not in present:
+            continue
         entries = T.entity_entries(changes, group)
         emissions[group] = _emissions(entries, key_expr)
         for table, build in builders.items():
             tables[table] = build(entries)
 
-    deletes = T.assertion_deletes(changes).select(
-        F.col("state_address").alias("vkey"),
-        "block_num",
-        "batch_ord",
-        "change_idx",
-        F.lit(0).alias("entry_idx"),
-        F.lit(True).alias("is_delete"),
-    )
-    emissions["assertion"] = emissions["assertion"].unionByName(deletes)
+    if present is None or "assertion" in present:
+        deletes = T.assertion_deletes(changes).select(
+            F.col("state_address").alias("vkey"),
+            "block_num",
+            "batch_ord",
+            "change_idx",
+            F.lit(0).alias("entry_idx"),
+            F.lit(True).alias("is_delete"),
+        )
+        emissions["assertion"] = emissions["assertion"].unionByName(deletes)
 
     return PipelineBatch(
         block=blocks.select("block_num", "block_id"),

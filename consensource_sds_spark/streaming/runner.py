@@ -59,11 +59,12 @@ def run_file_stream(
     started StreamingQuery; caller awaits/stops it (S4)."""
 
     def apply_batch(batch_df, batch_id: int):
-        # transform_events is lazy; ScdParquetStore.apply is the transaction
+        # transform_events materializes the decoded changes once (one decode
+        # pass per microbatch); ScdParquetStore.apply is the transaction
         # boundary (W1) and is idempotent on (stream identity, batch_id)
         # replay — the stream identity is the engine's persistent query id.
         store.apply(
-            transform_events(batch_df),
+            transform_events(batch_df, materialize=True),
             batch_id=batch_id,
             txn_app_id=_query_id(checkpoint_dir),
         )
@@ -113,7 +114,7 @@ def run_validator_stream(
 
     def apply_batch(batch_df, batch_id: int):
         store.apply(
-            transform_events(batch_df),
+            transform_events(batch_df, materialize=True),
             batch_id=batch_id,
             txn_app_id=_query_id(checkpoint_dir),
         )
