@@ -5,11 +5,17 @@ columns with a metadata struct; decode/feature steps run as Arrow-batched
 ``mapInPandas`` so payload bytes never round-trip through the driver and
 batch size bounds executor memory.
 
-The decode kernels themselves are STUBBED here (no image/audio libraries in
-this container): ``decode_stub`` raises NotImplementedError unless
-``deterministic_fake=True``, which derives a stable fake feature vector from
-the payload hash — the Spark-side contract (schema, partitioning, UDF
-signature, Arrow batch shape) is real and tested either way.
+Decode coverage without media libraries (this container ships none):
+
+- UNCOMPRESSED formats decode for REAL in pure numpy — WAV PCM16 sample
+  decode (``decode_wav_samples``) and BMP BI_RGB 24bpp pixel decode
+  (``decode_bmp_pixels``) — and feed real feature kernels (RMS/ZCR/peak
+  for audio, RGB means + luma histogram for images);
+- COMPRESSED formats (PNG/JPEG/GIF pixels, FLAC samples) still need
+  external codecs: their payloads raise NotImplementedError unless
+  ``deterministic_fake=True``, which derives a stable fake feature vector
+  from the payload hash. The Spark-side contract (schema, partitioning,
+  UDF signature, Arrow batch shape) is identical either way.
 """
 
 from __future__ import annotations
@@ -56,32 +62,127 @@ FEATURES_SCHEMA = StructType(
 
 
 def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: 16 floats in [0,1) derived
-    from the sha256 of the payload."""
+    """Deterministic stand-in for a codec-requiring decoder: 16 floats in
+    [0,1) derived from the sha256 of the payload."""
     h = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def decode_wav_samples(payload: bytes | None):
+    """REAL audio decode for RIFF/WAVE PCM16 (format tag 1, 16 bits): a
+    float32 ndarray (n_samples, channels) in [-1, 1), straight off the
+    'data' chunk with numpy — no codec needed for uncompressed PCM.
+    Returns None for anything else (compressed/malformed)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, ch, bits, fmt_tag, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= len(b):
+            fmt_tag = int.from_bytes(b[pos + 8 : pos + 10], "little")
+            ch = int.from_bytes(b[pos + 10 : pos + 12], "little")
+            bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt_tag != 1 or bits != 16 or not ch or data is None:
+        return None
+    raw = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
+    return (raw.reshape(-1, ch).astype("float32")) / 32768.0
+
+
+def decode_bmp_pixels(payload: bytes | None):
+    """REAL image decode for BMP BI_RGB 24bpp: a uint8 ndarray (h, w, 3) in
+    RGB order, honoring bottom-up row order and 4-byte row padding — no
+    codec needed for uncompressed DIBs. Returns None for anything else."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down, h_abs = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h_abs > len(b):
+        return None
+    rows = np.frombuffer(b[off : off + stride * h_abs], dtype=np.uint8).reshape(h_abs, stride)
+    px = rows[:, : w * 3].reshape(h_abs, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
+def _audio_features(samples) -> list[float]:
+    """RMS / zero-crossing rate / peak per payload (mono-mixed), padded to
+    FEATURE_DIM — the cheap featurization an audio-quality filter runs."""
+    import numpy as np
+
+    mono = samples.mean(axis=1)
+    rms = float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if mono.size > 1 else 0.0
+    peak = float(np.max(np.abs(mono))) if mono.size else 0.0
+    base = [rms, zcr, peak, float(samples.shape[1]), float(mono.size)]
+    return base + [0.0] * (FEATURE_DIM - len(base))
+
+
+def _image_features(px) -> list[float]:
+    """Channel means + 8-bin luma histogram + aspect, padded to FEATURE_DIM."""
+    import numpy as np
+
+    means = px.reshape(-1, 3).mean(axis=0) / 255.0
+    luma = px.reshape(-1, 3).astype("float32") @ np.array([0.299, 0.587, 0.114], dtype="float32")
+    hist = np.histogram(luma, bins=8, range=(0.0, 255.0))[0]
+    hist = (hist / max(1, luma.size)).tolist()
+    base = [float(m) for m in means] + hist + [px.shape[1] / px.shape[0]]
+    return base + [0.0] * (FEATURE_DIM - len(base))
+
+
+def _features_one(payload, deterministic_fake: bool):
+    if payload is None:
+        return None
+    b = bytes(payload)
+    samples = decode_wav_samples(b)
+    if samples is not None:
+        return _audio_features(samples)
+    px = decode_bmp_pixels(b)
+    if px is not None:
+        return _image_features(px)
+    if deterministic_fake:
+        return _fake_features(b)
+    raise NotImplementedError(
+        "compressed-media decode requires image/audio libraries not present in this container"
+    )
 
 
 def extract_features(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
     """Decode + featurize media payloads via mapInPandas (Arrow batches).
 
-    Real deployments plug a decoder (PIL/librosa/ffmpeg) into ``kernel``;
-    this container has none, so without ``deterministic_fake`` the kernel
-    raises NotImplementedError per the stubbing contract."""
+    Uncompressed payloads (WAV PCM16, BMP 24bpp) decode for REAL in numpy;
+    compressed formats need a codec this container lacks, so they raise
+    NotImplementedError unless ``deterministic_fake`` substitutes the
+    hash-derived stand-in (stubbing contract unchanged)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio libraries not present in this container"
-                )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else None),
                     "features": pdf["payload"].map(
-                        lambda b: _fake_features(bytes(b)) if b is not None else None
+                        lambda b: _features_one(b, deterministic_fake)
                     ),
                 }
             )

@@ -160,3 +160,96 @@ def test_audio_chunk_plan(spark):
     chunks = MM.audio_chunk_plan(media, chunk_ms=30_000, overlap_ms=1_000).collect()
     got = sorted((r["media_id"], r["chunk_start_ms"], r["chunk_end_ms"]) for r in chunks)
     assert got == [(2, 0, 30000), (2, 29000, 59000), (2, 58000, 88000)]
+
+
+def _wav_pcm(samples, channels=1, rate=8000) -> bytes:
+    """PCM16 WAV with REAL sample content (int16 list, interleaved)."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = rate * channels * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunk = b"data" + len(data).to_bytes(4, "little") + data + (b"\x00" if len(data) & 1 else b"")
+    body = b"WAVE" + fmt + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _bmp(rows) -> bytes:
+    """24bpp BI_RGB BMP from [[(r,g,b), ...], ...] (top row first)."""
+    h, w = len(rows), len(rows[0])
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in reversed(rows):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))  # BGR on disk
+        line += b"\x00" * (stride - len(line))
+        px += line
+    off = 54
+    header = (
+        b"BM"
+        + (off + len(px)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(px)
+
+
+def test_decode_wav_pcm_real():
+    import numpy as np
+
+    # full-scale alternating square wave: RMS == peak == 1.0 (minus 1 LSB)
+    wav = _wav_pcm([32767, -32767] * 50)
+    s = MM.decode_wav_samples(wav)
+    assert s.shape == (100, 1)
+    feats = MM._audio_features(s)
+    rms, zcr, peak = feats[0], feats[1], feats[2]
+    assert abs(rms - 1.0) < 1e-3 and abs(peak - 1.0) < 1e-3
+    assert zcr > 0.9  # alternates every sample
+    # silence
+    s0 = MM.decode_wav_samples(_wav_pcm([0] * 64))
+    assert MM._audio_features(s0)[0] == 0.0
+    # compressed/foreign containers decline
+    assert MM.decode_wav_samples(_flac(1, 8000, 16, 100)) is None
+
+
+def test_decode_bmp_real():
+    px = MM.decode_bmp_pixels(_bmp([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]))
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0)  # top row first despite bottom-up disk order
+    assert tuple(px[1, 1]) == (255, 255, 255)
+    feats = MM._image_features(px)
+    # channel means: red appears in 2 px (red, white), etc.
+    assert abs(feats[0] - (255 + 255) / (4 * 255.0)) < 1e-6
+    assert MM.decode_bmp_pixels(_png(2, 2)) is None
+
+
+def test_extract_features_real_formats_no_fake(spark):
+    """Uncompressed payloads decode for real WITHOUT deterministic_fake —
+    only compressed formats need the stub."""
+    rows = [
+        (1, "audio", _wav_pcm([16384] * 32), "audio/wav", None, None, 4),
+        (2, "image", _bmp([[(0, 0, 0), (255, 255, 255)]]), "image/bmp", 2, 1, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert abs(out[1]["features"][0] - 0.5) < 1e-3  # constant half-scale RMS
+    assert abs(out[2]["features"][0] - 0.5) < 1e-6  # mean red of black+white
+    assert len(out[1]["features"]) == MM.FEATURE_DIM
