@@ -36,6 +36,9 @@ _BNLJ_ALLOWED = {
     "q78_dormant_accounts": 1,  # 1-row average-balance scalar broadcast
     "x40_kmeans_update": 1,  # the 8-centroid assignment cross join
     "q62_gap_fill": 1,  # day-spine x event-type grid (both sides tiny, generated)
+    # |sources| sketch rows per side — the pair grid over per-slice sketches
+    # is the POINT of the operator (data itself is never re-joined)
+    "x63_source_vocab_overlap": 1,
 }
 
 

@@ -151,10 +151,7 @@ class ScdConvergence(RuleBasedStateMachine):
         self.store.compact()
 
     # -- convergence ------------------------------------------------------
-    @invariant()
-    def store_matches_oracle(self):
-        if not self.dirty:
-            return
+    def _check(self):
         got = sorted(
             (r["address"], r["start_block_num"], r["end_block_num"])
             for r in self.store.read("assertions").collect()
@@ -163,6 +160,20 @@ class ScdConvergence(RuleBasedStateMachine):
         blocks = {r["block_num"]: r["block_id"] for r in self.store.blocks().collect()}
         expect_blocks = {bn: bid for bn, (bid, _) in self.model.chain.items()}
         assert blocks == expect_blocks
+
+    # The stated property is end-state convergence of the INTERLEAVING, so
+    # the oracle comparison runs once per example (teardown) by default —
+    # ~6x more interleavings per wall-clock budget than per-step checking.
+    # Set SPARK_GRAFT_HYPOTHESIS_STEPWISE=1 to also compare after every
+    # rule (strictly stronger on a given sequence, much slower).
+    @invariant()
+    def store_matches_oracle_stepwise(self):
+        if self.dirty and os.environ.get("SPARK_GRAFT_HYPOTHESIS_STEPWISE") == "1":
+            self._check()
+
+    def teardown(self):
+        if self.dirty:
+            self._check()
 
 
 def test_scd2_interleaving_converges(spark, tmp_path_factory):
