@@ -41,3 +41,36 @@ def test_cluster_profile_results_match_local(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_PROFILE", "cluster")
     cluster = rows_set(q05_local_supplier_volume(spark, SF))
     assert local == cluster and len(local) > 0
+
+
+def test_cache_off_relayout_splits_single_row_group_inputs(spark, monkeypatch):
+    """With the buffer pool off, a single-row-group parquet input is
+    re-laid out once per session into a multi-file scratch copy so scans
+    parallelize; SPARK_GRAFT_RELAYOUT=0 disables it and scans the
+    original file."""
+    import consensource_sds_spark.queries as Q
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "0")
+    Q._LAYOUT.clear()
+    df = Q.load(spark, "/root/testdata/sf0.001", "documents")
+    assert len(df.inputFiles()) > 1  # re-laid copy is multi-file
+    # second load reuses the session-cached layout (no second write)
+    laid = dict(Q._LAYOUT)
+    df2 = Q.load(spark, "/root/testdata/sf0.001", "documents")
+    assert dict(Q._LAYOUT) == laid and len(df2.inputFiles()) > 1
+    # row content is identical to the original
+    orig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert df.count() == orig.count()
+    assert df.exceptAll(orig).isEmpty()
+
+    monkeypatch.setenv("SPARK_GRAFT_RELAYOUT", "0")
+    Q._LAYOUT.clear()
+    Q.load(spark, "/root/testdata/sf0.001", "documents")
+    assert not Q._LAYOUT  # disabled: no scratch copy, original file scanned
+    # tiny tables never re-lay (below one chunk): the layout cache maps them
+    # to their ORIGINAL path, meaning no scratch copy was written
+    monkeypatch.delenv("SPARK_GRAFT_RELAYOUT")
+    Q._LAYOUT.clear()
+    Q.load(spark, "/root/testdata/sf0.001", "nation")
+    (laid_path,) = Q._LAYOUT.values()
+    assert laid_path == "/root/testdata/sf0.001/nation.parquet"
