@@ -2674,11 +2674,15 @@ def x63_source_vocab_overlap(spark, sf_dir):
     built in one pass answer all O(slices^2) overlap questions without
     re-touching the data.
 
-    One shuffle builds a sketch per source (mergeable partial aggs); the
-    pair grid is |sources|^2 sketch pairs — driver-tiny, broadcast — and
-    every estimate is sketch-local. Below the sketch's nominal capacity
-    (2^12 entries) theta is EXACT, which is what the oracle pins at test
-    SF; at 100 TB the same plan returns ~1.6% relative-error estimates."""
+    One shuffle builds a sketch per source (the plan shows
+    partial_theta_sketch_agg map-side combine — sketch bytes shuffle, not
+    token rows); the pair grid is |sources|^2 sketch pairs — driver-tiny,
+    broadcast — and every estimate is sketch-local. As a lazy registry
+    plan the self-join recomputes the sketch table on both sides; a
+    pipeline persists it once and pays ONE pass. Below the sketch's
+    nominal capacity (2^12 entries) theta is EXACT, which is what the
+    oracle pins at test SF; at 100 TB the same plan returns ~1.6%
+    relative-error estimates."""
     v = (
         load(spark, sf_dir, "documents")
         .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))

@@ -104,7 +104,10 @@ class ScdConvergence(RuleBasedStateMachine):
         return out
 
     def _apply(self, specs, crash=False):
-        batch = transform_events(fx.events_df(self.spark, self._deliveries(specs)))
+        # materialize=True is the foreachBatch body's configuration (one
+        # decode pass + absent-group pruning) — both faster and the more
+        # production-representative path
+        batch = transform_events(fx.events_df(self.spark, self._deliveries(specs)), materialize=True)
         if crash:
             real = self.store._commit
             self.store._commit = lambda man: (_ for _ in ()).throw(OSError("crash"))
@@ -116,7 +119,9 @@ class ScdConvergence(RuleBasedStateMachine):
             # nothing became visible; replay the same batch (foreachBatch
             # restart) — rebuild the batch because the crashed attempt's
             # staging dirs were superseded
-            batch = transform_events(fx.events_df(self.spark, self._deliveries(specs)))
+            batch = transform_events(
+                fx.events_df(self.spark, self._deliveries(specs)), materialize=True
+            )
         self.store.apply(batch, batch_id=self.batch_id)
         self.batch_id += 1
         for bn, bid, ops in specs:
