@@ -2107,3 +2107,51 @@ def q79_forward_fill(spark, sf_dir):
         "ts_us",
         F.round(F.last(v, ignorenulls=True).over(w), 2).alias("filled_value"),
     )
+
+
+@register(
+    "q80_recursive_bands",
+    oracle="""
+    WITH RECURSIVE bands(lvl, lo) AS (
+      SELECT 0, CAST(1000 AS DOUBLE)
+      UNION ALL
+      SELECT lvl + 1, lo * 2 FROM bands WHERE lo * 2 <= 1000000
+    )
+    SELECT lvl, lo AS band_lo,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS band_revenue
+    FROM bands LEFT JOIN orders
+      ON o_totalprice >= lo AND o_totalprice < lo * 2
+    GROUP BY lvl, lo
+    """,
+)
+def q80_recursive_bands(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE, the iterative-fixpoint
+    surface §2.8 previously lacked): grow doubling price bands from 1000
+    until the TPC-H totalprice ceiling (recursion DEPTH is data-independent
+    ~10 levels — o_totalprice is bounded by spec regardless of SF, so the
+    anchor/step never needs a data-dependent scalar in the stop condition),
+    then band every order by a range join against the ~10-row recursion
+    product (broadcast; the one intended nested-loop join).
+
+    Scale: the recursion itself is O(levels) driver-cheap iterations over
+    a one-row relation; the banding is a broadcast range join + hash agg —
+    the fact table is scanned once."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q80_orders")
+    return spark_sql(
+        o,
+        """
+        WITH RECURSIVE bands(lvl, lo) AS (
+          SELECT 0, CAST(1000 AS DOUBLE)
+          UNION ALL
+          SELECT lvl + 1, lo * 2 FROM bands WHERE lo * 2 <= 1000000
+        )
+        SELECT lvl, lo AS band_lo,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS band_revenue
+        FROM bands LEFT JOIN q80_orders
+          ON o_totalprice >= lo AND o_totalprice < lo * 2
+        GROUP BY lvl, lo
+        """,
+    )

@@ -39,6 +39,8 @@ _BNLJ_ALLOWED = {
     # |sources| sketch rows per side — the pair grid over per-slice sketches
     # is the POINT of the operator (data itself is never re-joined)
     "x63_source_vocab_overlap": 1,
+    # ~10-row recursion product banded against orders by range condition
+    "q80_recursive_bands": 1,
 }
 
 
