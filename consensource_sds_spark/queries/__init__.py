@@ -218,6 +218,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x62_vocab_heavy_hitters",
     "x63_source_vocab_overlap",
     "q80_recursive_bands",
+    "q81_variant_json",
     # round-3 window re-checks (9 of these errored on the ts regression)
     "q47_fulltext_search",
     "q48_asof_join",

@@ -2155,3 +2155,41 @@ def q80_recursive_bands(spark, sf_dir):
         GROUP BY lvl, lo
         """,
     )
+
+
+@register(
+    "q81_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k > 50
+    GROUP BY event_type
+    """,
+)
+def q81_variant_json(spark, sf_dir):
+    """Semi-structured column surface via Spark 4 VARIANT: ``parse_json``
+    turns the props JSON string into a variant once, ``variant_get`` does
+    typed path extraction — the engine's answer to schemaless columns
+    (vs string-churning get_json_object: variant parses once, extracts
+    many, and keeps extraction inside codegen). Filter + typed aggregate
+    over the extracted field, oracle-checked against DuckDB's JSON
+    functions."""
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
