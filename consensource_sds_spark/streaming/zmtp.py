@@ -1,0 +1,237 @@
+"""Pure-stdlib ZMTP 3.0 transport: the real wire protocol under the
+reference's ZMQ DEALER socket (subscriber.rs:33-42), with no zmq library.
+
+The sandbox ships no pyzmq, but ZeroMQ's wire protocol (ZMTP, public spec
+at rfc.zeromq.org/spec/23) is just TCP framing: a fixed 64-byte greeting,
+a NULL-mechanism READY handshake carrying the socket type, then
+length-prefixed frames. This module implements exactly the subset a
+sawtooth client needs — a DEALER-side socket — plus the sawtooth
+``Message`` envelope (public validator.proto: message_type enum,
+correlation_id, content) and a ``ValidatorChannel`` that plugs straight
+into :class:`subscriber.WireTransport` (``send_request``/``recv_event``).
+
+The in-repo test peer is a DEALER-style listener (frames identical to the
+client's; a real validator is a ROUTER, which only differs by the identity
+envelope its own side manages), so the loopback tests exercise this
+client's actual bytes end to end: greeting, READY, framing, correlation,
+event delivery, unsubscribe.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+import uuid
+
+from consensource_sds_spark.codec import wire
+
+# -- ZMTP 3.0 constants ------------------------------------------------------
+
+_SIGNATURE = b"\xff" + b"\x00" * 8 + b"\x7f"
+_VERSION = bytes((3, 0))
+_MECHANISM = b"NULL" + b"\x00" * 16
+_FLAG_MORE, _FLAG_LONG, _FLAG_COMMAND = 0x01, 0x02, 0x04
+
+# -- sawtooth Message envelope (public validator.proto) ----------------------
+
+MSG_CLIENT_EVENTS_SUBSCRIBE_REQUEST = 500
+MSG_CLIENT_EVENTS_SUBSCRIBE_RESPONSE = 501
+MSG_CLIENT_EVENTS_UNSUBSCRIBE_REQUEST = 502
+MSG_CLIENT_EVENTS_UNSUBSCRIBE_RESPONSE = 503
+MSG_CLIENT_EVENTS = 504
+
+_TYPE_BY_NAME = {
+    "CLIENT_EVENTS_SUBSCRIBE_REQUEST": MSG_CLIENT_EVENTS_SUBSCRIBE_REQUEST,
+    "CLIENT_EVENTS_UNSUBSCRIBE_REQUEST": MSG_CLIENT_EVENTS_UNSUBSCRIBE_REQUEST,
+}
+_REPLY_OF = {
+    MSG_CLIENT_EVENTS_SUBSCRIBE_REQUEST: MSG_CLIENT_EVENTS_SUBSCRIBE_RESPONSE,
+    MSG_CLIENT_EVENTS_UNSUBSCRIBE_REQUEST: MSG_CLIENT_EVENTS_UNSUBSCRIBE_RESPONSE,
+}
+
+
+def encode_validator_message(message_type: int, correlation_id: str, content: bytes) -> bytes:
+    out = bytearray()
+    out += wire.encode_varint_field(1, message_type)
+    out += wire.encode_len_delimited(2, correlation_id.encode())
+    out += wire.encode_len_delimited(3, content)
+    return bytes(out)
+
+
+def decode_validator_message(buf: bytes) -> tuple[int, str, bytes]:
+    mtype, corr, content = 0, "", b""
+    for fnum, _wt, raw in wire.iter_fields(bytes(buf)):
+        if fnum == 1:
+            mtype = raw
+        elif fnum == 2:
+            corr = raw.decode()
+        elif fnum == 3:
+            content = raw
+    return mtype, corr, content
+
+
+# -- framing -----------------------------------------------------------------
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed during read")
+        buf += chunk
+    return bytes(buf)
+
+
+def _send_frame(sock: socket.socket, body: bytes, command: bool = False, more: bool = False) -> None:
+    flags = (_FLAG_COMMAND if command else 0) | (_FLAG_MORE if more else 0)
+    if len(body) > 255:
+        sock.sendall(bytes((flags | _FLAG_LONG,)) + struct.pack(">Q", len(body)) + body)
+    else:
+        sock.sendall(bytes((flags, len(body))) + body)
+
+
+def _recv_frame(sock: socket.socket) -> tuple[bytes, bool, bool]:
+    flags = _recv_exact(sock, 1)[0]
+    if flags & _FLAG_LONG:
+        size = struct.unpack(">Q", _recv_exact(sock, 8))[0]
+    else:
+        size = _recv_exact(sock, 1)[0]
+    body = _recv_exact(sock, size)
+    return body, bool(flags & _FLAG_COMMAND), bool(flags & _FLAG_MORE)
+
+
+def _ready_command(socket_type: str) -> bytes:
+    name = b"Socket-Type"
+    val = socket_type.encode()
+    return (
+        bytes((len(b"READY"),))
+        + b"READY"
+        + bytes((len(name),))
+        + name
+        + struct.pack(">I", len(val))
+        + val
+    )
+
+
+def _parse_ready(body: bytes) -> dict[str, bytes]:
+    nlen = body[0]
+    cmd = body[1 : 1 + nlen]
+    if cmd != b"READY":
+        raise ConnectionError(f"expected READY, got {cmd!r}")
+    meta: dict[str, bytes] = {}
+    pos = 1 + nlen
+    while pos < len(body):
+        klen = body[pos]
+        key = body[pos + 1 : pos + 1 + klen].decode()
+        pos += 1 + klen
+        vlen = struct.unpack(">I", body[pos : pos + 4])[0]
+        meta[key] = body[pos + 4 : pos + 4 + vlen]
+        pos += 4 + vlen
+    return meta
+
+
+class ZmtpSocket:
+    """One ZMTP 3.0 NULL-mechanism peer over a connected TCP socket."""
+
+    def __init__(self, sock: socket.socket, socket_type: str = "DEALER"):
+        self.sock = sock
+        self.socket_type = socket_type
+
+    def handshake(self) -> dict[str, bytes]:
+        """Exchange greeting + READY; returns the peer's READY metadata."""
+        s = self.sock
+        s.sendall(_SIGNATURE + _VERSION + _MECHANISM + b"\x00" + b"\x00" * 31)
+        peer = _recv_exact(s, 64)
+        if peer[:10] != _SIGNATURE or peer[10] < 3:
+            raise ConnectionError("not a ZMTP 3.x peer")
+        if peer[12:32].rstrip(b"\x00") != b"NULL":
+            raise ConnectionError("peer requires a security mechanism")
+        _send_frame(s, _ready_command(self.socket_type), command=True)
+        body, is_cmd, _more = _recv_frame(s)
+        if not is_cmd:
+            raise ConnectionError("expected READY command before messages")
+        return _parse_ready(body)
+
+    def send_message(self, payload: bytes) -> None:
+        _send_frame(self.sock, payload)
+
+    def recv_message(self, timeout_sec: float | None = None) -> bytes | None:
+        """One complete message (multipart concatenated); None on timeout."""
+        self.sock.settimeout(timeout_sec)
+        try:
+            parts = []
+            while True:
+                body, is_cmd, more = _recv_frame(self.sock)
+                if is_cmd:
+                    continue  # PING/heartbeats ignored by this subset
+                parts.append(body)
+                if not more:
+                    return b"".join(parts)
+        except (socket.timeout, TimeoutError):
+            return None
+        finally:
+            self.sock.settimeout(None)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def connect(host: str, port: int, socket_type: str = "DEALER") -> ZmtpSocket:
+    z = ZmtpSocket(socket.create_connection((host, port)), socket_type)
+    z.handshake()
+    return z
+
+
+class ValidatorChannel:
+    """The reference's DEALER channel semantics over :class:`ZmtpSocket`:
+    correlated request/reply (subscriber.rs future.get) plus an event
+    inbox for the unsolicited CLIENT_EVENTS deliveries that interleave
+    with replies on the same socket."""
+
+    def __init__(self, zsock: ZmtpSocket):
+        self.zsock = zsock
+        self._events: list[bytes] = []
+        self._replies: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def _pump(self, timeout_sec: float) -> bool:
+        msg = self.zsock.recv_message(timeout_sec)
+        if msg is None:
+            return False
+        mtype, corr, content = decode_validator_message(msg)
+        with self._lock:
+            if mtype == MSG_CLIENT_EVENTS:
+                self._events.append(content)
+            else:
+                self._replies[corr] = content
+        return True
+
+    def send_request(self, message_type: str, payload: bytes, timeout_sec: float = 10.0) -> bytes:
+        mtype = _TYPE_BY_NAME[message_type]
+        corr = uuid.uuid4().hex
+        self.zsock.send_message(encode_validator_message(mtype, corr, payload))
+        deadline = time.monotonic() + timeout_sec
+        while time.monotonic() < deadline:
+            with self._lock:
+                if corr in self._replies:
+                    return self._replies.pop(corr)
+            if not self._pump(min(0.2, max(0.01, deadline - time.monotonic()))):
+                continue
+        raise TimeoutError(f"no reply to {message_type} within {timeout_sec}s")
+
+    def recv_event(self, timeout_sec: float) -> bytes | None:
+        with self._lock:
+            if self._events:
+                return self._events.pop(0)
+        self._pump(timeout_sec)
+        with self._lock:
+            return self._events.pop(0) if self._events else None
+
+    def close(self) -> None:
+        self.zsock.close()

@@ -1,0 +1,125 @@
+"""ZMTP transport end-to-end over a real TCP loopback: greeting + NULL
+READY handshake, sawtooth Message envelope correlation, the S3 walk-back
+negotiation against a fake validator that only knows an older block,
+interleaved CLIENT_EVENTS delivery, and the S4 acknowledged unsubscribe —
+all through the SAME EventSubscription/WireTransport stack the spool
+transport uses, no pyzmq anywhere."""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+from consensource_sds_spark.codec.messages import decode_message, encode_message
+from consensource_sds_spark.streaming import zmtp
+from consensource_sds_spark.streaming.subscriber import EventSubscription, WireTransport
+
+
+class FakeValidator(threading.Thread):
+    """DEALER-style listener speaking the subscription protocol; knows one
+    block id and rejects windows that don't contain it (UNKNOWN_BLOCK)."""
+
+    def __init__(self, known_block: str, events: list[bytes]):
+        super().__init__(daemon=True)
+        self.known_block = known_block
+        self.events = events
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.offered_windows: list[list[str]] = []
+        self.got_unsubscribe = False
+        self.handshake_meta: dict[str, bytes] | None = None
+
+    def run(self) -> None:
+        conn, _ = self.srv.accept()
+        zs = zmtp.ZmtpSocket(conn, socket_type="DEALER")
+        self.handshake_meta = zs.handshake()
+        subscribed = False
+        while True:
+            msg = zs.recv_message(timeout_sec=10)
+            if msg is None:
+                return
+            mtype, corr, content = zmtp.decode_validator_message(msg)
+            if mtype == zmtp.MSG_CLIENT_EVENTS_SUBSCRIBE_REQUEST:
+                req = decode_message("ClientEventsSubscribeRequest", content)
+                window = req["last_known_block_ids"]
+                self.offered_windows.append(window)
+                ok = self.known_block in window
+                reply = encode_message(
+                    "ClientEventsSubscribeResponse",
+                    {"status": "OK" if ok else "UNKNOWN_BLOCK"},
+                )
+                zs.send_message(
+                    zmtp.encode_validator_message(
+                        zmtp.MSG_CLIENT_EVENTS_SUBSCRIBE_RESPONSE, corr, reply
+                    )
+                )
+                if ok and not subscribed:
+                    subscribed = True
+                    for ev in self.events:  # unsolicited deliveries
+                        zs.send_message(
+                            zmtp.encode_validator_message(zmtp.MSG_CLIENT_EVENTS, "", ev)
+                        )
+            elif mtype == zmtp.MSG_CLIENT_EVENTS_UNSUBSCRIBE_REQUEST:
+                self.got_unsubscribe = True
+                reply = encode_message("ClientEventsUnsubscribeResponse", {"status": "OK"})
+                zs.send_message(
+                    zmtp.encode_validator_message(
+                        zmtp.MSG_CLIENT_EVENTS_UNSUBSCRIBE_RESPONSE, corr, reply
+                    )
+                )
+                zs.close()
+                return
+
+
+def test_validator_message_roundtrip():
+    buf = zmtp.encode_validator_message(zmtp.MSG_CLIENT_EVENTS, "abc123", b"\x01\x02")
+    assert zmtp.decode_validator_message(buf) == (zmtp.MSG_CLIENT_EVENTS, "abc123", b"\x01\x02")
+
+
+def test_subscription_over_zmtp_loopback():
+    payloads = [b"eventlist-1", b"eventlist-2"]
+    # client knows 15 heads; validator only knows the 13th-newest -> the
+    # first 10-wide window is rejected, the walk-back's second window lands
+    srv = FakeValidator(known_block="k2", events=payloads)
+    srv.start()
+
+    z = zmtp.connect("127.0.0.1", srv.port)
+    channel = zmtp.ValidatorChannel(z)
+    transport = WireTransport(channel)
+    received: list[bytes] = []
+    sub = EventSubscription(transport, handler=received.append, poll_timeout_sec=0.2)
+
+    known = [f"k{i}" for i in range(14, -1, -1)]  # k14 (newest) .. k0
+    runner = threading.Thread(target=sub.start, args=(known,), daemon=True)
+    runner.start()
+    deadline = time.monotonic() + 10
+    while len(received) < 2 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    sub.request_stop()
+    runner.join(timeout=10)
+    assert not runner.is_alive()
+
+    assert received == payloads
+    # walk-back happened: first offered window lacked k2, second had it
+    assert len(srv.offered_windows) == 2
+    assert "k2" not in srv.offered_windows[0] and "k2" in srv.offered_windows[1]
+    # READY handshake carried the DEALER socket type
+    assert srv.handshake_meta and srv.handshake_meta.get("Socket-Type") == b"DEALER"
+    # acknowledged unsubscribe (S4)
+    srv.join(timeout=5)
+    assert srv.got_unsubscribe
+    channel.close()
+
+
+def test_long_frame_roundtrip():
+    """Frames >255 bytes use the 8-byte-length LONG form."""
+    a, b = socket.socketpair()
+    big = bytes(range(256)) * 40  # 10 KiB
+    zmtp._send_frame(a, big)
+    body, is_cmd, more = zmtp._recv_frame(b)
+    assert body == big and not is_cmd and not more
+    a.close()
+    b.close()
