@@ -142,12 +142,14 @@ def main() -> None:
 
 
 def _ingest_bench(spark) -> dict:
-    """Ingest-side throughput: one microbatch (1000 blocks x 10 agent SETs)
+    """Ingest-side throughput: microbatches of 1000 blocks x 10 agent SETs
     through the full foreachBatch body — decode, transform, bucketed SCD2
-    merge + concurrent per-table writes, atomic commit. Warm number (second
-    apply over a prior batch's open state; the first absorbs codegen). The
-    batch is sized so per-batch fixed cost (~10 local-mode job round trips)
-    amortizes and the number reflects per-change throughput."""
+    merge + concurrent per-table writes, atomic commit. Three measured
+    batches apply onto a warmed store (the first batch absorbs codegen for
+    every plan shape) and the MIN wall-clock is reported — same
+    steal-resistant methodology as the query headline. Store state grows
+    across batches, so the min reflects warm steady state, not an empty
+    store."""
     import shutil
     import tempfile
 
@@ -183,10 +185,21 @@ def _ingest_bench(spark) -> dict:
         store = ScdParquetStore(spark, tmp)
         # cold: codegen + store init (small batch — warmup, not measurement)
         store.apply(transform_events(one_batch(1, 100), materialize=True))
-        big = one_batch(101, n_blocks)  # fixture build excluded from timing
-        t0 = time.perf_counter()
-        store.apply(transform_events(big, materialize=True))
-        dt = time.perf_counter() - t0
+        # fixture build is excluded from timing; it round-trips through
+        # parquet so the measured batch enters as a source-scanned frame
+        # (what foreachBatch hands the body), not a driver-built python
+        # local relation whose per-action pickle conversion nothing in a
+        # real deployment pays
+        n_files = spark.sparkContext.defaultParallelism
+        dt = float("inf")
+        for i in range(3):
+            ev_dir = os.path.join(tmp, f"_events_in_{i}")
+            first = 200 + i * n_blocks
+            one_batch(first, n_blocks).repartition(n_files).write.mode("overwrite").parquet(ev_dir)
+            big = spark.read.parquet(ev_dir)
+            t0 = time.perf_counter()
+            store.apply(transform_events(big, materialize=True))
+            dt = min(dt, time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {

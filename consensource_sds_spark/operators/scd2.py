@@ -94,6 +94,27 @@ _EMISSION_COLS = ["vkey", *_ORDER, "is_delete"]
 _NEW_ROW_ORDER = ["batch_ord", "change_idx", "entry_idx"]
 
 
+class UnsupportedStoreLayout(RuntimeError):
+    """A store on disk uses a manifest layout this build cannot read.
+
+    Raised instead of silently treating the open partition as empty: a
+    mis-read manifest would make the next ``apply`` merge against empty
+    open state and its commit's vacuum would delete the still-referenced
+    legacy directories — silent data loss. Failing loudly preserves the
+    store for a manual migration."""
+
+
+def _microbatch_hint(df: DataFrame) -> DataFrame:
+    """Broadcast hint for microbatch-bounded frames, latency profile only.
+
+    The emission-order lookup a merge joins against is O(microbatch), but a
+    backfill batch can be arbitrarily large, so the cluster profile leaves
+    the build-side choice to the planner/AQE (checkpointed frames have
+    unknown stats, which would otherwise force a shuffle join even for a
+    kilobyte-sized emission set)."""
+    return F.broadcast(df) if os.environ.get("SPARK_GRAFT_PROFILE", "local") == "local" else df
+
+
 @dataclass
 class PipelineBatch:
     """Everything one transformed microbatch wants to persist."""
@@ -102,6 +123,11 @@ class PipelineBatch:
     tables: dict[str, DataFrame] = field(default_factory=dict)  # new version rows
     emissions: dict[str, DataFrame] = field(default_factory=dict)  # per entity group
     quarantine: DataFrame | None = None  # W5 dead letters
+    #: True when the producer already pinned the decode pipeline in memory
+    #: (transform_events(materialize=True) checkpoints the decoded entries),
+    #: so every frame above is a narrow projection over in-memory state and
+    #: the sink can skip its own defensive materialization of the emissions.
+    materialized: bool = False
 
 
 def merge_scd2(open_rows: DataFrame, new_rows: DataFrame, vkey: str, emissions: DataFrame, table_schema) -> DataFrame:
@@ -128,7 +154,7 @@ def merge_scd2(open_rows: DataFrame, new_rows: DataFrame, vkey: str, emissions: 
     w = Window.partitionBy("e_vkey").orderBy("e_block", "e_bo", "e_ci", "e_ei")
     emis = emis.withColumn("next_start", F.lead("e_block").over(w))
 
-    sets = emis.filter(~F.col("is_delete"))
+    sets = _microbatch_hint(emis.filter(~F.col("is_delete")))
     inserted = (
         new_rows.join(
             sets,
@@ -194,9 +220,22 @@ class ScdParquetStore:
     def _manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)
+                man = json.load(f)
         except (OSError, ValueError):
             return {"gen": 0, "last_batch_id": -1, "tables": {}, "blocks": []}
+        # layout version guard: the pre-bucketing format kept one 'open' dir
+        # per table. Reading it as empty open_buckets would silently lose it
+        # (see UnsupportedStoreLayout) — refuse instead.
+        legacy = sorted(t for t, tman in man.get("tables", {}).items() if "open" in tman)
+        if legacy:
+            raise UnsupportedStoreLayout(
+                f"store at {self.path!r} uses the pre-bucketing manifest layout "
+                f"(tables {legacy} carry an 'open' pointer, this build reads "
+                "'open_buckets'). Rebuild the store by replaying the stream, or "
+                "migrate: read each table's open dir with the writing build and "
+                "re-apply it here."
+            )
+        return man
 
     def _n_buckets(self) -> int:
         return self._manifest().get("n_buckets") or self._default_n_buckets
@@ -301,6 +340,26 @@ class ScdParquetStore:
     def last_applied_batch(self) -> int:
         return self._manifest()["last_batch_id"]
 
+    def _stored_block_ids(self, manifest: dict, lo: int, hi: int) -> dict[int, str]:
+        """Fork-detection lookup: block_num -> block_id for stored blocks in
+        ``[lo, hi]``. Driver-side pyarrow over the manifest's block segments
+        with a range filter (row-group pruning) — the segments are kilobytes
+        per batch and the filter window is microbatch-sized, so this stays
+        O(microbatch) without paying a Spark job round trip per apply."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, str] = {}
+        for rel in manifest["blocks"]:
+            d = os.path.join(self.path, rel)
+            if not os.path.isdir(d):
+                continue
+            t = pq.read_table(
+                d, filters=[("block_num", ">=", lo), ("block_num", "<=", hi)]
+            )
+            for num, bid in zip(t["block_num"].to_pylist(), t["block_id"].to_pylist()):
+                out[num] = bid
+        return out
+
     # -- writes -----------------------------------------------------------
     def _write_split(self, df: DataFrame, rel: str, vkey: str, n: int) -> tuple[dict[str, str], str | None]:
         """Write a merged table state partitioned by (liveness, open-row
@@ -319,6 +378,13 @@ class ScdParquetStore:
                 F.lit(-1)
             ),
         )
+        # cluster output rows to their target directory before the dynamic-
+        # partition write: one writer task per bucket instead of every task
+        # opening a file in every directory (shuffle.partitions x buckets
+        # small files per generation — the streaming small-files problem at
+        # the source). A bucket is sized to a few GB at deployment scale, so
+        # one task per bucket is the intended write granularity.
+        staged = staged.repartition(n + 1, "_open", "_bucket")
         staged.write.mode("overwrite").partitionBy("_open", "_bucket").parquet(out)
         open_buckets: dict[str, str] = {}
         for b in range(n):
@@ -350,16 +416,51 @@ class ScdParquetStore:
             if batch_id <= last:
                 return  # replayed microbatch after restart — already committed
 
-        blocks_new = batch.block.collect() if batch.block is not None else []
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = self._n_buckets()
+        # ONE emission wave for the whole batch. The previous shape ran a
+        # localCheckpoint + isEmpty + bucket-distinct PER entity group — ~3
+        # serial driver round trips x groups before any write started. Now:
+        # union every group's emissions under a discriminator column,
+        # materialize ONCE, and answer group presence AND touched buckets
+        # with a single distinct collect (groups with no rows simply don't
+        # appear). The block-row collect (driver-tiny) is submitted from a
+        # second thread so its job overlaps the checkpoint wave instead of
+        # serializing in front of it.
+        tagged = [
+            batch.emissions[g].select(*_EMISSION_COLS).withColumn("_grp", F.lit(g))
+            for g in ENTITY_GROUPS
+            if g in batch.emissions
+        ]
+        unioned: DataFrame | None = None
+        if tagged:
+            unioned = tagged[0]
+            for t in tagged[1:]:
+                unioned = unioned.unionByName(t)
+
+        with ThreadPoolExecutor(max_workers=2) as prefetch:
+            blocks_fut = prefetch.submit(batch.block.collect) if batch.block is not None else None
+            if unioned is not None and not batch.materialized:
+                # defensive materialization for plan-only batches: without it
+                # the bucket distinct and every member table's merge would
+                # race to re-run the full upstream decode
+                unioned = unioned.localCheckpoint()
+            blocks_new = blocks_fut.result() if blocks_fut is not None else []
+
+        touched_by_group: dict[str, list[int]] = {}
+        if unioned is not None:
+            for r in (
+                unioned.select("_grp", self._bucket_expr("vkey", n).alias("b")).distinct().collect()
+            ):
+                touched_by_group.setdefault(r["_grp"], []).append(r["b"])
+
         if blocks_new:
-            # W4 fork detection, distributed: look up ONLY the incoming
-            # block numbers in the stored table (pushdown isin over a
-            # microbatch-sized list), never a full-chain collect.
+            # W4 fork detection: look up ONLY the incoming block-number range
+            # in the stored segments (driver-side pyarrow, row-group pruned)
+            # — O(microbatch), never an O(chain) scan, and no Spark job.
             nums = [r["block_num"] for r in blocks_new]
-            stored = {
-                r["block_num"]: r["block_id"]
-                for r in self.blocks().filter(F.col("block_num").isin(nums)).collect()
-            }
+            stored = self._stored_block_ids(man, min(nums), max(nums))
             forked = sorted(
                 r["block_num"]
                 for r in blocks_new
@@ -373,7 +474,6 @@ class ScdParquetStore:
                 man = self._manifest()
 
         gen = man["gen"] + 1
-        n = self._n_buckets()
         new_man = json.loads(json.dumps(man))
         new_man["gen"] = gen
         new_man["n_buckets"] = n
@@ -387,21 +487,13 @@ class ScdParquetStore:
         # commits after ALL writes returned.
         jobs: list[tuple[str, str, list[int], DataFrame]] = []
         for group, (vkey, tables) in ENTITY_GROUPS.items():
-            emis = batch.emissions.get(group)
-            if emis is None:
-                continue
-            # materialize once (eager localCheckpoint): the member tables'
-            # concurrent jobs share the emission rows without racing to
-            # recompute them, and the per-round lineage is truncated
-            emis = emis.localCheckpoint()
-            if emis.isEmpty():
-                continue
-            # the buckets this batch's keys land in — one tiny distinct over
-            # the checkpointed emissions, bounded by n_buckets. All member
-            # tables of a group share the same key VALUES, hence buckets.
-            touched = sorted(
-                r["b"] for r in emis.select(self._bucket_expr("vkey", n).alias("b")).distinct().collect()
-            )
+            touched = sorted(touched_by_group.get(group, []))
+            if not touched:
+                continue  # no emission rows for this group in the batch
+            # member tables share the group's emission slice of the ONE
+            # checkpointed union — a narrow in-memory filter, so concurrent
+            # jobs re-read it without re-running any upstream decode
+            emis = unioned.filter(F.col("_grp") == group).drop("_grp")
             for table in tables:
                 schema = schemas.SINK_TABLES[table]
                 new_rows = batch.tables.get(table)
@@ -414,8 +506,6 @@ class ScdParquetStore:
                 jobs.append((table, vkey, touched, merged))
 
         if jobs:
-            from concurrent.futures import ThreadPoolExecutor
-
             with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
                 results = list(
                     pool.map(

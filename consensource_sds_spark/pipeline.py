@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 from consensource_sds_spark.operators import transforms as T
 from consensource_sds_spark.operators.scd2 import PipelineBatch
 
+#: events per decode task in the materialized (foreachBatch) path — sized so
+#: a task's real decode work (~10 changes/event) comfortably exceeds the
+#: fixed Arrow-UDF task overhead
+_EVENTS_PER_TASK = 128
+
 #: entity group -> (entity-key expression over the exploded entry, table builders)
 _GROUPS: dict[str, tuple[str, dict]] = {
     "organization": (
@@ -53,31 +58,76 @@ def transform_events(events: DataFrame, materialize: bool = False) -> PipelineBa
 
     ``materialize=False`` (default) keeps the batch a pure plan — no
     actions, replayable under ``spark.read`` for tests/backfill.
-    ``materialize=True`` localCheckpoints the decoded+dispatched state
-    changes ONCE, so the 11 table builds and 6 emission streams that all
-    hang off them become cheap filters over an in-memory table instead of
-    each re-running the protobuf decode — the foreachBatch body uses this
-    (decode cost per microbatch drops from O(groups x tables) passes to
-    one)."""
+    ``materialize=True`` pins the decode pipeline in memory stage by stage
+    — the foreachBatch body uses this:
+
+    - the raw events land in ONE localCheckpoint, so the block parse and
+      the state-delta decode both read memory instead of re-scanning (or,
+      for a driver-built batch, re-converting) the source;
+    - the decoded+dispatched state changes land in a second checkpoint,
+      and a ``collect_set`` over it prunes which entity groups get plans
+      built at all — a single-entity microbatch costs O(1) downstream
+      jobs, not O(groups);
+    - each present group's decoded ENTRIES land in a per-group checkpoint
+      (one concurrent wave), so the emission streams, the table builders,
+      and every downstream pass the sink makes over them are narrow
+      in-memory projections — the per-entity protobuf container decode
+      runs exactly once per batch, not once per consumer.
+
+    The returned batch carries ``materialized=True`` so the sink skips its
+    own defensive materialization of the emission union.
+
+    Partitioning: the decode chain is re-chunked to the BATCH size, not the
+    source's partition count — an Arrow UDF task costs ~15-20 ms of python
+    round-trip regardless of rows, so a 10k-row microbatch spread over 32
+    near-empty partitions pays 32x task overhead for no parallelism gain
+    (measured ~40% of the decode wall-clock). The event count rides the
+    events checkpoint as an observed metric; the chunk target caps at
+    ``defaultParallelism`` so a large backfill batch keeps every core."""
+    if materialize:
+        from pyspark.sql import Observation
+
+        obs_ev = Observation()
+        events = events.observe(obs_ev, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n_ev = obs_ev.get["n"]
+        k = max(1, min(events.sparkSession.sparkContext.defaultParallelism, (n_ev + _EVENTS_PER_TASK - 1) // _EVENTS_PER_TASK))
+        events = events.coalesce(k)  # no-op when k >= current partition count
     blocks = T.parse_blocks(events)
     deltas = T.with_address_space(T.parse_state_deltas(events))
     changes = T.changes_at_blocks(deltas, blocks)
     present: set[str] | None = None
+    entries_by_group: dict[str, DataFrame] = {}
     if materialize:
+        from pyspark.sql import Observation
+
+        # the group-pruning distinct rides the checkpoint's own job as an
+        # observed metric — no separate collect action
+        obs = Observation()
+        changes = changes.observe(obs, F.collect_set("address_space").alias("spaces"))
         changes = changes.localCheckpoint()
-        # group pruning: one tiny distinct over the materialized changes
-        # tells us which address spaces this batch actually touches, so the
-        # per-group/per-table plans below are only BUILT for present groups
-        # — a single-entity microbatch costs O(1) downstream jobs, not
-        # O(groups). (A partial PipelineBatch is a legal apply() input.)
-        present = {r["address_space"] for r in changes.select("address_space").distinct().collect()}
+        present = set(obs.get["spaces"])
+        groups = [g for g in _GROUPS if g in present]
+        if groups:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+                entries_by_group = dict(
+                    zip(
+                        groups,
+                        pool.map(
+                            lambda g: T.entity_entries(changes, g).localCheckpoint(), groups
+                        ),
+                    )
+                )
 
     tables: dict[str, DataFrame] = {}
     emissions: dict[str, DataFrame] = {}
     for group, (key_expr, builders) in _GROUPS.items():
         if present is not None and group not in present:
             continue
-        entries = T.entity_entries(changes, group)
+        entries = entries_by_group.get(group)
+        if entries is None:
+            entries = T.entity_entries(changes, group)
         emissions[group] = _emissions(entries, key_expr)
         for table, build in builders.items():
             tables[table] = build(entries)
@@ -98,4 +148,5 @@ def transform_events(events: DataFrame, materialize: bool = False) -> PipelineBa
         tables=tables,
         emissions=emissions,
         quarantine=T.invalid_changes(changes),
+        materialized=materialize,
     )

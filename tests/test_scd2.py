@@ -337,3 +337,47 @@ def test_compact_preserves_reads_and_prunes_segments(spark, store):
     cur = store.current("agents").collect()
     assert len(cur) == 1 and cur[0]["name"] == "v6"
     assert len(store.read("agents").collect()) == 6
+
+
+def test_legacy_manifest_layout_refused(spark, store, tmp_path):
+    """A store written by the pre-bucketing format (tables carry an 'open'
+    pointer) must refuse to open rather than silently read empty open state
+    (whose next commit would vacuum the legacy directories — data loss)."""
+    import json
+
+    from consensource_sds_spark.operators.scd2 import UnsupportedStoreLayout
+
+    a1 = fx.make_agent()
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])])])
+    man = store._manifest()
+    man["tables"]["agents"] = {"open": "agents/merged-g1/_open=true", "closed": []}
+    with open(store._manifest_path(), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(UnsupportedStoreLayout, match="pre-bucketing"):
+        store.read("agents")
+    with pytest.raises(UnsupportedStoreLayout):
+        _apply(spark, store, [fx.delivery(2, "b2", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])])])
+
+
+def test_materialized_batch_apply(spark, store):
+    """The foreachBatch-path batch (materialize=True: checkpointed entries,
+    observation-carried group pruning, no sink-side re-materialization)
+    produces byte-identical SCD2 state to the pure-plan path."""
+    a1 = fx.make_agent()
+    a2 = dict(fx.make_agent(), name="renamed")
+    store.apply(
+        transform_events(
+            fx.events_df(
+                spark,
+                [
+                    fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])]),
+                    fx.delivery(5, "b5", [fx.state_change("agent", fx.PUBLIC_KEY, [a2])]),
+                ],
+            ),
+            materialize=True,
+        )
+    )
+    assert _agent_versions(store) == [
+        ("test_public_key", "renamed", 5, MAX),
+        ("test_public_key", "test", 1, 5),
+    ]
