@@ -71,46 +71,95 @@ def _pool_enabled() -> bool:
 # row group is structurally a one-task scan no matter what maxPartitionBytes
 # says (byte-range splits assign a row group to the task holding its
 # midpoint), so a 32-core engine reads it serially. On first read of such a
-# file we re-layout a multi-file copy into the session's scratch dir — a
-# one-time O(table) import, after which every scan is parallel. This is what
-# the engine's own writers do at scale anyway (multi-file, bounded row
-# groups); the re-layout only ever fires on externally-produced single-row-
-# group files. Worth-it test is chunk-relative, not byte-absolute: the
-# _POOL_CHUNK table encodes CPU density (text/vector tables burn ~100x more
-# CPU per byte than relational scans), so a 600 KB documents file re-lays
-# to ~24 files while a 2 KB nation file never does. Disable with
-# SPARK_GRAFT_RELAYOUT=0.
+# file we re-layout a multi-file copy — a one-time O(table) import, after
+# which every scan is parallel. This is what the engine's own writers do at
+# scale anyway (multi-file, bounded row groups); the re-layout only ever
+# fires on externally-produced single-row-group files. Worth-it test is
+# chunk-relative, not byte-absolute: the _POOL_CHUNK table encodes CPU
+# density (text/vector tables burn ~100x more CPU per byte than relational
+# scans), so a 600 KB documents file re-lays to ~24 files while a 2 KB
+# nation file never does. Disable with SPARK_GRAFT_RELAYOUT=0.
+#
+# The copy lives in a CONTENT-ADDRESSED shared directory (hash of input
+# path+mtime+size+target partition count): every later session reusing the
+# same input finds the finished copy by address and pays nothing — no
+# per-session copies, no growth beyond one copy per live input version. A
+# session that re-lays an input whose file CHANGED (new mtime -> new
+# address) removes the stale addresses for that input. Within a process a
+# lock guards the check-then-write; across processes the copy is staged to
+# a session-unique dir and atomically renamed into its address (losers of
+# the race delete their stage and adopt the winner's).
 _LAYOUT: dict[tuple[str, str, str], str] = {}
+_LAYOUT_LOCK = __import__("threading").Lock()
 
 
 def _relayout_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_RELAYOUT", "1") != "0"
 
 
+def _layout_base() -> str:
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_LAYOUT_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_layout"
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def _relayout(spark: SparkSession, sf_dir: str, name: str, raw: DataFrame, path: str, size: int) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    laid = _LAYOUT.get(key)
-    if laid is None:
-        try:
-            import pyarrow.parquet as pq
-
-            n_groups = pq.ParquetFile(path).metadata.num_row_groups
-        except Exception:
-            return raw  # directory / remote / unreadable metadata: leave as-is
-        n_cpus = spark.sparkContext.defaultParallelism
-        chunk = _POOL_CHUNK.get(name, _POOL_CHUNK_DEFAULT)
-        parts = max(1, min(n_cpus, size // chunk))
-        if parts < 2 or size >= _POOL_FILE_CAP or n_groups >= parts:
-            _LAYOUT[key] = path  # already splittable enough; remember that
-            return raw
-        import tempfile
-
-        laid = tempfile.mkdtemp(prefix=f"spark_graft_layout_{name}_")
-        raw.repartition(parts).write.mode("overwrite").parquet(laid)
-        _LAYOUT[key] = laid
+    with _LAYOUT_LOCK:
+        laid = _LAYOUT.get(key)
+        if laid is None:
+            laid = _relayout_locked(spark, name, raw, path, size)
+            _LAYOUT[key] = laid
     if laid == path:
         return raw
     return spark.read.parquet(laid)
+
+
+def _relayout_locked(spark: SparkSession, name: str, raw: DataFrame, path: str, size: int) -> str:
+    try:
+        import pyarrow.parquet as pq
+
+        n_groups = pq.ParquetFile(path).metadata.num_row_groups
+        mtime_ns = os.stat(path).st_mtime_ns
+    except Exception:
+        return path  # directory / remote / unreadable metadata: leave as-is
+    n_cpus = spark.sparkContext.defaultParallelism
+    chunk = _POOL_CHUNK.get(name, _POOL_CHUNK_DEFAULT)
+    parts = max(1, min(n_cpus, size // chunk))
+    if parts < 2 or size >= _POOL_FILE_CAP or n_groups >= parts:
+        return path  # already splittable enough; remember that
+    import hashlib
+    import shutil
+
+    # two-level address: the input FILE (abspath) names the family, its
+    # version (mtime+size) + layout params name the copy — so replacing an
+    # input invalidates only that input's stale copies, never a same-named
+    # table from another dataset directory
+    fam = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
+    ver = hashlib.sha256(f"{mtime_ns}|{size}|{parts}".encode()).hexdigest()[:12]
+    base = _layout_base()
+    final = os.path.join(base, f"{name}-{fam}-{ver}")
+    if not os.path.isdir(final):
+        stage = f"{final}.stage-{os.getpid()}-{spark.sparkContext.applicationId}"
+        raw.repartition(parts).write.mode("overwrite").parquet(stage)
+        try:
+            os.rename(stage, final)
+        except OSError:
+            # lost the cross-process race — the winner's copy is complete
+            # (rename is the publish barrier); drop ours
+            shutil.rmtree(stage, ignore_errors=True)
+        # reclaim stale versions of the SAME input file (it was replaced:
+        # new mtime -> new version hash); live sessions on the old copy
+        # finish in-flight scans from open handles, new reads re-address
+        prefix = f"{name}-{fam}-"
+        for d in os.listdir(base):
+            if d.startswith(prefix) and d != f"{name}-{fam}-{ver}" and ".stage-" not in d:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return final
 
 
 def profile() -> str:

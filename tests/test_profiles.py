@@ -74,3 +74,42 @@ def test_cache_off_relayout_splits_single_row_group_inputs(spark, monkeypatch):
     Q.load(spark, "/root/testdata/sf0.001", "nation")
     (laid_path,) = Q._LAYOUT.values()
     assert laid_path == "/root/testdata/sf0.001/nation.parquet"
+
+
+def test_relayout_content_addressed_reuse_and_stale_cleanup(spark, monkeypatch, tmp_path):
+    """The re-laid copy is content-addressed (input path+mtime+size): a new
+    session (fresh process-local cache) finds the finished copy by address
+    and writes NOTHING; replacing the input file invalidates only that
+    input's stale copies."""
+    import os
+    import shutil
+
+    import consensource_sds_spark.queries as Q
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE", "0")
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "layout"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", sf / "documents.parquet")
+
+    Q._LAYOUT.clear()
+    Q.load(spark, str(sf), "documents")
+    base = str(tmp_path / "layout")
+    dirs1 = sorted(os.listdir(base))
+    assert len(dirs1) == 1 and dirs1[0].startswith("documents-")
+    mtime1 = os.stat(os.path.join(base, dirs1[0])).st_mtime_ns
+
+    # "new session": clear the process-local cache; the disk copy must be
+    # reused byte-for-byte (same dir, not rewritten, no extra dirs)
+    Q._LAYOUT.clear()
+    df = Q.load(spark, str(sf), "documents")
+    assert sorted(os.listdir(base)) == dirs1
+    assert os.stat(os.path.join(base, dirs1[0])).st_mtime_ns == mtime1
+    assert len(df.inputFiles()) > 1
+
+    # replace the input (new mtime) -> new address, stale copy reclaimed
+    os.utime(sf / "documents.parquet", ns=(1, 1))
+    Q._LAYOUT.clear()
+    Q.load(spark, str(sf), "documents")
+    dirs2 = sorted(os.listdir(base))
+    assert len(dirs2) == 1 and dirs2 != dirs1
