@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from consensource_sds_spark.functions import text as TXT
 from consensource_sds_spark.functions import vectors as V
-from consensource_sds_spark.queries import load, register
+from consensource_sds_spark.queries import load, local_hint, register
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -2583,25 +2583,43 @@ def x60_rendezvous_resharding(spark, sf_dir):
     WHERE rk <= 10
     """,
 )
-def x61_domain_doc_cap(spark, sf_dir):
+def x61_domain_doc_cap(spark, sf_dir, cap: int = 10):
     """Per-domain document cap (the C4/RefinedWeb anti-boilerplate step):
     keep at most K docs per source, preferring longer documents, with
     doc_id as the deterministic tie-break — so re-runs and appends pick
     identical survivors.
 
-    Scale: one shuffle keyed on source. A mega-domain is exactly the AQE
-    skew-join shape (one hot key), but rank-then-filter also composes with
-    a pre-aggregation guard: count per source first (partial-agg, cheap),
-    and only route sources OVER the cap through the rank — bounded domains
-    skip the sort entirely. The rank itself never materializes more than K
-    rows per source downstream."""
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 10)
-        .drop("rk")
+    Scale — the pre-aggregation guard: count per source first (partial-agg,
+    map-side combine, cheap), and route ONLY sources OVER the cap through
+    the rank window; an under-cap source's rows pass through with no sort
+    at all (anti join against the over-cap source list). Aggregation-key
+    skew on a C4-scale mega-domain would otherwise make the window sort the
+    bottleneck AQE cannot split; with the guard, the window's input is
+    bounded by the over-cap sources' rows and every bounded domain is a
+    shuffle-free pass-through. The over-cap source LIST is tiny (one row
+    per hot domain) — broadcast in the latency profile, AQE-sized on a
+    cluster. Plan shape pinned by tests/test_plans.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    over = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select("source")
     )
+    under_rows = docs.join(local_hint(over), "source", "left_anti")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    capped = (
+        docs.join(local_hint(over), "source", "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return under_rows.unionByName(capped).select("doc_id", "source", "n_chars")
+
+
+#: approx_top_k item budget for x62 — two orders above the qualifying set
+#: at any tested SF, so threshold selection is never rank-truncated
+_X62_K = 10_000
 
 
 @register(
@@ -2624,13 +2642,19 @@ def x62_vocab_heavy_hitters(spark, sf_dir):
     THRESHOLD, not rank, so the output set is deterministic whenever the
     tracked-item budget covers the tail (exact regime — true at test SF;
     at 100 TB the same plan returns epsilon-bounded counts and the
-    threshold keeps the set stable for any item far from the boundary)."""
+    threshold keeps the set stable for any item far from the boundary).
+
+    The item budget k is sized two orders above the expected qualifying
+    set so the rank cap can never silently truncate threshold selection
+    (the r4 shape used k=100, which would drop qualifiers the moment more
+    than 100 tokens cleared the threshold); tests pin that the qualifying
+    set stays far below k at test SF."""
     toks = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    top = toks.agg(F.expr("approx_top_k(tok, 100, 100000)").alias("tk"))
+    top = toks.agg(F.expr(f"approx_top_k(tok, {_X62_K}, 100000)").alias("tk"))
     return (
         top.select(F.explode("tk").alias("s"))
         .select(

@@ -71,3 +71,30 @@ def test_filters_reach_parquet_scan(spark, monkeypatch):
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "PushedFilters: []" not in plan
     assert "PushedFilters: [" in plan
+
+
+def test_x61_under_cap_rows_skip_the_sort(spark):
+    """x61's mega-domain guard: only over-cap sources route through the
+    rank window; under-cap rows take the anti-join pass-through branch.
+    Pinned shape: exactly ONE Window (fed by the semi-join branch), and a
+    union whose other branch is the anti join with NO window/sort above
+    the scan."""
+    from consensource_sds_spark.queries.extensions import x61_domain_doc_cap
+
+    plan = x61_domain_doc_cap(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window node ("Window [" excludes the WindowGroupLimit
+    # pushdowns, which are the bonus: the sort is bounded to top-K per key)
+    assert plan.count("Window [") == 1, plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan
+    assert "Union" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_x62_threshold_set_far_below_item_budget(spark):
+    """x62's threshold selection is only deterministic while the qualifying
+    set stays inside the tracked-item budget; pin two orders of headroom so
+    the rank cap cannot silently truncate (the ADVICE r4 finding)."""
+    from consensource_sds_spark.queries.extensions import _X62_K, x62_vocab_heavy_hitters
+
+    n = x62_vocab_heavy_hitters(spark, "/root/testdata/sf0.01").count()
+    assert 0 < n < _X62_K / 100, n
