@@ -93,8 +93,16 @@ def _send_frame(sock: socket.socket, body: bytes, command: bool = False, more: b
         sock.sendall(bytes((flags, len(body))) + body)
 
 
-def _recv_frame(sock: socket.socket) -> tuple[bytes, bool, bool]:
-    flags = _recv_exact(sock, 1)[0]
+def _recv_frame(sock: socket.socket, first_byte_timeout: float | None = None) -> tuple[bytes, bool, bool]:
+    """Read one frame. A timeout can only fire on the FIRST byte (a frame
+    boundary — nothing consumed, so the stream stays in sync); once the
+    flags byte is in, the rest of the frame is read blocking. socket.timeout
+    propagates to the caller only from that first read."""
+    sock.settimeout(first_byte_timeout)
+    try:
+        flags = _recv_exact(sock, 1)[0]
+    finally:
+        sock.settimeout(None)
     if flags & _FLAG_LONG:
         size = struct.unpack(">Q", _recv_exact(sock, 8))[0]
     else:
@@ -158,22 +166,40 @@ class ZmtpSocket:
     def send_message(self, payload: bytes) -> None:
         _send_frame(self.sock, payload)
 
+    def _handle_command(self, body: bytes) -> None:
+        """ZMTP command dispatch: answer PING with a PONG echoing the ping
+        context (spec 23 / ZMTP 3.1 heartbeats — a heartbeating peer
+        disconnects clients that never PONG); other commands are ignored."""
+        if not body:
+            return
+        nlen = body[0]
+        name = body[1 : 1 + nlen]
+        if name == b"PING":
+            # PING body after the name: 2-byte TTL then opaque context
+            context = body[1 + nlen + 2 :]
+            _send_frame(self.sock, bytes((4,)) + b"PONG" + context, command=True)
+
     def recv_message(self, timeout_sec: float | None = None) -> bytes | None:
-        """One complete message (multipart concatenated); None on timeout."""
-        self.sock.settimeout(timeout_sec)
-        try:
-            parts = []
-            while True:
-                body, is_cmd, more = _recv_frame(self.sock)
-                if is_cmd:
-                    continue  # PING/heartbeats ignored by this subset
-                parts.append(body)
-                if not more:
-                    return b"".join(parts)
-        except (socket.timeout, TimeoutError):
-            return None
-        finally:
-            self.sock.settimeout(None)
+        """One complete message (multipart concatenated); None on timeout.
+
+        Timeouts are only honored at a frame boundary with no message
+        parts pending — a timeout mid-multipart means the peer stalled
+        inside a message, which is unrecoverable framing-wise, so it
+        raises ConnectionError instead of silently desyncing."""
+        parts: list[bytes] = []
+        while True:
+            try:
+                body, is_cmd, more = _recv_frame(self.sock, first_byte_timeout=timeout_sec)
+            except (socket.timeout, TimeoutError):
+                if parts:
+                    raise ConnectionError("peer stalled mid-multipart message")
+                return None
+            if is_cmd:
+                self._handle_command(body)
+                continue
+            parts.append(body)
+            if not more:
+                return b"".join(parts)
 
     def close(self) -> None:
         try:

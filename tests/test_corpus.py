@@ -8,10 +8,44 @@ import os
 
 from pyspark.sql import functions as F
 
-from consensource_sds_spark.corpus import build_training_corpus
+import consensource_sds_spark.corpus as corpus_mod
+from consensource_sds_spark.corpus import _near_dedup_survivors, build_training_corpus
 from consensource_sds_spark.queries import load
 
 SF = "/root/testdata/sf0.001"
+
+
+def test_near_dedup_keeps_surviving_representative(spark):
+    """A cluster whose global-minimum doc was dropped upstream must still
+    keep one representative (the smallest SURVIVING member), not vanish."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9)], "doc_id long, cluster_id long"
+    )
+    # doc 1 (the global cluster-1 minimum) was dropped by an earlier stage
+    alive = spark.createDataFrame([(2,), (3,), (7,)], "doc_id long")
+    out = sorted(r["doc_id"] for r in _near_dedup_survivors(alive, clusters).collect())
+    assert out == [2, 7]  # cluster 1 keeps 2 (not empty); singleton 7 stays
+
+
+def test_stages_computed_once(spark, tmp_path, monkeypatch):
+    """x43 and x06 are expensive full-corpus passes; the build must invoke
+    each exactly once (staging parquet serves every downstream use)."""
+    calls = {"x43": 0, "x06": 0}
+    real43, real06 = corpus_mod.x43_filter_pipeline, corpus_mod.x06_dedup_clusters
+
+    def c43(spark_, sf_dir):
+        calls["x43"] += 1
+        return real43(spark_, sf_dir)
+
+    def c06(spark_, sf_dir):
+        calls["x06"] += 1
+        return real06(spark_, sf_dir)
+
+    monkeypatch.setattr(corpus_mod, "x43_filter_pipeline", c43)
+    monkeypatch.setattr(corpus_mod, "x06_dedup_clusters", c06)
+    stats = build_training_corpus(spark, SF, str(tmp_path / "c"), domain_cap=5, n_shards=2)
+    stats.collect()  # drive the audit branch too
+    assert calls == {"x43": 1, "x06": 1}
 
 
 def test_build_training_corpus(spark, tmp_path):

@@ -114,6 +114,48 @@ def test_subscription_over_zmtp_loopback():
     channel.close()
 
 
+def test_ping_answered_with_pong():
+    """A heartbeating peer sends PING mid-stream; the client must answer
+    PONG (echoing the ping context) and keep receiving messages — a
+    validator running ZMTP heartbeats disconnects clients that never PONG."""
+    a, b = socket.socketpair()
+    client = zmtp.ZmtpSocket(b)
+    # peer: PING command (TTL=0x0064, context b"ctx"), then a real message
+    zmtp._send_frame(a, bytes((4,)) + b"PING" + b"\x00\x64" + b"ctx", command=True)
+    zmtp._send_frame(a, b"payload-after-ping")
+    assert client.recv_message(timeout_sec=5) == b"payload-after-ping"
+    # the client's PONG is on the wire: command frame, name PONG, same context
+    body, is_cmd, _more = zmtp._recv_frame(a)
+    assert is_cmd and body == bytes((4,)) + b"PONG" + b"ctx"
+    a.close()
+    b.close()
+
+
+def test_timeout_before_any_frame_is_clean_none():
+    a, b = socket.socketpair()
+    client = zmtp.ZmtpSocket(b)
+    assert client.recv_message(timeout_sec=0.1) is None
+    # stream still in sync: a frame sent afterwards parses normally
+    zmtp._send_frame(a, b"still-in-sync")
+    assert client.recv_message(timeout_sec=5) == b"still-in-sync"
+    a.close()
+    b.close()
+
+
+def test_stall_mid_multipart_raises():
+    """A timeout AFTER a MORE-flagged part has been consumed must raise
+    (reconnect), never return None with the stream desynced."""
+    import pytest
+
+    a, b = socket.socketpair()
+    client = zmtp.ZmtpSocket(b)
+    zmtp._send_frame(a, b"part-1", more=True)  # ...and then the peer stalls
+    with pytest.raises(ConnectionError):
+        client.recv_message(timeout_sec=0.2)
+    a.close()
+    b.close()
+
+
 def test_long_frame_roundtrip():
     """Frames >255 bytes use the 8-byte-length LONG form."""
     a, b = socket.socketpair()
