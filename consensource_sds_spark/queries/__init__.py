@@ -262,6 +262,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so they lead the ordering until a driver round covers them; everything
 # else follows in registration order. Keep newly added queries in this list.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # round-5 additions: never driver-checked yet
+    "x64_boilerplate_scrub",
+    "x65_semantic_dedup",
+    "q82_returned_items",
+    "q83_volume_shipping",
+    "q84_market_share",
+    "q85_product_profit",
+    "q86_value_concentration",
+    "q87_parts_supplier_count",
+    "q88_waiting_suppliers",
+    "q89_potential_promotion",
     # round-5 rotation: the 74 registry entries NOT in CORRECTNESS_r04.json
     # (the driver's 50-slot window covered the r4 additions + the q47-q79
     # block last round) — oldest-driver-signal entries first so the r5

@@ -2728,3 +2728,158 @@ def x63_source_vocab_overlap(spark, sf_dir):
         union.alias("union_cnt"),
         F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
     )
+
+
+@register(
+    "x64_boilerplate_scrub",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, k, passage FROM (
+        SELECT doc_id, UNNEST(range(0, CAST(ceil(len(string_split(text,' ')) / 16.0) AS BIGINT))) AS k,
+               string_split(text,' ') AS toks
+        FROM documents) t,
+        LATERAL (SELECT array_to_string(t.toks[k*16+1 : k*16+16], ' ') AS passage)
+    ), rep AS (
+      SELECT passage FROM p GROUP BY passage HAVING COUNT(DISTINCT doc_id) > 1
+    ), kept AS (
+      SELECT doc_id, k, passage FROM p WHERE passage NOT IN (SELECT passage FROM rep)
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(kept.passage, ' ' ORDER BY kept.k), '') AS clean_text,
+           CAST(COUNT(p_all.k) - COUNT(kept.k) AS BIGINT) AS n_removed
+    FROM documents d
+    LEFT JOIN p p_all ON p_all.doc_id = d.doc_id
+    LEFT JOIN kept ON kept.doc_id = d.doc_id AND kept.k = p_all.k
+    GROUP BY d.doc_id
+    """,
+)
+def x64_boilerplate_scrub(spark, sf_dir):
+    """Boilerplate REMOVAL (the rewrite stage x38 only reports): passages
+    repeated across >1 documents are scrubbed from EVERY document and the
+    surviving passages are re-assembled in order — C4's repeated-line
+    filter at passage granularity ("we removed any line that occurred
+    more than X times in the corpus", Raffel et al. 2020). A document
+    that was ALL boilerplate survives with empty text (the downstream
+    length filter is the place that drops it — stages stay single-purpose
+    and auditable via n_removed).
+
+    Scale/plan: same chunk explode as x38, ONE digest-keyed hash-agg for
+    the repeated set, one passage-keyed anti shuffle to scrub, one
+    doc-keyed shuffle to reassemble (array_sort on (k, passage) structs —
+    in-group sort, no window). Nothing is quadratic; the repeated set is
+    a HAVING-filtered aggregate (tiny — boilerplate is by definition a
+    small distinct set with high multiplicity)."""
+    d = load(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    p = d.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, CAST(ceil(size({toks}) / 16.0) AS BIGINT) - 1),"
+            f" k -> struct(k AS k, concat_ws(' ', slice({toks}, k*16+1, 16)) AS passage))) AS c"
+        ),
+    ).select("doc_id", F.col("c.k").alias("k"), F.col("c.passage").alias("passage"))
+    rep = (
+        p.groupBy("passage")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("passage")
+    )
+    kept = p.join(rep, "passage", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "passage"))),
+                lambda s: s.getField("passage"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        d.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.coalesce(F.col("_n_total"), F.lit(0))
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+@register(
+    "x65_semantic_dedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id, a.label,
+           NOT EXISTS (
+             SELECT 1 FROM e b
+             WHERE b.label = a.label AND b.vec_id < a.vec_id
+               AND list_sum(list_transform(range(1, len(a.embedding)+1),
+                                           i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+                   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))
+                   >= 0.3
+           ) AS keep
+    FROM e a
+    """,
+)
+def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedded corpus — within each cluster, drop every
+    vector that has a semantically-near predecessor (cosine >= threshold
+    to a smaller vec_id in the SAME cluster); the smallest member of each
+    semantic group survives. Clusters here are the precomputed ``label``
+    column (in a pipeline, x40's k-means assignment); the test threshold
+    0.3 sits in the synthetic embeddings' similarity tail — production
+    embeddings use ~0.95+.
+
+    Scale/plan — the whole point of SemDeDup: clustering bounds the
+    quadratic. The pair join is label-keyed (equi-shuffle, never a global
+    cross join), so cost is sum(|cluster|^2) not n^2, and cluster size is
+    controlled upstream by k (x40). Norms are computed once per vector
+    BEFORE the pair join; per-pair work is one double-precision dot
+    (same op order as the oracle). The dropped set distincts on vec_id,
+    then one anti/semi pass stamps keep — output covers EVERY vector, so
+    the apply stage is a plain filter."""
+    e = load(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    ne = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = ne.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = ne.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vb") < F.col("va")))
+        .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "label", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
+    )

@@ -2193,3 +2193,442 @@ def q81_variant_json(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H gap shapes: Q7/Q8/Q9/Q10/Q11/Q16/Q20/Q21 (the classic plans the
+# q-series had not yet covered). Reference parity: the downstream store
+# serves exactly these reporting joins over the mirrored tables
+# (SURVEY §2.8); predicates are adapted to the driver schema (no
+# partsupp/commitdate — cost is modeled off p_retailprice, lateness off
+# l_shipdate vs o_orderdate+90d).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q82_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey=o_custkey AND l_orderkey=o_orderkey
+      AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      AND l_returnflag='R' AND c_nationkey=n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q82_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item reporting — who returned the most
+    revenue this quarter. Quarter filter pushed into the orders scan,
+    returnflag filter into the lineitem scan; orders x customer first
+    (both pre-filtered/narrow), nation broadcast; TakeOrderedAndProject
+    caps the result driver-side (never a global sort materialization).
+    Deterministic under ties via the c_custkey tie-break. Rounding happens
+    IN DECIMAL (exact HALF_UP) before the double cast: rounding the double
+    instead differs between engines when a sum lands exactly on a
+    half-cent (Spark rounds the shortest-repr string, DuckDB the binary
+    value)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    oc = o.join(local_hint(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        li.join(local_hint(oc), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q83_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE),2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice*(1-l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey=l_suppkey AND o_orderkey=l_orderkey AND c_custkey=o_custkey
+            AND s_nationkey=n1.n_nationkey AND c_nationkey=n2.n_nationkey
+            AND ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+              OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+            AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q83_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year. The two-nation predicate collapses supplier and customer to tiny
+    broadcast sides BEFORE they touch the fact tables, so lineitem/orders
+    are joined against broadcast hash relations only — the fact side never
+    shuffles for a dim; the disjunctive nation-pair filter runs after the
+    two (already tiny) dim joins."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    oc = o.join(local_hint(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(local_hint(oc), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q84_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(CAST(SUM(CAST(CASE WHEN nation='NATION_3' THEN volume ELSE 0 END
+                               AS DECIMAL(30,10))) AS DOUBLE)
+               / CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice*(1-l_discount) AS volume, n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey=l_partkey AND s_suppkey=l_suppkey AND l_orderkey=o_orderkey
+            AND o_custkey=c_custkey AND c_nationkey=n1.n_nationkey
+            AND n1.n_regionkey=r_regionkey AND r_name='ASIA'
+            AND s_nationkey=n2.n_nationkey AND p_type='ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def q84_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a supplier nation's share of regional market volume
+    per year — the conditional-aggregate-ratio over a two-sided dim
+    snowflake (customer->nation->region on one side, supplier->nation on
+    the other). Every dim chain pre-collapses to a broadcast; the CASE
+    numerator and the denominator come out of ONE aggregation pass
+    (never two scans); decimal accumulation keeps the ratio deterministic
+    under AQE re-partitioning."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select("s_suppkey", "nation")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    oc = o.join(local_hint(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(local_hint(oc), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_3", F.col("volume"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(30,10)")
+    ).cast("double")
+    den = F.sum(F.col("volume").cast("decimal(30,10)")).cast("double")
+    return joined.groupBy("o_year").agg(F.round(num / den, 6).alias("mkt_share"))
+
+
+@register(
+    "q85_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(CAST(amount AS DECIMAL(30,10))) AS DOUBLE),2) AS sum_profit
+    FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice*(1-l_discount) - 0.6*p_retailprice*l_quantity AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey=l_suppkey AND p_partkey=l_partkey AND o_orderkey=l_orderkey
+            AND s_nationkey=n_nationkey AND p_name LIKE '%widget%')
+    GROUP BY nation, o_year
+    """,
+)
+def q85_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and year
+    (cost modeled as 0.6 x retail price x quantity — the driver schema has
+    no partsupp.ps_supplycost). The part-name LIKE filter collapses part
+    to a broadcast before the fact join; supplier x nation pre-joins to a
+    broadcast; only the lineitem x orders join (both fact-sized) shuffles,
+    on l_orderkey."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(local_hint(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+@register(
+    "q86_value_concentration",
+    oracle="""
+    WITH v AS (SELECT p_name, SUM(CAST(p_retailprice*l_quantity AS DECIMAL(30,10))) AS val
+               FROM lineitem, part WHERE p_partkey=l_partkey GROUP BY p_name)
+    SELECT p_name, ROUND(CAST(val AS DOUBLE),2) AS part_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE)*0.017 FROM v)
+    """,
+)
+def q86_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: value concentration — groups holding more than a
+    fixed fraction of the GLOBAL total (HAVING against a scalar aggregate
+    over the same derived table). The grouped frame is computed once and
+    reused for both sides (self-referencing CTE semantics); the global
+    total is a 1-row broadcast, so the filter is a codegen comparison, not
+    a join. Decimal accumulation on both sides makes the threshold
+    comparison order-free."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    v = (
+        li.join(local_hint(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_name")
+        .agg(
+            F.sum((F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(30,10)")).alias(
+                "val"
+            )
+        )
+    )
+    total = v.agg((F.sum("val").cast("double") * 0.017).alias("thr"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("thr"))
+        .select("p_name", F.round(F.col("val").cast("double"), 2).alias("part_value"))
+    )
+
+
+@register(
+    "q87_parts_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey=l_partkey AND p_brand <> 'Brand#1'
+      AND p_size IN (5,11,17,23,29,35,41,47)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q87_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: how many suppliers can supply each qualifying part
+    class, excluding a complaint list (NOT IN subquery -> LEFT ANTI join;
+    s_suppkey is non-null so the NULL-semantics trap of NOT IN never
+    bites). The part filters collapse part to a broadcast; the anti probe
+    is the (tiny) pre-filtered complaint set, also broadcast; the only
+    shuffle is the distinct-count aggregation."""
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q88_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey=l1.l_suppkey AND o_orderkey=l1.l_orderkey AND o_orderstatus='F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND s_nationkey=n_nationkey
+      AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey=l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                      WHERE l3.l_orderkey=l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND o3.o_orderkey=l3.l_orderkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q88_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finalized orders (lateness = shipped >90 days after
+    order date; the driver schema has no commit/receipt dates). The
+    EXISTS / NOT EXISTS pair decorrelates into one per-order aggregate:
+    distinct suppliers and distinct LATE suppliers per order, computed in
+    a single groupBy over the lateness-annotated lineitem — l1 qualifies
+    iff the order has >1 distinct supplier and exactly one distinct late
+    supplier (l1 itself). ONE shuffle on l_orderkey replaces both
+    correlated scans; the per-order profile then broadcast-joins back."""
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin(
+                        "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+                    )
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(local_hint(o), F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    profile = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    l1 = lo.filter(F.col("late") & (F.col("o_orderstatus") == "F")).select(
+        F.col("l_orderkey").alias("k1"), "l_suppkey"
+    )
+    return (
+        l1.join(local_hint(profile), F.col("k1") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q89_potential_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem, part
+        WHERE p_partkey=l_partkey AND p_name LIKE 'red%'
+        GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+    """,
+)
+def q89_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in given nations who moved significant
+    volume of a part class — nested IN subqueries, both becoming LEFT SEMI
+    joins. The inner aggregate (per supplier x part quantity over the
+    name-filtered parts) is the only shuffle; its distinct supplier keys
+    and the nation keys are broadcast semi probes against supplier."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    movers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("n_nationkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
