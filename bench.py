@@ -55,6 +55,8 @@ HEADLINE = [
     "x61_domain_doc_cap",
     "x62_vocab_heavy_hitters",
     "x63_source_vocab_overlap",
+    "x64_boilerplate_scrub",
+    "x65_semantic_dedup",
 ]
 
 
