@@ -124,6 +124,47 @@ def decode_bmp_pixels(payload: bytes | None):
     return px if top_down else px[::-1]
 
 
+def encode_bmp_pixels(px) -> bytes:
+    """REAL image encode: uint8 ndarray (h, w, 3) RGB -> BMP BI_RGB 24bpp
+    bytes (bottom-up rows, 4-byte row padding) — the exact inverse of
+    :func:`decode_bmp_pixels`, so decode(encode(px)) round-trips."""
+    import numpy as np
+
+    h, w = int(px.shape[0]), int(px.shape[1])
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR, bottom-up
+    body = rows.tobytes()
+    off = 54
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def resize_image_pixels(px, out_w: int, out_h: int):
+    """Nearest-neighbor resample of a (h, w, 3) uint8 array to
+    (out_h, out_w, 3) — pure numpy index arithmetic (the sample grid is
+    the pixel-center mapping, matching the classic NN convention)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return px[yi][:, xi]
+
+
 def _audio_features(samples) -> list[float]:
     """RMS / zero-crossing rate / peak per payload (mono-mixed), padded to
     FEATURE_DIM — the cheap featurization an audio-quality filter runs."""
@@ -190,6 +231,62 @@ def extract_features(media: DataFrame, deterministic_fake: bool = False) -> Data
 
     # repartition by media_id so payload bytes spread evenly across tasks
     return media.repartition("media_id").mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+#: resize output: the resampled payload plus its new dimensions
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, deterministic_fake: bool = False
+) -> DataFrame:
+    """Resize every image payload to (out_w, out_h) via mapInPandas —
+    the thumbnail/normalization pass a vision-training pipeline runs
+    before feature extraction, REAL for uncompressed BMP 24bpp
+    (numpy nearest-neighbor, re-encoded losslessly as BMP so downstream
+    decode_bmp_pixels round-trips). Compressed formats need a codec this
+    container lacks: they raise NotImplementedError unless
+    ``deterministic_fake`` passes them through untouched with NULL
+    dimensions (the stubbing contract of :func:`extract_features`).
+
+    Scale: payload-heavy Arrow batches, spread by media_id; per-row cost
+    is O(out pixels); output rows carry only the resampled bytes, so a
+    thumbnail pass SHRINKS the shuffle/write volume rather than carrying
+    originals forward."""
+
+    def one(payload):
+        if payload is None:
+            return (None, None, None)
+        px = decode_bmp_pixels(bytes(payload))
+        if px is not None:
+            small = resize_image_pixels(px, out_w, out_h)
+            return (out_w, out_h, encode_bmp_pixels(small))
+        if deterministic_fake:
+            return (None, None, bytes(payload))
+        raise NotImplementedError(
+            "compressed-media decode requires image libraries not present in this container"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": res.map(lambda t: t[0]),
+                    "height": res.map(lambda t: t[1]),
+                    "payload": res.map(lambda t: t[2]),
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(kernel, RESIZED_SCHEMA)
 
 
 #: header-sniff output: real decoded metadata (no media libraries needed)

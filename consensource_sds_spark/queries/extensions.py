@@ -2764,11 +2764,16 @@ def x64_boilerplate_scrub(spark, sf_dir):
     and auditable via n_removed).
 
     Scale/plan: same chunk explode as x38, ONE digest-keyed hash-agg for
-    the repeated set, one passage-keyed anti shuffle to scrub, one
-    doc-keyed shuffle to reassemble (array_sort on (k, passage) structs —
-    in-group sort, no window). Nothing is quadratic; the repeated set is
-    a HAVING-filtered aggregate (tiny — boilerplate is by definition a
-    small distinct set with high multiplicity)."""
+    the repeated set, then ONE passage-keyed join stamps a repeated flag
+    (same key as the agg — the exchange is reused, not re-shuffled), and
+    ONE doc-keyed groupBy produces the reassembled text (array_sort on
+    (k, passage) structs, collect_list skipping the flagged nulls) AND
+    the n_removed count in the same pass — three shuffle waves total, no
+    join back to documents (every document yields >=1 chunk, so the
+    doc-keyed groupBy already covers all of them; an all-boilerplate doc
+    collects an empty array -> ''). Nothing is quadratic; the repeated
+    set is a HAVING-filtered aggregate (tiny — boilerplate is by
+    definition a small distinct set with high multiplicity)."""
     d = load(spark, sf_dir, "documents")
     toks = "split(text, ' ')"
     p = d.select(
@@ -2782,34 +2787,24 @@ def x64_boilerplate_scrub(spark, sf_dir):
         p.groupBy("passage")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("passage")
+        .select("passage", F.lit(True).alias("_rep"))
     )
-    kept = p.join(rep, "passage", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
+    flagged = p.join(rep, "passage", "left")
+    return flagged.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "passage"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rep").isNull(), F.struct("k", "passage"))
+                    )
+                ),
                 lambda s: s.getField("passage"),
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    totals = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_total"))
-    return (
-        d.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            (
-                F.coalesce(F.col("_n_total"), F.lit(0))
-                - F.coalesce(F.col("_n_kept"), F.lit(0))
-            )
-            .cast("long")
-            .alias("n_removed"),
-        )
+        F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
     )
 
 

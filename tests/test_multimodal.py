@@ -253,3 +253,54 @@ def test_extract_features_real_formats_no_fake(spark):
     assert abs(out[1]["features"][0] - 0.5) < 1e-3  # constant half-scale RMS
     assert abs(out[2]["features"][0] - 0.5) < 1e-6  # mean red of black+white
     assert len(out[1]["features"]) == MM.FEATURE_DIM
+
+
+def test_encode_decode_bmp_roundtrip():
+    import numpy as np
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    px = MM.decode_bmp_pixels(_bmp(rows))
+    again = MM.decode_bmp_pixels(MM.encode_bmp_pixels(px))
+    assert np.array_equal(px, again)
+
+
+def test_resize_image_pixels_nn():
+    import numpy as np
+
+    # 4x4 quadrant image downsampled 2x: each output pixel is its quadrant color
+    q = [[(255, 0, 0)] * 2 + [(0, 255, 0)] * 2] * 2 + [[(0, 0, 255)] * 2 + [(255, 255, 0)] * 2] * 2
+    px = MM.decode_bmp_pixels(_bmp(q))
+    small = MM.resize_image_pixels(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert tuple(small[0, 0]) == (255, 0, 0)
+    assert tuple(small[0, 1]) == (0, 255, 0)
+    assert tuple(small[1, 0]) == (0, 0, 255)
+    assert tuple(small[1, 1]) == (255, 255, 0)
+    # upsample also works (no index overflow at edges)
+    big = MM.resize_image_pixels(px, 7, 5)
+    assert big.shape == (5, 7, 3)
+
+
+def test_resize_images_dataframe(spark):
+    rows = [
+        (1, "image", _bmp([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 0)]]), "image/bmp", 2, 2, None),
+        (2, "image", _png(4, 4), "image/png", 4, 4, None),
+        (3, "image", None, "image/bmp", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.resize_images(media, 1, 1, deterministic_fake=True).collect()}
+    # BMP really resampled + re-encoded: decodes back at the new size
+    px = MM.decode_bmp_pixels(out[1]["payload"])
+    assert px.shape == (1, 1, 3) and out[1]["width"] == 1 and out[1]["height"] == 1
+    # compressed passthrough under the stub contract, NULL dims
+    assert bytes(out[2]["payload"]) == _png(4, 4) and out[2]["width"] is None
+    assert out[3]["payload"] is None
+
+    # without the stub, compressed media raises (contract pinned)
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|image libraries"):
+        MM.resize_images(media, 1, 1).collect()
