@@ -2878,3 +2878,71 @@ def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3):
     return e.join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left").select(
         "vec_id", "label", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
     )
+
+
+@register(
+    "x66_incremental_neardup_probe",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, snap, sh FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS snap,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, snap, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, snap, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, snap, seed
+    ), bands AS (
+      SELECT doc_id, snap, seed // 2 AS band,
+             STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, snap, seed // 2
+    )
+    SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+    FROM bands n JOIN bands c ON n.band = c.band AND n.band_val = c.band_val
+    WHERE n.snap = 1 AND c.snap = 0
+    """,
+)
+def x66_incremental_neardup_probe(spark, sf_dir):
+    """Incremental (new-batch-vs-corpus) NEAR-dup probe — the LSH twin of
+    x58's exact-digest probe: the incoming batch's band values are joined
+    against the standing corpus band INDEX, so ingest-time near-dedup
+    never rescans or re-pairs the corpus (x03 re-pairs everything; this
+    answers "which retained docs does the new batch near-duplicate"
+    touching only batch x matching-buckets). Here both sides derive from
+    one table via the x57/x58 hash split (snap 0 = corpus, snap 1 =
+    incoming); in production the corpus side is the materialized band
+    table the ingest pipeline maintains append-only.
+
+    Scale: the probe is an equi-join on (band, band_val) — the batch side
+    (small) builds, the corpus index streams; with the index bucketed on
+    the band key the corpus side is shuffle-free, and candidate volume is
+    bounded by the batch's bucket occupancy, never corpus x corpus. The
+    exact-verify step is x04/x44 on the emitted pairs."""
+    sig = x02_minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"),
+            ).alias("band_val")
+        )
+        .withColumn(
+            "snap",
+            F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2"),
+        )
+    )
+    new = bands.filter(F.col("snap") == 1).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "band_val"
+    )
+    corpus = bands.filter(F.col("snap") == 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "band_val"
+    )
+    return new.join(corpus, ["band", "band_val"]).select("new_doc_id", "corpus_doc_id").distinct()
