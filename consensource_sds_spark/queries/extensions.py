@@ -1496,6 +1496,36 @@ def x42_vocab_oov(spark, sf_dir):
     )
 
 
+def with_filter_verdict(df):
+    """Stamp the x43 rule verdict onto ANY frame with (text, lang) columns
+    — batch tables and streaming microbatches run the IDENTICAL rules
+    (streaming/corpus_ingest.py imports this; the registry entry below is
+    the batch/oracle face of the same projection). Adds ``verdict``,
+    ``n_tokens``, ``uniq_ratio``; first tripped rule wins, rules ordered
+    cheapest-first; pure codegen projection, no shuffle."""
+    sig = df.withColumns(
+        {
+            "n_tokens": F.expr("size(split(text, ' '))"),
+            "uniq_ratio": F.expr(
+                "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+                " / size(split(text, ' '))"
+            ),
+        }
+    )
+    return sig.withColumns(
+        {
+            "verdict": F.expr(
+                "CASE WHEN n_tokens < 20 THEN 'too_short'"
+                " WHEN lang != 'en' THEN 'non_english'"
+                " WHEN uniq_ratio < 0.25 THEN 'too_repetitive'"
+                " ELSE 'keep' END"
+            ),
+            "n_tokens": F.col("n_tokens").cast("long"),
+            "uniq_ratio": F.round("uniq_ratio", 4),
+        }
+    )
+
+
 @register(
     "x43_filter_pipeline",
     oracle="""
@@ -1527,26 +1557,7 @@ def x43_filter_pipeline(spark, sf_dir):
     CASE chain short-circuits, so the expensive signals only evaluate for
     docs that survive the cheap gates; no shuffle."""
     d = load(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        "lang",
-        F.expr("size(split(text, ' ')) AS n_tokens"),
-        F.expr(
-            "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
-            " / size(split(text, ' ')) AS uniq_ratio"
-        ),
-    )
-    return sig.select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN n_tokens < 20 THEN 'too_short'"
-            " WHEN lang != 'en' THEN 'non_english'"
-            " WHEN uniq_ratio < 0.25 THEN 'too_repetitive'"
-            " ELSE 'keep' END AS verdict"
-        ),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("uniq_ratio", 4).alias("uniq_ratio"),
-    )
+    return with_filter_verdict(d).select("doc_id", "verdict", "n_tokens", "uniq_ratio")
 
 
 @register(

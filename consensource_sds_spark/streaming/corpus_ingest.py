@@ -1,0 +1,143 @@
+"""Continuous training-corpus ingest — the streaming face of corpus.py.
+
+A data team's corpus is not rebuilt nightly at 100 TB; new crawl batches
+arrive continuously and must pass the SAME gates the batch build applies:
+
+    rule filter (x43's verdict expressions, imported — one rule set)
+      -> incremental exact dedup vs the STANDING digest index
+         (x58 semantics: the corpus is never rescanned, only its
+         (digest, keep_doc_id) index is probed; within-batch dups
+         collapse to the min doc_id first)
+      -> sharded split=*/shard_id=* append (same layout/expressions as
+         the batch writer, so loaders cannot tell the corpora apart)
+
+Exactly-once story: the streaming checkpoint dedupes source files; inside
+``foreachBatch`` every write is keyed by ``batch_id`` partition directory
+with dynamic partition overwrite, so a REPLAYED microbatch (crash between
+sink writes and checkpoint commit) overwrites its own previous output
+instead of double-appending — idempotence by layout, the same trick the
+SCD2 store gets from its manifest. The digest index is itself a
+batch_id-partitioned parquet table: readers see one row per retained
+digest regardless of replays.
+
+Scale: the only per-batch work proportional to the CORPUS is the digest
+index probe, a hash join where the (small) batch side builds; everything
+else is O(batch). The index at 100 TB corpus scale is ~16 bytes/doc —
+broadcastable for small batches, bucketed on digest for big ones. The
+near-dup twin is x66's band-index probe; wiring it in is the same join
+against the banded signature table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from consensource_sds_spark.queries.extensions import with_filter_verdict
+from consensource_sds_spark.sources.dataset_writer import ROW_GROUP_BYTES, with_shard_columns
+
+#: the documents-table schema (TESTDATA.md) — file streams need it declared
+DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def _digest_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The standing (digest, keep_doc_id) table, or None before first batch."""
+    try:
+        return spark.read.parquet(index_dir).select("digest", "keep_doc_id")
+    except Exception:
+        return None  # AnalysisException on empty/missing path
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    n_shards: int = 16,
+) -> None:
+    """One microbatch through filter -> incremental dedup -> sharded append.
+
+    Pure function of (batch, standing index) so the identical code runs
+    under spark.read for backfill and inside foreachBatch for the stream."""
+    kept = with_filter_verdict(batch_df).filter(F.col("verdict") == "keep")
+    digests = kept.withColumn("digest", F.md5("text"))
+    # collapse within-batch duplicates first (min doc_id survives), then
+    # probe the standing index — one digest-keyed shuffle + one probe join
+    batch_min = (
+        digests.withColumn(
+            "_rk", F.row_number().over(Window.partitionBy("digest").orderBy("doc_id"))
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    idx = _digest_index(spark, index_dir)
+    fresh = (
+        batch_min.join(F.broadcast(idx.select("digest")), "digest", "left_anti")
+        if idx is not None
+        else batch_min
+    )
+    fresh = fresh.select("doc_id", "text", "lang", "source", "n_chars", "digest").localCheckpoint()
+
+    # idempotent-by-layout appends: each write owns its batch_id directory.
+    # ORDER MATTERS for crash convergence: corpus rows first, index last —
+    # a replay after a crash between the two recomputes `fresh` (the index
+    # probe still misses) and overwrites the same corpus partitions; had
+    # the index gone first, the replay's probe would filter the batch to
+    # empty and its corpus rows would be lost.
+    (
+        with_shard_columns(fresh.drop("digest"), key="doc_id", n_shards=n_shards)
+        .withColumn("batch_id", F.lit(batch_id))
+        .repartition("split", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "split", "shard_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.block.size", ROW_GROUP_BYTES)
+        .parquet(out_dir)
+    )
+    (
+        fresh.select("digest", F.col("doc_id").alias("keep_doc_id"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(index_dir)
+    )
+
+
+def run_corpus_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 16,
+    available_now: bool = True,
+):
+    """Stream document files from ``source_dir`` through the corpus gates
+    into ``out_dir`` (+ ``<out_dir>_digest_index``). ``available_now``
+    drains what exists and stops — the backfill/test trigger; pass False
+    for a continuously-running ingest."""
+    index_dir = out_dir.rstrip("/") + "_digest_index"
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, batch_df, batch_id, out_dir, index_dir, n_shards)
+
+    writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The ingested corpus as a frame (batch_id/split/shard_id partition
+    columns included)."""
+    return spark.read.parquet(out_dir)
+
+
+__all__ = ["ingest_batch", "run_corpus_stream", "read_corpus", "DOC_SCHEMA"]
