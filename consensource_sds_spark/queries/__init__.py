@@ -263,6 +263,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else follows in registration order. Keep newly added queries in this list.
 _GATE_PRIORITY: tuple[str, ...] = (
     # round-5 additions: never driver-checked yet
+    "q90_cohort_retention",
+    "q91_funnel_conversion",
     "x66_incremental_neardup_probe",
     "x64_boilerplate_scrub",
     "x65_semantic_dedup",

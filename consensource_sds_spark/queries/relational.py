@@ -2632,3 +2632,93 @@ def q89_potential_promotion(spark, sf_dir):
         .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "q90_cohort_retention",
+    oracle="""
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, day FROM d)
+    SELECT f.cohort_day, a.day - f.cohort_day AS age_days,
+           COUNT(*) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, a.day - f.cohort_day
+    """,
+)
+def q90_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each subsequent day they return — THE product-analytics query (how
+    many of day-N's new users are still active at age k). Day numbers are
+    integer epoch-day arithmetic on ts_us (no calendar functions, so no
+    timezone trap). Every stage keys on user_id: the cohort aggregate, the
+    (user, day) distinct, and their join all reuse ONE user-keyed shuffle
+    partitioning; the final (cohort, age) aggregate is over far fewer rows
+    than events. Scale: no window over the raw stream, and the retention
+    matrix is O(days²) rows regardless of corpus size."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    a = e.distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "q91_funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts_us > v.t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_us > c.t2 GROUP BY e.user_id)
+    SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def q91_funnel_conversion(spark, sf_dir):
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first qualifying click — strict
+    temporal ordering, not mere event co-occurrence (the distinction that
+    makes funnels hard in plain SQL). Each stage narrows the previous
+    stage's user set; all three stages aggregate and join on user_id, so
+    the plan reuses one user-keyed partitioning end to end and the final
+    counts are three 1-row aggregates unioned. Scale: events stream
+    through type-pruned scans; no window over the full stream, state is
+    one (user, ts) row per stage."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        v.agg(F.lit("1_view").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        .unionByName(
+            c.agg(F.lit("2_click").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        )
+        .unionByName(
+            p.agg(F.lit("3_purchase").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        )
+    )
