@@ -1,0 +1,78 @@
+"""The spark.sql face of the engine — what replaces the reference stack's
+"query Postgres" workflow (consensource-api/database reads the mirrored
+tables with plain SQL; SURVEY §2.7).
+
+Two registration entry points, after which any ANSI SQL the reference's
+consumers run works verbatim via ``spark.sql(...)``:
+
+- :func:`register_input_tables` — the analytic star schema + corpus
+  tables as temp views (pooled/re-laid through ``queries.load``, so SQL
+  users get the same scan behavior as the registry queries);
+- :func:`register_store_views` — the SCD2 store's tables three ways per
+  sink table: ``<t>`` (current state — ``end_block_num = MAX_BLOCK``,
+  the reference's steady-state read, event_handler.rs's open rows),
+  ``<t>_history`` (every version), and with ``as_of_block`` also
+  ``<t>_asof`` (time travel: versions live at that block — the
+  reference reconstructs this by replay; here it is one predicate).
+
+Views are lazy: registration is metadata-only, each SQL query plans
+against the CURRENT store manifest state at execution time (current()
+re-reads the manifest per call, so re-register after apply() to pick up
+a new generation — noted in the function docs).
+
+Scale: a view is just a named plan — predicates SQL users write are
+pushed into the store's parquet scans by Catalyst exactly as the
+DataFrame API's would be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from consensource_sds_spark import schemas
+from consensource_sds_spark.operators.scd2 import ScdParquetStore
+from consensource_sds_spark.queries import load
+
+#: the driver testdata tables (TESTDATA.md)
+INPUT_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_input_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> list[str]:
+    """Register the analytic input tables as temp views named after the
+    tables; returns the registered names. ``events`` gains the ``ts_us``
+    column exactly as ``queries.load`` exposes it."""
+    names = []
+    for t in tables or INPUT_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+    return names
+
+
+def register_store_views(
+    spark: SparkSession, store: ScdParquetStore, as_of_block: int | None = None
+) -> list[str]:
+    """Register every SCD2 sink table as SQL views: ``<t>`` (current),
+    ``<t>_history`` (all versions), and ``<t>_asof`` when ``as_of_block``
+    is given. Views capture the manifest generation at registration time —
+    call again after ``apply()`` to see a newer generation."""
+    names: list[str] = []
+    for t in schemas.SINK_TABLES:
+        store.current(t).createOrReplaceTempView(t)
+        store.read(t).createOrReplaceTempView(f"{t}_history")
+        names += [t, f"{t}_history"]
+        if as_of_block is not None:
+            store.as_of(t, as_of_block).createOrReplaceTempView(f"{t}_asof")
+            names.append(f"{t}_asof")
+    store.blocks().createOrReplaceTempView("blocks")
+    names.append("blocks")
+    return names
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Thin alias so callers can treat this module as the query door."""
+    return spark.sql(query)
+
+
+__all__ = ["register_input_tables", "register_store_views", "sql", "INPUT_TABLES"]
