@@ -42,6 +42,52 @@ def x01_dedup_exact(spark, sf_dir):
     )
 
 
+def minhash_signatures_frame(d):
+    """x02's signature construction over ANY (doc_id, text) frame — the
+    batch registry entry below and the streaming band-index ingest
+    (streaming/corpus_ingest.py) share this one implementation, so a
+    streamed document gets the IDENTICAL signature its batch twin would.
+    No per-seed explode: each shingle row computes the 8 slice columns and
+    one groupBy(doc_id) takes 8 MINs (map-side partial agg)."""
+    # SQL-string expressions: one parse per column vs dozens of client->JVM
+    # Column round trips (plan-build latency, not plan shape).
+    toks = "split(text, ' ')"
+    sh = d.select(
+        "doc_id",
+        F.expr(
+            f"explode(array_distinct(zip_with(slice({toks}, 1, size({toks}) - 1),"
+            f" slice({toks}, 2, size({toks}) - 1), (a, b) -> concat_ws(' ', a, b)))) AS sh"
+        ),
+    )
+    h0, h1 = "md5(sh)", "md5(concat('x:', sh))"
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(substring({h0 if s < 4 else h1}, {(s % 4) * 8 + 1}, 8)) AS h{s}")
+            for s in range(8)
+        ]
+    )
+    stack = ", ".join(f"{s}L, h{s}" for s in range(8))
+    return sig.selectExpr("doc_id", f"stack(8, {stack}) AS (seed, minhash)")
+
+
+def minhash_band_values(d):
+    """(doc_id, band, band_val) LSH band table for ANY (doc_id, text)
+    frame — x03's banding over :func:`minhash_signatures_frame`; the
+    probe key of the standing band index (x66 / streaming ingest)."""
+    sig = minhash_signatures_frame(d)
+    return (
+        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"),
+            ).alias("band_val")
+        )
+    )
+
+
+
 @register(
     "x02_minhash_signatures",
     oracle="""
@@ -61,37 +107,17 @@ def x01_dedup_exact(spark, sf_dir):
     GROUP BY doc_id, seed
     """,
 )
+
 def x02_minhash_signatures(spark, sf_dir):
     """MinHash signatures over word-2-shingles: 8 slots = 8-hex-char slices
     of two md5 digests (md5(sh), md5('x:'||sh)). MIN over fixed-width
     lowercase hex is numeric MIN, so slot values stay engine-portable while
     hashing costs 2 digests per shingle, not 8.
 
-    Scale/plan: no per-seed explode — each shingle row computes the 8 slice
-    columns and one groupBy(doc_id) takes 8 MINs; partial aggregation
-    collapses map-side, so the shuffle carries ~one 8-slot row per (doc,
-    partition). The wide signature then unpivots to (doc_id, seed, minhash)
-    rows."""
-    # SQL-string expressions: one parse per column vs dozens of client->JVM
-    # Column round trips (plan-build latency, not plan shape).
-    d = load(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
-    sh = d.select(
-        "doc_id",
-        F.expr(
-            f"explode(array_distinct(zip_with(slice({toks}, 1, size({toks}) - 1),"
-            f" slice({toks}, 2, size({toks}) - 1), (a, b) -> concat_ws(' ', a, b)))) AS sh"
-        ),
-    )
-    h0, h1 = "md5(sh)", "md5(concat('x:', sh))"
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min(substring({h0 if s < 4 else h1}, {(s % 4) * 8 + 1}, 8)) AS h{s}")
-            for s in range(8)
-        ]
-    )
-    stack = ", ".join(f"{s}L, h{s}" for s in range(8))
-    return sig.selectExpr("doc_id", f"stack(8, {stack}) AS (seed, minhash)")
+    Scale/plan: see :func:`minhash_signatures_frame` (the shared
+    implementation). The wide signature unpivots to (doc_id, seed,
+    minhash) rows."""
+    return minhash_signatures_frame(load(spark, sf_dir, "documents"))
 
 
 @register(

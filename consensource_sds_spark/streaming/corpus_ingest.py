@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from consensource_sds_spark.queries.extensions import with_filter_verdict
+from consensource_sds_spark.queries.extensions import minhash_band_values, with_filter_verdict
 from consensource_sds_spark.sources.dataset_writer import ROW_GROUP_BYTES, with_shard_columns
 
 #: the documents-table schema (TESTDATA.md) — file streams need it declared
@@ -51,6 +51,53 @@ def _digest_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
         return None  # AnalysisException on empty/missing path
 
 
+def _band_index(spark: SparkSession, band_dir: str) -> DataFrame | None:
+    """The standing (doc_id, band, band_val) LSH index, or None."""
+    try:
+        return spark.read.parquet(band_dir).select("doc_id", "band", "band_val")
+    except Exception:
+        return None
+
+
+def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFrame:
+    """Drop near-duplicates via the x66 band probe, streaming form:
+
+    1. within-batch — a doc sharing any band with a SMALLER doc_id in the
+       same batch drops (the pairwise-predecessor rule, x65's semantic;
+       chains collapse toward the minimum like x06's star contraction);
+    2. vs the corpus — surviving docs probe the STANDING band index; any
+       hit (a retained doc, necessarily from an earlier batch) drops the
+       newcomer. Index doc_ids equal to the probe doc_id are ignored so a
+       crash-replayed batch never treats its own previous write as a dup.
+
+    Both joins key on (band, band_val): batch x batch is bucket-bounded
+    and batch-sized; batch x index streams the index (bucketed on the
+    band key it is shuffle-free). Never corpus x corpus."""
+    bands = minhash_band_values(fresh.select("doc_id", "text")).localCheckpoint()
+    a = bands.select(F.col("doc_id").alias("_da"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("_db"), "band", "band_val")
+    dup_in_batch = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("_db") < F.col("_da"))
+        .select(F.col("_da").alias("doc_id"))
+        .distinct()
+    )
+    fresh = fresh.join(dup_in_batch, "doc_id", "left_anti")
+    idx = _band_index(spark, band_dir)
+    if idx is not None:
+        hits = (
+            bands.join(
+                idx.select(F.col("doc_id").alias("_di"), "band", "band_val"),
+                ["band", "band_val"],
+            )
+            .filter(F.col("_di") != F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = fresh.join(hits, "doc_id", "left_anti")
+    return fresh
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -58,6 +105,7 @@ def ingest_batch(
     out_dir: str,
     index_dir: str,
     n_shards: int = 16,
+    band_dir: str | None = None,
 ) -> None:
     """One microbatch through filter -> incremental dedup -> sharded append.
 
@@ -81,6 +129,8 @@ def ingest_batch(
         else batch_min
     )
     fresh = fresh.select("doc_id", "text", "lang", "source", "n_chars", "digest").localCheckpoint()
+    if band_dir is not None:
+        fresh = _near_dedup(spark, fresh, band_dir).localCheckpoint()
 
     # idempotent-by-layout appends: each write owns its batch_id directory.
     # ORDER MATTERS for crash convergence: corpus rows first, index last —
@@ -106,6 +156,17 @@ def ingest_batch(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(index_dir)
     )
+    if band_dir is not None:
+        # only RETAINED docs enter the band index (dups must never become
+        # probes' reference points); replay-safe like the digest index
+        (
+            minhash_band_values(fresh.select("doc_id", "text"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(band_dir)
+        )
 
 
 def run_corpus_stream(
@@ -115,16 +176,19 @@ def run_corpus_stream(
     checkpoint_dir: str,
     n_shards: int = 16,
     available_now: bool = True,
+    near_dedup: bool = False,
 ):
     """Stream document files from ``source_dir`` through the corpus gates
-    into ``out_dir`` (+ ``<out_dir>_digest_index``). ``available_now``
+    into ``out_dir`` (+ ``<out_dir>_digest_index``; with ``near_dedup``
+    also ``<out_dir>_band_index`` for the x66 LSH probe). ``available_now``
     drains what exists and stops — the backfill/test trigger; pass False
     for a continuously-running ingest."""
     index_dir = out_dir.rstrip("/") + "_digest_index"
+    band_dir = out_dir.rstrip("/") + "_band_index" if near_dedup else None
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, batch_id, out_dir, index_dir, n_shards)
+        ingest_batch(spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir)
 
     writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
     if available_now:

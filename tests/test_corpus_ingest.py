@@ -79,6 +79,35 @@ def test_replayed_batch_is_idempotent(spark, dirs):
     assert idx.count() == 2
 
 
+def test_stream_near_dedup_via_band_index(spark, dirs):
+    """With near_dedup on, a later batch's NEAR-duplicate (not byte-equal,
+    so the digest probe misses it) is dropped by the standing band index;
+    within-batch near-dups keep the smallest doc_id."""
+    near = " ".join(f"tok{i}" for i in range(29)) + " changed"  # ~0.87 Jaccard to GOOD
+    # batch 1: the original + an unrelated doc
+    _docs(spark, [(1, GOOD, "en", "a"), (2, GOOD2, "en", "a")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+    run_corpus_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], n_shards=4, near_dedup=True)
+    assert {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()} == {1, 2}
+
+    # batch 2: a near-dup of doc 1 (different bytes), plus a within-batch
+    # near-dup pair (21 vs 22 share text shape), plus a genuinely new doc
+    other = " ".join(f"fresh{i}" for i in range(30))
+    other_near = " ".join(f"fresh{i}" for i in range(29)) + " tweaked"
+    _docs(
+        spark,
+        [(20, near, "en", "b"), (21, other, "en", "b"), (22, other_near, "en", "b")],
+    ).coalesce(1).write.mode("append").parquet(dirs["src"])
+    run_corpus_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], n_shards=4, near_dedup=True)
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    # 20 near-dups corpus doc 1 -> dropped; 22 near-dups batch-mate 21 -> dropped
+    assert got == {1, 2, 21}
+    # the band index only carries retained docs
+    bidx = spark.read.parquet(dirs["out"] + "_band_index")
+    assert set(r["doc_id"] for r in bidx.select("doc_id").distinct().collect()) == {1, 2, 21}
+
+
 def test_backfill_and_stream_share_code(spark, dirs):
     """ingest_batch is the foreachBatch body AND the backfill entry —
     running it under spark.read produces the same corpus as the stream."""
