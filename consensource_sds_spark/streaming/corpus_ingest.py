@@ -204,4 +204,64 @@ def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-__all__ = ["ingest_batch", "run_corpus_stream", "read_corpus", "DOC_SCHEMA"]
+#: consolidated partition id for compacted index segments — negative so it
+#: can never collide with a real stream batch id
+_COMPACTED_BATCH_ID = -1
+
+
+def compact_indexes(spark: SparkSession, out_dir: str) -> None:
+    """Fold the per-batch index partitions into one consolidated segment.
+
+    The ingest writes one ``batch_id=N`` directory per microbatch — the
+    right shape for idempotent replay, the wrong one after 10k batches
+    (small-files listing cost on every probe). Compaction rewrites each
+    index into ``batch_id=-1`` and drops the per-batch directories.
+
+    Crash-safe by probe semantics, no manifest needed: the consolidated
+    segment is written FIRST (dynamic overwrite of its own partition),
+    then per-batch dirs are removed. A crash in between leaves rows
+    duplicated across old and consolidated partitions — and both probes
+    are agnostic to duplicate index rows (anti joins and DISTINCT'd hit
+    sets), so reads stay correct and the next compaction converges. New
+    batches arriving after compaction append fresh batch_id dirs as
+    usual."""
+    import shutil
+
+    for dir_ in (out_dir.rstrip("/") + "_digest_index", out_dir.rstrip("/") + "_band_index"):
+        if not os.path.isdir(dir_):
+            continue
+        live = [
+            d
+            for d in os.listdir(dir_)
+            if d.startswith("batch_id=") and d != f"batch_id={_COMPACTED_BATCH_ID}"
+        ]
+        if not live:
+            continue
+        # localCheckpoint cuts the file lineage BEFORE the write: the
+        # consolidated rows are pinned in block storage, so the overwrite
+        # never reads the directory it is rewriting
+        consolidated = (
+            spark.read.parquet(dir_)
+            .drop("batch_id")
+            .distinct()
+            .withColumn("batch_id", F.lit(_COMPACTED_BATCH_ID))
+            .repartition(max(1, len(live) // 64))
+            .localCheckpoint()
+        )
+        (
+            consolidated.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(dir_)
+        )
+        for d in live:
+            shutil.rmtree(os.path.join(dir_, d), ignore_errors=True)
+
+
+__all__ = [
+    "ingest_batch",
+    "run_corpus_stream",
+    "read_corpus",
+    "compact_indexes",
+    "DOC_SCHEMA",
+]

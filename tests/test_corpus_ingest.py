@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from consensource_sds_spark.streaming.corpus_ingest import (
+    compact_indexes,
     ingest_batch,
     read_corpus,
     run_corpus_stream,
@@ -116,3 +117,28 @@ def test_backfill_and_stream_share_code(spark, dirs):
     ingest_batch(spark, spark.read.parquet(dirs["src"]), 0, dirs["out"], dirs["idx"])
     batch_ids = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
     assert batch_ids == {1, 2}
+
+
+def test_compact_indexes_preserves_probe_behavior(spark, dirs):
+    """After folding per-batch index partitions into one segment, later
+    batches still dedup against everything ingested before compaction."""
+    import os
+
+    b1 = _docs(spark, [(1, GOOD, "en", "a")])
+    b2 = _docs(spark, [(2, GOOD2, "en", "a")])
+    band_dir = dirs["out"] + "_band_index"
+    ingest_batch(spark, b1, 0, dirs["out"], dirs["idx"], 4, band_dir)
+    ingest_batch(spark, b2, 1, dirs["out"], dirs["idx"], 4, band_dir)
+    compact_indexes(spark, dirs["out"])
+
+    # one consolidated partition per index, no per-batch dirs left
+    for d in (dirs["idx"], band_dir):
+        parts = sorted(p for p in os.listdir(d) if p.startswith("batch_id="))
+        assert parts == ["batch_id=-1"]
+
+    # a post-compaction batch: exact dup of b1, near-dup of b2, one new doc
+    near2 = " ".join(f"other{i}" for i in range(29)) + " tweaked"
+    b3 = _docs(spark, [(10, GOOD, "en", "b"), (11, near2, "en", "b"), (12, "brand " + " ".join(f"new{i}" for i in range(29)), "en", "b")])
+    ingest_batch(spark, b3, 2, dirs["out"], dirs["idx"], 4, band_dir)
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert got == {1, 2, 12}
