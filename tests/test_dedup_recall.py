@@ -108,3 +108,34 @@ def test_cluster_resolution_star_contraction(spark):
     clusters = {r["cluster_id"] for r in out}
     assert len(keeps) == len(clusters)
     assert all(r["doc_id"] == r["cluster_id"] for r in keeps)
+
+
+def test_incremental_probe_consistent_with_full_pairing(spark):
+    """x66 (batch-vs-corpus band probe) must emit exactly x03's candidate
+    pairs restricted to cross-snapshot pairs — the incremental path may
+    never invent or lose a candidate relative to the full re-pairing."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.queries.extensions import (
+        x03_minhash_lsh_pairs,
+        x66_incremental_neardup_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    snap = "conv(substring(md5(CAST({c} AS string)), 1, 4), 16, 10) % 2"
+    full = (
+        x03_minhash_lsh_pairs(spark, sf)
+        .withColumn("sa", F.expr(snap.format(c="doc_a")))
+        .withColumn("sb", F.expr(snap.format(c="doc_b")))
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.when(F.col("sa") == 1, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_doc_id"),
+            F.when(F.col("sa") == 0, F.col("doc_a")).otherwise(F.col("doc_b")).alias("corpus_doc_id"),
+        )
+    )
+    expect = {(r["new_doc_id"], r["corpus_doc_id"]) for r in full.collect()}
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in x66_incremental_neardup_probe(spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
