@@ -165,3 +165,34 @@ def test_long_frame_roundtrip():
     assert body == big and not is_cmd and not more
     a.close()
     b.close()
+
+
+def test_framing_roundtrip_property():
+    """Hypothesis fuzz over the frame codec: arbitrary multipart payloads
+    (short and LONG form, empty parts, interleaved PINGs) reassemble
+    exactly, and the PONG echoes every context."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        parts=st.lists(st.binary(max_size=2000), min_size=1, max_size=4),
+        ping_ctx=st.one_of(st.none(), st.binary(max_size=16)),
+    )
+    def check(parts, ping_ctx):
+        a, b = socket.socketpair()
+        try:
+            client = zmtp.ZmtpSocket(b)
+            if ping_ctx is not None:
+                zmtp._send_frame(a, bytes((4,)) + b"PING" + b"\x00\x10" + ping_ctx, command=True)
+            for i, p in enumerate(parts):
+                zmtp._send_frame(a, p, more=(i < len(parts) - 1))
+            assert client.recv_message(timeout_sec=5) == b"".join(parts)
+            if ping_ctx is not None:
+                body, is_cmd, _ = zmtp._recv_frame(a)
+                assert is_cmd and body == bytes((4,)) + b"PONG" + ping_ctx
+        finally:
+            a.close()
+            b.close()
+
+    check()
