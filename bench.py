@@ -222,7 +222,7 @@ def _ingest_bench(spark) -> dict:
     try:
         store = ScdParquetStore(spark, tmp)
         # cold: codegen + store init (small batch — warmup, not measurement)
-        store.apply(transform_events(one_batch(1, 100), materialize=True))
+        store.apply(transform_events(one_batch(1, 100), materialize=True, n_buckets=store._n_buckets()))
         # fixture build is excluded from timing; it round-trips through
         # parquet so the measured batch enters as a source-scanned frame
         # (what foreachBatch hands the body), not a driver-built python
@@ -236,7 +236,7 @@ def _ingest_bench(spark) -> dict:
             one_batch(first, n_blocks).repartition(n_files).write.mode("overwrite").parquet(ev_dir)
             big = spark.read.parquet(ev_dir)
             t0 = time.perf_counter()
-            store.apply(transform_events(big, materialize=True))
+            store.apply(transform_events(big, materialize=True, n_buckets=store._n_buckets()))
             dt = min(dt, time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

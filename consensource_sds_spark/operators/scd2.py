@@ -128,6 +128,12 @@ class PipelineBatch:
     #: so every frame above is a narrow projection over in-memory state and
     #: the sink can skip its own defensive materialization of the emissions.
     materialized: bool = False
+    #: per-group touched open-bucket ids, observed during the producer's
+    #: checkpoint waves (transform_events(n_buckets=...)) so apply() can
+    #: skip its bucket-distinct job; buckets_n records the bucket count the
+    #: producer assumed — a sink with a different count recomputes.
+    touched_buckets: dict[str, list[int]] | None = None
+    buckets_n: int | None = None
 
 
 def merge_scd2(open_rows: DataFrame, new_rows: DataFrame, vkey: str, emissions: DataFrame, table_schema) -> DataFrame:
@@ -449,7 +455,11 @@ class ScdParquetStore:
             blocks_new = blocks_fut.result() if blocks_fut is not None else []
 
         touched_by_group: dict[str, list[int]] = {}
-        if unioned is not None:
+        if batch.touched_buckets is not None and batch.buckets_n == n:
+            # producer observed the bucket sets on its own checkpoint waves
+            # (transform_events(n_buckets=...)) — no extra job here
+            touched_by_group = {g: list(b) for g, b in batch.touched_buckets.items()}
+        elif unioned is not None:
             for r in (
                 unioned.select("_grp", self._bucket_expr("vkey", n).alias("b")).distinct().collect()
             ):

@@ -53,7 +53,9 @@ def _emissions(entries: DataFrame, key_expr: str) -> DataFrame:
     )
 
 
-def transform_events(events: DataFrame, materialize: bool = False) -> PipelineBatch:
+def transform_events(
+    events: DataFrame, materialize: bool = False, n_buckets: int | None = None
+) -> PipelineBatch:
     """Parse + dispatch + decode + project one microbatch of envelope rows.
 
     ``materialize=False`` (default) keeps the batch a pure plan — no
@@ -77,6 +79,16 @@ def transform_events(events: DataFrame, materialize: bool = False) -> PipelineBa
     The returned batch carries ``materialized=True`` so the sink skips its
     own defensive materialization of the emission union.
 
+    ``n_buckets`` (the sink's bucket count, e.g. ``store._n_buckets()``)
+    makes the TOUCHED-BUCKET sets ride the same checkpoint waves as
+    observed metrics — per-group key buckets on each entries checkpoint,
+    assertion-delete buckets on the changes checkpoint — so the sink's
+    ``apply()`` skips its separate bucket-distinct job entirely (one
+    fewer serial driver round trip per microbatch). The bucket mapping is
+    the store's own ``_bucket_expr`` (murmur3 pmod — part of the on-disk
+    layout), and the batch records which n it used so a sink with a
+    different bucket count falls back to computing its own.
+
     Partitioning: the decode chain is re-chunked to the BATCH size, not the
     source's partition count — an Arrow UDF task costs ~15-20 ms of python
     round-trip regardless of rows, so a 10k-row microbatch spread over 32
@@ -97,28 +109,56 @@ def transform_events(events: DataFrame, materialize: bool = False) -> PipelineBa
     changes = T.changes_at_blocks(deltas, blocks)
     present: set[str] | None = None
     entries_by_group: dict[str, DataFrame] = {}
+    touched_buckets: dict[str, list[int]] | None = None
     if materialize:
         from pyspark.sql import Observation
 
+        from consensource_sds_spark.operators.scd2 import ScdParquetStore
+
         # the group-pruning distinct rides the checkpoint's own job as an
-        # observed metric — no separate collect action
+        # observed metric — no separate collect action. With n_buckets,
+        # the assertion-DELETE tombstone buckets ride the same job (their
+        # keys never appear in any entries frame).
         obs = Observation()
-        changes = changes.observe(obs, F.collect_set("address_space").alias("spaces"))
+        metrics = [F.collect_set("address_space").alias("spaces")]
+        if n_buckets is not None:
+            del_bucket = F.when(
+                (F.col("address_space") == "assertion") & (F.col("change_type") == "DELETE"),
+                ScdParquetStore._bucket_expr("address", n_buckets),
+            )
+            metrics.append(F.collect_set(del_bucket).alias("del_buckets"))
+        changes = changes.observe(obs, *metrics)
         changes = changes.localCheckpoint()
-        present = set(obs.get["spaces"])
+        got = obs.get
+        present = set(got["spaces"])
         groups = [g for g in _GROUPS if g in present]
+        bucket_obs: dict[str, "Observation"] = {}
+
+        def _ckpt(g: str) -> DataFrame:
+            e = T.entity_entries(changes, g)
+            if n_buckets is not None:
+                o = Observation()
+                bucket_obs[g] = o
+                e = e.observe(
+                    o,
+                    F.collect_set(
+                        ScdParquetStore._bucket_expr(_GROUPS[g][0], n_buckets)
+                    ).alias("b"),
+                )
+            return e.localCheckpoint()
+
         if groups:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=len(groups)) as pool:
-                entries_by_group = dict(
-                    zip(
-                        groups,
-                        pool.map(
-                            lambda g: T.entity_entries(changes, g).localCheckpoint(), groups
-                        ),
-                    )
-                )
+                entries_by_group = dict(zip(groups, pool.map(_ckpt, groups)))
+        if n_buckets is not None:
+            touched_buckets = {g: set(bucket_obs[g].get["b"]) for g in groups}
+            if "assertion" in _GROUPS:
+                dels = set(got.get("del_buckets") or [])
+                if dels:
+                    touched_buckets["assertion"] = touched_buckets.get("assertion", set()) | dels
+            touched_buckets = {g: sorted(b) for g, b in touched_buckets.items() if b}
 
     tables: dict[str, DataFrame] = {}
     emissions: dict[str, DataFrame] = {}
@@ -149,4 +189,6 @@ def transform_events(events: DataFrame, materialize: bool = False) -> PipelineBa
         emissions=emissions,
         quarantine=T.invalid_changes(changes),
         materialized=materialize,
+        touched_buckets=touched_buckets,
+        buckets_n=n_buckets if touched_buckets is not None else None,
     )

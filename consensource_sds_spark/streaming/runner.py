@@ -64,7 +64,7 @@ def run_file_stream(
         # boundary (W1) and is idempotent on (stream identity, batch_id)
         # replay — the stream identity is the engine's persistent query id.
         store.apply(
-            transform_events(batch_df, materialize=True),
+            transform_events(batch_df, materialize=True, n_buckets=store._n_buckets()),
             batch_id=batch_id,
             txn_app_id=_query_id(checkpoint_dir),
         )
@@ -114,7 +114,7 @@ def run_validator_stream(
 
     def apply_batch(batch_df, batch_id: int):
         store.apply(
-            transform_events(batch_df, materialize=True),
+            transform_events(batch_df, materialize=True, n_buckets=store._n_buckets()),
             batch_id=batch_id,
             txn_app_id=_query_id(checkpoint_dir),
         )

@@ -118,3 +118,58 @@ def test_rewind_then_apply_preserves_bucketing(spark, store):
     after = dict(store._manifest()["tables"]["agents"]["open_buckets"])
     changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
     assert len(changed) == 1
+
+
+def test_producer_observed_buckets_match_sink_computation(spark, tmp_path):
+    """transform_events(n_buckets=...) rides the touched-bucket sets on its
+    own checkpoint waves; they must equal what apply()'s own distinct over
+    the emission union would compute — including assertion DELETE
+    tombstones, whose keys never appear in any entries frame."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.operators.scd2 import ScdParquetStore
+    from consensource_sds_spark.pipeline import transform_events
+    from consensource_sds_spark.sources import fixtures as fx
+
+    addr = fx.make_address("assertion", fx.ASSERTION_ID)
+    a = dict(fx.make_assertion(), address=addr)
+    deliveries = [
+        fx.delivery(
+            1,
+            "b1",
+            [
+                fx.state_change("agent", f"k{i}", [dict(fx.make_agent(), public_key=f"pk{i}")])
+                for i in range(5)
+            ]
+            + [fx.state_change("assertion", fx.ASSERTION_ID, [a])],
+        ),
+        fx.delivery(
+            2,
+            "b2",
+            [fx.state_change("assertion", fx.ASSERTION_ID, None, change_type="DELETE")],
+        ),
+    ]
+    ev = fx.events_df(spark, deliveries)
+    n = 16
+    batch = transform_events(ev, materialize=True, n_buckets=n)
+    assert batch.buckets_n == n and batch.touched_buckets is not None
+
+    # recompute the reference answer the sink's fallback path would
+    expect: dict[str, set[int]] = {}
+    for g, emis in batch.emissions.items():
+        rows = emis.select(ScdParquetStore._bucket_expr("vkey", n).alias("b")).distinct().collect()
+        got = {r["b"] for r in rows}
+        if got:
+            expect[g] = got
+    assert {g: set(b) for g, b in batch.touched_buckets.items()} == expect
+    # the delete's bucket is present even though block-2 has no SET entries
+    del_bucket = spark.range(1).select(
+        F.pmod(F.hash(F.lit(addr)), F.lit(n)).alias("b")
+    ).first()["b"]
+    assert del_bucket in set(batch.touched_buckets["assertion"])
+
+    # and the store applies it end to end (tombstone closes the version)
+    store = ScdParquetStore(spark, str(tmp_path / "store"), n_buckets=n)
+    store.apply(batch)
+    assert store.current("assertions").count() == 0
+    assert store.read("assertions").count() == 1
