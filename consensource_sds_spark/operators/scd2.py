@@ -94,6 +94,11 @@ _EMISSION_COLS = ["vkey", *_ORDER, "is_delete"]
 _NEW_ROW_ORDER = ["batch_ord", "change_idx", "entry_idx"]
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a newer generation between this writer's
+    manifest read and its commit (optimistic-concurrency conflict)."""
+
+
 class UnsupportedStoreLayout(RuntimeError):
     """A store on disk uses a manifest layout this build cannot read.
 
@@ -265,11 +270,23 @@ class ScdParquetStore:
         referenced.update(manifest["blocks"])
         return referenced
 
-    def _commit(self, manifest: dict) -> None:
+    def _commit(self, manifest: dict, expected_gen: int | None = None) -> None:
         """The transaction boundary: write-then-rename is atomic on POSIX;
         everything the manifest references was durably written before this
         point, so a crash on either side of the rename leaves a consistent
         store.
+
+        Optimistic concurrency (the Delta commit-conflict check): with
+        ``expected_gen``, the swap only proceeds if the on-disk manifest
+        still carries that generation — a concurrent writer that committed
+        first raises :class:`ConcurrentWriteError` instead of being
+        silently overwritten (lost update). The check+swap runs under an
+        flock on a sidecar lock file, which serializes same-host writers;
+        the intended deployment is one writer per checkpoint (streaming),
+        so the guard exists to turn operator error into a loud failure,
+        not to enable multi-writer throughput. The loser's staged
+        generation directories are never referenced by any manifest and
+        are reclaimed by the winner's next vacuum.
 
         Vacuum is deferred by ONE generation (a minimal Delta-style
         retention window): directories superseded by THIS commit are
@@ -278,14 +295,25 @@ class ScdParquetStore:
         scannable across one apply/compact/rewind. Never-committed staging
         leftovers (a crashed attempt's directories, referenced by no
         manifest) are reclaimed immediately."""
-        prev = self._manifest()
-        prev_refs = self._referenced(prev)
-        new_refs = self._referenced(manifest)
-        manifest["retired"] = sorted(prev_refs - new_refs)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path())
+        import fcntl
+
+        with open(os.path.join(self.path, "_manifest.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            prev = self._manifest()
+            if expected_gen is not None and prev["gen"] != expected_gen:
+                raise ConcurrentWriteError(
+                    f"store at {self.path!r} advanced to generation {prev['gen']} "
+                    f"while this writer built on generation {expected_gen}; "
+                    "re-read and re-apply (one writer per store is the intended "
+                    "deployment)"
+                )
+            prev_refs = self._referenced(prev)
+            new_refs = self._referenced(manifest)
+            manifest["retired"] = sorted(prev_refs - new_refs)
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path())
         self._vacuum(manifest)
 
     def _vacuum(self, manifest: dict) -> None:
@@ -553,7 +581,7 @@ class ScdParquetStore:
                 new_man.setdefault("txn", {})[txn_app_id] = batch_id
             else:
                 new_man["last_batch_id"] = batch_id
-        self._commit(new_man)
+        self._commit(new_man, expected_gen=gen - 1)
 
     def compact(self, min_segments: int = 2) -> bool:
         """Table maintenance: coalesce each table's accumulated closed
@@ -587,7 +615,7 @@ class ScdParquetStore:
             new_man["blocks"] = [merged_rel]
             did = True
         if did:
-            self._commit(new_man)
+            self._commit(new_man, expected_gen=gen - 1)
         return did
 
     def rewind(self, block_num: int) -> None:
@@ -622,4 +650,4 @@ class ScdParquetStore:
             kept = self.blocks().filter(F.col("block_num") < block_num).coalesce(1)
             kept.write.mode("overwrite").parquet(os.path.join(self.path, seg))
             new_man["blocks"] = [seg]
-        self._commit(new_man)
+        self._commit(new_man, expected_gen=gen - 1)

@@ -171,7 +171,7 @@ def test_crash_mid_apply_is_invisible_then_replay_converges(spark, store, monkey
     _apply(spark, store, d1, batch_id=0)
 
     real_commit = store._commit
-    monkeypatch.setattr(store, "_commit", lambda man: (_ for _ in ()).throw(OSError("crash")))
+    monkeypatch.setattr(store, "_commit", lambda man, **kw: (_ for _ in ()).throw(OSError("crash")))
     with pytest.raises(OSError):
         _apply(spark, store, d2, batch_id=1)
     # nothing of batch 1 is visible
@@ -381,3 +381,36 @@ def test_materialized_batch_apply(spark, store):
         ("test_public_key", "renamed", 5, MAX),
         ("test_public_key", "test", 1, 5),
     ]
+
+
+def test_concurrent_commit_conflict_raises(spark, tmp_path):
+    """Optimistic concurrency: a writer whose manifest read predates another
+    writer's commit must fail LOUDLY at commit time (never a silent lost
+    update), and the store keeps the winner's state."""
+    import json
+
+    import pytest
+
+    from consensource_sds_spark.operators.scd2 import ConcurrentWriteError, ScdParquetStore
+
+    store = ScdParquetStore(spark, str(tmp_path / "reporting"))
+    _apply(
+        spark,
+        store,
+        [fx.delivery(1, "b1", [fx.state_change("agent", "a", [dict(fx.make_agent(), public_key="pk", name="n1")])])],
+    )
+    # stale writer: snapshot the manifest generation, then let another
+    # commit land (the "winner"), then try to commit on the stale base
+    stale_gen = store._manifest()["gen"]
+    _apply(
+        spark,
+        store,
+        [fx.delivery(2, "b2", [fx.state_change("agent", "a", [dict(fx.make_agent(), public_key="pk", name="n2")])])],
+    )
+    stale_man = json.loads(json.dumps(store._manifest()))
+    stale_man["gen"] = stale_gen + 1
+    with pytest.raises(ConcurrentWriteError):
+        store._commit(stale_man, expected_gen=stale_gen)
+    # winner's state intact: two versions, current is n2
+    assert [r["name"] for r in store.current("agents").collect()] == ["n2"]
+    assert store.read("agents").count() == 2

@@ -110,7 +110,7 @@ class ScdConvergence(RuleBasedStateMachine):
         batch = transform_events(fx.events_df(self.spark, self._deliveries(specs)), materialize=True)
         if crash:
             real = self.store._commit
-            self.store._commit = lambda man: (_ for _ in ()).throw(OSError("crash"))
+            self.store._commit = lambda man, **kw: (_ for _ in ()).throw(OSError("crash"))
             try:
                 with pytest.raises(OSError):
                     self.store.apply(batch, batch_id=self.batch_id)
