@@ -374,6 +374,52 @@ class ScdParquetStore:
     def last_applied_batch(self) -> int:
         return self._manifest()["last_batch_id"]
 
+    def describe(self) -> list[dict]:
+        """Per-table storage profile from parquet FOOTERS only (no Spark
+        job, no data scan — the ops dashboard / maintenance-cadence input):
+        open/closed row counts, file counts and bytes, plus bucket and
+        segment counts. ``n_closed_segments`` is the compaction signal
+        (one per batch that closed versions until ``compact()`` folds
+        them); a hot ``n_open_rows``/``n_open_files`` skew points at
+        bucket-count sizing."""
+        import pyarrow.parquet as pq
+
+        man = self._manifest()
+
+        def _profile(rel_paths: list[str]) -> tuple[int, int, int]:
+            rows = files = nbytes = 0
+            for rel in rel_paths:
+                d = os.path.join(self.path, rel)
+                if not rel or not os.path.isdir(d):
+                    continue
+                for root, _dirs, names in os.walk(d):
+                    for nm in names:
+                        if not nm.endswith(".parquet"):
+                            continue
+                        p = os.path.join(root, nm)
+                        rows += pq.ParquetFile(p).metadata.num_rows
+                        files += 1
+                        nbytes += os.path.getsize(p)
+            return rows, files, nbytes
+
+        out = []
+        for table, tman in sorted(man["tables"].items()):
+            open_rows, open_files, open_bytes = _profile(list(tman.get("open_buckets", {}).values()))
+            cl_rows, cl_files, cl_bytes = _profile(tman.get("closed", []))
+            out.append(
+                {
+                    "table": table,
+                    "n_open_rows": open_rows,
+                    "n_open_buckets": len(tman.get("open_buckets", {})),
+                    "n_open_files": open_files,
+                    "n_closed_rows": cl_rows,
+                    "n_closed_segments": len([c for c in tman.get("closed", []) if c]),
+                    "n_closed_files": cl_files,
+                    "bytes": open_bytes + cl_bytes,
+                }
+            )
+        return out
+
     def _stored_block_ids(self, manifest: dict, lo: int, hi: int) -> dict[int, str]:
         """Fork-detection lookup: block_num -> block_id for stored blocks in
         ``[lo, hi]``. Driver-side pyarrow over the manifest's block segments

@@ -414,3 +414,25 @@ def test_concurrent_commit_conflict_raises(spark, tmp_path):
     # winner's state intact: two versions, current is n2
     assert [r["name"] for r in store.current("agents").collect()] == ["n2"]
     assert store.read("agents").count() == 2
+
+
+def test_describe_profiles_store_from_footers(spark, store):
+    """describe() reports per-table rows/files/segments without a Spark job
+    — and its counts agree with actual reads."""
+    for b in (1, 2, 3):
+        _apply(
+            spark,
+            store,
+            [fx.delivery(b, f"b{b}", [fx.state_change("agent", "a", [dict(fx.make_agent(), public_key="pk", name=f"n{b}")])])],
+        )
+    prof = {p["table"]: p for p in store.describe()}
+    agents = prof["agents"]
+    assert agents["n_open_rows"] == store.current("agents").count() == 1
+    assert agents["n_open_rows"] + agents["n_closed_rows"] == store.read("agents").count() == 3
+    assert agents["n_closed_segments"] == 2  # blocks 2 and 3 each closed one
+    assert agents["bytes"] > 0 and agents["n_open_files"] >= 1
+    # compaction folds the closed segments; describe reflects it
+    assert store.compact()
+    prof2 = {p["table"]: p for p in store.describe()}
+    assert prof2["agents"]["n_closed_segments"] == 1
+    assert prof2["agents"]["n_closed_rows"] == 2
