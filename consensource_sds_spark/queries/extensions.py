@@ -1541,7 +1541,12 @@ def with_filter_verdict(df):
     return sig.withColumns(
         {
             "verdict": F.expr(
-                "CASE WHEN n_tokens < 20 THEN 'too_short'"
+                # NULL text/lang would fall through every comparison to
+                # 'keep' (CASE treats NULL predicates as not-true) — a real
+                # hazard for STREAMED crawl batches, so malformed rows trip
+                # first and are attributed, never silently admitted
+                "CASE WHEN n_tokens IS NULL OR lang IS NULL THEN 'malformed'"
+                " WHEN n_tokens < 20 THEN 'too_short'"
                 " WHEN lang != 'en' THEN 'non_english'"
                 " WHEN uniq_ratio < 0.25 THEN 'too_repetitive'"
                 " ELSE 'keep' END"
@@ -1563,7 +1568,8 @@ def with_filter_verdict(df):
       FROM documents
     )
     SELECT doc_id,
-           CASE WHEN n_tokens < 20       THEN 'too_short'
+           CASE WHEN n_tokens IS NULL OR lang IS NULL THEN 'malformed'
+                WHEN n_tokens < 20       THEN 'too_short'
                 WHEN lang <> 'en'        THEN 'non_english'
                 WHEN uniq_ratio < 0.25   THEN 'too_repetitive'
                 ELSE 'keep' END AS verdict,

@@ -142,3 +142,19 @@ def test_compact_indexes_preserves_probe_behavior(spark, dirs):
     ingest_batch(spark, b3, 2, dirs["out"], dirs["idx"], 4, band_dir)
     got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
     assert got == {1, 2, 12}
+
+
+def test_null_text_rows_dropped_as_malformed(spark, dirs):
+    """Streamed crawl rows with NULL text/lang must trip the 'malformed'
+    rule — never fall through the CASE chain to 'keep' (NULL predicates
+    are not-true) and never collapse onto one null digest."""
+    from consensource_sds_spark.queries.extensions import with_filter_verdict
+
+    batch = spark.createDataFrame(
+        [(1, GOOD, "en", "a", len(GOOD)), (2, None, "en", "a", None), (3, GOOD2, None, "a", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    v = {r["doc_id"]: r["verdict"] for r in with_filter_verdict(batch).collect()}
+    assert v == {1: "keep", 2: "malformed", 3: "malformed"}
+    ingest_batch(spark, batch, 0, dirs["out"], dirs["idx"], n_shards=4)
+    assert [r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()] == [1]
