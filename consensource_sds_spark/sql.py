@@ -70,9 +70,33 @@ def register_store_views(
     return names
 
 
+def register_corpus_views(spark: SparkSession, out_dir: str) -> list[str]:
+    """Register a streaming-ingested corpus (streaming/corpus_ingest.py)
+    and its standing indexes as SQL views: ``corpus`` (the sharded
+    documents, partition columns included), ``corpus_digest_index`` and —
+    when near-dedup ran — ``corpus_band_index``."""
+    import os
+
+    names = []
+    spark.read.parquet(out_dir).createOrReplaceTempView("corpus")
+    names.append("corpus")
+    for suffix in ("_digest_index", "_band_index"):
+        d = out_dir.rstrip("/") + suffix
+        if os.path.isdir(d):
+            spark.read.parquet(d).createOrReplaceTempView("corpus" + suffix)
+            names.append("corpus" + suffix)
+    return names
+
+
 def sql(spark: SparkSession, query: str) -> DataFrame:
     """Thin alias so callers can treat this module as the query door."""
     return spark.sql(query)
 
 
-__all__ = ["register_input_tables", "register_store_views", "sql", "INPUT_TABLES"]
+__all__ = [
+    "register_input_tables",
+    "register_store_views",
+    "register_corpus_views",
+    "sql",
+    "INPUT_TABLES",
+]

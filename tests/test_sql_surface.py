@@ -60,3 +60,22 @@ def test_store_views_current_history_asof(spark, tmp_path):
     assert [r["name"] for r in asof] == ["n@b2"]
     # blocks view exists
     assert spark.sql("SELECT COUNT(*) AS n FROM blocks").first()["n"] == 3
+
+
+def test_corpus_views(spark, tmp_path):
+    from consensource_sds_spark.sql import register_corpus_views
+    from consensource_sds_spark.streaming.corpus_ingest import ingest_batch
+
+    good = " ".join(f"tok{i}" for i in range(30))
+    out = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [(1, good, "en", "a", len(good))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ingest_batch(spark, batch, 0, out, out + "_digest_index", 4, out + "_band_index")
+    names = register_corpus_views(spark, out)
+    assert set(names) == {"corpus", "corpus_digest_index", "corpus_band_index"}
+    assert spark.sql("SELECT COUNT(*) AS n FROM corpus").first()["n"] == 1
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM corpus c JOIN corpus_digest_index i ON c.doc_id = i.keep_doc_id"
+    ).first()["n"] == 1
