@@ -2808,15 +2808,16 @@ def x64_boilerplate_scrub(spark, sf_dir):
 
     Scale/plan: same chunk explode as x38, ONE digest-keyed hash-agg for
     the repeated set, then ONE passage-keyed join stamps a repeated flag
-    (same key as the agg — the exchange is reused, not re-shuffled), and
-    ONE doc-keyed groupBy produces the reassembled text (array_sort on
-    (k, passage) structs, collect_list skipping the flagged nulls) AND
-    the n_removed count in the same pass — three shuffle waves total, no
-    join back to documents (every document yields >=1 chunk, so the
-    doc-keyed groupBy already covers all of them; an all-boilerplate doc
-    collects an empty array -> ''). Nothing is quadratic; the repeated
-    set is a HAVING-filtered aggregate (tiny — boilerplate is by
-    definition a small distinct set with high multiplicity)."""
+    (the repeated set is HAVING-filtered and tiny — boilerplate is by
+    definition a small distinct set with high multiplicity, so at scale
+    this side broadcasts), and ONE doc-keyed groupBy produces the
+    reassembled text (array_sort on (k, passage) structs, collect_list
+    skipping the flagged nulls) AND the n_removed count in the same
+    pass. No join back to documents: every document yields >=1 chunk, so
+    the doc-keyed groupBy already covers all of them (an all-boilerplate
+    doc collects an empty array -> ''). vs the first shape this drops the
+    separate per-doc totals aggregate, the anti-join, and the documents
+    join — two fewer shuffles; nothing is quadratic."""
     d = load(spark, sf_dir, "documents")
     toks = "split(text, ' ')"
     p = d.select(
