@@ -1,32 +1,42 @@
 """End-to-end training-corpus build: the registry operators composed into
-the pipeline a data team actually ships.
+the pipeline a data team actually ships, in the C4 stage order (scrub
+repeated boilerplate FIRST, then judge and dedup the CLEANED text —
+Raffel et al. 2020 remove repeated lines before the quality filters, so
+boilerplate neither biases the filter signals nor glues unrelated
+documents into near-dup clusters):
 
-    filter (x43 rules, auditable reasons)
-      -> exact dedup (x01 digest groupBy, lowest doc_id survives)
-      -> near-dedup (x03 LSH candidates -> x06 star-contraction clusters
-         -> keep one representative per cluster AMONG THE SURVIVORS)
-      -> per-domain cap (x61 rule)
+    boilerplate scrub (x64's passage removal, in-order reassembly)
+      -> rule filter (x43's verdict expressions over the CLEAN text)
+      -> exact dedup (x01 digest groupBy on clean text, lowest doc_id)
+      -> near-dedup (x02/x03 banding + x06 star-contraction over the
+         clean text -> keep one representative per cluster AMONG THE
+         SURVIVORS)
+      -> per-domain cap (x61 rule, clean-text length)
       -> split/shard assignment (x25/x36 hashes)
       -> sharded parquet layout (dataset_writer, bounded row groups)
 
-Every stage is the SAME code the oracle-checked registry entries run —
-this module only sequences them and carries an audit trail: the returned
-stats DataFrame attributes every dropped document to the stage + reason
-that dropped it, so corpus shrinkage is monitorable per rule, per slice.
+Every stage runs the SAME frame-level helpers the oracle-checked registry
+entries run (scrub_boilerplate/x64, with_filter_verdict/x43,
+minhash_band_values + connected_components/x02/x03/x06) — this module
+only sequences them over the cleaned frame and carries an audit trail:
+the returned stats DataFrame attributes every dropped document to the
+stage + reason that dropped it, so corpus shrinkage is monitorable per
+rule, per slice.
 
 Stage outputs are materialized ONCE into ``<out_dir>_staging`` parquet
-(a sibling of the corpus dir — the corpus write is a clean overwrite) and
-re-read for every downstream use: the x43 verdicts feed both the keep
-join and the audit from one computation, and x06's cluster map (which
-internally re-derives the x02->x03 LSH chain) runs exactly once. At
-100 TB each avoided recompute is a full corpus pass; staging tables are
-also the natural restart points for a multi-day build.
+(a sibling of the corpus dir — the corpus write is a clean overwrite)
+and re-read for every downstream use: the scrubbed text + verdicts land
+together in one table feeding the keep join, every dedup stage, AND the
+audit; the cluster map (which re-derives the LSH chain internally) runs
+exactly once. At 100 TB each avoided recompute is a full corpus pass;
+staging tables are also the natural restart points for a multi-day
+build.
 
 Near-dedup representative choice is computed over the documents that
-are still alive at that stage, not x06's global ``keep`` flag: if a
-cluster's global minimum doc_id was already dropped by the rule filter
-or exact dedup, the cluster still keeps one surviving representative
-(the minimum doc_id among survivors) instead of vanishing entirely.
+are still alive at that stage, not a global keep flag: if a cluster's
+minimum doc_id was already dropped by the rule filter or exact dedup,
+the cluster still keeps one surviving representative (the minimum
+doc_id among survivors) instead of vanishing entirely.
 
 Scale posture: each stage is a hash-keyed shuffle or a projection; the
 materializations are the staging tables and the final partitioned write.
@@ -43,8 +53,9 @@ from pyspark.sql.window import Window
 
 from consensource_sds_spark.queries import load
 from consensource_sds_spark.queries.extensions import (
-    x06_dedup_clusters,
-    x43_filter_pipeline,
+    near_dup_clusters,
+    scrub_boilerplate,
+    with_filter_verdict,
 )
 from consensource_sds_spark.sources.dataset_writer import with_shard_columns, write_training_shards
 
@@ -53,7 +64,7 @@ def _near_dedup_survivors(alive: DataFrame, clusters: DataFrame) -> DataFrame:
     """One representative per near-dup cluster, chosen among the documents
     still ``alive`` at this stage (min doc_id of the surviving members).
 
-    ``clusters`` is x06's (doc_id, cluster_id) map over ALL documents; a
+    ``clusters`` is the (doc_id, cluster_id) map over ALL documents; a
     cluster whose global minimum was dropped upstream still keeps its
     smallest surviving member. One shuffle on cluster_id."""
     member = alive.select("doc_id").join(clusters, "doc_id")
@@ -73,28 +84,43 @@ def build_training_corpus(
     docs = load(spark, sf_dir, "documents")
     staging = out_dir.rstrip("/") + "_staging"
 
-    # 1. rule filter — x43's verdict column, materialized once for both
-    #    the keep join and the per-reason audit
-    x43_filter_pipeline(spark, sf_dir).select("doc_id", "verdict").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(staging, "verdicts"))
-    verdicts = spark.read.parquet(os.path.join(staging, "verdicts"))
-    kept1 = docs.join(verdicts.filter(F.col("verdict") == "keep"), "doc_id", "left_semi")
+    # 0+1. scrub boilerplate, then judge the CLEAN text — both land in ONE
+    #      staging table (text here = clean text; n_chars recomputed on it)
+    cleaned = (
+        docs.select("doc_id", "lang", "source")
+        .join(scrub_boilerplate(docs.select("doc_id", "text")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "lang",
+            "source",
+            F.length("clean_text").alias("n_chars"),
+            "n_removed",
+        )
+    )
+    with_filter_verdict(cleaned).select(
+        "doc_id", "text", "lang", "source", "n_chars", "n_removed", "verdict"
+    ).write.mode("overwrite").parquet(os.path.join(staging, "clean"))
+    clean = spark.read.parquet(os.path.join(staging, "clean"))
+    kept1 = clean.filter(F.col("verdict") == "keep").drop("verdict")
 
-    # 2. exact dedup — digest groupBy, lowest doc_id per digest survives
-    digests = kept1.select("doc_id", F.md5("text").alias("content_hash"))
-    exact_keep = digests.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    # 2. exact dedup — digest groupBy on the clean text, lowest doc_id
+    exact_keep = (
+        kept1.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
     kept2 = kept1.join(exact_keep.select("doc_id"), "doc_id", "left_semi")
 
-    # 3. near-dedup — x06's cluster map (LSH chain runs once, into staging);
-    #    representative = min doc_id among members still alive here
-    x06_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(staging, "clusters"))
+    # 3. near-dedup — cluster map over the CLEAN text (LSH chain runs once,
+    #    into staging); representative = min doc_id among members alive here
+    near_dup_clusters(clean.select("doc_id", "text")).write.mode("overwrite").parquet(
+        os.path.join(staging, "clusters")
+    )
     clusters = spark.read.parquet(os.path.join(staging, "clusters"))
     kept3 = _near_dedup_survivors(kept2, clusters)
 
-    # 4. per-domain cap (x61 rule: prefer longer docs, doc_id tie-break)
+    # 4. per-domain cap (x61 rule: prefer longer CLEAN docs, doc_id tie-break)
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     kept4 = (
         kept3.withColumn("_rk", F.row_number().over(w))
@@ -108,7 +134,7 @@ def build_training_corpus(
     # audit trail: one row per (stage, reason) with drop counts — reads
     # the staging tables, never re-runs the stage computations
     filt = (
-        verdicts.filter(F.col("verdict") != "keep")
+        clean.filter(F.col("verdict") != "keep")
         .groupBy(F.lit("filter").alias("stage"), F.col("verdict").alias("reason"))
         .agg(F.count(F.lit(1)).alias("n_dropped"))
     )

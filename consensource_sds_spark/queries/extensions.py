@@ -485,6 +485,79 @@ def x26_stratified_sample(spark, sf_dir):
     )
 
 
+def connected_components(pairs, a_col="doc_a", b_col="doc_b"):
+    """Resolve an undirected candidate-pair frame into connected
+    components: (node, cluster_id) for every node APPEARING IN A PAIR,
+    cluster_id = the component's minimum node id. Frame-level core of the
+    oracle-checked x06 — alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds on adversarially long chains, two
+    node-keyed shuffles per round over the candidate subgraph only, and
+    ZERO driver actions per round (the convergence fingerprint rides each
+    round's one localCheckpoint job as an Observation).
+    ``connected_components.last_rounds`` records the converged round
+    count."""
+    from pyspark.sql import Observation
+
+    # invariant through every round: u > v (child points at smaller parent)
+    e = (
+        pairs.select(
+            F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    connected_components.last_rounds = 0
+    prev = None
+    for rnd in range(25):
+        # large-star: for each center c, neighbors larger than c re-point at
+        # m(c) = min(neighborhood(c) U {c}). Both orientations of every
+        # undirected edge are considered; exactly the larger-endpoint
+        # orientation emits.
+        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star: group by child, point every parent (and the child) at
+        # the minimum parent.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(mins2, "u")
+        small = (
+            mins2.select("u", F.col("m").alias("v"))
+            .unionByName(
+                joined.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )
+            )
+            .distinct()
+        )
+        obs = Observation()
+        # fingerprint = (cardinality, order-independent XOR of pair hashes):
+        # bit_xor never overflows (ANSI-safe) and is a set identity up to
+        # 64-bit collision
+        e = small.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).localCheckpoint()  # the one job this round; metrics ride along
+        connected_components.last_rounds = rnd + 1
+        cur = tuple(obs.get.values())
+        if cur == prev or cur[0] == 0:
+            break
+        prev = cur
+    # fixpoint is stars: every non-root points at its component minimum
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
+    )
+    return labels.groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
+
+
 @register(
     "x06_dedup_clusters",
     oracle="""
@@ -533,85 +606,17 @@ def x06_dedup_clusters(spark, sf_dir):
     keep = (doc_id == min doc_id of its component); singletons keep
     themselves.
 
-    Algorithm: alternating large-star/small-star contraction (Kiveris et
-    al., "Connected Components in MapReduce and Beyond", SoCC'14) over the
-    candidate graph — O(log n) rounds even on adversarially long chains,
-    vs O(diameter) for label propagation. Edges are kept child>parent;
-    large-star re-points every larger-than-center neighbor at the center's
-    minimum, small-star re-points the smaller neighbors; the fixpoint is a
-    set of stars centered at each component's minimum doc_id.
-
-    Driver actions: ZERO per round. Each round materializes exactly once
-    (``localCheckpoint`` truncates lineage so plans stay bounded) with an
-    ``Observation`` riding the same job — the convergence fingerprint
-    (edge count + endpoint sums + pair hash-sum) costs no extra action;
-    the loop stops when the canonical (distinct) edge set is a fixpoint.
-
-    Scale: each round is two shuffles keyed on the child endpoint over the
-    CANDIDATE subgraph only (O(near-dup pairs), not O(docs)); the final
-    left join back to documents is a single pass. ``last_rounds`` on the
-    function records the converged round count for tests."""
-    from pyspark.sql import Observation
-
+    Core algorithm lives in :func:`connected_components` (alternating
+    large-star/small-star contraction, zero driver actions per round);
+    this entry pairs it with x03's candidates and the final left join
+    back to documents. ``last_rounds`` on the function records the
+    converged round count for tests."""
     pairs = x03_minhash_lsh_pairs(spark, sf_dir)
-    # invariant through every round: u > v (child points at smaller parent)
-    e = (
-        pairs.select(
-            F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
+    lab = connected_components(pairs).select(
+        F.col("node").alias("l_doc"), "cluster_id"
     )
-    x06_dedup_clusters.last_rounds = 0
-    prev = None
-    for rnd in range(25):
-        # large-star: for each center c, neighbors larger than c re-point at
-        # m(c) = min(neighborhood(c) U {c}). Both orientations of every
-        # undirected edge are considered; exactly the larger-endpoint
-        # orientation emits.
-        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
-            "u", F.least("mn", "u").alias("m")
-        )
-        large = (
-            adj.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-        # small-star: group by child, point every parent (and the child) at
-        # the minimum parent.
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        joined = large.join(mins2, "u")
-        small = (
-            mins2.select("u", F.col("m").alias("v"))
-            .unionByName(
-                joined.filter(F.col("v") != F.col("m")).select(
-                    F.col("v").alias("u"), F.col("m").alias("v")
-                )
-            )
-            .distinct()
-        )
-        obs = Observation()
-        # fingerprint = (cardinality, order-independent XOR of pair hashes):
-        # bit_xor never overflows (ANSI-safe) and is a set identity up to
-        # 64-bit collision
-        e = small.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).localCheckpoint()  # the one job this round; metrics ride along
-        x06_dedup_clusters.last_rounds = rnd + 1
-        cur = tuple(obs.get.values())
-        if cur == prev or cur[0] == 0:
-            break
-        prev = cur
-    # fixpoint is stars: every non-root points at its component minimum
-    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")).unionByName(
-        e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
-    )
+    x06_dedup_clusters.last_rounds = connected_components.last_rounds
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    lab = labels.groupBy(F.col("doc_id").alias("l_doc")).agg(F.min("cluster_id").alias("cluster_id"))
     return docs.join(lab, docs["doc_id"] == lab["l_doc"], "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
@@ -2773,6 +2778,73 @@ def x63_source_vocab_overlap(spark, sf_dir):
     )
 
 
+def scrub_boilerplate(d):
+    """Frame-level core of the oracle-checked x64: remove passages
+    repeated across >1 documents of ``d`` (doc_id, text) and reassemble
+    each document's surviving passages in order; returns (doc_id,
+    clean_text, n_removed) for EVERY input document (all-boilerplate
+    docs come back with ''). See x64's docstring for the plan shape."""
+    toks = "split(text, ' ')"
+    p = d.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, CAST(ceil(size({toks}) / 16.0) AS BIGINT) - 1),"
+            f" k -> struct(k AS k, concat_ws(' ', slice({toks}, k*16+1, 16)) AS passage))) AS c"
+        ),
+    ).select("doc_id", F.col("c.k").alias("k"), F.col("c.passage").alias("passage"))
+    rep = (
+        p.groupBy("passage")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("passage", F.lit(True).alias("_rep"))
+    )
+    flagged = p.join(rep, "passage", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rep").isNull(), F.struct("k", "passage"))
+                    )
+                ),
+                lambda s: s.getField("passage"),
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+def near_dup_clusters(d):
+    """Frame-level near-dedup over ANY (doc_id, text) frame: x02/x03's
+    banding (shared construction, :func:`minhash_band_values`) -> the
+    banded candidate self-join -> :func:`connected_components`. Returns
+    (doc_id, cluster_id) for EVERY input document (singletons map to
+    themselves) — what corpus.py runs on CLEANED text, with the identical
+    code path the oracle-checked registry entries exercise on the raw
+    table."""
+    bands = minhash_band_values(d)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    lab = connected_components(pairs).select(F.col("node").alias("l_doc"), "cluster_id")
+    docs = d.select("doc_id")
+    return docs.join(lab, docs["doc_id"] == lab["l_doc"], "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
 @register(
     "x64_boilerplate_scrub",
     oracle="""
@@ -2818,38 +2890,7 @@ def x64_boilerplate_scrub(spark, sf_dir):
     doc collects an empty array -> ''). vs the first shape this drops the
     separate per-doc totals aggregate, the anti-join, and the documents
     join — two fewer shuffles; nothing is quadratic."""
-    d = load(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
-    p = d.select(
-        "doc_id",
-        F.expr(
-            f"explode(transform(sequence(0, CAST(ceil(size({toks}) / 16.0) AS BIGINT) - 1),"
-            f" k -> struct(k AS k, concat_ws(' ', slice({toks}, k*16+1, 16)) AS passage))) AS c"
-        ),
-    ).select("doc_id", F.col("c.k").alias("k"), F.col("c.passage").alias("passage"))
-    rep = (
-        p.groupBy("passage")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("passage", F.lit(True).alias("_rep"))
-    )
-    flagged = p.join(rep, "passage", "left")
-    return flagged.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_rep").isNull(), F.struct("k", "passage"))
-                    )
-                ),
-                lambda s: s.getField("passage"),
-            ),
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed"),
-    )
+    return scrub_boilerplate(load(spark, sf_dir, "documents"))
 
 
 @register(

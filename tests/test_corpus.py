@@ -28,24 +28,29 @@ def test_near_dedup_keeps_surviving_representative(spark):
 
 
 def test_stages_computed_once(spark, tmp_path, monkeypatch):
-    """x43 and x06 are expensive full-corpus passes; the build must invoke
-    each exactly once (staging parquet serves every downstream use)."""
-    calls = {"x43": 0, "x06": 0}
-    real43, real06 = corpus_mod.x43_filter_pipeline, corpus_mod.x06_dedup_clusters
+    """The scrub, filter, and cluster stages are full-corpus passes; the
+    build must invoke each exactly once (staging parquet serves every
+    downstream use, including the audit)."""
+    calls = {"scrub": 0, "verdict": 0, "clusters": 0}
+    reals = {
+        "scrub": corpus_mod.scrub_boilerplate,
+        "verdict": corpus_mod.with_filter_verdict,
+        "clusters": corpus_mod.near_dup_clusters,
+    }
 
-    def c43(spark_, sf_dir):
-        calls["x43"] += 1
-        return real43(spark_, sf_dir)
+    def counting(name):
+        def f(df):
+            calls[name] += 1
+            return reals[name](df)
 
-    def c06(spark_, sf_dir):
-        calls["x06"] += 1
-        return real06(spark_, sf_dir)
+        return f
 
-    monkeypatch.setattr(corpus_mod, "x43_filter_pipeline", c43)
-    monkeypatch.setattr(corpus_mod, "x06_dedup_clusters", c06)
+    monkeypatch.setattr(corpus_mod, "scrub_boilerplate", counting("scrub"))
+    monkeypatch.setattr(corpus_mod, "with_filter_verdict", counting("verdict"))
+    monkeypatch.setattr(corpus_mod, "near_dup_clusters", counting("clusters"))
     stats = build_training_corpus(spark, SF, str(tmp_path / "c"), domain_cap=5, n_shards=2)
     stats.collect()  # drive the audit branch too
-    assert calls == {"x43": 1, "x06": 1}
+    assert calls == {"scrub": 1, "verdict": 1, "clusters": 1}
 
 
 def test_build_training_corpus(spark, tmp_path):
