@@ -12,25 +12,38 @@ arrive continuously and must pass the SAME gates the batch build applies:
          the batch writer, so loaders cannot tell the corpora apart)
 
 Exactly-once story: the streaming checkpoint dedupes source files; inside
-``foreachBatch`` every write is keyed by ``batch_id`` partition directory
-with dynamic partition overwrite, so a REPLAYED microbatch (crash between
-sink writes and checkpoint commit) overwrites its own previous output
-instead of double-appending — idempotence by layout, the same trick the
-SCD2 store gets from its manifest. The digest index is itself a
-batch_id-partitioned parquet table: readers see one row per retained
-digest regardless of replays.
+``foreachBatch`` every write is keyed by ``batch_id`` partition so a
+REPLAYED microbatch (crash between sink writes and checkpoint commit)
+overwrites its own previous output instead of double-appending —
+idempotence by layout, the same trick the SCD2 store gets from its
+manifest. Corpus rows use dynamic partition overwrite on a plain parquet
+layout; the indexes use dynamic-overwrite ``insertInto`` on bucketed
+catalog tables: readers see one row per retained digest regardless of
+replays.
 
-Scale: the only per-batch work proportional to the CORPUS is the digest
-index probe, a hash join where the (small) batch side builds; everything
-else is O(batch). The index at 100 TB corpus scale is ~16 bytes/doc —
-broadcastable for small batches, bucketed on digest for big ones. The
-near-dup twin is x66's band-index probe; wiring it in is the same join
-against the banded signature table.
+Scale — the standing indexes are BUCKETED on their probe keys. Both
+indexes are Spark-native bucketed tables (``CLUSTERED BY ... INTO N
+BUCKETS``, partitioned by ``batch_id`` for replay idempotence), so every
+per-batch probe join plans with NO Exchange and NO BroadcastExchange on
+the index side: the small batch side takes the one hash shuffle into the
+index's bucket layout and the O(corpus) side is read in place. The index
+is the side that grows without bound (~16 B/doc ⇒ tens of GB at 1B+
+docs), so it must never be the broadcast/build side — AQE may still
+shrink the join to a broadcast of a genuinely-small index early in a
+corpus's life, but nothing forces it. ``compact_indexes`` folds the
+per-batch partitions through the same bucketed ``insertInto``, so
+compaction preserves probe-compatibility (pinned by
+``tests/test_corpus_ingest.py``). The near-dup twin is x66's band-index
+probe; its standing (band, band_val) index gets the identical treatment.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
+import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,21 +55,125 @@ from consensource_sds_spark.sources.dataset_writer import ROW_GROUP_BYTES, with_
 #: the documents-table schema (TESTDATA.md) — file streams need it declared
 DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 
+#: bucket count for the standing index tables. Sized for probe-side
+#: parallelism, not storage: the batch side of each probe shuffles into
+#: exactly this many partitions. At 100 TB-corpus scale this is a deploy
+#: knob (hundreds); the LAYOUT is what matters — the plan shape (index
+#: side Exchange-free) is invariant in it.
+_N_INDEX_BUCKETS = 16
 
-def _digest_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The standing (digest, keep_doc_id) table, or None before first batch."""
+#: (columns, bucket keys) per index — the digest index probes on digest,
+#: the LSH band index on the compound (band, band_val) key, which is also
+#: exactly the key both probe joins use.
+_DIGEST_COLS = "digest STRING, keep_doc_id BIGINT"
+_DIGEST_KEYS = "digest"
+_BAND_COLS = "doc_id BIGINT, band INT, band_val STRING"
+_BAND_KEYS = "band, band_val"
+
+#: Spark bucketed files carry the bucket id as a ``_NNNNN`` suffix before
+#: the codec extension; files written by a plain ``.parquet(dir)`` don't.
+_BUCKETED_FILE_RE = re.compile(r"_\d{5}\.c\d{3}")
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """``insertInto`` reads partitionOverwriteMode from the SESSION conf
+    only (the per-write option is ignored on the insert path — verified
+    empirically; a static overwrite would wipe every other batch's
+    partition). Scope the dynamic setting to the write and restore."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
     try:
-        return spark.read.parquet(index_dir).select("digest", "keep_doc_id")
-    except Exception:
-        return None  # AnalysisException on empty/missing path
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
-def _band_index(spark: SparkSession, band_dir: str) -> DataFrame | None:
-    """The standing (doc_id, band, band_val) LSH index, or None."""
-    try:
-        return spark.read.parquet(band_dir).select("doc_id", "band", "band_val")
-    except Exception:
-        return None
+def _index_table_name(dir_: str) -> str:
+    """Deterministic catalog name for the index table at ``dir_`` — the
+    path IS the identity, so any session (or a rebuilt metastore) resolves
+    the same directory to the same table."""
+    return "corpus_index_" + hashlib.md5(os.path.abspath(dir_).encode()).hexdigest()[:12]
+
+
+def _legacy_unbucketed(dir_: str) -> bool:
+    """True when ``dir_`` holds parquet files WITHOUT bucket suffixes —
+    an index written by a pre-bucketing version of this module."""
+    if not os.path.isdir(dir_):
+        return False
+    for root, _dirs, files in os.walk(dir_):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(".") and not _BUCKETED_FILE_RE.search(f):
+                return True
+    return False
+
+
+def _ensure_index_table(spark: SparkSession, dir_: str, cols: str, bucket_keys: str) -> str:
+    """Register (or recover) the bucketed index table over ``dir_``.
+
+    - table already in the catalog and the location exists: no-op;
+    - location gone (recycled temp dir): drop the stale entry, recreate;
+    - directory holds a LEGACY unbucketed index (older layout): migrate —
+      read the rows, rewrite them through the bucketed table (a one-time
+      full rewrite; leaving the DDL's bucket claim over unbucketed files
+      would silently mis-bucket every probe);
+    - fresh path: create the external table and recover any partitions a
+      previous session already wrote (crash between insert and catalog is
+      impossible — inserts register their own partitions — but a NEW
+      metastore over an existing index needs the repair)."""
+    dir_ = os.path.abspath(dir_)
+    name = _index_table_name(dir_)
+    if spark.catalog.tableExists(name):
+        if os.path.isdir(dir_):
+            return name
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    legacy_rows = None
+    if _legacy_unbucketed(dir_):
+        legacy_rows = spark.read.parquet(dir_).localCheckpoint()
+        shutil.rmtree(dir_)
+    spark.sql(
+        f"""CREATE TABLE IF NOT EXISTS {name} ({cols}, batch_id INT)
+            USING PARQUET PARTITIONED BY (batch_id)
+            CLUSTERED BY ({bucket_keys}) SORTED BY ({bucket_keys})
+            INTO {_N_INDEX_BUCKETS} BUCKETS
+            LOCATION '{dir_}'"""
+    )
+    if legacy_rows is not None:
+        base = [c.split()[0] for c in cols.split(",")]
+        _insert_index(spark, name, legacy_rows.select(*base, F.col("batch_id").cast("int")))
+    elif os.path.isdir(dir_):
+        # a prior session's partitions exist on disk but this catalog is
+        # fresh — recover them (MSCK lists the location, so only when the
+        # directory exists; a brand-new index has nothing to recover)
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    return name
+
+
+def _insert_index(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Dynamic-overwrite positional insert — ``df``'s columns must already
+    be in DDL order with ``batch_id`` last. The catalog's bucket spec is
+    honored by the insert (files land bucket-suffixed), which is what
+    keeps every later probe's index side Exchange-free.
+
+    The overwrite-mode conf is set on the FRAME's session, not the passed
+    one: under ``foreachBatch`` the batch frame belongs to a cloned
+    session with its own conf, and a static-mode insert there would wipe
+    every earlier batch's partition (observed, not hypothetical)."""
+    with _dynamic_overwrite(df.sparkSession):
+        df.write.mode("overwrite").insertInto(table)
+
+
+def digest_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The standing (digest, keep_doc_id) table as a bucketed-scan frame
+    (empty before the first batch — probes against it are free)."""
+    return spark.table(_ensure_index_table(spark, index_dir, _DIGEST_COLS, _DIGEST_KEYS))
+
+
+def band_index(spark: SparkSession, band_dir: str) -> DataFrame:
+    """The standing (doc_id, band, band_val) LSH index, bucketed on the
+    (band, band_val) probe key."""
+    return spark.table(_ensure_index_table(spark, band_dir, _BAND_COLS, _BAND_KEYS))
 
 
 def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFrame:
@@ -71,8 +188,10 @@ def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFra
        crash-replayed batch never treats its own previous write as a dup.
 
     Both joins key on (band, band_val): batch x batch is bucket-bounded
-    and batch-sized; batch x index streams the index (bucketed on the
-    band key it is shuffle-free). Never corpus x corpus."""
+    and batch-sized; batch x index reads the index's bucketed layout in
+    place — no Exchange, no BroadcastExchange on the index side (plan
+    pinned by ``test_corpus_ingest.py::test_probe_joins_never_shuffle_or_
+    broadcast_the_index``). Never corpus x corpus."""
     bands = minhash_band_values(fresh.select("doc_id", "text")).localCheckpoint()
     a = bands.select(F.col("doc_id").alias("_da"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("_db"), "band", "band_val")
@@ -83,19 +202,17 @@ def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFra
         .distinct()
     )
     fresh = fresh.join(dup_in_batch, "doc_id", "left_anti")
-    idx = _band_index(spark, band_dir)
-    if idx is not None:
-        hits = (
-            bands.join(
-                idx.select(F.col("doc_id").alias("_di"), "band", "band_val"),
-                ["band", "band_val"],
-            )
-            .filter(F.col("_di") != F.col("doc_id"))
-            .select("doc_id")
-            .distinct()
+    idx = band_index(spark, band_dir)
+    hits = (
+        bands.join(
+            idx.select(F.col("doc_id").alias("_di"), "band", "band_val"),
+            ["band", "band_val"],
         )
-        fresh = fresh.join(hits, "doc_id", "left_anti")
-    return fresh
+        .filter(F.col("_di") != F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    return fresh.join(hits, "doc_id", "left_anti")
 
 
 def ingest_batch(
@@ -111,10 +228,17 @@ def ingest_batch(
 
     Pure function of (batch, standing index) so the identical code runs
     under spark.read for backfill and inside foreachBatch for the stream."""
+    # under foreachBatch the batch frame lives in a CLONED session; run
+    # every catalog op / table read on that session so probe frames and
+    # batch frames resolve against one state (tables themselves are in the
+    # shared external catalog either way)
+    spark = batch_df.sparkSession
     kept = with_filter_verdict(batch_df).filter(F.col("verdict") == "keep")
     digests = kept.withColumn("digest", F.md5("text"))
     # collapse within-batch duplicates first (min doc_id survives), then
     # probe the standing index — one digest-keyed shuffle + one probe join
+    # whose index side is a bucketed scan (never shuffled, never broadcast;
+    # the BATCH side pays the one small Exchange into the bucket layout)
     batch_min = (
         digests.withColumn(
             "_rk", F.row_number().over(Window.partitionBy("digest").orderBy("doc_id"))
@@ -122,22 +246,20 @@ def ingest_batch(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    idx = _digest_index(spark, index_dir)
-    fresh = (
-        batch_min.join(F.broadcast(idx.select("digest")), "digest", "left_anti")
-        if idx is not None
-        else batch_min
-    )
+    idx = digest_index(spark, index_dir)
+    fresh = batch_min.join(idx.select("digest"), "digest", "left_anti")
     fresh = fresh.select("doc_id", "text", "lang", "source", "n_chars", "digest").localCheckpoint()
     if band_dir is not None:
         fresh = _near_dedup(spark, fresh, band_dir).localCheckpoint()
 
-    # idempotent-by-layout appends: each write owns its batch_id directory.
+    # idempotent-by-layout appends: each write owns its batch_id partition.
     # ORDER MATTERS for crash convergence: corpus rows first, index last —
     # a replay after a crash between the two recomputes `fresh` (the index
     # probe still misses) and overwrites the same corpus partitions; had
     # the index gone first, the replay's probe would filter the batch to
-    # empty and its corpus rows would be lost.
+    # empty and its corpus rows would be lost. (`fresh` is checkpointed
+    # above, so the index inserts below never re-run the probe against
+    # their own output either.)
     (
         with_shard_columns(fresh.drop("digest"), key="doc_id", n_shards=n_shards)
         .withColumn("batch_id", F.lit(batch_id))
@@ -148,24 +270,25 @@ def ingest_batch(
         .option("parquet.block.size", ROW_GROUP_BYTES)
         .parquet(out_dir)
     )
-    (
-        fresh.select("digest", F.col("doc_id").alias("keep_doc_id"))
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(index_dir)
+    dig_tbl = _index_table_name(index_dir)
+    _insert_index(
+        spark,
+        dig_tbl,
+        fresh.select(
+            "digest",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.lit(batch_id).cast("int").alias("batch_id"),
+        ),
     )
     if band_dir is not None:
         # only RETAINED docs enter the band index (dups must never become
         # probes' reference points); replay-safe like the digest index
-        (
-            minhash_band_values(fresh.select("doc_id", "text"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(band_dir)
+        _insert_index(
+            spark,
+            _index_table_name(band_dir),
+            minhash_band_values(fresh.select("doc_id", "text")).select(
+                "doc_id", "band", "band_val", F.lit(batch_id).cast("int").alias("batch_id")
+            ),
         )
 
 
@@ -209,53 +332,77 @@ def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
 _COMPACTED_BATCH_ID = -1
 
 
+def _live_batch_dirs(dir_: str) -> list[str]:
+    return [
+        d
+        for d in os.listdir(dir_)
+        if d.startswith("batch_id=") and d != f"batch_id={_COMPACTED_BATCH_ID}"
+    ]
+
+
 def compact_indexes(spark: SparkSession, out_dir: str) -> None:
     """Fold the per-batch index partitions into one consolidated segment.
 
-    The ingest writes one ``batch_id=N`` directory per microbatch — the
+    The ingest writes one ``batch_id=N`` partition per microbatch — the
     right shape for idempotent replay, the wrong one after 10k batches
-    (small-files listing cost on every probe). Compaction rewrites each
-    index into ``batch_id=-1`` and drops the per-batch directories.
+    (small-files listing cost on every probe; each batch's insert also
+    emits up to tasks x buckets files). Compaction rewrites each index
+    into ``batch_id=-1`` THROUGH the same bucketed table, so the
+    consolidated segment keeps the CLUSTERED BY layout and probes stay
+    Exchange-free — the ``repartition`` onto the bucket keys with exactly
+    the bucket count aligns shuffle partitions 1:1 with bucket ids (same
+    murmur3 pmod), so the fold emits one file per bucket.
 
     Crash-safe by probe semantics, no manifest needed: the consolidated
     segment is written FIRST (dynamic overwrite of its own partition),
-    then per-batch dirs are removed. A crash in between leaves rows
+    then per-batch partitions are dropped. A crash in between leaves rows
     duplicated across old and consolidated partitions — and both probes
     are agnostic to duplicate index rows (anti joins and DISTINCT'd hit
     sets), so reads stay correct and the next compaction converges. New
-    batches arriving after compaction append fresh batch_id dirs as
+    batches arriving after compaction append fresh batch_id partitions as
     usual."""
-    import shutil
-
-    for dir_ in (out_dir.rstrip("/") + "_digest_index", out_dir.rstrip("/") + "_band_index"):
+    for dir_, cols, keys in (
+        (out_dir.rstrip("/") + "_digest_index", _DIGEST_COLS, _DIGEST_KEYS),
+        (out_dir.rstrip("/") + "_band_index", _BAND_COLS, _BAND_KEYS),
+    ):
         if not os.path.isdir(dir_):
             continue
-        live = [
-            d
-            for d in os.listdir(dir_)
-            if d.startswith("batch_id=") and d != f"batch_id={_COMPACTED_BATCH_ID}"
-        ]
+        name = _ensure_index_table(spark, dir_, cols, keys)
+        live = _live_batch_dirs(dir_)
         if not live:
             continue
+        key_cols = [k.strip() for k in keys.split(",")]
         # localCheckpoint cuts the file lineage BEFORE the write: the
         # consolidated rows are pinned in block storage, so the overwrite
-        # never reads the directory it is rewriting
+        # never reads the partition it is rewriting
         consolidated = (
-            spark.read.parquet(dir_)
+            spark.table(name)
             .drop("batch_id")
             .distinct()
-            .withColumn("batch_id", F.lit(_COMPACTED_BATCH_ID))
-            .repartition(max(1, len(live) // 64))
+            .repartition(_N_INDEX_BUCKETS, *[F.col(c) for c in key_cols])
+            .withColumn("batch_id", F.lit(_COMPACTED_BATCH_ID).cast("int"))
             .localCheckpoint()
         )
-        (
-            consolidated.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(dir_)
-        )
+        _insert_index(spark, name, consolidated)
         for d in live:
+            bid = d.split("=", 1)[1]
+            spark.sql(f"ALTER TABLE {name} DROP IF EXISTS PARTITION (batch_id={bid})")
             shutil.rmtree(os.path.join(dir_, d), ignore_errors=True)
+
+
+def maybe_compact_indexes(spark: SparkSession, out_dir: str, max_live_batches: int = 64) -> bool:
+    """Threshold compaction policy — the maintenance-cadence hook a
+    long-running ingest calls per batch-interval (the index-side analog of
+    ``ScdParquetStore.maybe_compact``): when either standing index has
+    accumulated more than ``max_live_batches`` per-batch partitions, fold
+    them. Returns True when a compaction ran. Listing-cost only (one
+    listdir per index, no Spark job) when under threshold."""
+    for suffix in ("_digest_index", "_band_index"):
+        dir_ = out_dir.rstrip("/") + suffix
+        if os.path.isdir(dir_) and len(_live_batch_dirs(dir_)) > max_live_batches:
+            compact_indexes(spark, out_dir)
+            return True
+    return False
 
 
 __all__ = [
@@ -263,5 +410,8 @@ __all__ = [
     "run_corpus_stream",
     "read_corpus",
     "compact_indexes",
+    "maybe_compact_indexes",
+    "digest_index",
+    "band_index",
     "DOC_SCHEMA",
 ]

@@ -158,3 +158,151 @@ def test_null_text_rows_dropped_as_malformed(spark, dirs):
     assert v == {1: "keep", 2: "malformed", 3: "malformed"}
     ingest_batch(spark, batch, 0, dirs["out"], dirs["idx"], n_shards=4)
     assert [r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()] == [1]
+
+
+def _no_broadcast(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+
+def _restore_broadcast(spark):
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def _probe_plans(spark, dirs, band_dir):
+    """The two production probe joins (same shape as ingest_batch /
+    _near_dedup), as executed-plan strings with broadcast disabled so the
+    scale-path plan shape is what gets pinned."""
+    from consensource_sds_spark.queries.extensions import minhash_band_values
+    from consensource_sds_spark.streaming.corpus_ingest import band_index, digest_index
+
+    batch = _docs(spark, [(100, GOOD, "en", "z")]).withColumn("digest", F.md5("text"))
+    dig_probe = batch.join(
+        digest_index(spark, dirs["idx"]).select("digest"), "digest", "left_anti"
+    )
+    bands = minhash_band_values(batch.select("doc_id", "text"))
+    band_probe = bands.join(
+        band_index(spark, band_dir).select(
+            F.col("doc_id").alias("_di"), "band", "band_val"
+        ),
+        ["band", "band_val"],
+    )
+    return (
+        dig_probe._jdf.queryExecution().executedPlan().toString(),
+        band_probe._jdf.queryExecution().executedPlan().toString(),
+    )
+
+
+def _assert_index_side_in_place(plan: str):
+    """The index side must be a bucketed in-place scan: no BroadcastExchange
+    anywhere (the index is the O(corpus) side — broadcasting it is the
+    r5 scale defect), and NO Exchange on the index scan's ancestor chain
+    (the bucket layout satisfies the join's distribution; only the small
+    batch side may shuffle — its internal band/digest prep shuffles are
+    batch-sized and fine)."""
+    import re
+
+    assert "BroadcastExchange" not in plan, plan
+    lines = plan.splitlines()
+    scan_i = next(
+        i for i, l in enumerate(lines) if "FileScan" in l and "corpus_index_" in l
+    )
+    assert "Bucketed: true" in lines[scan_i], plan
+
+    def col(line: str) -> int:
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else 0
+
+    cur = col(lines[scan_i])
+    ancestors = []
+    for line in reversed(lines[:scan_i]):
+        c = col(line)
+        if c < cur:
+            ancestors.append(line)
+            cur = c
+    assert not any("Exchange" in a for a in ancestors), plan
+
+
+def test_probe_joins_never_shuffle_or_broadcast_the_index(spark, dirs):
+    band_dir = dirs["out"] + "_band_index"
+    for b, rows in enumerate([[(1, GOOD, "en", "a")], [(2, GOOD2, "en", "a")]]):
+        ingest_batch(spark, _docs(spark, rows), b, dirs["out"], dirs["idx"], 4, band_dir)
+    _no_broadcast(spark)
+    try:
+        dig_plan, band_plan = _probe_plans(spark, dirs, band_dir)
+        _assert_index_side_in_place(dig_plan)
+        _assert_index_side_in_place(band_plan)
+    finally:
+        _restore_broadcast(spark)
+
+
+def test_compacted_indexes_stay_probe_compatible(spark, dirs):
+    """compact_indexes rewrites THROUGH the bucketed table, so the
+    consolidated segment keeps the clustering and post-compaction probes
+    plan identically (no Exchange / no BroadcastExchange on the index)."""
+    band_dir = dirs["out"] + "_band_index"
+    for b, rows in enumerate([[(1, GOOD, "en", "a")], [(2, GOOD2, "en", "a")]]):
+        ingest_batch(spark, _docs(spark, rows), b, dirs["out"], dirs["idx"], 4, band_dir)
+    compact_indexes(spark, dirs["out"])
+    _no_broadcast(spark)
+    try:
+        dig_plan, band_plan = _probe_plans(spark, dirs, band_dir)
+        _assert_index_side_in_place(dig_plan)
+        _assert_index_side_in_place(band_plan)
+    finally:
+        _restore_broadcast(spark)
+    # and the fold emitted one file per bucket (repartition aligned 1:1)
+    import os
+
+    from consensource_sds_spark.streaming.corpus_ingest import _N_INDEX_BUCKETS
+
+    seg = os.path.join(dirs["idx"], "batch_id=-1")
+    files = [f for f in os.listdir(seg) if f.endswith(".parquet")]
+    assert 0 < len(files) <= _N_INDEX_BUCKETS
+
+
+def test_legacy_unbucketed_index_is_migrated(spark, dirs, tmp_path):
+    """An index written by the pre-bucketing layout (plain parquet,
+    batch_id dirs) is rewritten through the bucketed table on first touch —
+    its rows still dedup later batches, and probes plan bucketed."""
+    # write the OLD layout directly: md5(GOOD) retained as doc 1
+    (
+        spark.createDataFrame([(1,)], "keep_doc_id long")
+        .select(F.md5(F.lit(GOOD)).alias("digest"), "keep_doc_id")
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(dirs["idx"])
+    )
+    from consensource_sds_spark.streaming.corpus_ingest import _legacy_unbucketed
+
+    assert _legacy_unbucketed(dirs["idx"])
+    # next batch: an exact dup of the legacy-retained text + one new doc
+    batch = _docs(spark, [(10, GOOD, "en", "b"), (11, GOOD2, "en", "b")])
+    ingest_batch(spark, batch, 1, dirs["out"], dirs["idx"], n_shards=4)
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert got == {11}  # 10 deduped against the migrated legacy index
+    assert not _legacy_unbucketed(dirs["idx"])  # files now bucket-suffixed
+    idx = spark.read.parquet(dirs["idx"])
+    assert {r["keep_doc_id"] for r in idx.collect()} == {1, 11}
+
+
+def test_maybe_compact_indexes_policy(spark, dirs):
+    """The threshold policy: under max_live_batches it is a listdir no-op;
+    over it, one call folds the per-batch partitions and reads are
+    unchanged."""
+    import os
+
+    from consensource_sds_spark.streaming.corpus_ingest import maybe_compact_indexes
+
+    texts = [GOOD, GOOD2, " ".join(f"third{i}" for i in range(30))]
+    for b, t in enumerate(texts):
+        ingest_batch(spark, _docs(spark, [(b + 1, t, "en", "a")]), b, dirs["out"], dirs["idx"], 4)
+    before = {tuple(r) for r in spark.read.parquet(dirs["idx"]).drop("batch_id").collect()}
+    assert maybe_compact_indexes(spark, dirs["out"], max_live_batches=8) is False
+    assert len([d for d in os.listdir(dirs["idx"]) if d.startswith("batch_id=")]) == 3
+    assert maybe_compact_indexes(spark, dirs["out"], max_live_batches=2) is True
+    assert [d for d in os.listdir(dirs["idx"]) if d.startswith("batch_id=")] == ["batch_id=-1"]
+    after = {tuple(r) for r in spark.read.parquet(dirs["idx"]).drop("batch_id").collect()}
+    assert before == after
