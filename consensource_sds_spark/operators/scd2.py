@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -107,6 +108,17 @@ class UnsupportedStoreLayout(RuntimeError):
     open state and its commit's vacuum would delete the still-referenced
     legacy directories — silent data loss. Failing loudly preserves the
     store for a manual migration."""
+
+
+def _stage_token() -> str:
+    """Per-writer salt for staged generation directories. Two writers that
+    both base on generation g stage into DIFFERENT ``...-g{g+1}-{tok}``
+    paths, so the optimistic-concurrency loser's mode('overwrite') writes
+    can never delete or replace directories the winner's committed
+    manifest references — the flock'd expected_gen check then fails the
+    loser loudly and its orphaned salted directories are reclaimed by the
+    winner's next vacuum (they are referenced by no manifest)."""
+    return uuid.uuid4().hex[:8]
 
 
 def _microbatch_hint(df: DataFrame) -> DataFrame:
@@ -284,9 +296,12 @@ class ScdParquetStore:
         flock on a sidecar lock file, which serializes same-host writers;
         the intended deployment is one writer per checkpoint (streaming),
         so the guard exists to turn operator error into a loud failure,
-        not to enable multi-writer throughput. The loser's staged
-        generation directories are never referenced by any manifest and
-        are reclaimed by the winner's next vacuum.
+        not to enable multi-writer throughput. Staged generation
+        directories are salted per writer (:func:`_stage_token`), so two
+        writers basing on the same generation never share staging paths —
+        the loser cannot clobber directories the winner's committed
+        manifest references, its own orphaned directories are referenced
+        by no manifest, and the winner's next vacuum reclaims them.
 
         Vacuum is deferred by ONE generation (a minimal Delta-style
         retention window): directories superseded by THIS commit are
@@ -558,6 +573,7 @@ class ScdParquetStore:
                 man = self._manifest()
 
         gen = man["gen"] + 1
+        tok = _stage_token()
         new_man = json.loads(json.dumps(man))
         new_man["gen"] = gen
         new_man["n_buckets"] = n
@@ -593,7 +609,7 @@ class ScdParquetStore:
             with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
                 results = list(
                     pool.map(
-                        lambda j: self._write_split(j[3], f"{j[0]}/merged-g{gen}", j[1], n), jobs
+                        lambda j: self._write_split(j[3], f"{j[0]}/merged-g{gen}-{tok}", j[1], n), jobs
                     )
                 )
             for (table, _vkey, touched, _df), (open_new, closed_rel) in zip(jobs, results):
@@ -611,7 +627,7 @@ class ScdParquetStore:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            seg = f"blocks/seg-g{gen}"
+            seg = f"blocks/seg-g{gen}-{tok}"
             seg_dir = os.path.join(self.path, seg)
             os.makedirs(seg_dir, exist_ok=True)
             table = pa.table(
@@ -640,6 +656,7 @@ class ScdParquetStore:
         not per batch. Returns True if anything was compacted."""
         man = self._manifest()
         gen = man["gen"] + 1
+        tok = _stage_token()
         new_man = json.loads(json.dumps(man))
         new_man["gen"] = gen
         did = False
@@ -647,14 +664,14 @@ class ScdParquetStore:
             closed = [c for c in tman.get("closed", []) if c]
             if len(closed) < min_segments:
                 continue
-            merged_rel = f"{table}/closed-compact-g{gen}"
+            merged_rel = f"{table}/closed-compact-g{gen}-{tok}"
             self._read_dirs(closed, schemas.SINK_TABLES[table]).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(self.path, merged_rel))
             new_man["tables"][table]["closed"] = [merged_rel]
             did = True
         if len(man["blocks"]) >= min_segments:
-            merged_rel = f"blocks/compact-g{gen}"
+            merged_rel = f"blocks/compact-g{gen}-{tok}"
             self._read_dirs(man["blocks"], schemas.BLOCKS_TABLE).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(self.path, merged_rel))
@@ -664,6 +681,26 @@ class ScdParquetStore:
             self._commit(new_man, expected_gen=gen - 1)
         return did
 
+    def maybe_compact(self, max_closed_segments: int = 8, max_block_segments: int = 32) -> bool:
+        """Threshold maintenance policy — the glue between ``describe()``'s
+        storage profile and ``compact()``: run compaction only once any
+        table has accumulated more than ``max_closed_segments`` closed
+        segments (one per batch that closed versions) or the block log
+        exceeds ``max_block_segments`` segments (one per batch). The
+        under-threshold check costs ONE manifest read (a driver-side JSON
+        file — no file listing, no Spark job), so a streaming runner can
+        call this every batch interval; byte-level policies can layer on
+        ``describe()``, which walks parquet footers. Returns True when a
+        compaction ran."""
+        man = self._manifest()
+        worst = max(
+            (len([c for c in t.get("closed", []) if c]) for t in man["tables"].values()),
+            default=0,
+        )
+        if worst <= max_closed_segments and len(man["blocks"]) <= max_block_segments:
+            return False
+        return self.compact()
+
     def rewind(self, block_num: int) -> None:
         """W4 fork repair: drop versions born at >= block_num, re-open
         versions closed at >= block_num, forget blocks >= block_num.
@@ -671,6 +708,7 @@ class ScdParquetStore:
         (the Delta RESTORE cost — rare by construction)."""
         man = self._manifest()
         gen = man["gen"] + 1
+        tok = _stage_token()
         n = self._n_buckets()
         new_man = json.loads(json.dumps(man))
         new_man["gen"] = gen
@@ -689,10 +727,10 @@ class ScdParquetStore:
                     ),
                 )
             )
-            open_new, closed_rel = self._write_split(repaired, f"{table}/rewind-g{gen}", vkey_of[table], n)
+            open_new, closed_rel = self._write_split(repaired, f"{table}/rewind-g{gen}-{tok}", vkey_of[table], n)
             new_man["tables"][table] = {"open_buckets": open_new, "closed": [closed_rel] if closed_rel else []}
         if man["blocks"]:
-            seg = f"blocks/seg-g{gen}"
+            seg = f"blocks/seg-g{gen}-{tok}"
             kept = self.blocks().filter(F.col("block_num") < block_num).coalesce(1)
             kept.write.mode("overwrite").parquet(os.path.join(self.path, seg))
             new_man["blocks"] = [seg]

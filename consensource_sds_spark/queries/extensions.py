@@ -2893,6 +2893,16 @@ def x64_boilerplate_scrub(spark, sf_dir):
     return scrub_boilerplate(load(spark, sf_dir, "documents"))
 
 
+#: per-cluster row bound for x65 — the label-keyed pair join costs
+#: sum(|cluster|²) and one cluster's pairs land on ONE shuffle partition
+#: (a single join key; AQE cannot split it), so the bound caps the worst
+#: single-task pair count at ~4x10^8 dot products. A corpus whose
+#: upstream clustering (x40) emits a bigger cluster must re-cluster with
+#: larger k (or sub-cluster the hot label) — refusing loudly here beats
+#: silently re-creating the quadratic blowup SemDeDup exists to avoid.
+_X65_MAX_CLUSTER_ROWS = 20_000
+
+
 @register(
     "x65_semantic_dedup",
     oracle="""
@@ -2910,7 +2920,7 @@ def x64_boilerplate_scrub(spark, sf_dir):
     FROM e a
     """,
 )
-def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3):
+def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3, max_cluster_rows: int | None = None):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedded corpus — within each cluster, drop every
     vector that has a semantically-near predecessor (cosine >= threshold
@@ -2923,12 +2933,32 @@ def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3):
     Scale/plan — the whole point of SemDeDup: clustering bounds the
     quadratic. The pair join is label-keyed (equi-shuffle, never a global
     cross join), so cost is sum(|cluster|^2) not n^2, and cluster size is
-    controlled upstream by k (x40). Norms are computed once per vector
-    BEFORE the pair join; per-pair work is one double-precision dot
-    (same op order as the oracle). The dropped set distincts on vec_id,
-    then one anti/semi pass stamps keep — output covers EVERY vector, so
-    the apply stage is a plain filter."""
+    controlled upstream by k (x40). That control is ENFORCED, not
+    assumed: a pre-aggregation guard (x12's treatment) counts rows per
+    label first — map-side-combined, output one row per label — and
+    refuses any label over ``max_cluster_rows``, because one degenerate
+    mega-cluster is a single join key whose |c|² pairs land on one
+    shuffle partition AQE cannot split. Norms are computed once per
+    vector BEFORE the pair join; per-pair work is one double-precision
+    dot (same op order as the oracle). The dropped set distincts on
+    vec_id, then one anti/semi pass stamps keep — output covers EVERY
+    vector, so the apply stage is a plain filter."""
+    if max_cluster_rows is None:
+        max_cluster_rows = _X65_MAX_CLUSTER_ROWS
     e = load(spark, sf_dir, "embeddings")
+    oversize = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_cluster_rows)
+    )
+    hot = oversize.limit(1).collect()
+    if hot:
+        raise ValueError(
+            f"x65 cluster label {hot[0]['label']!r} has {hot[0]['_n']} rows "
+            f"(> {max_cluster_rows}); its label-keyed pair join would put "
+            "|c|² pairs on one shuffle partition. Re-cluster upstream with "
+            "larger k (x40) or sub-split the hot label before SemDeDup."
+        )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

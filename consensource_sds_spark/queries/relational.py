@@ -2655,7 +2655,11 @@ def q90_cohort_retention(spark, sf_dir):
     (user, day) distinct, and their join all reuse ONE user-keyed shuffle
     partitioning; the final (cohort, age) aggregate is over far fewer rows
     than events. Scale: no window over the raw stream, and the retention
-    matrix is O(days²) rows regardless of corpus size."""
+    matrix is O(days²) rows regardless of corpus size.
+
+    Oracle footnote: Spark ``div`` truncates toward zero while DuckDB
+    ``//`` floors — identical for the non-negative epoch-us testdata,
+    divergent one day for pre-1970 timestamps (negative ts_us)."""
     e = load(spark, sf_dir, "events").select(
         "user_id", F.expr("ts_us div 86400000000").alias("day")
     )
@@ -2692,12 +2696,22 @@ def q91_funnel_conversion(spark, sf_dir):
     the plan reuses one user-keyed partitioning end to end and the final
     counts are three 1-row aggregates unioned. Scale: events stream
     through type-pruned scans; no window over the full stream, state is
-    one (user, ts) row per stage."""
+    one (user, ts) row per stage.
+
+    Materialization: the v and c stage frames each feed TWO consumers
+    (the next stage and their own count) — left lazy, every consumer
+    re-derives its stage chain and events gets type-prune-scanned ~6x per
+    run, which at 100 TB is re-reading the corpus. ``localCheckpoint``
+    pins each stage (they are user-grouped aggregates, tiny relative to
+    events), so the final plan holds exactly ONE events scan — the
+    purchase stage's — with v/c read back from pinned partitions; pinned
+    by ``test_plans.py::test_q91_single_events_scan``."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t1"))
+        .localCheckpoint()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -2705,6 +2719,7 @@ def q91_funnel_conversion(spark, sf_dir):
         .filter(F.col("ts_us") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t2"))
+        .localCheckpoint()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

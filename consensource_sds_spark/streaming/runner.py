@@ -52,11 +52,16 @@ def run_file_stream(
     checkpoint_dir: str,
     trigger_once: bool = True,
     processing_time: str = "1 second",
+    auto_compact: bool = False,
 ):
     """Stream envelope Parquet files through the pipeline into the store.
 
     Files must carry the schemas.EVENT columns + delivery_id. Returns the
-    started StreamingQuery; caller awaits/stops it (S4)."""
+    started StreamingQuery; caller awaits/stops it (S4). ``auto_compact``
+    runs the store's threshold maintenance policy after every applied
+    batch — under threshold it costs one manifest read, over it the
+    accumulated closed/block segments fold in their own committed
+    generation (a maintenance commit between batches, never inside one)."""
 
     def apply_batch(batch_df, batch_id: int):
         # transform_events materializes the decoded changes once (one decode
@@ -68,6 +73,8 @@ def run_file_stream(
             batch_id=batch_id,
             txn_app_id=_query_id(checkpoint_dir),
         )
+        if auto_compact:
+            store.maybe_compact()
 
     reader = (
         spark.readStream.schema(

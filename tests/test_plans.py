@@ -99,3 +99,21 @@ def test_x62_threshold_set_far_below_item_budget(spark):
 
     n = x62_vocab_heavy_hitters(spark, "/root/testdata/sf0.01").count()
     assert 0 < n < _X62_K / 100, n
+
+
+def test_q91_single_events_scan(spark):
+    """q91's v/c stage frames feed two consumers each; localCheckpoint
+    pins them so the FINAL plan scans events exactly once (the purchase
+    stage) and reads v/c back as pinned partitions — without it events is
+    type-prune-scanned per consumer (~6x/run; at 100 TB each is the
+    corpus)."""
+    from consensource_sds_spark.queries.relational import q91_funnel_conversion
+
+    plan = (
+        q91_funnel_conversion(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one events scan subtree: the source path appears once whether the
+    # scan is a raw FileScan or an InMemoryTableScan over the pooled table
+    assert plan.count("events.parquet") == 1, plan
+    # and the three checkpointed stage reads (v count, c count, c in p)
+    assert plan.count("ExistingRDD") == 3, plan

@@ -436,3 +436,77 @@ def test_describe_profiles_store_from_footers(spark, store):
     prof2 = {p["table"]: p for p in store.describe()}
     assert prof2["agents"]["n_closed_segments"] == 1
     assert prof2["agents"]["n_closed_rows"] == 2
+
+
+def test_maybe_compact_policy(spark, store):
+    """The threshold policy connecting describe()/manifest counts to
+    compact(): under threshold it is a single manifest read and a no-op;
+    over it, one call folds the segments and reads are unchanged."""
+    for b in range(1, 6):
+        a = dict(fx.make_agent(), name=f"v{b}")
+        _apply(
+            spark, store, [fx.delivery(b, f"b{b}", [fx.state_change("agent", fx.PUBLIC_KEY, [a])])]
+        )
+    before = _agent_versions(store)
+    # 4 closed segments / 5 block segments: under both thresholds -> no-op
+    assert store.maybe_compact(max_closed_segments=8, max_block_segments=32) is False
+    assert len(store._manifest()["tables"]["agents"]["closed"]) == 4
+    # over the closed-segment threshold -> compacts
+    assert store.maybe_compact(max_closed_segments=3) is True
+    man = store._manifest()
+    assert len(man["tables"]["agents"]["closed"]) == 1
+    assert len(man["blocks"]) == 1
+    assert _agent_versions(store) == before
+    # and now idle again
+    assert store.maybe_compact(max_closed_segments=3) is False
+
+
+def test_stale_writer_staging_never_clobbers_committed_data(spark, store, monkeypatch):
+    """Two writers basing on the SAME generation stage into salted paths:
+    the optimistic-concurrency loser's mode('overwrite') staging writes
+    must not delete or replace directories the winner's committed manifest
+    references (unsalted staging paths collide and the loser clobbers the
+    winner's data BEFORE the expected_gen check fires)."""
+    import inspect
+    import json
+
+    import pytest
+
+    from consensource_sds_spark.operators.scd2 import ConcurrentWriteError
+
+    _apply(
+        spark,
+        store,
+        [fx.delivery(1, "b1", [fx.state_change("agent", "a", [dict(fx.make_agent(), public_key="pk", name="n1")])])],
+    )
+    stale_man = json.loads(json.dumps(store._manifest()))  # the shared base
+    _apply(  # the winner commits the next generation
+        spark,
+        store,
+        [fx.delivery(2, "b2", [fx.state_change("agent", "a", [dict(fx.make_agent(), public_key="pk", name="n2")])])],
+    )
+    committed = _agent_versions(store)
+
+    # the stale writer: plans (and stages) against the shared base, but the
+    # commit-time flock'd re-read sees the winner's newer generation
+    real_manifest = ScdParquetStore._manifest
+
+    def stale_view(self):
+        if any(f.function == "_commit" for f in inspect.stack()[1:4]):
+            return real_manifest(self)
+        return json.loads(json.dumps(stale_man))
+
+    monkeypatch.setattr(ScdParquetStore, "_manifest", stale_view)
+    with pytest.raises(ConcurrentWriteError):
+        _apply(
+            spark,
+            store,
+            [fx.delivery(3, "b3", [fx.state_change("agent", "a", [dict(fx.make_agent(), public_key="pk", name="LOSER")])])],
+        )
+    monkeypatch.undo()
+
+    # the winner's committed state is byte-for-byte readable: the loser's
+    # staged directories were salted, so nothing the manifest references
+    # was overwritten, and the loser's value never appears
+    assert _agent_versions(store) == committed
+    assert [r["name"] for r in store.current("agents").collect()] == ["n2"]

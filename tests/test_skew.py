@@ -84,3 +84,22 @@ def test_aqe_splits_skewed_join(spark, skewed_df, tmp_path):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_x65_refuses_mega_cluster(spark):
+    """SemDeDup's pair join is label-keyed: one degenerate mega-cluster is
+    a single join key whose |c|² pairs land on one AQE-unsplittable
+    shuffle partition. The pre-aggregation guard must refuse BEFORE any
+    pair join is planned or executed — and stay silent for bounded
+    clusters."""
+    from consensource_sds_spark.queries import load
+    from consensource_sds_spark.queries.extensions import x65_semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    # with the bound pulled under the real cluster sizes, every label is
+    # "mega" — the call itself raises; no pair-join DataFrame escapes
+    with pytest.raises(ValueError, match="pair join"):
+        x65_semantic_dedup(spark, sf, max_cluster_rows=2)
+    # default bound: untriggered, full cover output as before
+    out = x65_semantic_dedup(spark, sf)
+    assert out.count() == load(spark, sf, "embeddings").count()
