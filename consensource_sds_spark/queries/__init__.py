@@ -257,103 +257,150 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks a 50-slot window of the registry in
-# iteration order, rotating across rounds (r1: the q* block, r2: the x*
-# block). Entries here have not yet appeared in any driver CORRECTNESS file,
-# so they lead the ordering until a driver round covers them; everything
-# else follows in registration order. Keep newly added queries in this list.
+# iteration order, rotating across rounds. This tuple is the FULL registry
+# ordered by staleness of driver signal (oldest CORRECTNESS round first,
+# that round's file order within): r6's window should land on the q01-q46
+# block (last checked r1), x57/x58 (r2), and the leading 13 of the r4
+# block — disjoint from r5's window. Regenerate per round from the
+# CORRECTNESS_r0*.json files; keep never-checked additions at the top.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # round-5 additions: never driver-checked yet
-    "q90_cohort_retention",
-    "q91_funnel_conversion",
-    "x66_incremental_neardup_probe",
-    "x64_boilerplate_scrub",
-    "x65_semantic_dedup",
-    "q82_returned_items",
-    "q83_volume_shipping",
-    "q84_market_share",
-    "q85_product_profit",
-    "q86_value_concentration",
-    "q87_parts_supplier_count",
-    "q88_waiting_suppliers",
-    "q89_potential_promotion",
-    # round-5 rotation: the 74 registry entries NOT in CORRECTNESS_r04.json
-    # (the driver's 50-slot window covered the r4 additions + the q47-q79
-    # block last round) — oldest-driver-signal entries first so the r5
-    # window lands on a disjoint-from-r4 set.
-    "x10_cosine_topk",
-    "x11_ivf_assign",
-    "x12_embedding_neardup",
-    "x13_ivf_neardup",
-    "x14_multiprobe_ivf",
-    "x20_token_stats",
-    "x21_quality_score",
-    "x22_lang_id",
-    "x23_fingerprint",
-    "x24_source_lang_profile",
-    "x27_sequence_packing",
-    "x28_top_bigrams",
-    "x31_length_percentiles",
-    "x30_approx_count_distinct",
-    "x32_pii_redaction",
-    "x33_repetition_signals",
-    "x34_benchmark_contamination",
-    "x38_passage_dedup",
-    "x35_mixture_weights",
-    "x36_shard_assignment",
-    "x41_subword_chunking",
-    "x42_vocab_oov",
-    "x43_filter_pipeline",
-    "x39_int8_quantize",
-    "x40_kmeans_update",
-    "x45_tfidf_top_term",
-    "x46_unigram_lm_score",
-    "x47_srp_neardup",
-    "x48_winnowing",
-    "x49_fingerprint_matches",
-    "x50_hll_sketch_rollup",
-    "x51_mixture_sample",
-    "x52_length_batching",
-    "x53_pagerank",
-    "x54_column_profile",
-    "x55_fk_integrity",
-    "x56_completeness_profile",
-    "x57_distribution_drift",
-    "x58_incremental_dedup",
-    "q01_pricing_summary",
-    "q02_filter_pushdown",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q06_broadcast_dim_join",
-    "q07_star_join_parts",
-    "q10_window_topk_per_group",
-    "q11_window_running_sum",
-    "q12_window_lag_delta",
-    "q13_dense_rank_suppliers",
-    "q15_rollup",
-    "q16_cube",
-    "q17_grouping_sets",
-    "q20_sort_topk",
-    "q21_distinct",
-    "q22_set_ops",
-    "q23_except",
-    "q24_union_all",
-    "q25_semi_join",
-    "q26_anti_join",
-    "q27_left_join_nulls",
-    "q28_scalar_subquery",
-    "q29_having",
-    "q30_string_funcs",
-    "q31_date_funcs",
-    "q32_math_funcs",
-    "q33_case_when_enum",
-    "q34_nullif_coalesce",
-    "q40_explode_unnest",
-    "q41_maxby_lastwins",
-    "q42_type_dispatch",
-    "q43_scd2_versions",
-    "q44_time_travel_asof",
-    "q45_distinct_agg",
-    "q46_json_extract",
+    'q01_pricing_summary',
+    'q02_filter_pushdown',
+    'q03_shipping_priority',
+    'q05_local_supplier_volume',
+    'q06_broadcast_dim_join',
+    'q07_star_join_parts',
+    'q10_window_topk_per_group',
+    'q11_window_running_sum',
+    'q12_window_lag_delta',
+    'q13_dense_rank_suppliers',
+    'q15_rollup',
+    'q16_cube',
+    'q17_grouping_sets',
+    'q20_sort_topk',
+    'q21_distinct',
+    'q22_set_ops',
+    'q23_except',
+    'q24_union_all',
+    'q25_semi_join',
+    'q26_anti_join',
+    'q27_left_join_nulls',
+    'q28_scalar_subquery',
+    'q29_having',
+    'q30_string_funcs',
+    'q31_date_funcs',
+    'q32_math_funcs',
+    'q33_case_when_enum',
+    'q34_nullif_coalesce',
+    'q40_explode_unnest',
+    'q41_maxby_lastwins',
+    'q42_type_dispatch',
+    'q43_scd2_versions',
+    'q44_time_travel_asof',
+    'q45_distinct_agg',
+    'q46_json_extract',
+    'x57_distribution_drift',
+    'x58_incremental_dedup',
+    'x61_domain_doc_cap',
+    'x62_vocab_heavy_hitters',
+    'x63_source_vocab_overlap',
+    'q80_recursive_bands',
+    'q81_variant_json',
+    'q47_fulltext_search',
+    'q48_asof_join',
+    'q49_range_join',
+    'q50_array_map_funcs',
+    'q51_sessionize_batch',
+    'q52_bm25_rank',
+    'q53_exists_correlated',
+    'q54_customer_distribution',
+    'q55_promo_share',
+    'q56_large_orders',
+    'q57_small_qty_revenue',
+    'q58_disjunctive_pred',
+    'q59_window_family',
+    'q60_pivot',
+    'q61_hopping_windows',
+    'q62_gap_fill',
+    'q63_stat_aggs',
+    'q64_posexplode_ordinality',
+    'q65_multiset_ops',
+    'q66_string_agg',
+    'q67_conditional_agg',
+    'q68_lateral_topn',
+    'q69_histogram',
+    'q70_bool_bit_aggs',
+    'q71_range_frame',
+    'q72_grouping_id',
+    'q73_regression_aggs',
+    'q74_fuzzy_join',
+    'q75_unpivot',
+    'q76_map_funcs',
+    'q77_session_window_fn',
+    'q78_dormant_accounts',
+    'q79_forward_fill',
+    'x60_rendezvous_resharding',
+    'x01_dedup_exact',
+    'x02_minhash_signatures',
+    'x03_minhash_lsh_pairs',
+    'x44_minhash_jaccard_estimate',
+    'x04_ngram_jaccard_pairs',
+    'x05_simhash',
+    'x07_simhash_neardup',
+    'x25_dataset_split',
+    'x26_stratified_sample',
+    'x06_dedup_clusters',
+    'x08_dedup_apply',
+    'q90_cohort_retention',
+    'q91_funnel_conversion',
+    'x66_incremental_neardup_probe',
+    'x64_boilerplate_scrub',
+    'x65_semantic_dedup',
+    'q82_returned_items',
+    'q83_volume_shipping',
+    'q84_market_share',
+    'q85_product_profit',
+    'q86_value_concentration',
+    'q87_parts_supplier_count',
+    'q88_waiting_suppliers',
+    'q89_potential_promotion',
+    'x10_cosine_topk',
+    'x11_ivf_assign',
+    'x12_embedding_neardup',
+    'x13_ivf_neardup',
+    'x14_multiprobe_ivf',
+    'x20_token_stats',
+    'x21_quality_score',
+    'x22_lang_id',
+    'x23_fingerprint',
+    'x24_source_lang_profile',
+    'x27_sequence_packing',
+    'x28_top_bigrams',
+    'x31_length_percentiles',
+    'x30_approx_count_distinct',
+    'x32_pii_redaction',
+    'x33_repetition_signals',
+    'x34_benchmark_contamination',
+    'x38_passage_dedup',
+    'x35_mixture_weights',
+    'x36_shard_assignment',
+    'x41_subword_chunking',
+    'x42_vocab_oov',
+    'x43_filter_pipeline',
+    'x39_int8_quantize',
+    'x40_kmeans_update',
+    'x45_tfidf_top_term',
+    'x46_unigram_lm_score',
+    'x47_srp_neardup',
+    'x48_winnowing',
+    'x49_fingerprint_matches',
+    'x50_hll_sketch_rollup',
+    'x51_mixture_sample',
+    'x52_length_batching',
+    'x53_pagerank',
+    'x54_column_profile',
+    'x55_fk_integrity',
+    'x56_completeness_profile',
 )
 
 
