@@ -264,6 +264,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block — disjoint from r5's window. Regenerate per round from the
 # CORRECTNESS_r0*.json files; keep never-checked additions at the top.
 _GATE_PRIORITY: tuple[str, ...] = (
+    # round-6 additions: never driver-checked yet
+    'x67_bpe_pair_counts',
+    'x68_inverted_index',
+    'x69_bloom_digest_probe',
     'q01_pricing_summary',
     'q02_filter_pushdown',
     'q03_shipping_priority',

@@ -3061,3 +3061,188 @@ def x66_incremental_neardup_probe(spark, sf_dir):
         F.col("doc_id").alias("corpus_doc_id"), "band", "band_val"
     )
     return new.join(corpus, ["band", "band_val"]).select("new_doc_id", "corpus_doc_id").distinct()
+
+
+# --------------------------------------------------------------------------
+# Tokenizer / index construction primitives
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x67_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT w, COUNT(*) AS wc FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2 GROUP BY w
+    ), p AS (
+      SELECT UNNEST(list_transform(range(1, len(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wc
+      FROM w
+    ), c AS (
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count FROM p GROUP BY pair
+    )
+    SELECT pair, pair_count FROM (
+      SELECT pair, pair_count,
+             ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rn FROM c)
+    WHERE rn <= 20
+    """,
+)
+def x67_bpe_pair_counts(spark, sf_dir):
+    """One BPE merge step's pair statistics (Sennrich et al. 2016,
+    arXiv:1508.07909): count adjacent character pairs across the corpus and
+    rank the top merge candidates — the inner-loop primitive of
+    byte-pair-encoding tokenizer training, run distributed. Top 20 pairs,
+    deterministically tie-broken by the pair string.
+
+    Scale — the classic BPE word-frequency compression: the CORPUS only
+    feeds one word-count aggregation (map-side combined; output is
+    vocab-sized, millions of rows at 100 TB, not billions). Pair explode
+    and pair counting run over the VOCAB weighted by word frequency, so
+    per-merge-iteration cost is O(vocab), independent of corpus size. The
+    final top-N is a single-partition window over at most |alphabet|^2
+    rows — bounded by construction. Iterating merges re-runs only the
+    vocab-sized stages (words re-segmented by the learned merge), never
+    the corpus scan."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.expr("explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair"),
+        "wc",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    rn = F.row_number().over(Window.orderBy(F.desc("pair_count"), F.asc("pair")))
+    return counts.withColumn("_rn", rn).filter(F.col("_rn") <= 20).drop("_rn")
+
+
+@register(
+    "x68_inverted_index",
+    oracle="""
+    WITH per_doc AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+      WHERE len(term) > 0 GROUP BY term, doc_id
+    ), capped AS (
+      SELECT term, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM per_doc
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+           array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 50), ',')
+             AS postings_head
+    FROM capped GROUP BY term
+    """,
+)
+def x68_inverted_index(spark, sf_dir):
+    """Inverted-index construction: per term, document frequency, corpus
+    frequency, and the head of the doc_id-sorted posting list (first 50
+    ids, comma-joined — the first "page" of a paged posting layout). The
+    index q47's full-text search and x34's contamination scan would probe.
+
+    Scale — bounded state at every stage, the property a naive
+    collect_list-then-slice build lacks: (term, doc_id, tf) aggregates on
+    the compound key (map-side combined); the posting cap is applied with
+    a row_number window BEFORE any array materializes, so no executor ever
+    holds a stop-word's full posting list — per-group arrays are <= 50
+    entries by construction. The window's term-keyed shuffle is reused by
+    the final term aggregate (same partitioning, no extra Exchange). Full
+    posting lists at scale come from emitting every (rn div 50) page the
+    same way, not from bigger arrays."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.length("term") > 0
+    )
+    per_doc = g.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = per_doc.withColumn("rn", F.row_number().over(w))
+    return (
+        capped.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") <= 50, F.col("doc_id")))
+            ).alias("_pl"),
+        )
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.expr("concat_ws(',', transform(_pl, x -> CAST(x AS STRING)))").alias(
+                "postings_head"
+            ),
+        )
+    )
+
+
+@register(
+    "x69_bloom_digest_probe",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS digest,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS snap
+      FROM documents)
+    SELECT t.doc_id AS new_doc_id, t.digest,
+           EXISTS (SELECT 1 FROM tagged c WHERE c.snap = 0 AND c.digest = t.digest)
+             AS is_dup
+    FROM tagged t
+    WHERE t.snap = 1
+    """,
+)
+def x69_bloom_digest_probe(spark, sf_dir):
+    """Bloom-accelerated incremental exact-dup probe — x58's question
+    ("which incoming docs duplicate the corpus") answered through the
+    functions/bloom.py filter: the corpus side folds to a bits-only
+    summary (distributed per-partition build, OR treeReduce), the batch
+    side is screened by an Arrow-vectorized membership UDF, and only the
+    screened CANDIDATES take the exact semi-join that clears false
+    positives. The oracle is the plain exact intersection — the gate
+    proves the bloom path changes cost, never answers.
+
+    Scale: the corpus contributes one digest projection feeding a
+    ~10-bits/doc bitmap (1.2 GB per 10^9 docs vs tens of GB of index) and
+    one semi-join whose probe side is only the candidate set — expected
+    batch_dups + FPR x batch, not the batch. At 1% FPR a 99%-novel batch
+    sends ~2% of its rows into the join. The streaming twin
+    (streaming/corpus_ingest.py) holds the same filter driver-side and
+    skips the join entirely when no candidate exists."""
+    from consensource_sds_spark.functions.bloom import build_bits, might_contain_col
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("digest", F.md5("text"))
+        .withColumn(
+            "snap", F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2")
+        )
+    )
+    corpus = d.filter(F.col("snap") == 0)
+    batch = d.filter(F.col("snap") == 1)
+    # ~8 bits/doc (pow2-rounded): a deliberately TIGHT sizing so a few
+    # false positives reach the clearing join at every scale factor — the
+    # gate then proves FP-clearing, not just the all-miss fast path
+    n = corpus.count()
+    bits = build_bits(corpus.select("digest"), "digest", m_bits=1 << max(11, (8 * max(n, 1)).bit_length()))
+    hit = might_contain_col(spark, bits)
+    # bloom misses are is_dup=false with NO join work; only candidates
+    # (true dups + FPs) reach the exact semi-join that settles them
+    screened = batch.withColumn("_hit", hit("digest"))
+    confirmed = (
+        screened.filter(F.col("_hit"))
+        .join(corpus.select("digest").distinct(), "digest", "left_semi")
+        .select("digest")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        screened.join(confirmed, "digest", "left")
+        .select(
+            F.col("doc_id").alias("new_doc_id"),
+            "digest",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -35,6 +35,14 @@ per-batch partitions through the same bucketed ``insertInto``, so
 compaction preserves probe-compatibility (pinned by
 ``tests/test_corpus_ingest.py``). The near-dup twin is x66's band-index
 probe; its standing (band, band_val) index gets the identical treatment.
+
+On top of the bucketed layout, the digest probe short-circuits through a
+driver-held bloom sidecar (functions/bloom.py): an all-new microbatch —
+the steady state for novel content — touches ZERO index files, and a
+batch with bloom hits probes only the candidate digests (IN-pushdown =
+bucket + row-group pruning). The sidecar is a superset of the index by
+write ordering, so the fast path can skip work but never skip a real
+duplicate.
 """
 
 from __future__ import annotations
@@ -49,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from consensource_sds_spark.functions.bloom import DEFAULT_M_BITS, BloomSidecar
 from consensource_sds_spark.queries.extensions import minhash_band_values, with_filter_verdict
 from consensource_sds_spark.sources.dataset_writer import ROW_GROUP_BYTES, with_shard_columns
 
@@ -74,6 +83,10 @@ _BAND_KEYS = "band, band_val"
 #: the codec extension; files written by a plain ``.parquet(dir)`` don't.
 _BUCKETED_FILE_RE = re.compile(r"_\d{5}\.c\d{3}")
 
+#: above this many bloom candidates, drop the IN-list pushdown (plan-bloat
+#: territory) and run the plain anti-join — same result, no pruning.
+_BLOOM_ISIN_CAP = 1024
+
 
 @contextmanager
 def _dynamic_overwrite(spark: SparkSession):
@@ -95,6 +108,18 @@ def _index_table_name(dir_: str) -> str:
     path IS the identity, so any session (or a rebuilt metastore) resolves
     the same directory to the same table."""
     return "corpus_index_" + hashlib.md5(os.path.abspath(dir_).encode()).hexdigest()[:12]
+
+
+def _index_has_files(dir_: str) -> bool:
+    """True when ``dir_`` holds any parquet data at all (bucketed or
+    legacy) — the guard that keeps a missing bloom sidecar from being
+    mistaken for an empty corpus."""
+    if not os.path.isdir(dir_):
+        return False
+    for _root, _dirs, files in os.walk(dir_):
+        if any(f.endswith(".parquet") and not f.startswith(".") for f in files):
+            return True
+    return False
 
 
 def _legacy_unbucketed(dir_: str) -> bool:
@@ -223,11 +248,26 @@ def ingest_batch(
     index_dir: str,
     n_shards: int = 16,
     band_dir: str | None = None,
+    bloom_bits: int | None = DEFAULT_M_BITS,
 ) -> None:
     """One microbatch through filter -> incremental dedup -> sharded append.
 
     Pure function of (batch, standing index) so the identical code runs
-    under spark.read for backfill and inside foreachBatch for the stream."""
+    under spark.read for backfill and inside foreachBatch for the stream.
+
+    ``bloom_bits`` (None disables): the digest probe short-circuits
+    through a driver-held bloom sidecar (``<index_dir>/_bloom``, a
+    SUPERSET of the index's digests by write ordering — see
+    :class:`~consensource_sds_spark.functions.bloom.BloomSidecar`). Batch
+    digests the bloom has never seen are DEFINITELY new: an all-new batch
+    skips the index probe join entirely (zero index reads — the steady
+    state for novel content). Bloom hits are candidates only; they take
+    an exact anti-join against the bucketed index, with the candidate
+    digests pushed down as an IN filter (bucket + row-group pruning) when
+    few enough (``_BLOOM_ISIN_CAP``). False positives are cleared by that
+    join, false negatives cannot occur, so retained content is
+    bit-identical with the bloom on or off (pinned by
+    ``test_corpus_ingest.py::test_bloom_equivalence_and_fast_path``)."""
     # under foreachBatch the batch frame lives in a CLONED session; run
     # every catalog op / table read on that session so probe frames and
     # batch frames resolve against one state (tables themselves are in the
@@ -246,20 +286,56 @@ def ingest_batch(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    idx = digest_index(spark, index_dir)
-    fresh = batch_min.join(idx.select("digest"), "digest", "left_anti")
+    sidecar, batch_digs = None, None
+    if bloom_bits is not None:
+        bloom_path = os.path.join(os.path.abspath(index_dir), "_bloom")
+        if not os.path.exists(bloom_path) and _index_has_files(index_dir):
+            # an index built before the bloom existed (or a deleted
+            # sidecar): an EMPTY bloom would violate the superset
+            # invariant and silently re-admit duplicates — rebuild from
+            # the index (the source of truth; one-time distributed build,
+            # converges across crashes since the file appears atomically
+            # only after a complete build)
+            from consensource_sds_spark.functions import bloom as _bloom
+
+            sidecar = _bloom.rebuild(
+                spark, digest_index(spark, index_dir).select("digest"), bloom_path, m_bits=bloom_bits
+            )
+        else:
+            sidecar = BloomSidecar(bloom_path, m_bits=bloom_bits)
+        # one digest per row post-collapse: a microbatch-bounded driver
+        # collect (control-plane scale, like the SCD2 bucket distinct) —
+        # the bloom never ships to executors this way
+        batch_min = batch_min.localCheckpoint()
+        batch_digs = [r["digest"] for r in batch_min.select("digest").collect()]
+        cands = sidecar.candidates(batch_digs)
+        if not cands:
+            # every digest is definitely new: no index probe at all
+            _ensure_index_table(spark, index_dir, _DIGEST_COLS, _DIGEST_KEYS)
+            fresh = batch_min
+        elif len(cands) <= _BLOOM_ISIN_CAP:
+            dup = digest_index(spark, index_dir).select("digest").filter(F.col("digest").isin(cands))
+            fresh = batch_min.join(dup, "digest", "left_anti")
+        else:
+            fresh = batch_min.join(digest_index(spark, index_dir).select("digest"), "digest", "left_anti")
+    else:
+        fresh = batch_min.join(digest_index(spark, index_dir).select("digest"), "digest", "left_anti")
     fresh = fresh.select("doc_id", "text", "lang", "source", "n_chars", "digest").localCheckpoint()
     if band_dir is not None:
         fresh = _near_dedup(spark, fresh, band_dir).localCheckpoint()
 
     # idempotent-by-layout appends: each write owns its batch_id partition.
-    # ORDER MATTERS for crash convergence: corpus rows first, index last —
-    # a replay after a crash between the two recomputes `fresh` (the index
-    # probe still misses) and overwrites the same corpus partitions; had
-    # the index gone first, the replay's probe would filter the batch to
-    # empty and its corpus rows would be lost. (`fresh` is checkpointed
-    # above, so the index inserts below never re-run the probe against
-    # their own output either.)
+    # ORDER MATTERS for crash convergence: corpus rows first, then the
+    # bloom sidecar, index inserts last — a replay after a crash between
+    # corpus and index recomputes `fresh` (the index probe still misses;
+    # bloom hits only make its own digests CANDIDATES, which the exact
+    # join clears) and overwrites the same corpus partitions; had the
+    # index gone first, the replay's probe would filter the batch to empty
+    # and its corpus rows would be lost. The bloom precedes the index so
+    # the sidecar is always a SUPERSET of index digests (false positives
+    # safe, false negatives impossible). (`fresh` is checkpointed above,
+    # so the index inserts below never re-run the probe against their own
+    # output either.)
     (
         with_shard_columns(fresh.drop("digest"), key="doc_id", n_shards=n_shards)
         .withColumn("batch_id", F.lit(batch_id))
@@ -270,6 +346,10 @@ def ingest_batch(
         .option("parquet.block.size", ROW_GROUP_BYTES)
         .parquet(out_dir)
     )
+    if sidecar is not None:
+        # superset-before-index: OR the batch's post-collapse digests in
+        # now, so the index never holds a digest the bloom lacks
+        sidecar.add_digests(batch_digs)
     dig_tbl = _index_table_name(index_dir)
     _insert_index(
         spark,
@@ -300,18 +380,20 @@ def run_corpus_stream(
     n_shards: int = 16,
     available_now: bool = True,
     near_dedup: bool = False,
+    bloom_bits: int | None = DEFAULT_M_BITS,
 ):
     """Stream document files from ``source_dir`` through the corpus gates
     into ``out_dir`` (+ ``<out_dir>_digest_index``; with ``near_dedup``
     also ``<out_dir>_band_index`` for the x66 LSH probe). ``available_now``
     drains what exists and stops — the backfill/test trigger; pass False
-    for a continuously-running ingest."""
+    for a continuously-running ingest. ``bloom_bits`` sizes the digest
+    probe's bloom fast path (see :func:`ingest_batch`; None disables)."""
     index_dir = out_dir.rstrip("/") + "_digest_index"
     band_dir = out_dir.rstrip("/") + "_band_index" if near_dedup else None
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir)
+        ingest_batch(spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir, bloom_bits)
 
     writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
     if available_now:

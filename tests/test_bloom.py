@@ -1,0 +1,101 @@
+"""functions/bloom.py: the mergeable digest bloom behind the streaming
+ingest's probe fast path and x69. The load-bearing properties: NO false
+negatives ever (a FN silently re-admits a duplicate), bounded FPR at the
+design point, driver build == distributed build bit-for-bit, atomic
+persistence round-trip, and rebuild-from-index for the missing-sidecar
+state."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from consensource_sds_spark.functions.bloom import (
+    BloomSidecar,
+    build_bits,
+    might_contain_col,
+    rebuild,
+)
+
+
+def _digs(prefix: str, n: int) -> list[str]:
+    return [hashlib.md5(f"{prefix}{i}".encode()).hexdigest() for i in range(n)]
+
+
+def test_no_false_negatives_and_fpr_bound(tmp_path):
+    added = _digs("doc", 13000)
+    novel = _digs("new", 20000)
+    sc = BloomSidecar(str(tmp_path / "b"), m_bits=1 << 17)  # ~10 bits/doc
+    sc.add_digests(added[:7000])
+    sc.add_digests(added[7000:])  # merge = OR: second add must not evict
+    assert sc.candidates(added) == added  # every member hits
+    fpr = len(sc.candidates(novel)) / len(novel)
+    assert fpr < 0.03, fpr  # theory ~1% at 10 bits/doc, k=7
+    assert 0.0 < sc.fill_fraction() < 0.6
+
+
+def test_persistence_round_trip_and_magic_guard(tmp_path):
+    p = str(tmp_path / "b")
+    sc = BloomSidecar(p, m_bits=1 << 14)
+    sc.add_digests(_digs("d", 100))
+    re = BloomSidecar(p)  # sizing comes from the file, not the default
+    assert (re.m_bits, re.k, re.n_added) == (1 << 14, sc.k, 100)
+    assert np.array_equal(re.bits, sc.bits)
+    assert re.candidates(_digs("d", 100)) == _digs("d", 100)
+    with open(p, "wb") as f:
+        f.write(b"not a bloom")
+    with pytest.raises(ValueError, match="magic"):
+        BloomSidecar(p)
+
+
+def test_empty_probe_and_empty_add(tmp_path):
+    sc = BloomSidecar(str(tmp_path / "b"), m_bits=1 << 12)
+    assert sc.candidates([]) == []
+    sc.add_digests([])
+    assert sc.n_added == 0
+
+
+def test_distributed_build_matches_driver_build(spark, tmp_path):
+    """build_bits (per-partition bitmaps, OR treeReduce) must produce the
+    IDENTICAL bitmap the driver-side path sets — the two deployment shapes
+    share one hash scheme or membership answers diverge."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.md5(F.concat(F.lit("doc"), F.col("id").cast("string"))).alias("digest")
+    )
+    bits = build_bits(df, "digest", m_bits=1 << 18)
+    sc = BloomSidecar(str(tmp_path / "b"), m_bits=1 << 18)
+    sc.add_digests(_digs("doc", 5000))
+    assert np.array_equal(bits, sc.bits)
+
+    # and the distributed probe agrees: all members hit
+    probe = df.withColumn("hit", might_contain_col(spark, bits)("digest"))
+    assert probe.filter("NOT hit").count() == 0
+
+
+def test_rebuild_from_index(spark, tmp_path):
+    """rebuild() re-derives the filter from the index (the source of
+    truth) at a new m and replaces the sidecar atomically — the recovery
+    path for a missing/undersized sidecar next to a live index."""
+    from pyspark.sql import functions as F
+
+    idx = spark.range(2000).select(
+        F.md5(F.concat(F.lit("doc"), F.col("id").cast("string"))).alias("digest")
+    )
+    p = str(tmp_path / "b")
+    old = BloomSidecar(p, m_bits=1 << 10)  # deliberately saturated
+    old.add_digests(_digs("doc", 2000))
+    assert old.fill_fraction() > 0.9
+
+    sc = rebuild(spark, idx, p, m_bits=1 << 16)
+    assert sc.m_bits == 1 << 16 and sc.n_added == 2000
+    assert os.path.exists(p)
+    re = BloomSidecar(p)
+    assert re.m_bits == 1 << 16
+    assert re.candidates(_digs("doc", 2000)) == _digs("doc", 2000)  # no FNs
+    fpr = len(re.candidates(_digs("new", 5000))) / 5000
+    assert fpr < 0.03, fpr  # healthy again after resize

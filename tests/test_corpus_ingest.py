@@ -4,6 +4,8 @@ standing index already retains, and replaying a batch is idempotent."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -306,3 +308,88 @@ def test_maybe_compact_indexes_policy(spark, dirs):
     assert [d for d in os.listdir(dirs["idx"]) if d.startswith("batch_id=")] == ["batch_id=-1"]
     after = {tuple(r) for r in spark.read.parquet(dirs["idx"]).drop("batch_id").collect()}
     assert before == after
+
+
+def test_bloom_equivalence_and_fast_path(spark, dirs, tmp_path, monkeypatch):
+    """The bloom sidecar must change COST, never the retained set: the
+    same batch sequence ingested with bloom on and off keeps identical
+    docs. Fast path pinned: an all-novel batch (no bloom candidates) never
+    touches the digest-index table at all — digest_index() is not even
+    called — while a batch with a real dup takes the candidate join."""
+    from consensource_sds_spark.streaming import corpus_ingest as ci
+
+    b1 = _docs(spark, [(1, GOOD, "en", "a")])
+    b2 = _docs(spark, [(10, GOOD, "en", "b"), (11, GOOD2, "en", "b")])
+
+    # bloom OFF reference run
+    off = {"out": str(tmp_path / "off"), "idx": str(tmp_path / "off_digest_index")}
+    ci.ingest_batch(spark, b1, 0, off["out"], off["idx"], n_shards=4, bloom_bits=None)
+    ci.ingest_batch(spark, b2, 1, off["out"], off["idx"], n_shards=4, bloom_bits=None)
+    expect = {r["doc_id"] for r in read_corpus(spark, off["out"]).collect()}
+
+    calls = []
+    real = ci.digest_index
+    monkeypatch.setattr(ci, "digest_index", lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    # bloom ON: batch 0 is all-novel (empty bloom) -> zero digest_index
+    # calls; batch 1 carries a true dup of GOOD -> candidate join runs
+    ci.ingest_batch(spark, b1, 0, dirs["out"], dirs["idx"], n_shards=4)
+    assert calls == [], "all-novel batch must skip the index probe entirely"
+    ci.ingest_batch(spark, b2, 1, dirs["out"], dirs["idx"], n_shards=4)
+    assert calls == [1], "dup-carrying batch must take the candidate join"
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert got == expect == {1, 11}
+    assert os.path.exists(os.path.join(dirs["idx"], "_bloom"))
+
+
+def test_bloom_crash_between_sidecar_and_index_converges(spark, dirs, monkeypatch):
+    """Crash injected AFTER the bloom update but BEFORE the index insert:
+    the sidecar now holds digests the index lacks (the allowed superset
+    direction). The replay sees its own digests as bloom CANDIDATES, the
+    exact join clears them against the still-empty index, and the batch
+    lands exactly once — no loss, no dup, invariant intact."""
+    from consensource_sds_spark.streaming import corpus_ingest as ci
+
+    real = ci._insert_index
+    boom = {"armed": True}
+
+    def failing(spark_, table, df):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash before index insert")
+        return real(spark_, table, df)
+
+    monkeypatch.setattr(ci, "_insert_index", failing)
+    b = _docs(spark, [(1, GOOD, "en", "a")])
+    with pytest.raises(RuntimeError, match="injected"):
+        ci.ingest_batch(spark, b, 0, dirs["out"], dirs["idx"], n_shards=4)
+
+    # replay (what the streaming checkpoint does)
+    ci.ingest_batch(spark, b, 0, dirs["out"], dirs["idx"], n_shards=4)
+    assert [r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()] == [1]
+    idx = spark.read.parquet(dirs["idx"])
+    assert {r["keep_doc_id"] for r in idx.collect()} == {1}
+
+    # and the standing state still dedups the next batch
+    ci.ingest_batch(spark, _docs(spark, [(5, GOOD, "en", "c")]), 1, dirs["out"], dirs["idx"], n_shards=4)
+    assert {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()} == {1}
+
+
+def test_bloom_missing_sidecar_rebuilds_from_index(spark, dirs):
+    """A non-empty index with NO sidecar (pre-bloom store, or the file was
+    deleted) must NOT start from an empty filter — that would claim every
+    digest is new and re-admit duplicates. The ingest rebuilds from the
+    index before probing."""
+    from consensource_sds_spark.streaming import corpus_ingest as ci
+
+    ci.ingest_batch(spark, _docs(spark, [(1, GOOD, "en", "a")]), 0, dirs["out"], dirs["idx"], n_shards=4)
+    os.remove(os.path.join(dirs["idx"], "_bloom"))
+
+    ci.ingest_batch(spark, _docs(spark, [(9, GOOD, "en", "b")]), 1, dirs["out"], dirs["idx"], n_shards=4)
+    assert [r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()] == [1]
+    # sidecar restored and covering the index again
+    from consensource_sds_spark.functions.bloom import BloomSidecar
+
+    sc = BloomSidecar(os.path.join(dirs["idx"], "_bloom"))
+    digs = [r["digest"] for r in spark.read.parquet(dirs["idx"]).select("digest").collect()]
+    assert sc.candidates(digs) == digs
