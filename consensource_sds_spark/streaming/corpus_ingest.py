@@ -249,11 +249,19 @@ def ingest_batch(
     n_shards: int = 16,
     band_dir: str | None = None,
     bloom_bits: int | None = DEFAULT_M_BITS,
+    quarantine_dir: str | None = None,
 ) -> None:
     """One microbatch through filter -> incremental dedup -> sharded append.
 
     Pure function of (batch, standing index) so the identical code runs
     under spark.read for backfill and inside foreachBatch for the stream.
+
+    ``quarantine_dir`` (the W5 treatment for documents): rows that cannot
+    enter the pipeline — NULL doc_id/text, or a populated
+    ``_corrupt_record`` column when the source was parsed permissively
+    (JSONL/CSV) — are routed to their own batch_id-partitioned parquet
+    lane instead of being silently dropped, replay-idempotent like every
+    other write here. The good path continues without the corrupt column.
 
     ``bloom_bits`` (None disables): the digest probe short-circuits
     through a driver-held bloom sidecar (``<index_dir>/_bloom``, a
@@ -273,6 +281,20 @@ def ingest_batch(
     # batch frames resolve against one state (tables themselves are in the
     # shared external catalog either way)
     spark = batch_df.sparkSession
+    if quarantine_dir is not None:
+        bad = F.col("doc_id").isNull() | F.col("text").isNull()
+        if "_corrupt_record" in batch_df.columns:
+            bad = bad | F.col("_corrupt_record").isNotNull()
+        (
+            batch_df.filter(bad)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(quarantine_dir)
+        )
+        batch_df = batch_df.filter(~bad)
+    batch_df = batch_df.drop("_corrupt_record")
     kept = with_filter_verdict(batch_df).filter(F.col("verdict") == "keep")
     digests = kept.withColumn("digest", F.md5("text"))
     # collapse within-batch duplicates first (min doc_id survives), then
@@ -381,19 +403,48 @@ def run_corpus_stream(
     available_now: bool = True,
     near_dedup: bool = False,
     bloom_bits: int | None = DEFAULT_M_BITS,
+    source_format: str = "parquet",
+    reader_options: dict | None = None,
+    quarantine: bool | None = None,
 ):
     """Stream document files from ``source_dir`` through the corpus gates
     into ``out_dir`` (+ ``<out_dir>_digest_index``; with ``near_dedup``
     also ``<out_dir>_band_index`` for the x66 LSH probe). ``available_now``
     drains what exists and stops — the backfill/test trigger; pass False
     for a continuously-running ingest. ``bloom_bits`` sizes the digest
-    probe's bloom fast path (see :func:`ingest_batch`; None disables)."""
+    probe's bloom fast path (see :func:`ingest_batch`; None disables).
+
+    ``source_format``: ``parquet`` (default), ``json`` (JSONL — one doc
+    per line, the lingua franca of crawl drops), or ``csv``; extra reader
+    knobs via ``reader_options`` (e.g. ``{"header": "true"}`` for csv).
+    Text formats parse PERMISSIVELY against the declared DOC_SCHEMA: a
+    malformed line becomes a ``_corrupt_record`` row and lands in the
+    ``<out_dir>_quarantine`` lane (on by default for non-parquet sources;
+    force with ``quarantine=``) instead of failing the stream or
+    vanishing — at crawl scale some breakage per billion lines is a
+    certainty, and an auditable lane beats both a dead query and silent
+    loss."""
     index_dir = out_dir.rstrip("/") + "_digest_index"
     band_dir = out_dir.rstrip("/") + "_band_index" if near_dedup else None
-    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    if quarantine is None:
+        quarantine = source_format != "parquet"
+    q_dir = out_dir.rstrip("/") + "_quarantine" if quarantine else None
+    schema = DOC_SCHEMA
+    if source_format in ("json", "csv"):
+        # surface parse failures as data, not exceptions (PERMISSIVE is
+        # the default mode; declaring the column captures the raw line)
+        schema = DOC_SCHEMA + ", _corrupt_record STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .options(**(reader_options or {}))
+        .format(source_format)
+        .load(source_dir)
+    )
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir, bloom_bits)
+        ingest_batch(
+            spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir, bloom_bits, q_dir
+        )
 
     writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
     if available_now:

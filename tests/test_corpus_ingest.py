@@ -393,3 +393,30 @@ def test_bloom_missing_sidecar_rebuilds_from_index(spark, dirs):
     sc = BloomSidecar(os.path.join(dirs["idx"], "_bloom"))
     digs = [r["digest"] for r in spark.read.parquet(dirs["idx"]).select("digest").collect()]
     assert sc.candidates(digs) == digs
+
+
+def test_jsonl_source_with_quarantine(spark, dirs, tmp_path):
+    """JSONL ingest: well-formed lines flow through the same gates as
+    parquet; a malformed line and a line missing required fields land in
+    the quarantine lane (with the raw text preserved for the malformed
+    one) instead of failing the stream or silently vanishing."""
+    src = tmp_path / "jsonl_in"
+    src.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "%s", "lang": "en", "source": "a", "n_chars": 1}' % GOOD,
+        '{"doc_id": 2, "text": "%s", "lang": "en", "source": "a", "n_chars": 1}' % SHORT,
+        '{"doc_id": 3, "lang": "en", "source": "a", "n_chars": 1}',  # no text
+        '{not json at all',  # malformed
+    ]
+    (src / "drop1.jsonl").write_text("\n".join(lines) + "\n")
+
+    run_corpus_stream(
+        spark, str(src), dirs["out"], dirs["ckpt"], n_shards=4, source_format="json"
+    )
+    # doc 1 retained, doc 2 filtered (too short), docs 3/malformed quarantined
+    assert [r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()] == [1]
+    q = spark.read.parquet(dirs["out"] + "_quarantine")
+    rows = sorted(q.collect(), key=lambda r: (r["doc_id"] is None, r["doc_id"] or 0))
+    assert len(rows) == 2
+    assert rows[0]["doc_id"] == 3 and rows[0]["text"] is None
+    assert rows[1]["doc_id"] is None and "{not json" in rows[1]["_corrupt_record"]
