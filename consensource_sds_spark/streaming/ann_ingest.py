@@ -1,0 +1,291 @@
+"""Incremental ANN (IVF) index — the similarity-search member of the
+standing-index family (digest index: exact dedup; band index: LSH
+near-dedup; THIS: embedding nearest-neighbor), maintained continuously
+under Structured Streaming.
+
+A training-data pipeline's embedding corpus grows batch-by-batch exactly
+like its text corpus; rebuilding a vector index nightly at 10^9 vectors is
+the same non-starter as rescanning the corpus per microbatch. The IVF
+(inverted-file) layout fits Spark's storage model directly:
+
+- **centroids** (k rows, k x dim floats — KBs to MBs) are the only
+  global state, trained once per index generation
+  (:func:`train_centroids`, Lloyd iterations with deterministic
+  md5-ordered seeds) and stored at ``<index>/_centroids`` (underscore
+  prefix: invisible to parquet directory scans, the ``_bloom`` trick);
+- the **index** is plain parquet partitioned by ``(batch_id, cell)``:
+  ``cell`` partitioning turns every probe into PARTITION PRUNING (only
+  the nprobe cells' directories are read — the IVF promise, delivered by
+  the scan layer instead of a custom kernel), and ``batch_id``
+  partitioning makes a crash-replayed microbatch overwrite its own
+  output (dynamic overwrite — idempotence by layout, identical to
+  corpus_ingest's corpus rows);
+- **assignment** is a broadcast of the centroids against the batch
+  (the small side REALLY is small here) + one ``max_by`` per vector —
+  x11's cell assignment reused at ingest time;
+- **probes** (:func:`ann_probe`) broadcast the query set (bounded by
+  contract), prune the index to the union of the queries' top-nprobe
+  cells, score candidates with the shared JVM vector functions, and
+  take per-query top-k with one window — no shuffle ever touches the
+  full index.
+
+Compaction (:func:`compact_ann_index`) folds per-batch partitions into a
+consolidated ``batch_id=-1`` per cell, same crash story as
+``compact_indexes``: the fold is written first, old partitions dropped
+after, and probes are agnostic to duplicate rows in between because
+scoring dedups on vec_id.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from consensource_sds_spark.functions import vectors as V
+
+#: file-stream schema for embedding drops (mirrors testdata embeddings)
+EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+#: consolidated partition id written by compaction — never a real batch
+_COMPACTED_BATCH_ID = -1
+
+#: probes collect (query x nprobe) cell ids to the driver to drive
+#: partition pruning; cap the literal IN list like the bloom path does
+_MAX_PRUNE_CELLS = 4096
+
+
+def _centroids_path(index_dir: str) -> str:
+    return os.path.join(os.path.abspath(index_dir), "_centroids")
+
+
+def train_centroids(spark: SparkSession, emb: DataFrame, k: int, iters: int = 3) -> DataFrame:
+    """k centroids by Lloyd iteration (x40's update step, looped).
+
+    Seeds are the k vectors with the smallest md5(vec_id) — deterministic,
+    order-free, and scattered (hash order is uncorrelated with insertion
+    order, the property random seeding wants). Each iteration: broadcast
+    the k current centroids, assign every vector to its nearest by cosine
+    (ties toward the lower cell id), recompute cell means component-wise
+    via posexplode + (cell, dim) aggregation — never a collect of vectors;
+    only the k x dim centroid table itself is driver-held between
+    iterations (it IS the broadcast side). Empty cells keep their previous
+    centroid. Returns (cell INT, centroid ARRAY<FLOAT>)."""
+    e = emb.select("vec_id", "embedding")
+    seeds = (
+        e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .withColumn("cell", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int"))
+        .select("cell", F.col("embedding").alias("centroid"))
+    )
+    cent = seeds.localCheckpoint()
+    for _ in range(iters):
+        asg = assign_cells(e, cent)
+        dims = asg.join(e, "vec_id").select(
+            "cell", F.posexplode("embedding").alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).getField("m").alias("centroid")
+            )
+            .select("cell", F.expr("transform(centroid, x -> CAST(x AS FLOAT))").alias("centroid"))
+        )
+        # empty cells (no member this round) retain their previous centroid
+        cent = (
+            cent.alias("old")
+            .join(means.alias("new"), "cell", "left")
+            .select("cell", F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias("centroid"))
+            .localCheckpoint()
+        )
+    return cent
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine, ties to the lower cell
+    id — x11's rule. The centroid side is broadcast (k x dim, the
+    genuinely-small side); one max_by per vector, no shuffle of the
+    embedding frame."""
+    scored = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(centroids.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
+    )
+    return (
+        scored.select(
+            "vec_id", "_c", V.cosine(F.col("_ce"), F.col("embedding")).alias("_cos")
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("_c", F.struct(F.col("_cos"), (-F.col("_c")).alias("_neg"))).alias("cell"))
+    )
+
+
+def init_ann_index(spark: SparkSession, index_dir: str, centroids: DataFrame) -> None:
+    """Pin this index generation's centroids. Assignment determinism —
+    and therefore probe/partition agreement — depends on every later
+    batch using THESE centroids, so they are written once and never
+    silently replaced (re-clustering = a new index built beside the old,
+    the standard ANN index-rotation story)."""
+    path = _centroids_path(index_dir)
+    if os.path.exists(path):
+        raise ValueError(f"{path} exists; ANN centroids are immutable per index generation")
+    centroids.coalesce(1).write.parquet(path)
+
+
+def load_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_centroids_path(index_dir))
+
+
+def ingest_embedding_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, index_dir: str
+) -> None:
+    """One microbatch: assign cells against the pinned centroids, append
+    under ``(batch_id, cell)`` with dynamic overwrite (replay-idempotent).
+    Pure function of (batch, centroids) — same code for backfill and
+    stream, corpus_ingest's contract."""
+    spark = batch_df.sparkSession
+    cent = load_centroids(spark, index_dir)
+    asg = assign_cells(batch_df, cent)
+    rows = batch_df.join(asg, "vec_id").select(
+        "vec_id", "embedding", "label", F.col("cell").cast("int").alias("cell")
+    )
+    (
+        rows.withColumn("batch_id", F.lit(batch_id))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(index_dir)
+    )
+
+
+def ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The standing index as a frame (cell/batch_id partition columns
+    included; ``_centroids`` is invisible to the scan)."""
+    return spark.read.parquet(index_dir)
+
+
+def ann_probe(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k cosine neighbors per query over the standing index.
+
+    ``queries`` is (qid BIGINT, embedding ARRAY<FLOAT>) and BOUNDED by
+    contract (a probe set, not a corpus — corpus x corpus goes through
+    x13/x14's cell-keyed join instead). Plan: (1) each query's top-nprobe
+    cells via the broadcast centroid table; (2) the union of needed cells
+    — at most queries x nprobe ids, a driver-bounded set — becomes a
+    partition-pruning IN filter on the index scan, so only those cell
+    directories are READ; (3) candidates join the broadcast query set,
+    cosine-score with the shared JVM vector ops, dedup on (qid, vec_id)
+    (compaction-duplicate tolerance), one window takes top-k. Ties break
+    toward the lower vec_id."""
+    cent = load_centroids(spark, index_dir)
+    qs = queries.select(F.col("qid"), F.col("embedding").alias("qe")).localCheckpoint()
+    scored_cells = qs.crossJoin(
+        F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
+    ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
+    wc = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("_c"))
+    q_cells = (
+        scored_cells.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qe", F.col("_c").alias("cell"))
+        .localCheckpoint()
+    )
+    needed = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    idx = ann_index(spark, index_dir)
+    if len(needed) <= _MAX_PRUNE_CELLS:
+        idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
+    cand = idx.join(
+        F.broadcast(q_cells), "cell"
+    ).select("qid", "vec_id", V.cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+    # a vec duplicated across batch partitions (mid-compaction crash) or
+    # reachable via two probed cells must score once
+    cand = cand.groupBy("qid", "vec_id").agg(F.max("cosine").alias("cosine"))
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def run_embedding_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream embedding parquet drops into the standing IVF index.
+    Centroids must be pinned first (:func:`init_ann_index`)."""
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(source_dir)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_embedding_batch(spark, batch_df, batch_id, index_dir)
+
+    writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def _live_batch_dirs(index_dir: str) -> list[str]:
+    return [
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith("batch_id=") and d != f"batch_id={_COMPACTED_BATCH_ID}"
+    ]
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold per-batch partitions into ``batch_id=-1`` (one file set per
+    cell). Consolidated rows are written first (localCheckpoint pins them
+    so the overwrite never reads its own target), per-batch partitions
+    dropped after; a crash in between leaves duplicate vec_ids, which
+    probes tolerate (max-per-(qid, vec_id) dedup), so the next compaction
+    converges."""
+    if not os.path.isdir(index_dir):
+        return
+    live = _live_batch_dirs(index_dir)
+    if not live:
+        return
+    consolidated = (
+        ann_index(spark, index_dir)
+        .select("vec_id", "embedding", "label", "cell")
+        .dropDuplicates(["vec_id"])
+        .repartition("cell")
+        .withColumn("batch_id", F.lit(_COMPACTED_BATCH_ID))
+        .localCheckpoint()
+    )
+    (
+        consolidated.write.mode("overwrite")
+        .partitionBy("batch_id", "cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(index_dir)
+    )
+    for d in live:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
+
+__all__ = [
+    "EMB_SCHEMA",
+    "train_centroids",
+    "assign_cells",
+    "init_ann_index",
+    "load_centroids",
+    "ingest_embedding_batch",
+    "ann_index",
+    "ann_probe",
+    "run_embedding_stream",
+    "compact_ann_index",
+]

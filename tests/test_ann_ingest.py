@@ -1,0 +1,189 @@
+"""streaming/ann_ingest.py: the standing IVF index — trained centroids,
+streamed batch-by-batch ingest, partition-pruned probes, compaction.
+
+The load-bearing properties: probe == brute force when every cell is
+probed (the approximation comes ONLY from nprobe, never from the
+plumbing); replay idempotence by (batch_id, cell) layout; the probe scan
+actually prunes to the probed cells; compaction changes file layout, not
+answers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from consensource_sds_spark.functions import vectors as V
+from consensource_sds_spark.streaming.ann_ingest import (
+    ann_index,
+    ann_probe,
+    assign_cells,
+    compact_ann_index,
+    ingest_embedding_batch,
+    init_ann_index,
+    load_centroids,
+    run_embedding_stream,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+K_CELLS = 8
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    """Centroids trained on the full table; vectors ingested in two
+    batches split by vec_id parity (both halves span all cells)."""
+    d = str(tmp_path / "ann_index")
+    e = _emb(spark)
+    init_ann_index(spark, d, train_centroids(spark, e, k=K_CELLS, iters=2))
+    ingest_embedding_batch(spark, e.filter("vec_id % 2 = 0"), 0, d)
+    ingest_embedding_batch(spark, e.filter("vec_id % 2 = 1"), 1, d)
+    return d
+
+
+def _brute_topk(spark, queries, k):
+    """Reference top-k over ALL vectors (no cells), same tie rule."""
+    from pyspark.sql import Window
+
+    e = _emb(spark).select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    q = queries.select("qid", F.col("embedding").alias("qe"))
+    cand = q.crossJoin(e).select(
+        "qid", "vec_id", V.cosine(F.col("qe"), F.col("ce")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _queries(spark, n=5):
+    return (
+        _emb(spark)
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+
+
+def test_full_probe_matches_brute_force(spark, index):
+    """nprobe = all cells removes the approximation: the probe must equal
+    the brute-force top-k EXACTLY (ranks, ids, scores) — any deviation is
+    a plumbing bug, not an ANN trade-off."""
+    q = _queries(spark)
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+        for r in ann_probe(spark, index, q, k=10, nprobe=K_CELLS).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+        for r in _brute_topk(spark, q, 10).collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_nprobe_recall_floor_and_monotonicity(spark, index):
+    """The IVF trade-off behaves: nprobe=2 of 8 cells clears a recall
+    floor against exact top-10 (the testdata's label-clustered vectors
+    make same-cell neighbors the common case), and widening the probe to
+    4 cells strictly helps — the recall lever actually levers."""
+    q = _queries(spark, n=20)
+    want = {(r["qid"], r["vec_id"]) for r in _brute_topk(spark, q, 10).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ann_probe(spark, index, q, k=10, nprobe=nprobe).collect()
+        }
+        return len(got & want) / len(want)
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 >= 0.5, r2
+    assert r4 > r2, (r2, r4)
+    # measured plateau on this data is ~0.73 regardless of extra Lloyd
+    # iterations — the straddle is intrinsic to the embedding geometry
+    assert r4 >= 0.7, r4
+
+
+def test_replay_idempotent(spark, index):
+    """Re-ingesting a batch under its own batch_id (the crash-replay
+    path) must leave the index row-for-row identical."""
+    before = sorted(
+        (r["vec_id"], r["batch_id"]) for r in ann_index(spark, index).collect()
+    )
+    ingest_embedding_batch(spark, _emb(spark).filter("vec_id % 2 = 0"), 0, index)
+    after = sorted(
+        (r["vec_id"], r["batch_id"]) for r in ann_index(spark, index).collect()
+    )
+    assert after == before
+
+
+def test_probe_scan_prunes_to_probed_cells(spark, index):
+    """The IVF promise at the scan layer: the probe plan's index scan
+    carries a PartitionFilters entry on cell, so only the probed cell
+    directories are read."""
+    q = _queries(spark, n=2)
+    plan = (
+        ann_probe(spark, index, q, k=5, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 2 * K_CELLS  # nprobe=1: <= 2 queries' cells
+
+
+def test_compaction_preserves_answers(spark, index):
+    """Folding per-batch partitions into batch_id=-1 must not change any
+    probe answer, and the live batch partitions disappear."""
+    q = _queries(spark)
+    before = sorted(
+        (r["qid"], r["rank"], r["vec_id"]) for r in ann_probe(spark, index, q, k=10, nprobe=3).collect()
+    )
+    compact_ann_index(spark, index)
+    dirs = [d for d in os.listdir(index) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=-1"]
+    after = sorted(
+        (r["qid"], r["rank"], r["vec_id"]) for r in ann_probe(spark, index, q, k=10, nprobe=3).collect()
+    )
+    assert after == before
+
+
+def test_streamed_ingest_end_to_end(spark, tmp_path):
+    """run_embedding_stream drains parquet drops through foreachBatch into
+    the index; a second drop lands as a second batch against the SAME
+    pinned centroids, and assignments match the batch path exactly."""
+    src, d, ckpt = str(tmp_path / "in"), str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    e = _emb(spark)
+    init_ann_index(spark, d, train_centroids(spark, e, k=K_CELLS, iters=2))
+    e.filter("vec_id < 100").write.mode("append").parquet(src)
+    run_embedding_stream(spark, src, d, ckpt)
+    assert ann_index(spark, d).count() == 100
+    e.filter("vec_id >= 100").write.mode("append").parquet(src)
+    run_embedding_stream(spark, src, d, ckpt)
+    idx = ann_index(spark, d)
+    assert idx.count() == e.count()
+    # streamed assignment == batch assignment (one shared code path)
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(e, load_centroids(spark, d)).collect()
+    }
+    got = {(r["vec_id"], r["cell"]) for r in idx.select("vec_id", "cell").collect()}
+    assert got == want
+
+
+def test_centroids_are_immutable(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    e = _emb(spark)
+    cent = train_centroids(spark, e, k=4, iters=1)
+    init_ann_index(spark, d, cent)
+    with pytest.raises(ValueError, match="immutable"):
+        init_ann_index(spark, d, cent)
