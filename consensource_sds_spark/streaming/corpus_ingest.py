@@ -406,6 +406,7 @@ def run_corpus_stream(
     source_format: str = "parquet",
     reader_options: dict | None = None,
     quarantine: bool | None = None,
+    auto_compact: bool = False,
 ):
     """Stream document files from ``source_dir`` through the corpus gates
     into ``out_dir`` (+ ``<out_dir>_digest_index``; with ``near_dedup``
@@ -420,10 +421,16 @@ def run_corpus_stream(
     Text formats parse PERMISSIVELY against the declared DOC_SCHEMA: a
     malformed line becomes a ``_corrupt_record`` row and lands in the
     ``<out_dir>_quarantine`` lane (on by default for non-parquet sources;
-    force with ``quarantine=``) instead of failing the stream or
+    force with ``quarantine=``; the batch twin of this read discipline is
+    ``sources/jsonl.py``) instead of failing the stream or
     vanishing — at crawl scale some breakage per billion lines is a
     certainty, and an auditable lane beats both a dead query and silent
-    loss."""
+    loss.
+
+    ``auto_compact`` runs :func:`maybe_compact_indexes` after every
+    applied batch — the same per-batch-interval maintenance cadence the
+    SCD2 runner's ``auto_compact`` gives the store: a listdir no-op under
+    threshold, one index fold when the per-batch partitions pile up."""
     index_dir = out_dir.rstrip("/") + "_digest_index"
     band_dir = out_dir.rstrip("/") + "_band_index" if near_dedup else None
     if quarantine is None:
@@ -445,6 +452,8 @@ def run_corpus_stream(
         ingest_batch(
             spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir, bloom_bits, q_dir
         )
+        if auto_compact:
+            maybe_compact_indexes(batch_df.sparkSession, out_dir)
 
     writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
     if available_now:

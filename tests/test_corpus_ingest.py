@@ -420,3 +420,23 @@ def test_jsonl_source_with_quarantine(spark, dirs, tmp_path):
     assert len(rows) == 2
     assert rows[0]["doc_id"] == 3 and rows[0]["text"] is None
     assert rows[1]["doc_id"] is None and "{not json" in rows[1]["_corrupt_record"]
+
+
+def test_auto_compact_stream(spark, dirs):
+    """auto_compact on the stream: after each batch the threshold policy
+    runs; with the threshold forced low the per-batch index partitions
+    fold and later batches still dedup against the folded index."""
+    from unittest.mock import patch
+
+    from consensource_sds_spark.streaming import corpus_ingest as ci
+
+    for i, (did, text) in enumerate([(1, GOOD), (2, GOOD2)]):
+        _docs(spark, [(did, text, "en", "a")]).coalesce(1).write.mode("append").parquet(dirs["src"])
+        with patch.object(ci, "maybe_compact_indexes", lambda s, o, max_live_batches=1: ci.compact_indexes(s, o)):
+            run_corpus_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], n_shards=4, auto_compact=True)
+    # everything folded into the consolidated partition
+    assert ci._live_batch_dirs(dirs["idx"]) == []
+    # the folded index still dedups
+    _docs(spark, [(30, GOOD, "en", "z")]).coalesce(1).write.mode("append").parquet(dirs["src"])
+    run_corpus_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], n_shards=4)
+    assert {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()} == {1, 2}
