@@ -268,6 +268,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x67_bpe_pair_counts',
     'x68_inverted_index',
     'x69_bloom_digest_probe',
+    'x70_ann_ivf_topk',
     'q01_pricing_summary',
     'q02_filter_pushdown',
     'q03_shipping_priority',

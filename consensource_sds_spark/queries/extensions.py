@@ -3246,3 +3246,72 @@ def x69_bloom_digest_probe(spark, sf_dir):
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+@register(
+    "x70_ann_ivf_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+         p AS (
+           SELECT qid, cid,
+                  list_sum(list_transform(range(1, len(qe) + 1),
+                                          i -> CAST(qe[i] AS DOUBLE) * ce[i])) AS dot,
+                  sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * x))) AS qn,
+                  sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x))) AS cn
+           FROM q, c)
+    SELECT qid, vec_id, cosine, rank FROM (
+      SELECT qid, cid AS vec_id, ROUND(dot / (qn * cn), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rank
+      FROM p)
+    WHERE rank <= 10
+    """,
+)
+def x70_ann_ivf_topk(spark, sf_dir):
+    """The standing IVF ANN index (streaming/ann_ingest.py) under the
+    oracle gate: train centroids, ingest every vector into the
+    (batch_id, cell)-partitioned index, probe the 5-query set with
+    nprobe = ALL cells. Full-probe IVF is EXACT by construction — the
+    approximation lives solely in nprobe — so the oracle is plain
+    brute-force top-10, and any deviation convicts the plumbing
+    (assignment, partition pruning, candidate dedup, tie rule), not the
+    ANN trade-off. The nprobe<k recall envelope is pinned separately in
+    tests/test_ann_ingest.py.
+
+    The index materializes under a content-fingerprinted temp dir
+    (embeddings file mtime+size in the key) so repeated gate runs reuse
+    it but regenerated testdata can never serve a stale index; the build
+    is staged and renamed in, so concurrent processes adopt whoever wins.
+
+    Scale: the probe reads ONLY probed-cell directories (partition
+    pruning — here all of them, by design); queries broadcast; per-query
+    top-k is one window over candidate scores."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe,
+        ingest_embedding_batch,
+        init_ann_index,
+        train_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    st = _os.stat(src)
+    key = _hl.md5(f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:16]
+    d = _os.path.join(_tf.gettempdir(), f"sds_ann_{key}")
+    if not _os.path.exists(_os.path.join(d, "_centroids")):
+        stage = f"{d}.building-{_os.getpid()}"
+        _sh.rmtree(stage, ignore_errors=True)
+        init_ann_index(spark, stage, train_centroids(spark, e, k=8, iters=2))
+        ingest_embedding_batch(spark, e.select("vec_id", "embedding", "label"), 0, stage)
+        try:
+            _os.rename(stage, d)
+        except OSError:
+            _sh.rmtree(stage, ignore_errors=True)  # lost the race; use the winner's
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ann_probe(spark, d, q, k=10, nprobe=8)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")

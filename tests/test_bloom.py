@@ -99,3 +99,33 @@ def test_rebuild_from_index(spark, tmp_path):
     assert re.candidates(_digs("doc", 2000)) == _digs("doc", 2000)  # no FNs
     fpr = len(re.candidates(_digs("new", 5000))) / 5000
     assert fpr < 0.03, fpr  # healthy again after resize
+
+
+def test_property_no_false_negatives_any_digest_set(tmp_path):
+    """Hypothesis fuzz: for ANY set of md5-hex digests added in ANY
+    grouping, every added digest is a candidate afterward (zero false
+    negatives) and save/load round-trips the answers. (FPR is a sizing
+    property, pinned by the deterministic tests above.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**9), max_size=200),
+        st.integers(min_value=1, max_value=5),
+    )
+    def prop(ids, n_chunks):
+        added = [hashlib.md5(f"a{i}".encode()).hexdigest() for i in set(ids)]
+        p = str(tmp_path / f"b{len(ids)}_{n_chunks}_{hash(tuple(ids)) & 0xFFFF}")
+        if os.path.exists(p):
+            os.remove(p)
+        sc = BloomSidecar(p, m_bits=1 << 14)
+        step = max(1, len(added) // n_chunks)
+        for i in range(0, len(added), step):
+            sc.add_digests(added[i : i + step])
+        assert sc.candidates(added) == added
+        re = BloomSidecar(p)
+        assert re.candidates(added) == added
+        assert re.n_added == len(added)
+
+    prop()
