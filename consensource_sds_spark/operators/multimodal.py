@@ -11,7 +11,11 @@ Decode coverage without media libraries (this container ships none):
   decode (``decode_wav_samples``) and BMP BI_RGB 24bpp pixel decode
   (``decode_bmp_pixels``) — and feed real feature kernels (RMS/ZCR/peak
   for audio, RGB means + luma histogram for images);
-- COMPRESSED formats (PNG/JPEG/GIF pixels, FLAC samples) still need
+- PNG pixels ALSO decode for REAL (``decode_png_pixels``): the codec is
+  stdlib ``zlib`` + the spec's five scanline filters inverted in numpy —
+  depth-8 grey/RGB/palette/grey-alpha/RGBA, non-interlaced — with a
+  matching stdlib encoder (``encode_png_pixels``) so resize round-trips;
+- the REMAINING compressed formats (JPEG/GIF pixels, FLAC samples) need
   external codecs: their payloads raise NotImplementedError unless
   ``deterministic_fake=True``, which derives a stable fake feature vector
   from the payload hash. The Spark-side contract (schema, partitioning,
@@ -153,6 +157,138 @@ def encode_bmp_pixels(px) -> bytes:
     return header + body
 
 
+def decode_png_pixels(payload: bytes | None):
+    """REAL image decode for PNG — stdlib ``zlib`` + numpy, no external
+    codec: chunk walk (IHDR/PLTE/IDAT/IEND), one inflate of the
+    concatenated IDAT stream, then scanline UNFILTERING (None/Sub/Up/
+    Average/Paeth per the spec's recon equations). Returns a uint8
+    ndarray (h, w, 3) in RGB, or None for payloads this decoder does not
+    cover (it is a decoder for the dominant cases, not a validator):
+    bit depth 8, color types grey(0)/RGB(2)/palette(3)/grey+alpha(4)/
+    RGBA(6) — alpha dropped, grey replicated — non-interlaced only.
+
+    Filter inversion is per-scanline: None/Up vectorize across the row;
+    Sub/Average/Paeth recur on the left neighbor, so those rows run a
+    per-byte loop — fine for the thumbnail-scale payloads a feature
+    kernel sees; a SIMD codec replaces this one-for-one on clusters that
+    ship one."""
+    import zlib
+
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(b):
+        clen = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            hdr = data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if hdr is None or not idat:
+        return None
+    w = int.from_bytes(hdr[0:4], "big")
+    h = int.from_bytes(hdr[4:8], "big")
+    depth, ctype_n, interlace = hdr[8], hdr[9], hdr[12]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if depth != 8 or channels is None or interlace != 0 or w <= 0 or h <= 0:
+        return None
+    if ctype_n == 3 and plte is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), data[y].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f == 1:  # Sub
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[y] = prev
+    px = out.reshape(h, w, channels)
+    if ctype_n == 2:
+        return px
+    if ctype_n == 6:
+        return px[:, :, :3].copy()
+    if ctype_n == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_n == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return plte[px[:, :, 0]]  # type 3: palette lookup
+
+
+def encode_png_pixels(px) -> bytes:
+    """REAL image encode: uint8 (h, w, 3) RGB -> PNG (color type 2, depth
+    8, filter 0 per scanline, one zlib IDAT) — stdlib only, and the exact
+    inverse of :func:`decode_png_pixels` (round-trip pinned by test)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = int(px.shape[0]), int(px.shape[1])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.concatenate([[0], row.reshape(-1)]) for row in px.astype(np.uint8)]
+    ).astype(np.uint8)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_image_pixels(px, out_w: int, out_h: int):
     """Nearest-neighbor resample of a (h, w, 3) uint8 array to
     (out_h, out_w, 3) — pure numpy index arithmetic (the sample grid is
@@ -198,6 +334,8 @@ def _features_one(payload, deterministic_fake: bool):
     if samples is not None:
         return _audio_features(samples)
     px = decode_bmp_pixels(b)
+    if px is None:
+        px = decode_png_pixels(b)
     if px is not None:
         return _image_features(px)
     if deterministic_fake:
@@ -264,10 +402,17 @@ def resize_images(
     def one(payload):
         if payload is None:
             return (None, None, None)
-        px = decode_bmp_pixels(bytes(payload))
+        b = bytes(payload)
+        px = decode_bmp_pixels(b)
         if px is not None:
             small = resize_image_pixels(px, out_w, out_h)
             return (out_w, out_h, encode_bmp_pixels(small))
+        px = decode_png_pixels(b)
+        if px is not None:
+            # PNG in -> PNG out: the resampled thumbnail re-encodes in its
+            # own (stdlib-zlib) format, so downstream decode round-trips
+            small = resize_image_pixels(px, out_w, out_h)
+            return (out_w, out_h, encode_png_pixels(small))
         if deterministic_fake:
             return (None, None, bytes(payload))
         raise NotImplementedError(

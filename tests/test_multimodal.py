@@ -304,3 +304,127 @@ def test_resize_images_dataframe(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|image libraries"):
         MM.resize_images(media, 1, 1).collect()
+
+
+def _filtered_png(px, filters):
+    """Spec-FORWARD filtering: build a PNG whose row y uses filters[y],
+    computing the filtered bytes from the raw image per the spec's filter
+    equations — so decoding it checks the decoder's inversion against an
+    independent construction, not against our own encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    bpp, stride = 3, w * 3
+    raw = px.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = raw[y]
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            filt = (line - left) % 256
+        elif f == 2:  # Up
+            filt = (line - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            filt = (line - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            filt = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (line[x] - pred) % 256
+        out.append(f)
+        out.extend(int(v) & 0xFF for v in filt)
+        prev = line
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    """encode->decode round-trips bit-exactly, and a spec-forward-filtered
+    PNG exercising ALL FIVE filter types decodes back to the raw image —
+    the inversion is checked against the spec equations, not the
+    encoder."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_png_pixels(MM.encode_png_pixels(px)), px)
+    hard = _filtered_png(px, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(MM.decode_png_pixels(hard), px)
+
+
+def test_png_color_types():
+    """Grey replicates to RGB, RGBA drops alpha, palette resolves through
+    PLTE — each built by hand at the chunk level."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def build(ctype_n, w, h, raw, plte=None):
+        def chunk(ct, data):
+            return struct.pack(">I", len(data)) + ct + data + struct.pack(
+                ">I", zlib.crc32(ct + data) & 0xFFFFFFFF
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte)
+        return b"\x89PNG\r\n\x1a\n" + body + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # grey 2x1: values 10, 200
+    g = build(0, 2, 1, bytes([0, 10, 200]))
+    assert MM.decode_png_pixels(g).tolist() == [[[10, 10, 10], [200, 200, 200]]]
+    # RGBA 1x1: alpha dropped
+    ra = build(6, 1, 1, bytes([0, 1, 2, 3, 99]))
+    assert MM.decode_png_pixels(ra).tolist() == [[[1, 2, 3]]]
+    # palette 2x1: indices 1, 0 against a 2-entry PLTE
+    p = build(3, 2, 1, bytes([0, 1, 0]), plte=bytes([255, 0, 0, 0, 0, 255]))
+    assert MM.decode_png_pixels(p).tolist() == [[[0, 0, 255], [255, 0, 0]]]
+    # interlaced refused (decoder scope), header-only refused
+    i = build(2, 1, 1, bytes([0, 1, 2, 3]))
+    i = i.replace(struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0), struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+    assert MM.decode_png_pixels(i) is None
+    assert MM.decode_png_pixels(_png(2, 2)) is None
+
+
+def test_png_resize_through_dataframe(spark):
+    """A REAL PNG payload resizes through the mapInPandas pass and comes
+    back as a decodable PNG thumbnail (no deterministic_fake needed)."""
+    import numpy as np
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    rows = [(1, "image", MM.encode_png_pixels(px), "image/png", 8, 8, None)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.resize_images(media, 4, 4).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 4)
+    small = MM.decode_png_pixels(bytes(out[1]["payload"]))
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small, MM.resize_image_pixels(px, 4, 4))
+    # and features run for real on PNG now
+    feats = MM.extract_features(media).collect()[0]["features"]
+    assert len(feats) == MM.FEATURE_DIM and any(v > 0 for v in feats)
