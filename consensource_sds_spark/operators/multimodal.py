@@ -15,7 +15,10 @@ Decode coverage without media libraries (this container ships none):
   stdlib ``zlib`` + the spec's five scanline filters inverted in numpy —
   depth-8 grey/RGB/palette/grey-alpha/RGBA, non-interlaced — with a
   matching stdlib encoder (``encode_png_pixels``) so resize round-trips;
-- the REMAINING compressed formats (JPEG/GIF pixels, FLAC samples) need
+- GIF pixels decode for REAL too (``decode_gif_pixels``): a pure-python
+  GIF-variant LZW (variable code width, CLEAR/EOI, 12-bit growth, the
+  KwKwK case) + palette lookup — full-frame non-interlaced images;
+- the REMAINING compressed formats (JPEG pixels, FLAC samples) need
   external codecs: their payloads raise NotImplementedError unless
   ``deterministic_fake=True``, which derives a stable fake feature vector
   from the payload hash. The Spark-side contract (schema, partitioning,
@@ -258,6 +261,129 @@ def decode_png_pixels(payload: bytes | None):
     return plte[px[:, :, 0]]  # type 3: palette lookup
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    clear/EOI codes, dictionary grows to 12 bits then waits for CLEAR.
+    Returns the decoded index stream. Pure python — the bit stream is
+    LSB-first within bytes per the GIF spec."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [[i] for i in range(1 << min_code_size)] + [[], []]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = bits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + [entry[0]])
+            else:  # the KwKwK case
+                entry = prev + [prev[0]]
+                if len(table) < 4096:
+                    table.append(entry)
+            out.extend(entry)
+            prev = entry
+            # the decoder's table trails the encoder's by ONE entry (the
+            # classic LZW lag), so it widens one entry early: when the
+            # NEXT append would be code 2^width - 1
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif_pixels(payload: bytes | None):
+    """REAL image decode for GIF (87a/89a): logical screen walk, color
+    tables, the FIRST image descriptor's LZW-compressed index stream
+    (pure-python LZW, the GIF variant with CLEAR/EOI and 12-bit growth),
+    palette lookup to a uint8 (h, w, 3) RGB array. Returns None outside
+    this decoder's scope: interlaced images and frames smaller than the
+    logical screen (animation composition) are a renderer's job, not a
+    feature kernel's; a transparent index (GCE) is resolved through the
+    palette like any other — feature kernels read color statistics, not
+    alpha."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ip = b[pos + 9]
+            pos += 10
+            lct = None
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                lct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if ip & 0x40:  # interlaced: out of scope
+                return None
+            if (left, top, w, h) != (0, 0, sw, sh):
+                return None  # partial frame: animation composition, not decode
+            table = lct if lct is not None else gct
+            if table is None or pos >= len(b):
+                return None
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                data += b[pos + 1 : pos + 1 + b[pos]]
+                pos += 1 + b[pos]
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                return None
+            arr = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if arr.max() >= len(table):
+                return None
+            return table[arr]
+        elif marker == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def encode_png_pixels(px) -> bytes:
     """REAL image encode: uint8 (h, w, 3) RGB -> PNG (color type 2, depth
     8, filter 0 per scanline, one zlib IDAT) — stdlib only, and the exact
@@ -336,6 +462,8 @@ def _features_one(payload, deterministic_fake: bool):
     px = decode_bmp_pixels(b)
     if px is None:
         px = decode_png_pixels(b)
+    if px is None:
+        px = decode_gif_pixels(b)
     if px is not None:
         return _image_features(px)
     if deterministic_fake:
@@ -411,6 +539,12 @@ def resize_images(
         if px is not None:
             # PNG in -> PNG out: the resampled thumbnail re-encodes in its
             # own (stdlib-zlib) format, so downstream decode round-trips
+            small = resize_image_pixels(px, out_w, out_h)
+            return (out_w, out_h, encode_png_pixels(small))
+        px = decode_gif_pixels(b)
+        if px is not None:
+            # GIF thumbnails re-encode as PNG (lossless truecolor beats
+            # re-quantizing to a palette; this repo carries no GIF writer)
             small = resize_image_pixels(px, out_w, out_h)
             return (out_w, out_h, encode_png_pixels(small))
         if deterministic_fake:

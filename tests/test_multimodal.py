@@ -428,3 +428,129 @@ def test_png_resize_through_dataframe(spark):
     # and features run for real on PNG now
     feats = MM.extract_features(media).collect()[0]["features"]
     assert len(feats) == MM.FEATURE_DIM and any(v > 0 for v in feats)
+
+
+def _lzw_encode(indices, min_code_size):
+    """Spec-FORWARD greedy LZW (GIF variant): independent of the decoder,
+    so round-trips check the inversion against the spec, not itself."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits = []
+
+    def emit(code):
+        nonlocal width
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    emit(clear)
+    buf = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        # the encoder widens when the NEXT code to assign no longer fits
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        buf = (sym,)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << j
+        by.append(byte)
+    return bytes(by)
+
+
+def _real_gif(px, palette):
+    """Full GIF89a file: global color table `palette` (list of rgb
+    triples, power-of-two length), full-frame image, LZW-encoded."""
+    import math
+
+    import numpy as np
+
+    h, w, _ = np.asarray(px).shape if hasattr(px, "shape") else (len(px), len(px[0]), 3)
+    pal = {tuple(c): i for i, c in enumerate(palette)}
+    idx = [pal[tuple(px[y][x])] for y in range(h) for x in range(w)]
+    depth = max(1, int(math.log2(len(palette))))
+    min_code = max(2, depth)
+    data = _lzw_encode(idx, min_code)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag + size
+    for c in palette:
+        out += bytes(c)
+    out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_decode_real():
+    """A spec-forward-encoded GIF (including repeated runs that drive the
+    decoder's KwKwK path and code-width growth) decodes to the exact
+    pixel array; extensions before the image descriptor are skipped;
+    out-of-scope shapes return None."""
+    import numpy as np
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    rng = np.random.RandomState(3)
+    px = [[palette[rng.randint(4)] for _ in range(7)] for _ in range(5)]
+    # heavy repetition in row 0 -> LZW actually compresses + KwKwK codes
+    px[0] = [palette[1]] * 7
+    g = MM.decode_gif_pixels(_real_gif(px, palette))
+    assert g.tolist() == [[list(c) for c in row] for row in px]
+
+    # a GCE extension block before the descriptor is walked over
+    raw = _real_gif(px, palette)
+    with_ext = raw[:13 + 12] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + raw[13 + 12:]
+    assert MM.decode_gif_pixels(with_ext).tolist() == g.tolist()
+
+    assert MM.decode_gif_pixels(_gif(2, 2)) is None  # header-only
+    assert MM.decode_gif_pixels(b"GIF89a") is None
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """Round-trip across sizes/palettes: greedy-encoded index streams
+    (random + runs) always decode back exactly — code-width growth at
+    every boundary up to 12 bits is covered by the long run."""
+    import numpy as np
+
+    from consensource_sds_spark.operators.multimodal import _lzw_decode
+
+    rng = np.random.RandomState(11)
+    for n_sym, length in ((4, 10), (4, 500), (8, 300), (16, 2000)):
+        min_code = max(2, int(np.log2(n_sym)))
+        idx = rng.randint(0, n_sym, size=length).tolist()
+        idx[: length // 3] = [1] * (length // 3)  # a compressible run
+        assert _lzw_decode(_lzw_encode(idx, min_code), min_code) == idx
+
+
+def test_gif_features_and_resize_real(spark):
+    import numpy as np
+
+    palette = [(0, 0, 0), (255, 255, 255), (128, 0, 0), (0, 128, 0)]
+    px = [[palette[(x + y) % 4] for x in range(6)] for y in range(6)]
+    payload = _real_gif(px, palette)
+    media = spark.createDataFrame(
+        [(1, "image", payload, "image/gif", 6, 6, None)], MM.MEDIA_SCHEMA
+    )
+    feats = MM.extract_features(media).collect()[0]["features"]
+    assert len(feats) == MM.FEATURE_DIM and any(v > 0 for v in feats)
+    out = MM.resize_images(media, 3, 3).collect()[0]
+    small = MM.decode_png_pixels(bytes(out["payload"]))
+    assert small.shape == (3, 3, 3)
+    assert np.array_equal(
+        small, MM.resize_image_pixels(np.array(px, dtype=np.uint8), 3, 3)
+    )
