@@ -174,6 +174,7 @@ def ann_probe(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 2,
+    _exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors per query over the standing index.
 
@@ -206,6 +207,10 @@ def ann_probe(
     cand = idx.join(
         F.broadcast(q_cells), "cell"
     ).select("qid", "vec_id", V.cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+    if _exclude_self:
+        # replay safety for the dedup probe: an already-ingested copy of
+        # the query itself (same vec_id) is not a "duplicate of the corpus"
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
     # a vec duplicated across batch partitions (mid-compaction crash) or
     # reachable via two probed cells must score once
     cand = cand.groupBy("qid", "vec_id").agg(F.max("cosine").alias("cosine"))
@@ -215,6 +220,37 @@ def ann_probe(
         .filter(F.col("_rn") <= k)
         .select("qid", "vec_id", "cosine", F.col("_rn").alias("rank"))
     )
+
+
+def semantic_dedup_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_df: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+) -> DataFrame:
+    """SemDeDup's question at INGEST time: which incoming vectors are
+    semantic near-duplicates of the standing corpus? The batch probes the
+    IVF index (partition-pruned to the batch's nprobe cells) and any hit
+    with cosine >= threshold marks the newcomer — the embedding twin of
+    the digest (x58/x69) and band (x66) probes, so a streaming pipeline
+    can drop semantically-redundant documents without ever pairing the
+    corpus against itself.
+
+    Returns the SURVIVING rows of ``batch_df`` (vec_id, embedding, label).
+    Recall follows the nprobe lever (an off-cell near-dup is missed —
+    the IVF trade pinned in test_ann_ingest); precision is exact, every
+    drop is backed by a scored pair. A replayed batch is safe: its own
+    previously-ingested vectors match at cosine ~1.0 BY vec_id, and
+    same-id hits are ignored exactly like the digest probe ignores its
+    own doc_id."""
+    q = batch_df.select(F.col("vec_id").alias("qid"), "embedding")
+    hits = (
+        ann_probe(spark, index_dir, q, k=1, nprobe=nprobe, _exclude_self=True)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("qid").alias("vec_id"))
+    )
+    return batch_df.join(hits, "vec_id", "left_anti")
 
 
 def run_embedding_stream(
@@ -278,6 +314,7 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> None:
 
 
 __all__ = [
+    "semantic_dedup_batch",
     "EMB_SCHEMA",
     "train_centroids",
     "assign_cells",

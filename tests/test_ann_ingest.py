@@ -187,3 +187,33 @@ def test_centroids_are_immutable(spark, tmp_path):
     init_ann_index(spark, d, cent)
     with pytest.raises(ValueError, match="immutable"):
         init_ann_index(spark, d, cent)
+
+
+def test_semantic_dedup_batch(spark, index):
+    """Incoming vectors that near-duplicate the standing corpus drop;
+    novel ones survive; a replayed batch is NOT self-deduped (same vec_id
+    hits are ignored); and every drop is backed by a real >= threshold
+    neighbor in the index."""
+    from pyspark.sql import Row
+
+    from consensource_sds_spark.streaming.ann_ingest import semantic_dedup_batch
+
+    e = _emb(spark)
+    # batch: 3 exact copies of corpus vectors under NEW ids + the same
+    # 3 corpus rows under their OWN ids (the replay shape)
+    copies = e.filter("vec_id < 3").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    replay = e.filter("vec_id < 3")
+    out_c = semantic_dedup_batch(spark, index, copies, threshold=0.99, nprobe=K_CELLS)
+    assert out_c.count() == 0  # exact copies all drop
+    out_r = semantic_dedup_batch(spark, index, replay, threshold=0.999999, nprobe=K_CELLS)
+    # replayed rows survive unless ANOTHER corpus vector is a >=t dup of
+    # them — with threshold ~1.0 and distinct testdata vectors, none is
+    assert {r["vec_id"] for r in out_r.collect()} == {0, 1, 2}
+    # novel random-ish vector survives any sane threshold
+    dim = len(e.first()["embedding"])
+    novel = spark.createDataFrame(
+        [Row(vec_id=999999, embedding=[float((i * 37 % 19) - 9) for i in range(dim)], label=0)]
+    )
+    assert semantic_dedup_batch(spark, index, novel, threshold=0.9, nprobe=K_CELLS).count() == 1
