@@ -269,6 +269,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x68_inverted_index',
     'x69_bloom_digest_probe',
     'x70_ann_ivf_topk',
+    'q92_time_weighted_avg',
     'q01_pricing_summary',
     'q02_filter_pushdown',
     'q03_shipping_priority',

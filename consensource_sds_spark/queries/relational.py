@@ -2737,3 +2737,57 @@ def q91_funnel_conversion(spark, sf_dir):
             p.agg(F.lit("3_purchase").alias("stage"), F.count(F.lit(1)).alias("n_users"))
         )
     )
+
+
+@register(
+    "q92_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value, epoch_us(ts) AS t, event_id,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS tn
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value * (tn - t) AS DECIMAL(38, 6))) AS DOUBLE)
+                 / CAST(SUM(tn - t) AS DOUBLE), 6) AS twa,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM o WHERE tn IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q92_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over irregular samples — the metric an
+    observability/IoT consumer computes over a mirror of sensor-style
+    events: each reading holds until the NEXT one, so the mean weights
+    every value by its holding interval (sum(v_i * dt_i) / sum(dt_i),
+    per user, last reading contributing no interval). Users with a
+    single event have no interval and drop — the SQL-standard answer,
+    not an imputed one.
+
+    Engine-parity note: the interval products accumulate in
+    DECIMAL(38,6), not double — double summation is ORDER-DEPENDENT and
+    Spark/DuckDB reduce in different orders, so exact decimal
+    accumulation (x53's trick) is what makes the oracle hash stable; the
+    single final division runs in IEEE double on both engines.
+
+    Scale: one user-keyed shuffle serves both the LEAD window and the
+    aggregate (same partitioning — no second Exchange); state per row is
+    one lead lookahead; nothing global."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "value", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    o = e.withColumn("tn", F.lead("ts_us").over(w)).filter(F.col("tn").isNotNull())
+    return (
+        o.withColumn("dt", F.col("tn") - F.col("ts_us"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.expr("CAST(value * dt AS DECIMAL(38, 6))")).cast("double")
+                / F.sum("dt").cast("double"),
+                6,
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
