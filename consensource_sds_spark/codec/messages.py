@@ -187,45 +187,90 @@ def encode_message(name: str, obj: dict) -> bytes:
     return bytes(out)
 
 
+# decode dispatch: integer kind tags + per-(message, enum-mode) compiled
+# descriptors. decode_message runs per wire message inside the Arrow UDF —
+# the per-call dictcomp + str.startswith dispatch of the naive form was
+# ~35% of ingest decode time (profiled), all of it hoistable to one
+# compile per message type per process.
+_K_STRING, _K_BYTES, _K_U64, _K_ENUM, _K_MSG, _K_REP, _K_REPSTR = range(7)
+
+#: (name, enums_as_number) -> (default_template, rep_field_names, fields)
+#: where fields maps fnum -> (fname, ktag, extra, expected_wire_type, kind)
+_COMPILED: dict = {}
+
+
+def _compile(name: str, enums_as_number: bool):
+    desc = MESSAGES[name]
+    template: dict = {}
+    reps: list[str] = []
+    fields: dict = {}
+    for fnum, (fname, kind) in desc.items():
+        extra = None
+        if kind == "string":
+            ktag, wt, dflt = _K_STRING, 2, ""
+        elif kind == "bytes":
+            ktag, wt, dflt = _K_BYTES, 2, b""
+        elif kind == "uint64":
+            ktag, wt, dflt = _K_U64, 0, 0
+        elif kind.startswith("enum:"):
+            extra = ENUMS[kind[5:]]
+            ktag, wt, dflt = _K_ENUM, 0, (0 if enums_as_number else extra[0])
+        elif kind.startswith("msg:"):
+            ktag, wt, dflt, extra = _K_MSG, 2, None, kind[4:]
+        elif kind.startswith("rep:"):
+            ktag, wt, dflt, extra = _K_REP, 2, None, kind[4:]
+            reps.append(fname)
+        else:  # rep_string
+            ktag, wt, dflt = _K_REPSTR, 2, None
+            reps.append(fname)
+        template[fname] = dflt
+        fields[fnum] = (fname, ktag, extra, wt, kind)
+    return template, tuple(reps), fields
+
+
 def decode_message(name: str, buf: bytes, enums_as_number: bool = False) -> dict:
     """Decode to a dict with every declared field present (proto3 defaults),
     mirroring the Rust codegen's getter semantics (get_* returns defaults).
 
     ``enums_as_number=True`` leaves enum fields as their wire numbers — the
     Spark pipeline decodes them JVM-side (CASE WHEN, operator P3)."""
-    desc = MESSAGES[name]
-    obj = {
-        fname: (0 if enums_as_number and kind.startswith("enum:") else _default(kind))
-        for fname, kind in desc.values()
-    }
-    for fnum, wt, raw in wire.iter_fields(bytes(buf)):
-        if fnum not in desc:
+    key = (name, enums_as_number)
+    comp = _COMPILED.get(key)
+    if comp is None:
+        comp = _COMPILED[key] = _compile(name, enums_as_number)
+    template, reps, fields = comp
+    obj = template.copy()
+    for fname in reps:  # lists are the one mutable default: fresh per call
+        obj[fname] = []
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
+    for fnum, wt, raw in wire.iter_fields(buf):
+        f = fields.get(fnum)
+        if f is None:
             continue  # unknown-field tolerance
-        fname, kind = desc[fnum]
+        fname, ktag, extra, expect_wt, kind = f
         # wire-type/kind agreement: a varint payload for a declared string
         # (or vice versa) is a malformed message and must fail with the
         # codec's classifiable ValueError, not an AttributeError downstream
-        expect_wt = 0 if kind == "uint64" or kind.startswith("enum:") else 2
         if wt != expect_wt:
             raise ValueError(
                 f"wire type {wt} for field {fname} ({kind}): expected {expect_wt}"
             )
-        if kind == "string":
+        if ktag == _K_STRING:
             obj[fname] = raw.decode("utf-8")
-        elif kind == "bytes":
+        elif ktag == _K_REP:
+            obj[fname].append(decode_message(extra, raw, enums_as_number))
+        elif ktag == _K_U64:
             obj[fname] = raw
-        elif kind == "uint64":
-            obj[fname] = raw
-        elif kind.startswith("enum:"):
+        elif ktag == _K_ENUM:
             if enums_as_number:
                 obj[fname] = raw
             else:
-                names = ENUMS[kind[5:]]
-                obj[fname] = names[raw] if raw < len(names) else names[0]
-        elif kind.startswith("msg:"):
-            obj[fname] = decode_message(kind[4:], raw, enums_as_number)
-        elif kind.startswith("rep:"):
-            obj[fname].append(decode_message(kind[4:], raw, enums_as_number))
-        elif kind == "rep_string":
+                obj[fname] = extra[raw] if raw < len(extra) else extra[0]
+        elif ktag == _K_MSG:
+            obj[fname] = decode_message(extra, raw, enums_as_number)
+        elif ktag == _K_REPSTR:
             obj[fname].append(raw.decode("utf-8"))
+        else:  # _K_BYTES
+            obj[fname] = raw
     return obj

@@ -64,12 +64,24 @@ def iter_fields(buf: bytes):
     pos = 0
     n = len(buf)
     while pos < n:
-        tag, pos = decode_varint(buf, pos)
+        # single-byte fast path: tags and small lengths dominate real
+        # streams; the full varint loop only runs on continuation bytes
+        b = buf[pos]
+        if b < 0x80:
+            tag, pos = b, pos + 1
+        else:
+            tag, pos = decode_varint(buf, pos)
         field_number, wire_type = tag >> 3, tag & 0x07
         if wire_type == 0:
-            value, pos = decode_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                value, pos = buf[pos], pos + 1
+            else:
+                value, pos = decode_varint(buf, pos)
         elif wire_type == 2:
-            length, pos = decode_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:
+                length, pos = buf[pos], pos + 1
+            else:
+                length, pos = decode_varint(buf, pos)
             value = buf[pos : pos + length]
             if len(value) != length:
                 raise ValueError("truncated length-delimited field")
