@@ -270,6 +270,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x69_bloom_digest_probe',
     'x70_ann_ivf_topk',
     'q92_time_weighted_avg',
+    'q93_rolling_active_users',
     'q01_pricing_summary',
     'q02_filter_pushdown',
     'q03_shipping_priority',

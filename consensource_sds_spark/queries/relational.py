@@ -2791,3 +2791,48 @@ def q92_time_weighted_avg(spark, sf_dir):
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+@register(
+    "q93_rolling_active_users",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         days AS (SELECT DISTINCT day FROM p)
+    SELECT d.day,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM p
+             WHERE p.day = d.day) AS dau,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM p
+             WHERE p.day BETWEEN d.day - 29 AND d.day) AS mau30
+    FROM days d
+    """,
+)
+def q93_rolling_active_users(spark, sf_dir):
+    """DAU and rolling 30-day MAU per observed day — the growth-analytics
+    staple. Rolling DISTINCT cannot merge across days (distinct counts
+    are not additive), so the exact answer comes from COVERAGE EXPLODE:
+    each (user, day) pair supports days [day, day+29] and is exploded to
+    those at most 30 coverage rows, restricted to observed days, then one
+    (day)-keyed distinct count. The oracle states the same thing
+    declaratively as correlated range subqueries.
+
+    Scale: linear — user-day pairs x 30, never days x pairs (the range
+    join this replaces is quadratic-ish under BNLJ); both distinct counts
+    expand to two-level partial aggregates, so no (day, user) group
+    gathers unbounded state. The approximate/mergeable alternative at
+    warehouse scale is x50's HLL-per-day union — this is its exact
+    yardstick."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    )
+    pairs = e.distinct()
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    cov = pairs.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(29))).alias("cday")
+    )
+    mau = (
+        cov.join(days.withColumnRenamed("day", "cday"), "cday")
+        .groupBy("cday")
+        .agg(F.countDistinct("user_id").alias("mau30"))
+    )
+    return dau.join(mau, dau["day"] == mau["cday"]).select("day", "dau", "mau30")
