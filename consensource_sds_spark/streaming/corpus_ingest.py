@@ -553,7 +553,58 @@ __all__ = [
     "read_corpus",
     "compact_indexes",
     "maybe_compact_indexes",
+    "corpus_profile",
     "digest_index",
     "band_index",
     "DOC_SCHEMA",
 ]
+
+
+def corpus_profile(out_dir: str) -> list[dict]:
+    """Per-surface storage profile for a streamed corpus, from parquet
+    FOOTERS only (no Spark job, no data scan — the ops-dashboard /
+    maintenance-cadence input, the corpus twin of
+    ``ScdParquetStore.describe()``). One row per existing surface —
+    corpus, digest/band index, quarantine — with row/file/byte counts and
+    the live (uncompacted) batch-partition count that drives
+    :func:`maybe_compact_indexes`; the digest index row also reports the
+    bloom sidecar's n_added and fill fraction (the :func:`rebuild` cue
+    when fill creeps toward ~0.5)."""
+    import pyarrow.parquet as pq
+
+    from consensource_sds_spark.functions.bloom import BloomSidecar
+
+    out = []
+    surfaces = [
+        ("corpus", out_dir.rstrip("/")),
+        ("digest_index", out_dir.rstrip("/") + "_digest_index"),
+        ("band_index", out_dir.rstrip("/") + "_band_index"),
+        ("quarantine", out_dir.rstrip("/") + "_quarantine"),
+    ]
+    for name, d in surfaces:
+        if not os.path.isdir(d):
+            continue
+        rows = files = nbytes = 0
+        for root, _dirs, names in os.walk(d):
+            for nm in names:
+                if not nm.endswith(".parquet") or nm.startswith("."):
+                    continue
+                p = os.path.join(root, nm)
+                rows += pq.ParquetFile(p).metadata.num_rows
+                files += 1
+                nbytes += os.path.getsize(p)
+        prof = {
+            "surface": name,
+            "n_rows": rows,
+            "n_files": files,
+            "n_bytes": nbytes,
+            "n_live_batches": len(_live_batch_dirs(d)) if name.endswith("_index") else None,
+        }
+        if name == "digest_index":
+            bp = os.path.join(d, "_bloom")
+            if os.path.exists(bp):
+                sc = BloomSidecar(bp)
+                prof["bloom_n_added"] = sc.n_added
+                prof["bloom_fill"] = round(sc.fill_fraction(), 8)
+        out.append(prof)
+    return out

@@ -440,3 +440,24 @@ def test_auto_compact_stream(spark, dirs):
     _docs(spark, [(30, GOOD, "en", "z")]).coalesce(1).write.mode("append").parquet(dirs["src"])
     run_corpus_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], n_shards=4)
     assert {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()} == {1, 2}
+
+
+def test_corpus_profile(spark, dirs):
+    """The footer-only ops profile: rows/files/bytes per surface, live
+    batch-partition counts, bloom fill — consistent with actual reads and
+    produced with NO Spark job."""
+    from consensource_sds_spark.streaming.corpus_ingest import corpus_profile
+
+    _docs(spark, [(1, GOOD, "en", "a"), (2, GOOD2, "en", "a")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+    run_corpus_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], n_shards=4, near_dedup=True)
+    prof = {p["surface"]: p for p in corpus_profile(dirs["out"])}
+    assert prof["corpus"]["n_rows"] == read_corpus(spark, dirs["out"]).count() == 2
+    assert prof["digest_index"]["n_rows"] == 2
+    assert prof["digest_index"]["n_live_batches"] == 1
+    assert prof["digest_index"]["bloom_n_added"] == 2
+    assert 0 < prof["digest_index"]["bloom_fill"] < 0.01  # ~14 bits of 2^24
+    assert prof["band_index"]["n_rows"] > 0
+    assert prof["corpus"]["n_bytes"] > 0 and prof["corpus"]["n_files"] > 0
+    assert "quarantine" not in prof  # parquet source: no quarantine surface
