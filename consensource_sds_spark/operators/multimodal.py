@@ -18,8 +18,15 @@ Decode coverage without media libraries (this container ships none):
 - GIF pixels decode for REAL too (``decode_gif_pixels``): a pure-python
   GIF-variant LZW (variable code width, CLEAR/EOI, 12-bit growth, the
   KwKwK case) + palette lookup — full-frame non-interlaced images;
-- the REMAINING compressed formats (JPEG pixels, FLAC samples) need
-  external codecs: their payloads raise NotImplementedError unless
+- JPEG pixels decode for REAL as well (``decode_jpeg_pixels``): baseline
+  SOF0 — marker walk, canonical huffman entropy decode, dequant +
+  dezigzag, matrix-multiply IDCT, 4:4:4/4:2:2/4:2:0 MCU interleave,
+  YCbCr->RGB — with a matching two-pass encoder
+  (``encode_jpeg_pixels``) that builds its huffman tables from the
+  image's own symbols; progressive/arithmetic/restart-interval JPEGs are
+  out of decoder scope and return None;
+- FLAC samples are the one remaining format needing an external codec:
+  such payloads raise NotImplementedError unless
   ``deterministic_fake=True``, which derives a stable fake feature vector
   from the payload hash. The Spark-side contract (schema, partitioning,
   UDF signature, Arrow batch shape) is identical either way.
@@ -384,6 +391,417 @@ def decode_gif_pixels(payload: bytes | None):
     return None
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline codec — pure numpy, no external libraries.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order():
+    """The standard 8x8 zigzag as (row, col) pairs, generated from the
+    diagonal-walk rule instead of a hardcoded table: diagonal s holds
+    cells i + j = s; odd diagonals walk down-left (i ascending), even
+    ones up-right (i descending)."""
+    order = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(7, s) + 1)
+        for i in (rng if s % 2 else reversed(rng)):
+            order.append((i, s - i))
+    return order
+
+
+def _dct_basis():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = (1 / 8) ** 0.5 if u == 0 else (2 / 8) ** 0.5
+        for x in range(8):
+            c[u, x] = a * __import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16)
+    return c
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; a marker
+    byte (0xFF followed by non-zero) ends the stream."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.acc, self.n = buf, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated entropy data")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("marker inside entropy data")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_huffman(bits_counts, symbols):
+    """Canonical huffman decode map {(length, code): symbol} from a DHT
+    segment's BITS/HUFFVAL — the same construction rule every baseline
+    JPEG uses (Annex C)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude decoding (spec EXTEND): t low bits v map to
+    [-2^t+1, -2^(t-1)] u [2^(t-1), 2^t-1]."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(payload: bytes | None):
+    """REAL image decode for baseline JPEG (SOF0) — pure numpy: marker
+    walk (DQT/SOF0/DHT/SOS), canonical huffman entropy decode with FF00
+    unstuffing, dequant + dezigzag, 8x8 IDCT as two matrix multiplies,
+    MCU-interleaved components with sampling factors 1-2 (4:4:4, 4:2:2,
+    4:2:0), nearest upsample, JFIF full-range YCbCr->RGB. Grayscale maps
+    to replicated RGB. Returns None outside scope (progressive/SOF2,
+    arithmetic coding, restart intervals, 12-bit precision)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    frame = None
+    scan = None
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD8:
+                pos += 2
+                continue
+            seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            seg = b[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT (8-bit tables)
+                i = 0
+                while i < len(seg):
+                    pq_tq = seg[i]
+                    if pq_tq >> 4 != 0:
+                        return None  # 16-bit quant: out of scope
+                    qt[pq_tq & 0x0F] = np.frombuffer(
+                        seg[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    i += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                ncomp = seg[5]
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                frame = {"w": w, "h": h, "comps": comps}
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # non-baseline frame types
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc_th = seg[i]
+                    counts = list(seg[i + 1 : i + 17])
+                    nsym = sum(counts)
+                    syms = list(seg[i + 17 : i + 17 + nsym])
+                    huff[(tc_th >> 4, tc_th & 0x0F)] = _build_huffman(counts, syms)
+                    i += 17 + nsym
+            elif marker == 0xDD:  # DRI
+                if int.from_bytes(seg[:2], "big") != 0:
+                    return None  # restart intervals: out of scope
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, td_ta = seg[1 + 2 * c : 3 + 2 * c]
+                    scan.append({"cs": cs, "dc": td_ta >> 4, "ac": td_ta & 0x0F})
+                pos = pos + 2 + seg_len
+                break
+            elif marker == 0xD9:
+                return None
+            pos += 2 + seg_len
+        if frame is None or scan is None:
+            return None
+
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in frame["comps"]):
+            return None
+        w, h = frame["w"], frame["h"]
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        C = _dct_basis()
+        zz = _zigzag_order()
+        reader = _BitReader(b, pos)
+        planes = {}
+        for comp in frame["comps"]:
+            planes[comp["id"]] = np.zeros(
+                (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64
+            )
+        pred = {comp["id"]: 0 for comp in frame["comps"]}
+        by_id = {c["id"]: c for c in frame["comps"]}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for sc in scan:
+                    comp = by_id[sc["cs"]]
+                    dct = huff[(0, sc["dc"])]
+                    act = huff[(1, sc["ac"])]
+                    q = qt[comp["tq"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coef = np.zeros(64)
+                            t = _huff_decode(reader, dct)
+                            diff = _extend(reader.bits(t), t)
+                            pred[comp["id"]] += diff
+                            coef[0] = pred[comp["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, act)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block")
+                                coef[k] = _extend(reader.bits(s), s)
+                                k += 1
+                            block = np.zeros((8, 8))
+                            for idx, (i, j) in enumerate(zz):
+                                block[i, j] = coef[idx] * q[idx]
+                            pix = C.T @ block @ C + 128.0
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+        # upsample each plane to full MCU-grid resolution, then crop
+        full = []
+        for comp in frame["comps"]:
+            p = planes[comp["id"]]
+            p = np.repeat(np.repeat(p, hmax // comp["h"], axis=1), vmax // comp["v"], axis=0)
+            full.append(p[:h, :w])
+        if len(full) == 1:
+            g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        if len(full) != 3:
+            return None
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        return np.clip(np.rint(np.stack([r, g, bl], axis=2)), 0, 255).astype(np.uint8)
+    except (ValueError, IndexError, KeyError):
+        return None
+
+
+def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1) -> bytes:
+    """REAL baseline JPEG encode — the test/thumbnail counterpart of
+    :func:`decode_jpeg_pixels`: RGB->YCbCr, optional 2x2 chroma average
+    (4:2:0 vs 4:4:4), 8x8 DCT, uniform quantization at ``quant`` (1 =
+    near-lossless; DCT rounding only), zigzag, DC-diff + AC run-length,
+    and canonical huffman tables BUILT FROM the image's own symbol set
+    (every used symbol gets the same code length L with 2^L - 1 >= n_used,
+    so the all-ones code stays reserved as Annex C requires) — emitted in
+    DHT, so any conformant decoder reads the file without Annex K's
+    "typical" tables being baked in anywhere."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[0], px.shape[1]
+    if gray:
+        y, cb, cr = px, None, None
+    else:
+        r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+
+    hs = vs = 2 if (subsample and not gray) else 1
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def pad(p, bw, bh):
+        out = np.zeros((bh, bw))
+        out[: p.shape[0], : p.shape[1]] = p
+        # edge-extend so padding doesn't ring
+        out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    ypl = pad(y, mcux * hs * 8, mcuy * vs * 8)
+    if gray:
+        cbp = crp = None
+    elif subsample:
+        cbf = pad(cb, mcux * hs * 8, mcuy * vs * 8)
+        crf = pad(cr, mcux * hs * 8, mcuy * vs * 8)
+        cbp = cbf.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = crf.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp, crp = pad(cb, mcux * 8, mcuy * 8), pad(cr, mcux * 8, mcuy * 8)
+
+    C = _dct_basis()
+    zz = _zigzag_order()
+
+    def blocks_of(plane, bx0, by0, nh, nv):
+        out = []
+        for by in range(nv):
+            for bx in range(nh):
+                blk = plane[
+                    (by0 * nv + by) * 8 : (by0 * nv + by) * 8 + 8,
+                    (bx0 * nh + bx) * 8 : (bx0 * nh + bx) * 8 + 8,
+                ]
+                coef = C @ (blk - 128.0) @ C.T
+                qc = np.rint(coef / quant).astype(np.int64)
+                out.append([int(qc[i, j]) for (i, j) in zz])
+        return out
+
+    # pass 1: symbol statistics per (class, component-kind)
+    if gray:
+        comps = [("y", ypl, 1, 1)]
+    else:
+        comps = [("y", ypl, hs, vs), ("cb", cbp, 1, 1), ("cr", crp, 1, 1)]
+    tokens = []  # (kind, 'dc'/'ac', symbol, extra_bits_value, n_extra)
+    pred = {"y": 0, "cb": 0, "cr": 0}
+
+    def category(v):
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    def mag_bits(v, t):
+        return v if v >= 0 else v + (1 << t) - 1
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for kind, plane, nh, nv in comps:
+                for blk in blocks_of(plane, mx, my, nh, nv):
+                    diff = blk[0] - pred[kind]
+                    pred[kind] = blk[0]
+                    t = category(diff)
+                    tokens.append((kind, "dc", t, mag_bits(diff, t), t))
+                    run = 0
+                    last_nz = max((i for i in range(1, 64) if blk[i]), default=0)
+                    for k in range(1, last_nz + 1):
+                        if blk[k] == 0:
+                            run += 1
+                            if run == 16:
+                                tokens.append((kind, "ac", 0xF0, 0, 0))
+                                run = 0
+                            continue
+                        s = category(blk[k])
+                        tokens.append((kind, "ac", (run << 4) | s, mag_bits(blk[k], s), s))
+                        run = 0
+                    if last_nz < 63:
+                        tokens.append((kind, "ac", 0x00, 0, 0))
+
+    # canonical equal-length tables per (class, luma/chroma)
+    def table_for(cls, kinds):
+        used = sorted({sym for kk, c, sym, _v, _n in tokens if c == cls and kk in kinds})
+        L = max(2, (len(used) + 1).bit_length())  # 2^L - 1 >= n_used
+        counts = [0] * 16
+        counts[L - 1] = len(used)
+        codes = {sym: (L, i) for i, sym in enumerate(used)}
+        return counts, used, codes
+
+    dc_y = table_for("dc", ("y",))
+    ac_y = table_for("ac", ("y",))
+    dhts = [(0x00, dc_y), (0x10, ac_y)]
+    codes_by = {("y", "dc"): dc_y[2], ("y", "ac"): ac_y[2]}
+    if not gray:
+        dc_c = table_for("dc", ("cb", "cr"))
+        ac_c = table_for("ac", ("cb", "cr"))
+        dhts += [(0x01, dc_c), (0x11, ac_c)]
+        codes_by.update(
+            {
+                ("cb", "dc"): dc_c[2],
+                ("cb", "ac"): ac_c[2],
+                ("cr", "dc"): dc_c[2],
+                ("cr", "ac"): ac_c[2],
+            }
+        )
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([quant]) * 64
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + qtab
+    if not gray:
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x01" + qtab
+    nc = 1 if gray else 3
+    sof = bytearray(b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc]))
+    sof += bytes([1, (hs << 4) | vs, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for tc_th, (counts, syms, _codes) in dhts:
+        seg = bytes([tc_th]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    if gray:
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    else:
+        out += b"\xff\xda" + (12).to_bytes(2, "big") + bytes(
+            [3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+        )
+    acc = nbits = 0
+    data = bytearray()
+
+    def put(v, k):
+        nonlocal acc, nbits
+        acc = (acc << k) | (v & ((1 << k) - 1))
+        nbits += k
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+
+    for kind, cls, sym, vbits, n in tokens:
+        length, code = codes_by[(kind, cls)][sym]
+        put(code, length)
+        if n:
+            put(vbits, n)
+    if nbits:
+        put(0xFF, 8 - nbits)  # 1-pad the tail
+    out += data + b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_png_pixels(px) -> bytes:
     """REAL image encode: uint8 (h, w, 3) RGB -> PNG (color type 2, depth
     8, filter 0 per scanline, one zlib IDAT) — stdlib only, and the exact
@@ -464,6 +882,8 @@ def _features_one(payload, deterministic_fake: bool):
         px = decode_png_pixels(b)
     if px is None:
         px = decode_gif_pixels(b)
+    if px is None:
+        px = decode_jpeg_pixels(b)
     if px is not None:
         return _image_features(px)
     if deterministic_fake:
@@ -547,6 +967,11 @@ def resize_images(
             # re-quantizing to a palette; this repo carries no GIF writer)
             small = resize_image_pixels(px, out_w, out_h)
             return (out_w, out_h, encode_png_pixels(small))
+        px = decode_jpeg_pixels(b)
+        if px is not None:
+            # JPEG in -> JPEG out (4:2:0, the thumbnail-standard layout)
+            small = resize_image_pixels(px, out_w, out_h)
+            return (out_w, out_h, encode_jpeg_pixels(small, subsample=True, quant=4))
         if deterministic_fake:
             return (None, None, bytes(payload))
         raise NotImplementedError(

@@ -554,3 +554,79 @@ def test_gif_features_and_resize_real(spark):
     assert np.array_equal(
         small, MM.resize_image_pixels(np.array(px, dtype=np.uint8), 3, 3)
     )
+
+
+def test_jpeg_roundtrip_all_layouts():
+    """Baseline JPEG: encode->decode round-trips within tight error bounds
+    per layout — 4:4:4 at unit quant is DCT-rounding-only (near-lossless),
+    4:2:0 adds bounded chroma averaging error, grayscale replicates to
+    RGB. The encoder emits its own canonical huffman tables, so the
+    decoder's DHT/entropy path is exercised with tables it did not
+    hardcode."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(29), np.arange(23))
+    px = np.stack([(xx * 7) % 256, (yy * 11) % 256, ((xx + yy) * 5) % 256], axis=2).astype(
+        np.uint8
+    )
+    d = MM.decode_jpeg_pixels(MM.encode_jpeg_pixels(px, quant=1))
+    assert d.shape == px.shape
+    assert np.abs(d.astype(float) - px).mean() < 0.5  # DCT rounding only
+    d420 = MM.decode_jpeg_pixels(MM.encode_jpeg_pixels(px, subsample=True, quant=1))
+    assert d420.shape == px.shape
+    assert np.abs(d420.astype(float) - px).mean() < 8.0  # chroma averaging
+    # luma survives subsampling untouched (Y is never subsampled here)
+    lum = lambda a: a.astype(float) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(lum(d420) - lum(px)).mean() < 2.0
+    # grayscale: single-component scan, replicated channels
+    gray = ((xx * 13 + yy * 7) % 256).astype(np.uint8)
+    dg = MM.decode_jpeg_pixels(MM.encode_jpeg_pixels(gray, quant=1))
+    assert dg.shape == (23, 29, 3)
+    assert (dg[:, :, 0] == dg[:, :, 1]).all() and (dg[:, :, 1] == dg[:, :, 2]).all()
+    assert np.abs(dg[:, :, 0].astype(float) - gray).mean() < 0.5
+    # random noise at coarse quant still bounded (DCT energy compaction)
+    rng = np.random.RandomState(9)
+    noise = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    dn = MM.decode_jpeg_pixels(MM.encode_jpeg_pixels(noise, quant=8))
+    assert np.abs(dn.astype(float) - noise).mean() < 12.0
+
+
+def test_jpeg_out_of_scope_returns_none():
+    """Header-only fragments, progressive frames, and restart intervals
+    are declared out of scope — None, never an exception or garbage."""
+    import numpy as np
+
+    assert MM.decode_jpeg_pixels(_jpeg(8, 8)) is None  # no scan data
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = MM.encode_jpeg_pixels(px)
+    assert MM.decode_jpeg_pixels(good) is not None
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)  # claim progressive
+    assert MM.decode_jpeg_pixels(prog) is None
+    # inject a DRI segment with a nonzero restart interval after SOI
+    dri = b"\xff\xdd" + (4).to_bytes(2, "big") + (8).to_bytes(2, "big")
+    with_dri = good[:2] + dri + good[2:]
+    assert MM.decode_jpeg_pixels(with_dri) is None
+    assert MM.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None  # empty
+    assert MM.decode_jpeg_pixels(b"not a jpeg") is None
+
+
+def test_jpeg_features_and_resize_real(spark):
+    """JPEG payloads run the REAL feature and resize kernels end to end;
+    the thumbnail comes back as a decodable 4:2:0 JPEG whose pixels match
+    the reference nearest-neighbor resample within JPEG error."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    px = np.stack([(xx * 16) % 256, (yy * 16) % 256, 128 + 0 * xx], axis=2).astype(np.uint8)
+    payload = MM.encode_jpeg_pixels(px, quant=1)
+    media = spark.createDataFrame(
+        [(1, "image", payload, "image/jpeg", 16, 16, None)], MM.MEDIA_SCHEMA
+    )
+    feats = MM.extract_features(media).collect()[0]["features"]
+    assert len(feats) == MM.FEATURE_DIM and any(v > 0 for v in feats)
+    out = MM.resize_images(media, 8, 8).collect()[0]
+    assert (out["width"], out["height"]) == (8, 8)
+    small = MM.decode_jpeg_pixels(bytes(out["payload"]))
+    assert small.shape == (8, 8, 3)
+    ref = MM.resize_image_pixels(MM.decode_jpeg_pixels(payload), 8, 8)
+    assert np.abs(small.astype(float) - ref.astype(float)).mean() < 12.0
