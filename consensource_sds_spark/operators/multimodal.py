@@ -25,11 +25,19 @@ Decode coverage without media libraries (this container ships none):
   (``encode_jpeg_pixels``) that builds its huffman tables from the
   image's own symbols; progressive/arithmetic/restart-interval JPEGs are
   out of decoder scope and return None;
-- FLAC samples are the one remaining format needing an external codec:
-  such payloads raise NotImplementedError unless
-  ``deterministic_fake=True``, which derives a stable fake feature vector
-  from the payload hash. The Spark-side contract (schema, partitioning,
-  UDF signature, Arrow batch shape) is identical either way.
+- FLAC samples decode for REAL as well (``decode_flac_samples``): the
+  complete 16-bit subframe set — constant/verbatim/fixed/LPC with
+  partitioned rice residuals and left/right/mid-side stereo
+  reconstruction, frame CRC-8 verified — with a lossless encoder
+  (``encode_flac_samples``) whose round trips are bit-exact.
+
+Every format the metadata sniffers recognize now decodes without any
+external library. Payloads NO decoder recognizes raise
+NotImplementedError unless ``deterministic_fake=True``, which derives a
+stable fake feature vector from the payload hash — the stubbing contract
+kept for genuinely foreign bytes (e.g. video containers). The Spark-side
+contract (schema, partitioning, UDF signature, Arrow batch shape) is
+identical either way.
 """
 
 from __future__ import annotations
@@ -109,6 +117,414 @@ def decode_wav_samples(payload: bytes | None):
         return None
     raw = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
     return (raw.reshape(-1, ch).astype("float32")) / 32768.0
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode — pure python/numpy, the complete 16-bit subframe set.
+# ---------------------------------------------------------------------------
+
+
+class _MsbReader:
+    """Plain MSB-first bit reader (no byte stuffing — FLAC is raw)."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf, self.pos, self.acc, self.n = buf, pos, 0, 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated FLAC stream")
+            self.acc = (self.acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def sbits(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.acc, self.n = 0, 0
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c ^= byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _flac_utf8(reader: _MsbReader) -> int:
+    """FLAC's UTF-8-style coded frame/sample number (up to 7 bytes)."""
+    b0 = reader.bits(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    v = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        v = (v << 6) | (reader.bits(8) & 0x3F)
+    return v
+
+#: FIXED-predictor coefficients by order (spec 9.2.1): residual = poly diff
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768,
+}
+
+
+def _flac_residuals(reader: _MsbReader, blocksize: int, order: int) -> list[int]:
+    """Partitioned rice residuals (method 0: 4-bit params, method 1:
+    5-bit), escape code -> raw fixed-width two's complement."""
+    method = reader.bits(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = reader.bits(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        k = reader.bits(pbits)
+        if k == escape:
+            raw = reader.bits(5)
+            out.extend(reader.sbits(raw) if raw else 0 for _ in range(n))
+            continue
+        for _ in range(n):
+            q = reader.unary()
+            u = (q << k) | reader.bits(k) if k else q
+            out.append((u >> 1) ^ -(u & 1))  # zigzag -> signed
+    return out
+
+
+def _flac_subframe(reader: _MsbReader, blocksize: int, bps: int) -> list[int]:
+    if reader.bits(1) != 0:
+        raise ValueError("subframe sync bit")
+    ftype = reader.bits(6)
+    wasted = 0
+    if reader.bits(1):
+        wasted = 1 + reader.unary()
+    eff = bps - wasted
+    if ftype == 0:  # CONSTANT
+        samples = [reader.sbits(eff)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        samples = [reader.sbits(eff) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED order 0-4
+        order = ftype - 8
+        warm = [reader.sbits(eff) for _ in range(order)]
+        res = _flac_residuals(reader, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        samples = list(warm)
+        for r in res:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif ftype >= 32:  # LPC order 1-32
+        order = ftype - 31
+        warm = [reader.sbits(eff) for _ in range(order)]
+        prec = reader.bits(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision")
+        shift = reader.sbits(5)
+        coefs = [reader.sbits(prec) for _ in range(order)]
+        res = _flac_residuals(reader, blocksize, order)
+        samples = list(warm)
+        for r in res:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs)) >> shift
+            samples.append(r + pred)
+    else:
+        raise ValueError(f"reserved subframe type {ftype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac_samples(payload: bytes | None):
+    """REAL audio decode for FLAC — pure python/numpy, the COMPLETE
+    subframe set: constant, verbatim, fixed orders 0-4, and LPC with
+    quantized coefficients; partitioned rice residuals (both methods,
+    escape partitions); stereo decorrelation (left-side, right-side,
+    mid-side) exactly per the spec's lossless reconstruction; frame-header
+    CRC-8 verified (a mismatch means garbage, not audio). Returns float32
+    (n_samples, n_channels) in [-1, 1) like :func:`decode_wav_samples`,
+    or None out of scope (only 16-bit streams are accepted — the CD/WAV
+    parity case the feature kernels consume)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"fLaC" or len(b) < 42:
+        return None
+    # metadata block walk to the audio frames
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            streaminfo = b[pos + 4 : pos + 4 + blen]
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 18:
+        return None
+    si = int.from_bytes(streaminfo[10:18], "big")
+    bps = ((si >> 36) & 0x1F) + 1
+    total = si & ((1 << 36) - 1)
+    if bps != 16:
+        return None
+    try:
+        channels_out: list[list[int]] = []
+        got = 0
+        while pos < len(b) - 2 and (total == 0 or got < total):
+            frame_start = pos
+            reader = _MsbReader(b, pos)
+            sync = reader.bits(14)
+            if sync != 0x3FFE:
+                return None
+            reader.bits(1)  # reserved
+            reader.bits(1)  # blocking strategy
+            bs_code = reader.bits(4)
+            sr_code = reader.bits(4)
+            ch_code = reader.bits(4)
+            ss_code = reader.bits(3)
+            reader.bits(1)  # reserved
+            _flac_utf8(reader)
+            if bs_code == 6:
+                blocksize = reader.bits(8) + 1
+            elif bs_code == 7:
+                blocksize = reader.bits(16) + 1
+            else:
+                blocksize = _FLAC_BLOCK_SIZES.get(bs_code)
+                if blocksize is None:
+                    return None
+            if sr_code == 12:
+                reader.bits(8)
+            elif sr_code in (13, 14):
+                reader.bits(16)
+            # CRC-8 covers the header bytes up to (not incl.) the CRC byte
+            crc_pos = reader.pos
+            if _crc8(b[frame_start:crc_pos]) != reader.bits(8):
+                return None
+            if ch_code < 8:
+                nch = ch_code + 1
+                kinds = ["indep"] * nch
+            elif ch_code == 8:
+                nch, kinds = 2, ["left", "side"]
+            elif ch_code == 9:
+                nch, kinds = 2, ["side", "right"]
+            elif ch_code == 10:
+                nch, kinds = 2, ["mid", "side"]
+            else:
+                return None
+            subs = []
+            for c in range(nch):
+                sb_bps = bps + (1 if kinds[c] == "side" else 0)
+                subs.append(_flac_subframe(reader, blocksize, sb_bps))
+            reader.align()
+            reader.bits(16)  # frame CRC-16 (header CRC already verified)
+            pos = reader.pos
+            # stereo reconstruction
+            if ch_code == 8:  # left-side
+                left = subs[0]
+                right = [left[i] - subs[1][i] for i in range(blocksize)]
+                frame_ch = [left, right]
+            elif ch_code == 9:  # right-side
+                right = subs[1]
+                left = [subs[0][i] + right[i] for i in range(blocksize)]
+                frame_ch = [left, right]
+            elif ch_code == 10:  # mid-side (libFLAC reconstruction)
+                frame_ch = [[], []]
+                for i in range(blocksize):
+                    mid, side = subs[0][i], subs[1][i]
+                    mid = (mid << 1) | (side & 1)
+                    frame_ch[0].append((mid + side) >> 1)
+                    frame_ch[1].append((mid - side) >> 1)
+            else:
+                frame_ch = subs
+            if not channels_out:
+                channels_out = [[] for _ in range(len(frame_ch))]
+            for c, ch in enumerate(frame_ch):
+                channels_out[c].extend(ch)
+            got += blocksize
+        if not channels_out:
+            return None
+        arr = np.array(channels_out, dtype=np.int32).T
+        if total:
+            arr = arr[: int(total)]
+        return arr.astype(np.float32) / 32768.0
+    except (ValueError, IndexError):
+        return None
+
+
+class _MsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+            self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.bits(0, 8 - self.n)
+
+
+def encode_flac_samples(
+    samples, sample_rate: int = 44100, strategy: str = "fixed", stereo: str = "indep"
+) -> bytes:
+    """REAL FLAC encode — the lossless counterpart of
+    :func:`decode_flac_samples`, for tests and WAV->FLAC re-encode:
+    int16 ndarray (n, ch) -> a conformant stream (STREAMINFO + frames
+    with correct CRC-8/CRC-16). ``strategy``: ``verbatim`` (raw),
+    ``constant`` (where a block is flat), or ``fixed`` (order-2 fixed
+    predictor + single-partition rice, parameter from the residuals'
+    mean magnitude). ``stereo``: ``indep``, ``left`` (left-side), or
+    ``mid`` (mid-side) — all bit-exact on decode, being lossless."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    bs = 4096
+
+    out = bytearray(b"fLaC")
+    info = _MsbWriter()
+    info.bits(bs, 16)
+    info.bits(bs, 16)
+    info.bits(0, 24)
+    info.bits(0, 24)
+    info.bits(sample_rate, 20)
+    info.bits(nch - 1, 3)
+    info.bits(15, 5)  # bps - 1
+    info.bits(n, 36)
+    info.align()
+    si = bytes(info.out) + b"\x00" * 16  # MD5 unset
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    def rice_write(w: _MsbWriter, vals, k: int) -> None:
+        for v in vals:
+            u = (int(v) << 1) if v >= 0 else ((-int(v) << 1) - 1)
+            for _ in range(u >> k):
+                w.bits(0, 1)
+            w.bits(1, 1)
+            if k:
+                w.bits(u, k)
+
+    def subframe(w: _MsbWriter, ch, bps: int) -> None:
+        if strategy == "constant" and all(v == ch[0] for v in ch):
+            w.bits(0, 1)
+            w.bits(0, 6)
+            w.bits(0, 1)
+            w.bits(int(ch[0]), bps)
+            return
+        if strategy == "verbatim":
+            w.bits(0, 1)
+            w.bits(1, 6)
+            w.bits(0, 1)
+            for v in ch:
+                w.bits(int(v), bps)
+            return
+        order = min(2, len(ch))
+        w.bits(0, 1)
+        w.bits(8 + order, 6)  # FIXED order
+        w.bits(0, 1)
+        for v in ch[:order]:
+            w.bits(int(v), bps)
+        coefs = _FLAC_FIXED[order]
+        res = [
+            int(ch[i]) - sum(c * int(ch[i - j - 1]) for j, c in enumerate(coefs))
+            for i in range(order, len(ch))
+        ]
+        mean = sum(abs(r) for r in res) / max(1, len(res))
+        k = max(0, min(30, int(mean).bit_length()))
+        w.bits(0, 2)  # rice method 0
+        w.bits(0, 4)  # partition order 0
+        w.bits(k, 4)
+        rice_write(w, res, k)
+
+    pos = 0
+    frame_no = 0
+    while pos < n:
+        blk = s[pos : pos + bs]
+        blocksize = blk.shape[0]
+        w = _MsbWriter()
+        w.bits(0x3FFE, 14)
+        w.bits(0, 1)
+        w.bits(0, 1)  # fixed blocksize strategy
+        w.bits(7, 4)  # 16-bit blocksize-1 follows
+        w.bits(0, 4)  # sample rate from STREAMINFO
+        if nch == 2 and stereo == "left":
+            ch_code, chans, bpss = 8, [blk[:, 0], blk[:, 0] - blk[:, 1]], [16, 17]
+        elif nch == 2 and stereo == "mid":
+            side = blk[:, 0] - blk[:, 1]
+            mid = (blk[:, 0] + blk[:, 1]) >> 1
+            ch_code, chans, bpss = 10, [mid, side], [16, 17]
+        else:
+            ch_code, chans, bpss = nch - 1, [blk[:, c] for c in range(nch)], [16] * nch
+        w.bits(ch_code, 4)
+        w.bits(4, 3)  # 16 bps
+        w.bits(0, 1)
+        # UTF-8 frame number (encoder only emits < 2^31 frames; multi-byte form)
+        fn = frame_no
+        if fn < 0x80:
+            w.bits(fn, 8)
+        else:
+            seq = []
+            while fn >= 0x40:
+                seq.append(0x80 | (fn & 0x3F))
+                fn >>= 6
+            nbytes = len(seq) + 1
+            lead = (0xFF << (8 - nbytes - 1)) & 0xFF | fn
+            w.bits(lead, 8)
+            for byte in reversed(seq):
+                w.bits(byte, 8)
+        w.bits(blocksize - 1, 16)
+        w.align()
+        hdr = bytes(w.out)
+        w.bits(_crc8(hdr), 8)
+        for ch, bps in zip(chans, bpss):
+            subframe(w, list(ch), bps)
+        w.align()
+        frame = bytes(w.out)
+        w.bits(_crc16(frame), 16)
+        out += bytes(w.out)
+        pos += blocksize
+        frame_no += 1
+    return bytes(out)
 
 
 def decode_bmp_pixels(payload: bytes | None):
@@ -875,6 +1291,8 @@ def _features_one(payload, deterministic_fake: bool):
         return None
     b = bytes(payload)
     samples = decode_wav_samples(b)
+    if samples is None:
+        samples = decode_flac_samples(b)
     if samples is not None:
         return _audio_features(samples)
     px = decode_bmp_pixels(b)

@@ -630,3 +630,74 @@ def test_jpeg_features_and_resize_real(spark):
     assert small.shape == (8, 8, 3)
     ref = MM.resize_image_pixels(MM.decode_jpeg_pixels(payload), 8, 8)
     assert np.abs(small.astype(float) - ref.astype(float)).mean() < 12.0
+
+
+def test_flac_lossless_roundtrip_all_modes():
+    """FLAC is lossless: every (strategy, stereo-mode) combination must
+    round-trip BIT-EXACTLY — verbatim, constant, and fixed-predictor+rice
+    subframes; independent, left-side, and mid-side decorrelation. The
+    fixed predictor must also actually compress the sine-ish signal."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    t = np.arange(9000)
+    wave = (
+        6000 * np.sin(t / 50) + 2000 * np.sin(t / 7) + rng.randint(-200, 200, t.size)
+    ).astype(np.int64)
+    stereo = np.stack([wave, (wave * 0.7).astype(np.int64)], axis=1).clip(-32768, 32767)
+    for strat in ("verbatim", "fixed"):
+        for st in ("indep", "left", "mid"):
+            enc = MM.encode_flac_samples(stereo, strategy=strat, stereo=st)
+            dec = MM.decode_flac_samples(enc)
+            back = np.rint(dec * 32768.0).astype(np.int64)
+            assert np.array_equal(back, stereo), (strat, st)
+    fixed = MM.encode_flac_samples(stereo, strategy="fixed")
+    assert len(fixed) < 0.75 * stereo.size * 2  # actually compresses
+    flat = np.full((5000, 1), 77, dtype=np.int64)
+    enc = MM.encode_flac_samples(flat, strategy="constant")
+    assert len(enc) < 100  # constant subframe collapses the block
+    assert np.array_equal(np.rint(MM.decode_flac_samples(enc) * 32768).astype(np.int64), flat)
+
+
+def test_flac_rejects_garbage_and_wrong_crc():
+    import numpy as np
+
+    assert MM.decode_flac_samples(b"fLaC") is None
+    assert MM.decode_flac_samples(b"not flac at all") is None
+    good = MM.encode_flac_samples(np.full((500, 1), 3, dtype=np.int64))
+    assert MM.decode_flac_samples(good) is not None
+    # flip a byte inside the first frame HEADER -> CRC-8 mismatch -> None
+    # (STREAMINFO is 4 + 4 + 34 bytes; frame starts at 42, header ~5 bytes in)
+    bad = bytearray(good)
+    bad[46] ^= 0x01
+    assert MM.decode_flac_samples(bytes(bad)) is None
+
+
+def test_flac_features_real(spark):
+    """A FLAC payload runs the REAL audio feature kernel (RMS/ZCR/peak)
+    and produces the SAME features as its WAV twin — one signal, two
+    containers, identical numbers."""
+    import numpy as np
+
+    t = np.arange(4000)
+    wave = (8000 * np.sin(t / 30)).astype(np.int64)[:, None]
+    flac = MM.encode_flac_samples(wave)
+    # the WAV twin via the existing PCM16 layout
+    pcm = wave.astype("<i2").tobytes()
+    wav = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (88200).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "audio", flac, "audio/flac", None, None, None),
+            (2, "audio", wav, "audio/wav", None, None, None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    assert out[1] == out[2]
