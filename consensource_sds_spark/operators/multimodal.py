@@ -1307,7 +1307,7 @@ def _features_one(payload, deterministic_fake: bool):
     if deterministic_fake:
         return _fake_features(b)
     raise NotImplementedError(
-        "compressed-media decode requires image/audio libraries not present in this container"
+        "payload matches no built-in decoder (BMP/PNG/GIF/JPEG/WAV/FLAC); foreign formats (e.g. video containers) need external libraries not present in this container"
     )
 
 
@@ -1393,7 +1393,7 @@ def resize_images(
         if deterministic_fake:
             return (None, None, bytes(payload))
         raise NotImplementedError(
-            "compressed-media decode requires image libraries not present in this container"
+            "payload matches no built-in image decoder (BMP/PNG/GIF/JPEG); foreign formats need external libraries not present in this container"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -295,14 +295,14 @@ def test_resize_images_dataframe(spark):
     # BMP really resampled + re-encoded: decodes back at the new size
     px = MM.decode_bmp_pixels(out[1]["payload"])
     assert px.shape == (1, 1, 3) and out[1]["width"] == 1 and out[1]["height"] == 1
-    # compressed passthrough under the stub contract, NULL dims
+    # undecodable payload (header-only PNG) passthrough under the stub, NULL dims
     assert bytes(out[2]["payload"]) == _png(4, 4) and out[2]["width"] is None
     assert out[3]["payload"] is None
 
-    # without the stub, compressed media raises (contract pinned)
+    # without the stub, an undecodable payload raises (contract pinned)
     import pytest
 
-    with pytest.raises(Exception, match="NotImplementedError|image libraries"):
+    with pytest.raises(Exception, match="NotImplementedError|image decoder"):
         MM.resize_images(media, 1, 1).collect()
 
 
