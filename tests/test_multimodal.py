@@ -701,3 +701,36 @@ def test_flac_features_real(spark):
     )
     out = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
     assert out[1] == out[2]
+
+
+def test_transcode_wav_to_flac(spark):
+    """WAV payloads shrink to FLAC with BIT-EXACT samples; non-WAV rows
+    pass through untouched (idempotent over a mixed corpus)."""
+    import numpy as np
+
+    t = np.arange(8000)
+    wave = (7000 * np.sin(t / 40) + 500 * np.sin(t / 3)).astype(np.int64)[:, None]
+    pcm = wave.astype("<i2").tobytes()
+    wav = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (88200).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    other = MM.encode_flac_samples(wave)  # already FLAC: must pass through
+    media = spark.createDataFrame(
+        [
+            (1, "audio", wav, "audio/wav", None, None, None),
+            (2, "audio", other, "audio/flac", None, None, None),
+            (3, "audio", None, "audio/wav", None, None, None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in MM.transcode_wav_to_flac(media).collect()}
+    assert out[1]["n_bytes_out"] < 0.8 * out[1]["n_bytes_in"]  # real shrink
+    dec = MM.decode_flac_samples(bytes(out[1]["payload"]))
+    assert np.array_equal(np.rint(dec * 32768.0).astype(np.int64), wave)
+    assert bytes(out[2]["payload"]) == other  # untouched passthrough
+    assert out[3]["payload"] is None
