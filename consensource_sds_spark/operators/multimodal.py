@@ -583,6 +583,64 @@ def encode_bmp_pixels(px) -> bytes:
     return header + body
 
 
+#: Adam7 pass lattice: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Invert the five PNG scanline filters over ``h`` scanlines of
+    ``stride`` bytes (filter byte + data each). Returns the (h, stride)
+    uint8 array, or None on truncation / unknown filter. Shared by the
+    sequential and Adam7 paths — each Adam7 pass is its own filter
+    context (prev resets per pass, per the spec)."""
+    import numpy as np
+
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), data[y].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f == 1:  # Sub
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[y] = prev
+    return out
+
+
 def decode_png_pixels(payload: bytes | None):
     """REAL image decode for PNG — stdlib ``zlib`` + numpy, no external
     codec: chunk walk (IHDR/PLTE/IDAT/IEND), one inflate of the
@@ -591,7 +649,9 @@ def decode_png_pixels(payload: bytes | None):
     ndarray (h, w, 3) in RGB, or None for payloads this decoder does not
     cover (it is a decoder for the dominant cases, not a validator):
     bit depth 8, color types grey(0)/RGB(2)/palette(3)/grey+alpha(4)/
-    RGBA(6) — alpha dropped, grey replicated — non-interlaced only.
+    RGBA(6) — alpha dropped, grey replicated — sequential AND Adam7
+    interlaced (each pass its own filter context, scattered back by the
+    pass lattice).
 
     Filter inversion is per-scanline: None/Up vectorize across the row;
     Sub/Average/Paeth recur on the left neighbor, so those rows run a
@@ -627,7 +687,7 @@ def decode_png_pixels(payload: bytes | None):
     h = int.from_bytes(hdr[4:8], "big")
     depth, ctype_n, interlace = hdr[8], hdr[9], hdr[12]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
-    if depth != 8 or channels is None or interlace != 0 or w <= 0 or h <= 0:
+    if depth != 8 or channels is None or interlace not in (0, 1) or w <= 0 or h <= 0:
         return None
     if ctype_n == 3 and plte is None:
         return None
@@ -635,44 +695,28 @@ def decode_png_pixels(payload: bytes | None):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    rows = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(h, stride + 1)
-    filters, data = rows[:, 0], rows[:, 1:]
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f, line = int(filters[y]), data[y].astype(np.int32)
-        if f == 0:
-            rec = line
-        elif f == 2:  # Up
-            rec = line + prev
-        elif f == 1:  # Sub
-            rec = line.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
-        elif f == 3:  # Average
-            rec = line.copy()
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            rec = line.copy()
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[x] = (rec[x] + pred) & 0xFF
-        else:
+    if interlace == 0:
+        out = _png_unfilter(raw, h, w * channels, bpp)
+        if out is None:
             return None
-        prev = (rec & 0xFF).astype(np.uint8)
-        out[y] = prev
-    px = out.reshape(h, w, channels)
+        px = out.reshape(h, w, channels)
+    else:
+        # Adam7: seven sub-images, each its own filtered scanline group,
+        # scattered back onto the (y, x) grid by the pass lattice
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[off : off + need], ph, pw * channels, bpp)
+            if sub is None:
+                return None
+            off += need
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
     if ctype_n == 2:
         return px
     if ctype_n == 6:

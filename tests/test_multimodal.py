@@ -405,10 +405,7 @@ def test_png_color_types():
     # palette 2x1: indices 1, 0 against a 2-entry PLTE
     p = build(3, 2, 1, bytes([0, 1, 0]), plte=bytes([255, 0, 0, 0, 0, 255]))
     assert MM.decode_png_pixels(p).tolist() == [[[0, 0, 255], [255, 0, 0]]]
-    # interlaced refused (decoder scope), header-only refused
-    i = build(2, 1, 1, bytes([0, 1, 2, 3]))
-    i = i.replace(struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0), struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
-    assert MM.decode_png_pixels(i) is None
+    # header-only refused
     assert MM.decode_png_pixels(_png(2, 2)) is None
 
 
@@ -734,3 +731,43 @@ def test_transcode_wav_to_flac(spark):
     assert np.array_equal(np.rint(dec * 32768.0).astype(np.int64), wave)
     assert bytes(out[2]["payload"]) == other  # untouched passthrough
     assert out[3]["payload"] is None
+
+
+def test_png_adam7_interlaced():
+    """An Adam7-interlaced PNG built spec-forward (sub-images extracted by
+    the pass lattice, each pass filtered independently) decodes to the
+    exact original — including a non-multiple-of-8 size where late
+    passes carry most rows and early passes are tiny."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    rng = np.random.RandomState(13)
+    for w, h in ((11, 9), (8, 8), (3, 2), (1, 1)):
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, xs, ys in ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty passes contribute NO scanlines (spec)
+            for row in sub:
+                raw.append(0)  # filter None
+                raw.extend(row.reshape(-1))
+
+        def chunk(ct, data):
+            return struct.pack(">I", len(data)) + ct + data + struct.pack(
+                ">I", zlib.crc32(ct + data) & 0xFFFFFFFF
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = MM.decode_png_pixels(payload)
+        assert got is not None and np.array_equal(got, px), (w, h)
