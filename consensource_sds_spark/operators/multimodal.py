@@ -783,10 +783,11 @@ def decode_gif_pixels(payload: bytes | None):
     """REAL image decode for GIF (87a/89a): logical screen walk, color
     tables, the FIRST image descriptor's LZW-compressed index stream
     (pure-python LZW, the GIF variant with CLEAR/EOI and 12-bit growth),
-    palette lookup to a uint8 (h, w, 3) RGB array. Returns None outside
-    this decoder's scope: interlaced images and frames smaller than the
-    logical screen (animation composition) are a renderer's job, not a
-    feature kernel's; a transparent index (GCE) is resolved through the
+    palette lookup to a uint8 (h, w, 3) RGB array — including 4-pass
+    interlaced images (rows de-scattered after decode). Returns None
+    outside this decoder's scope: frames smaller than the logical screen
+    (animation composition) are a renderer's job, not a feature
+    kernel's; a transparent index (GCE) is resolved through the
     palette like any other — feature kernels read color statistics, not
     alpha."""
     import numpy as np
@@ -824,8 +825,7 @@ def decode_gif_pixels(payload: bytes | None):
                 n = 2 << (ip & 0x07)
                 lct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
                 pos += 3 * n
-            if ip & 0x40:  # interlaced: out of scope
-                return None
+            interlaced = bool(ip & 0x40)
             if (left, top, w, h) != (0, 0, sw, sh):
                 return None  # partial frame: animation composition, not decode
             table = lct if lct is not None else gct
@@ -843,6 +843,16 @@ def decode_gif_pixels(payload: bytes | None):
             arr = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
             if arr.max() >= len(table):
                 return None
+            if interlaced:
+                # GIF 4-pass row interleave: the decoded rows arrive in
+                # pass order (every 8th from 0, every 8th from 4, every
+                # 4th from 2, every 2nd from 1) — scatter them back
+                order = np.concatenate(
+                    [np.arange(s, h, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                out = np.empty_like(arr)
+                out[order] = arr
+                arr = out
             return table[arr]
         elif marker == 0x3B:  # trailer
             return None

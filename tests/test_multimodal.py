@@ -771,3 +771,27 @@ def test_png_adam7_interlaced():
         )
         got = MM.decode_png_pixels(payload)
         assert got is not None and np.array_equal(got, px), (w, h)
+
+
+def test_gif_interlaced_decode():
+    """A spec-forward interlaced GIF (rows emitted in 4-pass order, flag
+    set) decodes back to the original row order — odd heights exercise
+    uneven passes."""
+    import numpy as np
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    for h in (11, 8, 3, 1):
+        w = 5
+        rng = np.random.RandomState(h)
+        px = [[palette[rng.randint(4)] for _ in range(w)] for _ in range(h)]
+        order = [r for s, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, h, step)]
+        reordered = [px[r] for r in order]
+        raw = _real_gif(reordered, palette)
+        # flip the image descriptor's interlace flag (descriptor packed
+        # byte is right after the 2c + 4x2-byte geometry)
+        ddx = raw.index(b"\x2c")
+        flags = raw[ddx + 9]
+        raw = raw[: ddx + 9] + bytes([flags | 0x40]) + raw[ddx + 10 :]
+        got = MM.decode_gif_pixels(raw)
+        assert got is not None, h
+        assert got.tolist() == [[list(c) for c in row] for row in px], h
