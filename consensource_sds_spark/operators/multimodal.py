@@ -959,9 +959,10 @@ def decode_jpeg_pixels(payload: bytes | None):
     walk (DQT/SOF0/DHT/SOS), canonical huffman entropy decode with FF00
     unstuffing, dequant + dezigzag, 8x8 IDCT as two matrix multiplies,
     MCU-interleaved components with sampling factors 1-2 (4:4:4, 4:2:2,
-    4:2:0), nearest upsample, JFIF full-range YCbCr->RGB. Grayscale maps
+    4:2:0), restart intervals (DRI/RSTn: byte-align + DC-predictor
+    reset), nearest upsample, JFIF full-range YCbCr->RGB. Grayscale maps
     to replicated RGB. Returns None outside scope (progressive/SOF2,
-    arithmetic coding, restart intervals, 12-bit precision)."""
+    arithmetic coding, 12-bit precision)."""
     import numpy as np
 
     if payload is None:
@@ -974,6 +975,7 @@ def decode_jpeg_pixels(payload: bytes | None):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
     frame = None
     scan = None
+    restart = 0
     try:
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
@@ -1015,8 +1017,7 @@ def decode_jpeg_pixels(payload: bytes | None):
                     huff[(tc_th >> 4, tc_th & 0x0F)] = _build_huffman(counts, syms)
                     i += 17 + nsym
             elif marker == 0xDD:  # DRI
-                if int.from_bytes(seg[:2], "big") != 0:
-                    return None  # restart intervals: out of scope
+                restart = int.from_bytes(seg[:2], "big")
             elif marker == 0xDA:  # SOS — entropy data follows
                 ns = seg[0]
                 scan = []
@@ -1048,8 +1049,19 @@ def decode_jpeg_pixels(payload: bytes | None):
             )
         pred = {comp["id"]: 0 for comp in frame["comps"]}
         by_id = {c["id"]: c for c in frame["comps"]}
+        mcu_i = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    # byte-align, swallow RSTn, reset the DC predictors
+                    reader.n = 0
+                    if reader.pos + 2 > len(b) or b[reader.pos] != 0xFF or not (
+                        0xD0 <= b[reader.pos + 1] <= 0xD7
+                    ):
+                        raise ValueError("expected restart marker")
+                    reader.pos += 2
+                    pred = {comp["id"]: 0 for comp in frame["comps"]}
+                mcu_i += 1
                 for sc in scan:
                     comp = by_id[sc["cs"]]
                     dct = huff[(0, sc["dc"])]
@@ -1103,7 +1115,7 @@ def decode_jpeg_pixels(payload: bytes | None):
         return None
 
 
-def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1) -> bytes:
+def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1, restart_interval: int = 0) -> bytes:
     """REAL baseline JPEG encode — the test/thumbnail counterpart of
     :func:`decode_jpeg_pixels`: RGB->YCbCr, optional 2x2 chroma average
     (4:2:0 vs 4:4:4), 8x8 DCT, uniform quantization at ``quant`` (1 =
@@ -1171,6 +1183,7 @@ def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1) -> bytes:
         comps = [("y", ypl, hs, vs), ("cb", cbp, 1, 1), ("cr", crp, 1, 1)]
     tokens = []  # (kind, 'dc'/'ac', symbol, extra_bits_value, n_extra)
     pred = {"y": 0, "cb": 0, "cr": 0}
+    mcu_i = 0
 
     def category(v):
         return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -1180,6 +1193,10 @@ def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1) -> bytes:
 
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                tokens.append(("__rst__", "rst", (mcu_i // restart_interval - 1) % 8, 0, 0))
+                pred = {"y": 0, "cb": 0, "cr": 0}
+            mcu_i += 1
             for kind, plane, nh, nv in comps:
                 for blk in blocks_of(plane, mx, my, nh, nv):
                     diff = blk[0] - pred[kind]
@@ -1204,6 +1221,7 @@ def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1) -> bytes:
     # canonical equal-length tables per (class, luma/chroma)
     def table_for(cls, kinds):
         used = sorted({sym for kk, c, sym, _v, _n in tokens if c == cls and kk in kinds})
+
         L = max(2, (len(used) + 1).bit_length())  # 2^L - 1 >= n_used
         counts = [0] * 16
         counts[L - 1] = len(used)
@@ -1238,6 +1256,8 @@ def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1) -> bytes:
     if not gray:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
     for tc_th, (counts, syms, _codes) in dhts:
         seg = bytes([tc_th]) + bytes(counts) + bytes(syms)
         out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
@@ -1262,6 +1282,12 @@ def encode_jpeg_pixels(px, subsample: bool = False, quant: int = 1) -> bytes:
                 data.append(0x00)
 
     for kind, cls, sym, vbits, n in tokens:
+        if kind == "__rst__":
+            if nbits:
+                put(0xFF, 8 - nbits)  # 1-pad to the byte boundary
+            data.append(0xFF)
+            data.append(0xD0 + sym)
+            continue
         length, code = codes_by[(kind, cls)][sym]
         put(code, length)
         if n:

@@ -589,18 +589,20 @@ def test_jpeg_roundtrip_all_layouts():
 
 
 def test_jpeg_out_of_scope_returns_none():
-    """Header-only fragments, progressive frames, and restart intervals
-    are declared out of scope — None, never an exception or garbage."""
+    """Header-only fragments and progressive frames are out of scope —
+    None, never an exception or garbage; a DRI that PROMISES restart
+    markers the stream does not contain is malformed and returns None."""
     import numpy as np
 
     assert MM.decode_jpeg_pixels(_jpeg(8, 8)) is None  # no scan data
-    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px = np.zeros((24, 24, 3), dtype=np.uint8)
     good = MM.encode_jpeg_pixels(px)
     assert MM.decode_jpeg_pixels(good) is not None
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)  # claim progressive
     assert MM.decode_jpeg_pixels(prog) is None
-    # inject a DRI segment with a nonzero restart interval after SOI
-    dri = b"\xff\xdd" + (4).to_bytes(2, "big") + (8).to_bytes(2, "big")
+    # a DRI=1 injected into a stream WITHOUT restart markers: the decoder
+    # expects RSTn after the first MCU and finds entropy bits -> None
+    dri = b"\xff\xdd" + (4).to_bytes(2, "big") + (1).to_bytes(2, "big")
     with_dri = good[:2] + dri + good[2:]
     assert MM.decode_jpeg_pixels(with_dri) is None
     assert MM.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None  # empty
@@ -795,3 +797,23 @@ def test_gif_interlaced_decode():
         got = MM.decode_gif_pixels(raw)
         assert got is not None, h
         assert got.tolist() == [[list(c) for c in row] for row in px], h
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn streams decode: the encoder emits restart markers every
+    Ri MCUs (byte-aligned, DC predictors reset) and the decoder honors
+    them — across interval lengths and both chroma layouts."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(33))
+    px = np.stack([(xx * 7) % 256, (yy * 11) % 256, ((xx + yy) * 5) % 256], axis=2).astype(
+        np.uint8
+    )
+    for ri in (1, 3, 7):
+        for sub in (False, True):
+            dec = MM.decode_jpeg_pixels(
+                MM.encode_jpeg_pixels(px, subsample=sub, quant=1, restart_interval=ri)
+            )
+            assert dec is not None, (ri, sub)
+            mae = np.abs(dec.astype(float) - px).mean()
+            assert mae < (0.5 if not sub else 8.0), (ri, sub, mae)
