@@ -1,0 +1,57 @@
+"""streaming/media_ingest.py: continuous media decode/featurize with the
+corpus ingest's idempotence + quarantine discipline."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from consensource_sds_spark.operators import multimodal as MM
+from consensource_sds_spark.streaming.media_ingest import (
+    ingest_media_batch,
+    read_media_features,
+    run_media_stream,
+)
+
+
+def _media_rows(spark):
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    png = MM.encode_png_pixels(px)
+    jpg = MM.encode_jpeg_pixels(px, quant=1)
+    wave = (5000 * np.sin(np.arange(3000) / 20)).astype(np.int64)[:, None]
+    flac = MM.encode_flac_samples(wave)
+    rows = [
+        (1, "image", png, "image/png", 8, 8, None),
+        (2, "image", jpg, "image/jpeg", 8, 8, None),
+        (3, "audio", flac, "audio/flac", None, None, None),
+        (4, "video", b"\x00\x00ftyp-foreign-container", "video/mp4", None, None, 1000),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_media_stream_features_and_quarantine(spark, tmp_path):
+    """Decodable payloads (PNG/JPEG/FLAC through the REAL codecs) land in
+    the features lane; the foreign video container lands in quarantine
+    with its payload preserved; a replayed drain is idempotent."""
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "media"), str(tmp_path / "ckpt")
+    _media_rows(spark).coalesce(1).write.mode("append").parquet(src)
+    run_media_stream(spark, src, out, ckpt)
+
+    feats = {r["media_id"]: r for r in read_media_features(spark, out).collect()}
+    assert set(feats) == {1, 2, 3}
+    for r in feats.values():
+        assert len(r["features"]) == MM.FEATURE_DIM
+    # PNG features match the batch kernel's answer exactly
+    batch = {
+        r["media_id"]: r["features"]
+        for r in MM.extract_features(_media_rows(spark).filter("media_id < 4")).collect()
+    }
+    assert feats[1]["features"] == batch[1]
+
+    q = spark.read.parquet(out + "_quarantine").collect()
+    assert len(q) == 1 and q[0]["media_id"] == 4
+    assert bytes(q[0]["payload"]) == b"\x00\x00ftyp-foreign-container"
+
+    # replaying the SAME batch_id overwrites its own partitions (no dup)
+    ingest_media_batch(spark, _media_rows(spark), 0, out)
+    assert read_media_features(spark, out).count() == 3
+    assert spark.read.parquet(out + "_quarantine").count() == 1
