@@ -553,6 +553,7 @@ __all__ = [
     "read_corpus",
     "compact_indexes",
     "maybe_compact_indexes",
+    "maybe_rebuild_bloom",
     "corpus_profile",
     "digest_index",
     "band_index",
@@ -608,3 +609,29 @@ def corpus_profile(out_dir: str) -> list[dict]:
                 prof["bloom_fill"] = round(sc.fill_fraction(), 8)
         out.append(prof)
     return out
+
+
+def maybe_rebuild_bloom(
+    spark: SparkSession, out_dir: str, max_fill: float = 0.5, growth: int = 4
+) -> bool:
+    """Threshold bloom maintenance — the policy hook that acts on the
+    fill-fraction cue ``corpus_profile`` reports (the bloom analog of
+    :func:`maybe_compact_indexes`): when the digest sidecar's set-bit
+    fraction exceeds ``max_fill`` (FPR degrading, fast path decaying
+    toward the plain join), rebuild it from the standing index — the
+    source of truth — at ``growth``x the bits. Under threshold the check
+    costs one header read (no Spark job). Returns True when a rebuild
+    ran."""
+    from consensource_sds_spark.functions import bloom as _bloom
+
+    index_dir = out_dir.rstrip("/") + "_digest_index"
+    path = os.path.join(os.path.abspath(index_dir), "_bloom")
+    if not os.path.exists(path):
+        return False
+    sc = BloomSidecar(path)
+    if sc.fill_fraction() <= max_fill:
+        return False
+    _bloom.rebuild(
+        spark, digest_index(spark, index_dir).select("digest"), path, m_bits=sc.m_bits * growth
+    )
+    return True

@@ -461,3 +461,34 @@ def test_corpus_profile(spark, dirs):
     assert prof["band_index"]["n_rows"] > 0
     assert prof["corpus"]["n_bytes"] > 0 and prof["corpus"]["n_files"] > 0
     assert "quarantine" not in prof  # parquet source: no quarantine surface
+
+
+def test_maybe_rebuild_bloom_policy(spark, dirs):
+    """Under the fill threshold: a header-read no-op. Over it (forced by
+    an artificially tiny sidecar): one call rebuilds from the index at
+    grown size, preserving the superset contract — dedup still works."""
+    from consensource_sds_spark.functions.bloom import BloomSidecar
+    from consensource_sds_spark.streaming.corpus_ingest import (
+        ingest_batch,
+        maybe_rebuild_bloom,
+    )
+
+    ingest_batch(spark, _docs(spark, [(1, GOOD, "en", "a"), (2, GOOD2, "en", "a")]), 0, dirs["out"], dirs["idx"], n_shards=4)
+    assert maybe_rebuild_bloom(spark, dirs["out"]) is False  # healthy fill
+
+    # replace the sidecar with a saturated 64-bit toy covering the index
+    bp = os.path.join(dirs["idx"], "_bloom")
+    os.remove(bp)
+    tiny = BloomSidecar(bp, m_bits=16)
+    digs = [r["digest"] for r in spark.read.parquet(dirs["idx"]).select("digest").collect()]
+    tiny.add_digests(digs * 5)
+    assert tiny.fill_fraction() > 0.5
+
+    assert maybe_rebuild_bloom(spark, dirs["out"]) is True
+    re = BloomSidecar(bp)
+    assert re.m_bits == 16 * 4 and re.candidates(digs) == digs
+    assert maybe_rebuild_bloom(spark, dirs["out"]) is False  # healthy again
+    # and the rebuilt sidecar still dedups the next batch
+    ingest_batch(spark, _docs(spark, [(9, GOOD, "en", "z")]), 1, dirs["out"], dirs["idx"], n_shards=4)
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert got == {1, 2}
