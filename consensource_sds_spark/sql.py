@@ -88,6 +88,44 @@ def register_corpus_views(spark: SparkSession, out_dir: str) -> list[str]:
     return names
 
 
+def register_media_views(spark: SparkSession, out_dir: str) -> list[str]:
+    """Register a streaming media ingest's lanes (streaming/media_ingest)
+    as SQL views: ``media_features`` and — when any payload was
+    undecodable — ``media_quarantine``. The consumers' workflow is the
+    same as the document corpus: query the continuously-maintained
+    mirror with plain spark.sql."""
+    import os
+
+    names = []
+    f = os.path.join(out_dir, "features")
+    if os.path.isdir(f):
+        spark.read.parquet(f).createOrReplaceTempView("media_features")
+        names.append("media_features")
+    q = out_dir.rstrip("/") + "_quarantine"
+    if os.path.isdir(q):
+        spark.read.parquet(q).createOrReplaceTempView("media_quarantine")
+        names.append("media_quarantine")
+    return names
+
+
+def register_ann_views(spark: SparkSession, index_dir: str) -> list[str]:
+    """Register a standing IVF ANN index (streaming/ann_ingest) as SQL
+    views: ``ann_index`` (vectors with their cell/batch partition
+    columns) and ``ann_centroids`` — the inspection surface for cell
+    balance / drift queries."""
+    import os
+
+    names = []
+    if os.path.isdir(index_dir):
+        spark.read.parquet(index_dir).createOrReplaceTempView("ann_index")
+        names.append("ann_index")
+        c = os.path.join(index_dir, "_centroids")
+        if os.path.isdir(c):
+            spark.read.parquet(c).createOrReplaceTempView("ann_centroids")
+            names.append("ann_centroids")
+    return names
+
+
 def sql(spark: SparkSession, query: str) -> DataFrame:
     """Thin alias so callers can treat this module as the query door."""
     return spark.sql(query)
@@ -97,6 +135,8 @@ __all__ = [
     "register_input_tables",
     "register_store_views",
     "register_corpus_views",
+    "register_media_views",
+    "register_ann_views",
     "sql",
     "INPUT_TABLES",
 ]

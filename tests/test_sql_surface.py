@@ -79,3 +79,44 @@ def test_corpus_views(spark, tmp_path):
     assert spark.sql(
         "SELECT COUNT(*) AS n FROM corpus c JOIN corpus_digest_index i ON c.doc_id = i.keep_doc_id"
     ).first()["n"] == 1
+
+
+def test_media_and_ann_views(spark, tmp_path):
+    """The new streaming surfaces are queryable by name through the sql
+    door, same as the corpus: media feature/quarantine lanes and the ANN
+    index + centroids."""
+    import numpy as np
+
+    from consensource_sds_spark import sql as SQL
+    from consensource_sds_spark.operators import multimodal as MM
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ingest_embedding_batch,
+        init_ann_index,
+        train_centroids,
+    )
+    from consensource_sds_spark.streaming.media_ingest import ingest_media_batch
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    media = spark.createDataFrame(
+        [
+            (1, "image", MM.encode_png_pixels(px), "image/png", 8, 8, None),
+            (2, "video", b"foreign-bytes", "video/mp4", None, None, 10),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    mdir = str(tmp_path / "media")
+    ingest_media_batch(spark, media, 0, mdir)
+    assert set(SQL.register_media_views(spark, mdir)) == {"media_features", "media_quarantine"}
+    assert SQL.sql(spark, "SELECT COUNT(*) n FROM media_features").first()["n"] == 1
+    assert SQL.sql(spark, "SELECT media_id FROM media_quarantine").first()["media_id"] == 2
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    adir = str(tmp_path / "ann")
+    init_ann_index(spark, adir, train_centroids(spark, e, k=4, iters=1))
+    ingest_embedding_batch(spark, e, 0, adir)
+    assert SQL.register_ann_views(spark, adir) == ["ann_index", "ann_centroids"]
+    per_cell = SQL.sql(
+        spark, "SELECT cell, COUNT(*) n FROM ann_index GROUP BY cell ORDER BY cell"
+    ).collect()
+    assert sum(r["n"] for r in per_cell) == e.count() and len(per_cell) <= 4
+    assert SQL.sql(spark, "SELECT COUNT(*) n FROM ann_centroids").first()["n"] == 4
