@@ -492,3 +492,65 @@ def test_maybe_rebuild_bloom_policy(spark, dirs):
     ingest_batch(spark, _docs(spark, [(9, GOOD, "en", "z")]), 1, dirs["out"], dirs["idx"], n_shards=4)
     got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
     assert got == {1, 2}
+
+
+def test_long_run_soak_policies_converge(spark, dirs):
+    """A 12-batch run with dups, near-dups, replays, and all three
+    maintenance policies firing (index compaction, bloom health check):
+    the retained set is exactly the distinct, non-near-dup documents; the
+    indexes fold to one consolidated partition and still dedup; the
+    profile agrees with actual reads."""
+    from consensource_sds_spark.streaming.corpus_ingest import (
+        corpus_profile,
+        ingest_batch,
+        maybe_compact_indexes,
+        maybe_rebuild_bloom,
+    )
+
+    texts = {i: " ".join(f"w{i}tok{j}" for j in range(30)) for i in range(6)}
+    batches = []
+    for b in range(12):
+        doc_id = 100 * b
+        if b % 3 == 0:
+            rows = [(doc_id, texts[b % 6], "en", f"s{b}")]  # fresh or exact dup
+        elif b % 3 == 1:
+            # near-dup of an earlier text (one token changed)
+            rows = [(doc_id, texts[(b - 1) % 6].replace("tok3", "CHANGED"), "en", f"s{b}")]
+        else:
+            rows = [(doc_id, texts[b % 6], "en", f"s{b}"), (doc_id + 1, texts[b % 6], "en", f"s{b}")]
+        batches.append(rows)
+
+    for b, rows in enumerate(batches):
+        ingest_batch(spark, _docs(spark, rows), b, dirs["out"], dirs["idx"], n_shards=4,
+                     band_dir=dirs["out"] + "_band_index")
+        if b == 5:  # crash replay mid-run: same batch again
+            ingest_batch(spark, _docs(spark, rows), b, dirs["out"], dirs["idx"], n_shards=4,
+                         band_dir=dirs["out"] + "_band_index")
+        maybe_compact_indexes(spark, dirs["out"], max_live_batches=4)
+        maybe_rebuild_bloom(spark, dirs["out"])
+
+    got = {r["doc_id"]: r["text"] for r in read_corpus(spark, dirs["out"]).collect()}
+    # the schedule introduces t0/t2/t3/t5 as base texts (t1/t4 appear only
+    # as near-dup variants); exact dups fold to the first carrier and
+    # every variant is caught by the band probe — the retained set is
+    # EXACTLY the four first carriers
+    assert got == {0: texts[0], 200: texts[2], 300: texts[3], 500: texts[5]}
+    # compaction kept at most 4 live batch partitions per index
+    from consensource_sds_spark.streaming.corpus_ingest import _live_batch_dirs
+
+    assert len(_live_batch_dirs(dirs["idx"])) <= 4
+    # profile rows agree with reads
+    prof = {p["surface"]: p for p in corpus_profile(dirs["out"])}
+    assert prof["corpus"]["n_rows"] == len(got)
+    assert prof["digest_index"]["n_rows"] == spark.read.parquet(dirs["idx"]).count()
+    assert prof["digest_index"]["bloom_fill"] < 0.5
+    # and the standing state still dedups: replaying the four RETAINED
+    # texts admits nothing, while never-retained t1 (novel bands, novel
+    # digest) is correctly admitted
+    replay = [(9999 + i, texts[k], "en", "zz") for i, k in enumerate((0, 2, 3, 5))]
+    replay.append((9990, texts[1], "en", "zz"))
+    ingest_batch(spark, _docs(spark, replay), 99, dirs["out"], dirs["idx"], n_shards=4,
+                 band_dir=dirs["out"] + "_band_index")
+    after = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert not any(d >= 9999 for d in after)
+    assert 9990 in after
