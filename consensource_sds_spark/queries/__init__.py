@@ -271,6 +271,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x70_ann_ivf_topk',
     'q92_time_weighted_avg',
     'q93_rolling_active_users',
+    'x71_per_lang_quality_floor',
     'q01_pricing_summary',
     'q02_filter_pushdown',
     'q03_shipping_priority',

@@ -3315,3 +3315,51 @@ def x70_ann_ivf_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
     out = ann_probe(spark, d, q, k=10, nprobe=8)
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@register(
+    "x71_per_lang_quality_floor",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+      FROM documents
+    ), floors AS (
+      SELECT lang, quantile_cont(n_tokens, 0.25) AS floor_tokens
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(f.floor_tokens, 4) AS floor_tokens,
+           s.n_tokens < f.floor_tokens AS below_floor
+    FROM scored s JOIN floors f ON s.lang = f.lang
+    """,
+)
+def x71_per_lang_quality_floor(spark, sf_dir):
+    """Per-LANGUAGE calibrated quality floors — the multilingual-corpus
+    practice a single global threshold gets wrong (a p25 length cut tuned
+    on English silently deletes half of a terser language): each language
+    contributes its own 25th-percentile token-count floor, and every doc
+    is flagged against ITS OWN language's floor. Output covers every doc
+    (flagging, not filtering — the x43 pipeline consumes the verdict).
+
+    Scale: one exact per-lang percentile over the langs' token counts
+    (languages are few — the groupBy is dozens of rows; swap to
+    approx_percentile at 100 TB per x31's note), broadcast back against
+    the corpus stream — the corpus shuffles ZERO times; the only wide
+    operation is over the lang-count aggregate."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("double").alias("n_tokens")
+    )
+    floors = d.groupBy("lang").agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("floor_raw")
+    )
+    return (
+        d.join(F.broadcast(floors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("floor_raw", 4).alias("floor_tokens"),
+            (F.col("n_tokens") < F.col("floor_raw")).alias("below_floor"),
+        )
+    )
