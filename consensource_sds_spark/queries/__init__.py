@@ -272,6 +272,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'q92_time_weighted_avg',
     'q93_rolling_active_users',
     'x71_per_lang_quality_floor',
+    'x72_leakage_safe_split',
     'q01_pricing_summary',
     'q02_filter_pushdown',
     'q03_shipping_priority',

@@ -3363,3 +3363,68 @@ def x71_per_lang_quality_floor(spark, sf_dir):
             (F.col("n_tokens") < F.col("floor_raw")).alias("below_floor"),
         )
     )
+
+
+@register(
+    "x72_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                               AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), reach(doc_id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ), lab AS (
+      SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN ('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
+)
+def x72_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: x25's deterministic hash
+    split keyed by the NEAR-DUP CLUSTER id (x06) instead of the doc id,
+    so a document and its near-duplicates always land in the SAME split —
+    the contamination-prevention step naive per-doc splitting misses
+    (a test doc whose near-twin sits in train is evaluation leakage).
+    Output: every doc with its cluster id and co-assigned split.
+
+    Scale: the cluster map is x06's large-star/small-star output (bounded
+    rounds, candidate-subgraph-sized); singleton docs skip it entirely
+    (cluster_id = doc_id via the left join + coalesce); the split stamp
+    is one hash expression — no extra shuffle beyond x06's own."""
+    clusters = x06_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    return clusters.selectExpr(
+        "doc_id",
+        "cluster_id",
+        "CASE WHEN conv(substring(md5(cast(cluster_id AS string)), 1, 4), 16, 10) % 100 < 80 THEN 'train' "
+        "WHEN conv(substring(md5(cast(cluster_id AS string)), 1, 4), 16, 10) % 100 < 90 THEN 'val' "
+        "ELSE 'test' END AS split",
+    )
