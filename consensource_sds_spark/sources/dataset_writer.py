@@ -38,8 +38,23 @@ def with_shard_columns(df: DataFrame, key: str = "doc_id", n_shards: int = 64) -
     ).withColumn("shard_id", F.expr(_SHARD.format(key=key, n=n_shards)))
 
 
+def _with_bloom(writer, bloom_columns, bloom_ndv):
+    """Attach parquet bloom-filter writer options for ``bloom_columns`` —
+    point-lookup scan skipping for any reader that consults footer blooms
+    (parquet-mr record reader, Trino, Hive; ~1.2 MB per 10^6 NDV per
+    column per file). Spark's own vectorized scan does not yet consult
+    them, so this is a STORAGE-layer property for the mixed-engine lake,
+    not a claim about this engine's plans."""
+    for c in bloom_columns or ():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+        )
+    return writer
+
+
 def write_training_shards(
-    df: DataFrame, out_dir: str, key: str = "doc_id", n_shards: int = 64
+    df: DataFrame, out_dir: str, key: str = "doc_id", n_shards: int = 64,
+    bloom_columns: list | None = None, bloom_ndv: int = 1_000_000,
 ) -> None:
     """Write ``split=<s>/shard_id=<k>/`` partitioned parquet, one file per
     (split, shard): ``repartition(split, shard_id)`` co-locates each
@@ -48,17 +63,17 @@ def write_training_shards(
     (the small-files problem at 100 TB is writer-task x partition count —
     this bounds it at partition count)."""
     sharded = with_shard_columns(df, key=key, n_shards=n_shards)
-    (
+    writer = (
         sharded.repartition("split", "shard_id")
         .write.mode("overwrite")
         .option("parquet.block.size", ROW_GROUP_BYTES)
-        .partitionBy("split", "shard_id")
-        .parquet(out_dir)
     )
+    _with_bloom(writer, bloom_columns, bloom_ndv).partitionBy("split", "shard_id").parquet(out_dir)
 
 
 def write_range_clustered(
-    df: DataFrame, out_dir: str, col: str, n_files: int = 8
+    df: DataFrame, out_dir: str, col: str, n_files: int = 8,
+    bloom_columns: list | None = None, bloom_ndv: int = 1_000_000,
 ) -> None:
     """Range-clustered layout: ``repartitionByRange`` + in-partition sort on
     the cluster key before writing, so each output file owns a disjoint key
@@ -67,10 +82,10 @@ def write_range_clustered(
     alone — the sort-based data-skipping that makes selective scans on a
     100 TB table touch O(selectivity) bytes (the single-dimension form of
     Z-ordering; OPTIMIZE ... ZORDER in table-format terms)."""
-    (
+    writer = (
         df.repartitionByRange(n_files, col)
         .sortWithinPartitions(col)
         .write.mode("overwrite")
         .option("parquet.block.size", ROW_GROUP_BYTES)
-        .parquet(out_dir)
     )
+    _with_bloom(writer, bloom_columns, bloom_ndv).parquet(out_dir)

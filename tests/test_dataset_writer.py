@@ -107,3 +107,24 @@ def test_rendezvous_reshard_moves_only_into_new_shard(spark):
         r["shard_after"] == 8 for r in cells if r["shard_before"] != r["shard_after"]
     ), cells
     assert 0.02 < moved / total < 0.3, f"moved {moved}/{total}"
+
+
+def test_bloom_filter_columns_written(spark, tmp_path):
+    """bloom_columns adds parquet footer bloom filters: same data back,
+    measurably larger files (the bloom bytes), none when disabled —
+    a storage-layer property for readers that consult footer blooms."""
+    import glob
+    import os
+
+    from consensource_sds_spark.sources.dataset_writer import write_range_clustered
+
+    df = spark.range(20000).selectExpr("id", "md5(cast(id as string)) AS digest")
+    d_on, d_off = str(tmp_path / "on"), str(tmp_path / "off")
+    write_range_clustered(df, d_on, "id", n_files=2, bloom_columns=["digest"], bloom_ndv=20000)
+    write_range_clustered(df, d_off, "id", n_files=2)
+    size = lambda d: sum(os.path.getsize(f) for f in glob.glob(d + "/*.parquet"))
+    assert size(d_on) > size(d_off) + 8_000  # bloom bytes present
+    assert spark.read.parquet(d_on).count() == 20000
+    a = sorted(r["digest"] for r in spark.read.parquet(d_on).collect())
+    b = sorted(r["digest"] for r in spark.read.parquet(d_off).collect())
+    assert a == b
