@@ -273,6 +273,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'q93_rolling_active_users',
     'x71_per_lang_quality_floor',
     'x72_leakage_safe_split',
+    'x73_incremental_containment_probe',
     'q01_pricing_summary',
     'q02_filter_pushdown',
     'q03_shipping_priority',

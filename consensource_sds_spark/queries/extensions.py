@@ -3428,3 +3428,98 @@ def x72_leakage_safe_split(spark, sf_dir):
         "WHEN conv(substring(md5(cast(cluster_id AS string)), 1, 4), 16, 10) % 100 < 90 THEN 'val' "
         "ELSE 'test' END AS split",
     )
+
+
+@register(
+    "x73_incremental_containment_probe",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS snap
+      FROM documents),
+    sh AS (
+      SELECT doc_id, snap, UNNEST(range(1, len(ts) - 1)) AS pos,
+             UNNEST(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+      FROM toks WHERE len(ts) >= 3),
+    enc AS (
+      SELECT doc_id, snap, pos,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT * 1048576
+               + (1048575 - pos) AS e
+      FROM sh),
+    win AS (
+      SELECT doc_id, snap, pos,
+             MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+      FROM enc),
+    fp AS (
+      SELECT DISTINCT doc_id, snap, CAST(sel // 1048576 AS BIGINT) AS fp_hash
+      FROM win WHERE pos >= 4),
+    sized AS (
+      SELECT doc_id, snap, fp_hash,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_fp
+      FROM fp)
+    SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+           COUNT(*) AS shared,
+           ROUND(COUNT(*) / CAST(ANY_VALUE(n.n_fp) AS DOUBLE), 4) AS containment
+    FROM sized n JOIN sized c ON n.fp_hash = c.fp_hash
+    WHERE n.snap = 1 AND c.snap = 0
+    GROUP BY n.doc_id, c.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def x73_incremental_containment_probe(spark, sf_dir):
+    """Incremental doc-in-doc CONTAINMENT probe — the winnowing twin of
+    x66's band probe and the last member of the ingest probe family
+    (exact digest -> near-dup bands -> semantic ANN -> partial-overlap
+    fingerprints): the incoming batch's winnowed fingerprints (x48) probe
+    the standing corpus fingerprint index, and hits are scored by
+    containment relative to the NEW doc (shared / new doc's fingerprint
+    count — "how much of the newcomer already exists in the corpus",
+    which catches a crawl page quoting a retained document even when
+    whole-document similarity is low). Same snap-split demonstration as
+    x58/x66/x69; in production the corpus side is the standing
+    fingerprint table the ingest maintains append-only.
+
+    Scale: the probe joins on fp_hash — batch-fingerprints x matching
+    postings, never corpus x corpus; with the index bucketed on fp_hash
+    the corpus side is shuffle-free (the corpus_ingest index treatment);
+    winnowing has already thinned each doc to ~2/w of its shingles."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "snap", F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2")
+    )
+    sh = d.select(
+        "doc_id", "snap", F.posexplode(TXT.shingles(F.col("text"), 3)).alias("pos0", "g")
+    )
+    enc = sh.select(
+        "doc_id",
+        "snap",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.expr("cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint)") * 1048576
+            + (F.lit(1048575) - F.col("pos0") - 1)
+        ).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    fp = (
+        enc.select("doc_id", "snap", "pos", F.min("e").over(w).alias("sel"))
+        .filter(F.col("pos") >= 4)
+        .select("doc_id", "snap", (F.col("sel") / 1048576).cast("long").alias("fp_hash"))
+        .distinct()
+    )
+    sized = fp.withColumn("n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    new = sized.filter(F.col("snap") == 1).select(
+        F.col("doc_id").alias("new_doc_id"), "fp_hash", F.col("n_fp").alias("n_new")
+    )
+    corp = sized.filter(F.col("snap") == 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("fp_hash").alias("fh")
+    )
+    return (
+        new.join(corp, F.col("fp_hash") == F.col("fh"))
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.round(F.count(F.lit(1)) / F.first("n_new").cast("double"), 4).alias("containment"),
+        )
+        .filter(F.col("shared") >= 2)
+    )
