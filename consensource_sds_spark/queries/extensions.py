@@ -1915,6 +1915,32 @@ def x47_srp_neardup(spark, sf_dir):
     )
 
 
+def winnow_fingerprint_hashes(d):
+    """x48's winnowing over ANY (doc_id, text) frame, reduced to the
+    distinct (doc_id, fp_hash) set — the postings the fingerprint INDEX
+    stores and the containment probes join on. Shared by the x48/x73
+    registry entries and the streaming ingest's standing fingerprint
+    index, so a streamed document fingerprints identically to its batch
+    twin."""
+    sh = d.select("doc_id", F.posexplode(TXT.shingles(F.col("text"), 3)).alias("pos0", "g"))
+    enc = sh.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.expr("cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint)") * 1048576
+            + (F.lit(1048575) - F.col("pos0") - 1)
+        ).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    return (
+        enc.select("doc_id", "pos", F.min("e").over(w).alias("sel"))
+        .filter(F.col("pos") >= 4)
+        .select("doc_id", (F.col("sel") / 1048576).cast("long").alias("fp_hash"))
+        .distinct()
+    )
+
+
+
 @register(
     "x48_winnowing",
     oracle="""
@@ -3478,35 +3504,21 @@ def x73_incremental_containment_probe(spark, sf_dir):
     count — "how much of the newcomer already exists in the corpus",
     which catches a crawl page quoting a retained document even when
     whole-document similarity is low). Same snap-split demonstration as
-    x58/x66/x69; in production the corpus side is the standing
-    fingerprint table the ingest maintains append-only.
+    x58/x66/x69; the PRODUCTION form is
+    streaming/corpus_ingest.py's standing ``<out>_fp_index``
+    (``containment_index=True``) with :func:`probe_containment` — same
+    winnowing helper, same scoring.
 
     Scale: the probe joins on fp_hash — batch-fingerprints x matching
     postings, never corpus x corpus; with the index bucketed on fp_hash
     the corpus side is shuffle-free (the corpus_ingest index treatment);
     winnowing has already thinned each doc to ~2/w of its shingles."""
-    d = load(spark, sf_dir, "documents").withColumn(
-        "snap", F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2")
-    )
-    sh = d.select(
-        "doc_id", "snap", F.posexplode(TXT.shingles(F.col("text"), 3)).alias("pos0", "g")
-    )
-    enc = sh.select(
+    d = load(spark, sf_dir, "documents")
+    snap = d.select(
         "doc_id",
-        "snap",
-        (F.col("pos0") + 1).alias("pos"),
-        (
-            F.expr("cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint)") * 1048576
-            + (F.lit(1048575) - F.col("pos0") - 1)
-        ).alias("e"),
+        F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2").alias("snap"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    fp = (
-        enc.select("doc_id", "snap", "pos", F.min("e").over(w).alias("sel"))
-        .filter(F.col("pos") >= 4)
-        .select("doc_id", "snap", (F.col("sel") / 1048576).cast("long").alias("fp_hash"))
-        .distinct()
-    )
+    fp = winnow_fingerprint_hashes(d.select("doc_id", "text")).join(snap, "doc_id")
     sized = fp.withColumn("n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     new = sized.filter(F.col("snap") == 1).select(
         F.col("doc_id").alias("new_doc_id"), "fp_hash", F.col("n_fp").alias("n_new")

@@ -58,7 +58,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from consensource_sds_spark.functions.bloom import DEFAULT_M_BITS, BloomSidecar
-from consensource_sds_spark.queries.extensions import minhash_band_values, with_filter_verdict
+from consensource_sds_spark.queries.extensions import (
+    minhash_band_values,
+    winnow_fingerprint_hashes,
+    with_filter_verdict,
+)
 from consensource_sds_spark.sources.dataset_writer import ROW_GROUP_BYTES, with_shard_columns
 
 #: the documents-table schema (TESTDATA.md) — file streams need it declared
@@ -78,6 +82,8 @@ _DIGEST_COLS = "digest STRING, keep_doc_id BIGINT"
 _DIGEST_KEYS = "digest"
 _BAND_COLS = "doc_id BIGINT, band INT, band_val STRING"
 _BAND_KEYS = "band, band_val"
+_FP_COLS = "doc_id BIGINT, fp_hash BIGINT"
+_FP_KEYS = "fp_hash"
 
 #: Spark bucketed files carry the bucket id as a ``_NNNNN`` suffix before
 #: the codec extension; files written by a plain ``.parquet(dir)`` don't.
@@ -240,6 +246,48 @@ def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFra
     return fresh.join(hits, "doc_id", "left_anti")
 
 
+def fingerprint_index(spark: SparkSession, fingerprint_dir: str) -> DataFrame:
+    """The standing (doc_id, fp_hash) winnowing-postings table, bucketed
+    on the fp_hash probe key."""
+    return spark.table(_ensure_index_table(spark, fingerprint_dir, _FP_COLS, _FP_KEYS))
+
+
+def probe_containment(
+    spark: SparkSession, batch_df: DataFrame, fingerprint_dir: str, min_shared: int = 2
+) -> DataFrame:
+    """Which retained corpus docs does the incoming batch PARTIALLY
+    overlap? The batch's winnowed fingerprints probe the standing index;
+    hits score by containment relative to the NEW doc (shared / new
+    doc's fingerprint count — "how much of the newcomer already exists").
+    Returns (new_doc_id, corpus_doc_id, shared, containment). A report,
+    not an automatic drop: quoting a retained doc is a policy question
+    (attribution, licensing, boilerplate) the caller decides — unlike
+    exact/near dups, which the ingest drops itself.
+
+    Scale: the join keys on fp_hash — batch fingerprints x matching
+    postings against the bucketed index side, never corpus x corpus;
+    same-doc hits are ignored so a replayed batch never reports itself."""
+    from pyspark.sql.window import Window as W
+
+    spark = batch_df.sparkSession
+    fp = winnow_fingerprint_hashes(batch_df.select("doc_id", "text"))
+    sized = fp.withColumn("n_new", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    idx = fingerprint_index(spark, fingerprint_dir).select(
+        F.col("doc_id").alias("corpus_doc_id"), "fp_hash"
+    )
+    return (
+        sized.select(F.col("doc_id").alias("new_doc_id"), "fp_hash", "n_new")
+        .join(idx, "fp_hash")
+        .filter(F.col("corpus_doc_id") != F.col("new_doc_id"))
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.round(F.count(F.lit(1)) / F.first("n_new").cast("double"), 4).alias("containment"),
+        )
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -250,6 +298,7 @@ def ingest_batch(
     band_dir: str | None = None,
     bloom_bits: int | None = DEFAULT_M_BITS,
     quarantine_dir: str | None = None,
+    fingerprint_dir: str | None = None,
 ) -> None:
     """One microbatch through filter -> incremental dedup -> sharded append.
 
@@ -392,6 +441,18 @@ def ingest_batch(
                 "doc_id", "band", "band_val", F.lit(batch_id).cast("int").alias("batch_id")
             ),
         )
+    if fingerprint_dir is not None:
+        # standing winnowed-fingerprint index (x48 postings) for retained
+        # docs — the corpus side of containment probes (x73's production
+        # form); maintained append-only, replay-safe like the others
+        _ensure_index_table(spark, fingerprint_dir, _FP_COLS, _FP_KEYS)
+        _insert_index(
+            spark,
+            _index_table_name(fingerprint_dir),
+            winnow_fingerprint_hashes(fresh.select("doc_id", "text")).select(
+                "doc_id", "fp_hash", F.lit(batch_id).cast("int").alias("batch_id")
+            ),
+        )
 
 
 def run_corpus_stream(
@@ -402,6 +463,7 @@ def run_corpus_stream(
     n_shards: int = 16,
     available_now: bool = True,
     near_dedup: bool = False,
+    containment_index: bool = False,
     bloom_bits: int | None = DEFAULT_M_BITS,
     source_format: str = "parquet",
     reader_options: dict | None = None,
@@ -412,7 +474,10 @@ def run_corpus_stream(
     into ``out_dir`` (+ ``<out_dir>_digest_index``; with ``near_dedup``
     also ``<out_dir>_band_index`` for the x66 LSH probe). ``available_now``
     drains what exists and stops — the backfill/test trigger; pass False
-    for a continuously-running ingest. ``bloom_bits`` sizes the digest
+    for a continuously-running ingest. ``containment_index`` additionally
+    maintains the standing winnowed-fingerprint index
+    (``<out_dir>_fp_index``) that :func:`probe_containment` scores
+    doc-in-doc overlap against. ``bloom_bits`` sizes the digest
     probe's bloom fast path (see :func:`ingest_batch`; None disables).
 
     ``source_format``: ``parquet`` (default), ``json`` (JSONL — one doc
@@ -433,6 +498,7 @@ def run_corpus_stream(
     threshold, one index fold when the per-batch partitions pile up."""
     index_dir = out_dir.rstrip("/") + "_digest_index"
     band_dir = out_dir.rstrip("/") + "_band_index" if near_dedup else None
+    fp_dir = out_dir.rstrip("/") + "_fp_index" if containment_index else None
     if quarantine is None:
         quarantine = source_format != "parquet"
     q_dir = out_dir.rstrip("/") + "_quarantine" if quarantine else None
@@ -450,7 +516,8 @@ def run_corpus_stream(
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
-            spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir, bloom_bits, q_dir
+            spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir, bloom_bits,
+            q_dir, fp_dir
         )
         if auto_compact:
             maybe_compact_indexes(batch_df.sparkSession, out_dir)
@@ -506,6 +573,7 @@ def compact_indexes(spark: SparkSession, out_dir: str) -> None:
     for dir_, cols, keys in (
         (out_dir.rstrip("/") + "_digest_index", _DIGEST_COLS, _DIGEST_KEYS),
         (out_dir.rstrip("/") + "_band_index", _BAND_COLS, _BAND_KEYS),
+        (out_dir.rstrip("/") + "_fp_index", _FP_COLS, _FP_KEYS),
     ):
         if not os.path.isdir(dir_):
             continue
@@ -539,7 +607,7 @@ def maybe_compact_indexes(spark: SparkSession, out_dir: str, max_live_batches: i
     accumulated more than ``max_live_batches`` per-batch partitions, fold
     them. Returns True when a compaction ran. Listing-cost only (one
     listdir per index, no Spark job) when under threshold."""
-    for suffix in ("_digest_index", "_band_index"):
+    for suffix in ("_digest_index", "_band_index", "_fp_index"):
         dir_ = out_dir.rstrip("/") + suffix
         if os.path.isdir(dir_) and len(_live_batch_dirs(dir_)) > max_live_batches:
             compact_indexes(spark, out_dir)
@@ -549,6 +617,8 @@ def maybe_compact_indexes(spark: SparkSession, out_dir: str, max_live_batches: i
 
 __all__ = [
     "ingest_batch",
+    "fingerprint_index",
+    "probe_containment",
     "run_corpus_stream",
     "read_corpus",
     "compact_indexes",
@@ -580,6 +650,7 @@ def corpus_profile(out_dir: str) -> list[dict]:
         ("corpus", out_dir.rstrip("/")),
         ("digest_index", out_dir.rstrip("/") + "_digest_index"),
         ("band_index", out_dir.rstrip("/") + "_band_index"),
+        ("fp_index", out_dir.rstrip("/") + "_fp_index"),
         ("quarantine", out_dir.rstrip("/") + "_quarantine"),
     ]
     for name, d in surfaces:

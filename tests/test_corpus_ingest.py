@@ -554,3 +554,62 @@ def test_long_run_soak_policies_converge(spark, dirs):
     after = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
     assert not any(d >= 9999 for d in after)
     assert 9990 in after
+
+
+def test_containment_index_and_probe(spark, dirs, tmp_path):
+    """The standing fingerprint index: a retained doc's winnowed postings
+    persist; a later batch QUOTING a chunk of it scores high containment
+    (the doc-in-doc case band-level near-dedup misses); a replayed batch
+    never reports itself; compaction folds the index without changing
+    probe answers."""
+    from consensource_sds_spark.streaming.corpus_ingest import (
+        compact_indexes,
+        ingest_batch,
+        probe_containment,
+    )
+
+    fp_dir = dirs["out"] + "_fp_index"
+    base = " ".join(f"tok{i}" for i in range(40))
+    ingest_batch(spark, _docs(spark, [(1, base, "en", "a")]), 0, dirs["out"], dirs["idx"],
+                 n_shards=4, fingerprint_dir=fp_dir)
+
+    # newcomer: half of doc 1's text + novel tail -> high containment hit
+    quoter = " ".join(f"tok{i}" for i in range(20)) + " " + " ".join(f"new{i}" for i in range(20))
+    hits = probe_containment(spark, _docs(spark, [(50, quoter, "en", "b")]), fp_dir).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert (h["new_doc_id"], h["corpus_doc_id"]) == (50, 1)
+    assert h["shared"] >= 5 and 0.2 <= h["containment"] <= 0.8
+
+    # a fully-novel doc reports nothing
+    novel = " ".join(f"zzz{i}" for i in range(40))
+    assert probe_containment(spark, _docs(spark, [(60, novel, "en", "b")]), fp_dir).count() == 0
+
+    # replay shape: the SAME retained doc probes -> same-id hits ignored
+    assert probe_containment(spark, _docs(spark, [(1, base, "en", "a")]), fp_dir).count() == 0
+
+    # compaction folds the fp index and the probe answer is unchanged
+    before = sorted((r["new_doc_id"], r["corpus_doc_id"], r["shared"])
+                    for r in probe_containment(spark, _docs(spark, [(50, quoter, "en", "b")]), fp_dir).collect())
+    compact_indexes(spark, dirs["out"])
+    from consensource_sds_spark.streaming.corpus_ingest import _live_batch_dirs
+
+    assert _live_batch_dirs(fp_dir) == []
+    after = sorted((r["new_doc_id"], r["corpus_doc_id"], r["shared"])
+                   for r in probe_containment(spark, _docs(spark, [(50, quoter, "en", "b")]), fp_dir).collect())
+    assert after == before
+
+
+def test_stream_with_containment_index(spark, dirs):
+    """containment_index=True on the stream maintains the fp index for
+    retained docs end to end, and the profile reports it."""
+    from consensource_sds_spark.streaming.corpus_ingest import corpus_profile
+
+    _docs(spark, [(1, GOOD, "en", "a")]).coalesce(1).write.mode("append").parquet(dirs["src"])
+    run_corpus_stream(spark, dirs["src"], dirs["out"], dirs["ckpt"], n_shards=4,
+                      containment_index=True)
+    fp = spark.read.parquet(dirs["out"] + "_fp_index")
+    assert fp.count() > 0 and {r["doc_id"] for r in fp.collect()} == {1}
+    prof = {p["surface"]: p for p in corpus_profile(dirs["out"])}
+    assert prof["fp_index"]["n_rows"] == fp.count()
+    assert prof["fp_index"]["n_live_batches"] == 1
