@@ -117,3 +117,26 @@ def test_q91_single_events_scan(spark):
     assert plan.count("events.parquet") == 1, plan
     # and the three checkpointed stage reads (v count, c count, c in p)
     assert plan.count("ExistingRDD") == 3, plan
+
+
+def test_registry_integrity():
+    """Refactor guard (a mis-placed decorator once re-registered a helper
+    under a query's name): every gate-priority name resolves, the
+    registry never silently shrinks, every entry is callable with
+    (spark, sf_dir), and oracle SQL — where declared — is a non-empty
+    string mentioning a known table."""
+    import inspect
+
+    from consensource_sds_spark.queries import REGISTRY, _GATE_PRIORITY, all_queries
+
+    all_queries()
+    assert len(REGISTRY) >= 146
+    missing = [n for n in _GATE_PRIORITY if n not in REGISTRY]
+    assert missing == [], missing
+    tables = ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings")
+    for name, qd in REGISTRY.items():
+        params = list(inspect.signature(qd.fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], (name, params)
+        if qd.oracle is not None:
+            assert isinstance(qd.oracle, str) and any(t in qd.oracle for t in tables), name
