@@ -23,8 +23,9 @@ Decode coverage without media libraries (this container ships none):
   dezigzag, matrix-multiply IDCT, 4:4:4/4:2:2/4:2:0 MCU interleave,
   YCbCr->RGB — with a matching two-pass encoder
   (``encode_jpeg_pixels``) that builds its huffman tables from the
-  image's own symbols; progressive/arithmetic/restart-interval JPEGs are
-  out of decoder scope and return None;
+  image's own symbols and restart-interval (DRI/RSTn) streams resync at
+  marker boundaries; progressive/arithmetic JPEGs are out of decoder
+  scope and return None;
 - FLAC samples decode for REAL as well (``decode_flac_samples``): the
   complete 16-bit subframe set — constant/verbatim/fixed/LPC with
   partitioned rice residuals and left/right/mid-side stereo
@@ -470,7 +471,13 @@ def encode_flac_samples(
             for i in range(order, len(ch))
         ]
         mean = sum(abs(r) for r in res) / max(1, len(res))
-        k = max(0, min(30, int(mean).bit_length()))
+        # The method-0 rice parameter is a 4-bit field where 15 is the
+        # escape code, so the largest writable parameter is 14.  High-entropy
+        # audio (full-scale noise) yields residual means past 2^14; an
+        # unclamped k would be masked to k & 0xF in the header and the
+        # stream would be undecodable.  Clamping costs only unary-length
+        # (the stream stays conformant and lossless).
+        k = max(0, min(14, int(mean).bit_length()))
         w.bits(0, 2)  # rice method 0
         w.bits(0, 4)  # partition order 0
         w.bits(k, 4)

@@ -397,12 +397,21 @@ def ingest_batch(
 
     # idempotent-by-layout appends: each write owns its batch_id partition.
     # ORDER MATTERS for crash convergence: corpus rows first, then the
-    # bloom sidecar, index inserts last — a replay after a crash between
-    # corpus and index recomputes `fresh` (the index probe still misses;
-    # bloom hits only make its own digests CANDIDATES, which the exact
-    # join clears) and overwrites the same corpus partitions; had the
-    # index gone first, the replay's probe would filter the batch to empty
-    # and its corpus rows would be lost. The bloom precedes the index so
+    # bloom sidecar, then the band/fingerprint postings, and the DIGEST
+    # index strictly LAST — the digest insert is the "commit point" after
+    # which a replay's probe filters the batch to empty, so every other
+    # artifact of the batch must already be on disk by then. A replay
+    # after a crash anywhere before the digest insert recomputes the SAME
+    # `fresh` (the digest probe still misses; bloom hits only make its own
+    # digests CANDIDATES, which the exact join clears; a band probe
+    # ignores same-doc_id hits, and two docs retained from one batch never
+    # share a band — the within-batch predecessor rule dropped one of them
+    # — so the batch's own earlier band insert can't eject its rows) and
+    # dynamic-overwrites the same partitions. Had the digest insert gone
+    # before the band/fp inserts, a crash between them would lose those
+    # postings PERMANENTLY: the replay's empty `fresh` writes no rows, and
+    # retained docs of the batch would be invisible to every later
+    # near-dup/containment probe. The bloom precedes the digest insert so
     # the sidecar is always a SUPERSET of index digests (false positives
     # safe, false negatives impossible). (`fresh` is checkpointed above,
     # so the index inserts below never re-run the probe against their own
@@ -421,16 +430,6 @@ def ingest_batch(
         # superset-before-index: OR the batch's post-collapse digests in
         # now, so the index never holds a digest the bloom lacks
         sidecar.add_digests(batch_digs)
-    dig_tbl = _index_table_name(index_dir)
-    _insert_index(
-        spark,
-        dig_tbl,
-        fresh.select(
-            "digest",
-            F.col("doc_id").alias("keep_doc_id"),
-            F.lit(batch_id).cast("int").alias("batch_id"),
-        ),
-    )
     if band_dir is not None:
         # only RETAINED docs enter the band index (dups must never become
         # probes' reference points); replay-safe like the digest index
@@ -453,6 +452,19 @@ def ingest_batch(
                 "doc_id", "fp_hash", F.lit(batch_id).cast("int").alias("batch_id")
             ),
         )
+    # the commit point: ONLY after every other artifact of the batch is
+    # durable may the digest index learn these digests (see ordering
+    # comment above)
+    dig_tbl = _index_table_name(index_dir)
+    _insert_index(
+        spark,
+        dig_tbl,
+        fresh.select(
+            "digest",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.lit(batch_id).cast("int").alias("batch_id"),
+        ),
+    )
 
 
 def run_corpus_stream(

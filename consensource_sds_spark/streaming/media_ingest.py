@@ -24,6 +24,8 @@ decode exactly once per microbatch.
 from __future__ import annotations
 
 import os
+import struct
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +42,23 @@ from pyspark.sql.types import (
 )
 
 from consensource_sds_spark.operators.multimodal import _features_one
+
+#: every shape a malformed-but-sniffer-recognized payload can throw out of
+#: the pure decoders (truncated GIF descriptors and out-of-range PNG palette
+#: indexes raise IndexError; bad lengths ValueError; corrupt DEFLATE streams
+#: zlib.error; short fixed-layout headers struct.error).  A deterministic
+#: replay of the same bytes fails identically, so letting any of these
+#: escape the kernel wedges the stream permanently — they are quarantine
+#: rows, not task failures.
+_MALFORMED_PAYLOAD_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    IndexError,
+    KeyError,
+    OverflowError,
+    struct.error,
+    zlib.error,
+)
 
 #: file-stream schema for media drops (MEDIA_SCHEMA as DDL)
 MEDIA_STREAM_SCHEMA = (
@@ -83,15 +102,15 @@ def ingest_media_batch(
                             None,
                         )
                     )
-                except NotImplementedError:
+                except _MALFORMED_PAYLOAD_ERRORS:
                     rows.append(
                         (
                             r["media_id"],
                             r["modality"],
-                            len(payload),
+                            len(payload) if payload is not None else None,
                             None,
                             False,
-                            bytes(payload),
+                            bytes(payload) if payload is not None else None,
                         )
                     )
             yield pd.DataFrame(

@@ -375,6 +375,68 @@ def test_bloom_crash_between_sidecar_and_index_converges(spark, dirs, monkeypatc
     assert {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()} == {1}
 
 
+def test_crash_before_digest_insert_keeps_band_and_fp_postings(spark, dirs, monkeypatch):
+    """The digest insert is the batch's COMMIT POINT and must come LAST:
+    a crash after the band/fingerprint inserts but before the digest
+    insert leaves a replay whose digest probe still misses, so the SAME
+    `fresh` recomputes, the batch's own earlier band rows don't eject it
+    (same-doc_id hits are ignored; co-retained batch docs share no bands),
+    and every index converges with no loss and no duplicate postings.
+    Were the digest insert first (the pre-r7 ordering), the replay's probe
+    would filter the batch to empty and the band/fp postings of its
+    retained docs would be lost PERMANENTLY — invisible to every later
+    near-dup and containment probe."""
+    from consensource_sds_spark.streaming import corpus_ingest as ci
+
+    band_dir = dirs["out"] + "_band_index"
+    fp_dir = dirs["out"] + "_fp_index"
+    dig_tbl = ci._index_table_name(dirs["idx"])
+    real = ci._insert_index
+    boom = {"armed": True}
+
+    def failing(spark_, table, df):
+        if boom["armed"] and table == dig_tbl:
+            boom["armed"] = False
+            raise RuntimeError("injected crash at the digest commit point")
+        return real(spark_, table, df)
+
+    monkeypatch.setattr(ci, "_insert_index", failing)
+    b = _docs(spark, [(1, GOOD, "en", "a"), (2, GOOD2, "en", "a")])
+    with pytest.raises(RuntimeError, match="injected"):
+        ci.ingest_batch(
+            spark, b, 0, dirs["out"], dirs["idx"], n_shards=4,
+            band_dir=band_dir, fingerprint_dir=fp_dir,
+        )
+    # the crash window left band/fp postings WITHOUT digest-index rows
+    assert {r["doc_id"] for r in spark.read.parquet(band_dir).collect()} == {1, 2}
+    assert not ci._index_has_files(dirs["idx"])
+
+    # replay (what the streaming checkpoint does)
+    ci.ingest_batch(
+        spark, b, 0, dirs["out"], dirs["idx"], n_shards=4,
+        band_dir=band_dir, fingerprint_dir=fp_dir,
+    )
+    assert sorted(r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()) == [1, 2]
+    assert {r["keep_doc_id"] for r in spark.read.parquet(dirs["idx"]).collect()} == {1, 2}
+    # band/fp postings present for BOTH retained docs, and exactly once
+    # (the replay dynamic-overwrote its own batch partition, no dup rows)
+    bidx = spark.read.parquet(band_dir)
+    assert {r["doc_id"] for r in bidx.select("doc_id").distinct().collect()} == {1, 2}
+    assert bidx.count() == bidx.distinct().count()
+    fidx = spark.read.parquet(fp_dir)
+    assert {r["doc_id"] for r in fidx.select("doc_id").distinct().collect()} == {1, 2}
+    assert fidx.count() == fidx.distinct().count()
+
+    # the standing state still dedups (exact AND near) the next batch
+    near = " ".join(f"tok{i}" for i in range(29)) + " changed"
+    ci.ingest_batch(
+        spark, _docs(spark, [(5, GOOD, "en", "c"), (6, near, "en", "c")]),
+        1, dirs["out"], dirs["idx"], n_shards=4,
+        band_dir=band_dir, fingerprint_dir=fp_dir,
+    )
+    assert {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()} == {1, 2}
+
+
 def test_bloom_missing_sidecar_rebuilds_from_index(spark, dirs):
     """A non-empty index with NO sidecar (pre-bloom store, or the file was
     deleted) must NOT start from an empty filter — that would claim every

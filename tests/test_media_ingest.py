@@ -55,3 +55,62 @@ def test_media_stream_features_and_quarantine(spark, tmp_path):
     ingest_media_batch(spark, _media_rows(spark), 0, out)
     assert read_media_features(spark, out).count() == 3
     assert spark.read.parquet(out + "_quarantine").count() == 1
+
+
+def _malformed_rows(spark):
+    """Payloads the sniffers RECOGNIZE but whose bodies are corrupt — the
+    decoders raise (IndexError/ValueError/zlib.error), not return None, so
+    the kernel must translate the raise into a quarantine row instead of
+    failing the task (a deterministic replay fails identically and the
+    stream would wedge permanently)."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    # PNG: palette image whose pixels index past the 1-entry PLTE
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00\x05\x05" + b"\x00\x05\x05"
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\xff\x00\x00")
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    # GIF: stream truncated inside the image descriptor
+    hdr = b"GIF89a" + b"\x08\x00\x08\x00" + bytes([0x80]) + b"\x00\x00"
+    bad_gif = hdr + b"\x00\x00\x00\xff\xff\xff" + b"\x2c\x00\x00\x00\x00"
+    # PNG: IDAT is not a DEFLATE stream at all
+    corrupt_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x01\x02\x03\x04not-deflate")
+        + chunk(b"IEND", b"")
+    )
+    good_px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [
+        (10, "image", MM.encode_png_pixels(good_px), "image/png", 4, 4, None),
+        (11, "image", bad_png, "image/png", 2, 2, None),
+        (12, "image", bad_gif, "image/gif", 8, 8, None),
+        (13, "image", corrupt_idat, "image/png", 2, 2, None),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_media_stream_malformed_payloads_quarantined(spark, tmp_path):
+    """One corrupt payload must NOT wedge the stream: the malformed PNG
+    (out-of-range palette index), truncated GIF, and corrupt-DEFLATE PNG
+    land in quarantine with payloads preserved, while the good PNG in the
+    SAME microbatch still produces features."""
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "media"), str(tmp_path / "ckpt")
+    _malformed_rows(spark).coalesce(1).write.mode("append").parquet(src)
+    run_media_stream(spark, src, out, ckpt)
+
+    feats = {r["media_id"] for r in read_media_features(spark, out).collect()}
+    assert feats == {10}
+    q = {r["media_id"]: r for r in spark.read.parquet(out + "_quarantine").collect()}
+    assert set(q) == {11, 12, 13}
+    assert all(q[i]["payload"] is not None and q[i]["n_bytes"] > 0 for i in q)

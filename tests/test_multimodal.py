@@ -658,6 +658,30 @@ def test_flac_lossless_roundtrip_all_modes():
     assert np.array_equal(np.rint(MM.decode_flac_samples(enc) * 32768).astype(np.int64), flat)
 
 
+def test_flac_full_scale_noise_roundtrip():
+    """High-entropy audio: full-scale white noise drives the order-2 fixed
+    predictor's residual mean past 2^14, so an unclamped rice parameter
+    (k=16+) would be masked to k & 0xF in the 4-bit method-0 field and the
+    stream would decode to garbage or None. The encoder must clamp k to 14
+    (15 is the escape code) and still round-trip BIT-EXACTLY — mono and
+    every stereo decorrelation mode (side channels reach 17 bits)."""
+    import numpy as np
+
+    rng = np.random.RandomState(99)
+    mono = rng.randint(-32768, 32768, size=6000).astype(np.int64)
+    enc = MM.encode_flac_samples(mono, strategy="fixed")
+    dec = MM.decode_flac_samples(enc)
+    assert dec is not None, "full-scale-noise FLAC stream must be decodable"
+    assert np.array_equal(np.rint(dec * 32768.0).astype(np.int64)[:, 0], mono)
+    # anti-correlated full-scale stereo maximizes the side channel
+    stereo = np.stack([mono, -mono - 1], axis=1).clip(-32768, 32767)
+    for st in ("indep", "left", "mid"):
+        enc = MM.encode_flac_samples(stereo, strategy="fixed", stereo=st)
+        dec = MM.decode_flac_samples(enc)
+        assert dec is not None, st
+        assert np.array_equal(np.rint(dec * 32768.0).astype(np.int64), stereo), st
+
+
 def test_flac_rejects_garbage_and_wrong_crc():
     import numpy as np
 
