@@ -173,6 +173,19 @@ class BloomSidecar:
         self.n_added += len(digests)
         self.save()
 
+    def add_bits(self, bits: np.ndarray, n: int) -> None:
+        """OR a pre-built bitmap in (the :func:`build_bits` output for a
+        batch) — the executor-side update path for batches too large to
+        collect digest lists through the driver: the driver only ever sees
+        the fixed-size m/8-byte bitmap, never O(batch) digests. ``n`` is
+        the batch's digest count (bookkeeping for :meth:`fill_fraction`
+        heuristics; the bits are the truth)."""
+        if bits.size != self.bits.size:
+            raise ValueError(f"bitmap size {bits.size} != sidecar {self.bits.size}")
+        np.bitwise_or(self.bits, bits, out=self.bits)
+        self.n_added += int(n)
+        self.save()
+
     def candidates(self, digests) -> list[str]:
         """The subset of ``digests`` the filter might contain — exact-probe
         these; the rest are DEFINITELY new."""

@@ -2922,10 +2922,11 @@ def x64_boilerplate_scrub(spark, sf_dir):
 #: per-cluster row bound for x65 — the label-keyed pair join costs
 #: sum(|cluster|²) and one cluster's pairs land on ONE shuffle partition
 #: (a single join key; AQE cannot split it), so the bound caps the worst
-#: single-task pair count at ~4x10^8 dot products. A corpus whose
-#: upstream clustering (x40) emits a bigger cluster must re-cluster with
-#: larger k (or sub-cluster the hot label) — refusing loudly here beats
-#: silently re-creating the quadratic blowup SemDeDup exists to avoid.
+#: single-task pair count at ~4x10^8 dot products. A label whose upstream
+#: clustering (x40) emits more rows is SUB-SPLIT into ceil(n/bound)
+#: secondary hash bands and pairs form within a band only — the standard
+#: SemDeDup-at-scale concession (documented recall caveat on the
+#: operator) instead of an operational cliff that aborts the whole pass.
 _X65_MAX_CLUSTER_ROWS = 20_000
 
 
@@ -2960,31 +2961,38 @@ def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3, max_cluster_rows: 
     quadratic. The pair join is label-keyed (equi-shuffle, never a global
     cross join), so cost is sum(|cluster|^2) not n^2, and cluster size is
     controlled upstream by k (x40). That control is ENFORCED, not
-    assumed: a pre-aggregation guard (x12's treatment) counts rows per
-    label first — map-side-combined, output one row per label — and
-    refuses any label over ``max_cluster_rows``, because one degenerate
-    mega-cluster is a single join key whose |c|² pairs land on one
-    shuffle partition AQE cannot split. Norms are computed once per
-    vector BEFORE the pair join; per-pair work is one double-precision
-    dot (same op order as the oracle). The dropped set distincts on
-    vec_id, then one anti/semi pass stamps keep — output covers EVERY
-    vector, so the apply stage is a plain filter."""
+    assumed: a per-label row count (map-side-combined, one row per label)
+    is broadcast-joined back, and any label over ``max_cluster_rows`` is
+    SUB-SPLIT into ``ceil(n / max_cluster_rows)`` secondary hash bands
+    (``pmod(xxhash64(vec_id), n_bands)``), with pairs forming only WITHIN
+    a (label, band) key — one degenerate mega-cluster would otherwise be
+    a single join key whose |c|² pairs land on one shuffle partition AQE
+    cannot split. Labels under the bound get exactly one band, so their
+    semantics are untouched (and the oracle matches exactly on data whose
+    clusters are all bounded). RECALL CAVEAT for sub-split labels: a
+    near-duplicate pair hashed into different bands is missed — the
+    standard SemDeDup-at-scale concession (the kept set can only GROW vs
+    the unsplit answer, never lose a vector); re-clustering with larger k
+    upstream restores exactness. The guard rides the same plan as the
+    pair join (tiny label-count broadcast, no driver collect, no separate
+    job). Norms are computed once per vector BEFORE the pair join;
+    per-pair work is one double-precision dot (same op order as the
+    oracle). The dropped set distincts on vec_id, then one anti/semi pass
+    stamps keep — output covers EVERY vector, so the apply stage is a
+    plain filter."""
     if max_cluster_rows is None:
         max_cluster_rows = _X65_MAX_CLUSTER_ROWS
     e = load(spark, sf_dir, "embeddings")
-    oversize = (
+    sizes = (
         e.groupBy("label")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_cluster_rows)
-    )
-    hot = oversize.limit(1).collect()
-    if hot:
-        raise ValueError(
-            f"x65 cluster label {hot[0]['label']!r} has {hot[0]['_n']} rows "
-            f"(> {max_cluster_rows}); its label-keyed pair join would put "
-            "|c|² pairs on one shuffle partition. Re-cluster upstream with "
-            "larger k (x40) or sub-split the hot label before SemDeDup."
+        .select(
+            "label",
+            F.greatest(
+                F.ceil(F.col("_n") / F.lit(max_cluster_rows)).cast("int"), F.lit(1)
+            ).alias("_nb"),
         )
+    )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -2997,21 +3005,34 @@ def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3, max_cluster_rows: 
             lambda acc, v: acc + v,
         )
     )
-    ne = e.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    ne = e.join(F.broadcast(sizes), "label").select(
+        "vec_id",
+        "label",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        F.pmod(F.xxhash64("vec_id"), F.col("_nb")).cast("int").alias("sub"),
+    )
     a = ne.select(
         F.col("vec_id").alias("va"),
         F.col("label").alias("la"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
+        F.col("sub").alias("sa"),
     )
     b = ne.select(
         F.col("vec_id").alias("vb"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
+        F.col("sub").alias("sb"),
     )
     dropped = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vb") < F.col("va")))
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("vb") < F.col("va")),
+        )
         .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
         .select(F.col("va").alias("vec_id"))
         .distinct()

@@ -93,6 +93,15 @@ _BUCKETED_FILE_RE = re.compile(r"_\d{5}\.c\d{3}")
 #: territory) and run the plain anti-join — same result, no pruning.
 _BLOOM_ISIN_CAP = 1024
 
+#: above this many post-collapse batch rows, the digest probe stops
+#: collecting digests to the driver (a backfill-sized microbatch would
+#: ship GBs of 32-char hex strings through it) and switches to the
+#: executor-side bitmap-broadcast probe — the bloom's FIXED m/8 bytes go
+#: out once, candidates anti-join the index as usual, and the sidecar
+#: update comes back as an OR-reduced bitmap. Retained content is
+#: identical on both sides of the threshold.
+_BLOOM_DRIVER_BATCH_CAP = 1_000_000
+
 
 @contextmanager
 def _dynamic_overwrite(spark: SparkSession):
@@ -324,7 +333,18 @@ def ingest_batch(
     few enough (``_BLOOM_ISIN_CAP``). False positives are cleared by that
     join, false negatives cannot occur, so retained content is
     bit-identical with the bloom on or off (pinned by
-    ``test_corpus_ingest.py::test_bloom_equivalence_and_fast_path``)."""
+    ``test_corpus_ingest.py::test_bloom_equivalence_and_fast_path``).
+
+    The driver-side digest collect is bounded by
+    ``_BLOOM_DRIVER_BATCH_CAP``: past it (a backfill-sized microbatch,
+    where O(batch) digests through the driver would be GBs) the probe
+    auto-switches to the executor-side path — the FIXED-size bitmap is
+    broadcast once and tested in an Arrow-vectorized UDF
+    (:func:`~consensource_sds_spark.functions.bloom.might_contain_col`),
+    bloom-missing rows skip the index join entirely, and the sidecar
+    update ships only a per-partition-OR-reduced bitmap back (never the
+    digests). Same retained content on both sides of the threshold
+    (pinned by ``test_bloom_executor_path_equivalence``)."""
     # under foreachBatch the batch frame lives in a CLONED session; run
     # every catalog op / table read on that session so probe frames and
     # batch frames resolve against one state (tables themselves are in the
@@ -357,7 +377,7 @@ def ingest_batch(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    sidecar, batch_digs = None, None
+    sidecar, batch_digs, batch_bits_n = None, None, None
     if bloom_bits is not None:
         bloom_path = os.path.join(os.path.abspath(index_dir), "_bloom")
         if not os.path.exists(bloom_path) and _index_has_files(index_dir):
@@ -374,21 +394,44 @@ def ingest_batch(
             )
         else:
             sidecar = BloomSidecar(bloom_path, m_bits=bloom_bits)
-        # one digest per row post-collapse: a microbatch-bounded driver
-        # collect (control-plane scale, like the SCD2 bucket distinct) —
-        # the bloom never ships to executors this way
         batch_min = batch_min.localCheckpoint()
-        batch_digs = [r["digest"] for r in batch_min.select("digest").collect()]
-        cands = sidecar.candidates(batch_digs)
-        if not cands:
-            # every digest is definitely new: no index probe at all
-            _ensure_index_table(spark, index_dir, _DIGEST_COLS, _DIGEST_KEYS)
-            fresh = batch_min
-        elif len(cands) <= _BLOOM_ISIN_CAP:
-            dup = digest_index(spark, index_dir).select("digest").filter(F.col("digest").isin(cands))
-            fresh = batch_min.join(dup, "digest", "left_anti")
+        n_batch = batch_min.count()  # checkpointed: a metadata-cheap job
+        if n_batch <= _BLOOM_DRIVER_BATCH_CAP:
+            # one digest per row post-collapse: a microbatch-bounded
+            # driver collect (control-plane scale, like the SCD2 bucket
+            # distinct) — the bloom never ships to executors this way
+            batch_digs = [r["digest"] for r in batch_min.select("digest").collect()]
+            cands = sidecar.candidates(batch_digs)
+            if not cands:
+                # every digest is definitely new: no index probe at all
+                _ensure_index_table(spark, index_dir, _DIGEST_COLS, _DIGEST_KEYS)
+                fresh = batch_min
+            elif len(cands) <= _BLOOM_ISIN_CAP:
+                dup = digest_index(spark, index_dir).select("digest").filter(F.col("digest").isin(cands))
+                fresh = batch_min.join(dup, "digest", "left_anti")
+            else:
+                fresh = batch_min.join(digest_index(spark, index_dir).select("digest"), "digest", "left_anti")
         else:
-            fresh = batch_min.join(digest_index(spark, index_dir).select("digest"), "digest", "left_anti")
+            # backfill-sized batch: collecting O(batch) digests would ship
+            # GBs through the driver. Broadcast the FIXED-size bitmap once
+            # instead and test executor-side (Arrow-vectorized); rows the
+            # bloom has never seen are DEFINITELY new and skip the index
+            # join entirely, candidates take the exact anti-join as usual.
+            from consensource_sds_spark.functions.bloom import might_contain_col
+
+            probe = might_contain_col(spark, sidecar.bits, sidecar.k)
+            flagged = batch_min.withColumn("_bh", probe(F.col("digest")))
+            maybe = flagged.filter(F.col("_bh")).drop("_bh")
+            fresh = (
+                flagged.filter(~F.col("_bh"))
+                .drop("_bh")
+                .unionByName(
+                    maybe.join(
+                        digest_index(spark, index_dir).select("digest"), "digest", "left_anti"
+                    )
+                )
+            )
+            batch_bits_n = n_batch
     else:
         fresh = batch_min.join(digest_index(spark, index_dir).select("digest"), "digest", "left_anti")
     fresh = fresh.select("doc_id", "text", "lang", "source", "n_chars", "digest").localCheckpoint()
@@ -429,7 +472,17 @@ def ingest_batch(
     if sidecar is not None:
         # superset-before-index: OR the batch's post-collapse digests in
         # now, so the index never holds a digest the bloom lacks
-        sidecar.add_digests(batch_digs)
+        if batch_digs is not None:
+            sidecar.add_digests(batch_digs)
+        else:
+            # executor path: the update ships a per-partition OR-reduced
+            # bitmap (partitions x m/8 bytes), never the digests
+            from consensource_sds_spark.functions.bloom import build_bits
+
+            sidecar.add_bits(
+                build_bits(batch_min.select("digest"), "digest", sidecar.m_bits, sidecar.k),
+                batch_bits_n,
+            )
     if band_dir is not None:
         # only RETAINED docs enter the band index (dups must never become
         # probes' reference points); replay-safe like the digest index

@@ -342,6 +342,53 @@ def test_bloom_equivalence_and_fast_path(spark, dirs, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(dirs["idx"], "_bloom"))
 
 
+def test_bloom_executor_path_equivalence(spark, dirs, tmp_path, monkeypatch):
+    """Above ``_BLOOM_DRIVER_BATCH_CAP`` the digest probe must auto-switch
+    to the executor-side path (fixed-size bitmap broadcast + vectorized
+    probe; sidecar updated via an OR-reduced bitmap, no digest collect) —
+    and retain EXACTLY the same content as the driver path. Forced here by
+    dropping the cap to 0 so every batch takes the executor path; the
+    sidecar must still end up a superset of the index (the invariant the
+    next batch's fast path relies on)."""
+    from consensource_sds_spark.functions.bloom import BloomSidecar
+    from consensource_sds_spark.streaming import corpus_ingest as ci
+
+    b1 = _docs(spark, [(1, GOOD, "en", "a")])
+    b2 = _docs(spark, [(10, GOOD, "en", "b"), (11, GOOD2, "en", "b")])
+
+    # driver-path reference run (default cap)
+    ref = {"out": str(tmp_path / "ref"), "idx": str(tmp_path / "ref_digest_index")}
+    ci.ingest_batch(spark, b1, 0, ref["out"], ref["idx"], n_shards=4)
+    ci.ingest_batch(spark, b2, 1, ref["out"], ref["idx"], n_shards=4)
+    expect = {r["doc_id"] for r in read_corpus(spark, ref["out"]).collect()}
+
+    # executor path: no driver digest collect may happen
+    monkeypatch.setattr(ci, "_BLOOM_DRIVER_BATCH_CAP", 0)
+    collected = []
+    real_candidates = BloomSidecar.candidates
+    monkeypatch.setattr(
+        BloomSidecar, "candidates", lambda self, d: collected.append(1) or real_candidates(self, d)
+    )
+    ci.ingest_batch(spark, b1, 0, dirs["out"], dirs["idx"], n_shards=4)
+    ci.ingest_batch(spark, b2, 1, dirs["out"], dirs["idx"], n_shards=4)
+    assert collected == [], "executor path must never run the driver-side probe"
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert got == expect == {1, 11}
+
+    # sidecar superset invariant survives the bitmap-update path
+    sc = BloomSidecar(os.path.join(dirs["idx"], "_bloom"))
+    digs = [r["digest"] for r in spark.read.parquet(dirs["idx"]).select("digest").collect()]
+    assert real_candidates(sc, digs) == digs
+
+    # and a LATER batch on the default cap interoperates with the
+    # bitmap-built sidecar (dup of GOOD2 dropped, new doc kept)
+    monkeypatch.setattr(ci, "_BLOOM_DRIVER_BATCH_CAP", 1_000_000)
+    b3 = _docs(spark, [(20, GOOD2, "en", "c"), (21, " ".join(f"next{i}" for i in range(30)), "en", "c")])
+    ci.ingest_batch(spark, b3, 2, dirs["out"], dirs["idx"], n_shards=4)
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert got == {1, 11, 21}
+
+
 def test_bloom_crash_between_sidecar_and_index_converges(spark, dirs, monkeypatch):
     """Crash injected AFTER the bloom update but BEFORE the index insert:
     the sidecar now holds digests the index lacks (the allowed superset

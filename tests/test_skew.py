@@ -86,20 +86,55 @@ def test_aqe_splits_skewed_join(spark, skewed_df, tmp_path):
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
 
 
-def test_x65_refuses_mega_cluster(spark):
+def test_x65_sub_splits_mega_cluster(spark):
     """SemDeDup's pair join is label-keyed: one degenerate mega-cluster is
     a single join key whose |c|² pairs land on one AQE-unsplittable
-    shuffle partition. The pre-aggregation guard must refuse BEFORE any
-    pair join is planned or executed — and stay silent for bounded
-    clusters."""
+    shuffle partition. Labels over the bound are SUB-SPLIT into secondary
+    hash bands (pairs within a band only) instead of aborting the pass:
+    the operator must COMPLETE with bounded per-key pair counts, cover
+    every vector, and — since band-splitting can only MISS dup pairs,
+    never invent them — keep a superset of the unsplit answer's kept set.
+    Labels under the bound get exactly one band, so the default-bound
+    answer is untouched."""
+    from pyspark.sql import functions as F
+
     from consensource_sds_spark.queries import load
     from consensource_sds_spark.queries.extensions import x65_semantic_dedup
 
     sf = "/root/testdata/sf0.001"
-    # with the bound pulled under the real cluster sizes, every label is
-    # "mega" — the call itself raises; no pair-join DataFrame escapes
-    with pytest.raises(ValueError, match="pair join"):
-        x65_semantic_dedup(spark, sf, max_cluster_rows=2)
-    # default bound: untriggered, full cover output as before
-    out = x65_semantic_dedup(spark, sf)
-    assert out.count() == load(spark, sf, "embeddings").count()
+    n = load(spark, sf, "embeddings").count()
+    exact = x65_semantic_dedup(spark, sf)  # default bound: no label splits
+    assert exact.count() == n
+    kept_exact = {r["vec_id"] for r in exact.filter("keep").collect()}
+
+    # bound pulled under the real cluster sizes: every label sub-splits —
+    # the pass completes (no refusal), still covers every vector
+    split = x65_semantic_dedup(spark, sf, max_cluster_rows=2)
+    assert split.count() == n
+    kept_split = {r["vec_id"] for r in split.filter("keep").collect()}
+    assert kept_exact <= kept_split
+    # and the sub-split actually bit: some cross-band dup pair was missed
+    # (with bound=2 on multi-hundred-row labels this is a certainty)
+    assert len(kept_split) > len(kept_exact)
+
+    # the banding itself bounds the join keys: recompute the operator's
+    # (label, band) grouping at bound=2 and check the worst group shrank
+    # from the mega-key (|label|) to ~bound-sized in expectation
+    e = load(spark, sf, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    max_label = counts.agg(F.max("_n")).collect()[0][0]
+    assert max_label > 2  # the scenario is real: labels exceed the bound
+    banded = (
+        e.join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            F.pmod(
+                F.xxhash64("vec_id"),
+                F.greatest(F.ceil(F.col("_n") / F.lit(2)).cast("int"), F.lit(1)),
+            ).alias("band"),
+        )
+        .groupBy("label", "band")
+        .agg(F.count(F.lit(1)).alias("grp"))
+    )
+    worst = banded.agg(F.max("grp")).collect()[0][0]
+    assert worst <= 12, f"hash banding left a {worst}-row join key (label max {max_label})"
