@@ -140,10 +140,29 @@ def main() -> None:
                 "corpus": _corpus_bench(spark, sf_dir),
                 "corpus_stream": _corpus_stream_bench(spark, sf_dir),
                 "ann": _ann_bench(spark, sf_dir),
+                "scaling": _scaling_bench(spark),
             }
         )
     )
     spark.stop()
+
+
+def _scaling_bench(spark) -> dict | None:
+    """1x-vs-10x scaling curve over a self-generated corpus (deterministic
+    hash-expression generator, same planted dup/skew RATES at both scales
+    — see ``consensource_sds_spark/sources/synth.py``): per-stage
+    wall-clock ratios for the dedup/ingest/ANN family. This is the number
+    the plan pins can't give — a stage whose ratio blows past the data
+    ratio has a superlinear term (candidate-pair explosion, growing
+    driver collect); ``tests/test_scaling.py`` asserts ratio < factor*1.5
+    per stage. Disable with ``SPARK_GRAFT_SCALING=0``; factor via
+    ``SPARK_GRAFT_SCALING_FACTOR``."""
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") == "0":
+        return None
+    from consensource_sds_spark.scaling import measure_scaling
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "10"))
+    return measure_scaling(spark, base_docs=5_000, base_vectors=2_000, factor=factor)
 
 
 def _corpus_bench(spark, sf_dir: str) -> dict:

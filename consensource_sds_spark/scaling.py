@@ -1,0 +1,187 @@
+"""Scaling-curve measurement: does the engine grow LINEARLY with data?
+
+Plan pins (bucketed probes, banded joins, broadcast guards) prove a query
+is SHAPED right; this module measures that the shape holds — each stage of
+the dedup/ingest/ANN family runs against a generated 1x corpus and a
+generated ``factor``x corpus (same deterministic generator, same planted
+dup/skew RATES — see ``sources/synth.py``) and reports the wall-clock
+ratio. A stage whose ratio blows past the data ratio has a superlinear
+term a plan pin structurally cannot catch (candidate-pair explosion,
+growing driver collect, accidental re-scan) — ``tests/test_scaling.py``
+asserts every ratio stays below ``factor * 1.5``.
+
+At bench scale Spark's fixed per-job overheads (task launch, planning)
+make ratios LAND well under the data ratio — sublinear-looking numbers
+mean overhead amortization, not magic. The pin is one-sided: ratios far
+ABOVE the data ratio are the defect being hunted.
+
+Methodology: per (stage, scale) the stage runs twice and the MIN is kept
+(first run absorbs codegen; min rides out host CPU steal — the same
+discipline as bench.py's headline). Streaming/ANN stages clean their
+standing state between runs so both runs measure the same work.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+#: registry queries covering the x-family cost shapes: exact dedup
+#: (hash-agg), MinHash (wide projection), SimHash banding (candidate pair
+#: join), brute top-k (bounded broadcast), quality scoring (scan-shaped),
+#: repetition signals (explode+agg), domain cap (window over over-cap
+#: only), boilerplate scrub (chunk explode + tiny broadcast), SemDeDup
+#: (label-keyed pair join — THE quadratic-unless-bounded one).
+SCALING_QUERIES = (
+    "x01_dedup_exact",
+    "x02_minhash_signatures",
+    "x07_simhash_neardup",
+    "x10_cosine_topk",
+    "x21_quality_score",
+    "x33_repetition_signals",
+    "x61_domain_doc_cap",
+    "x64_boilerplate_scrub",
+    "x65_semantic_dedup",
+)
+
+
+def _timed(fn: Callable[[], None], runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def measure_scaling(
+    spark: SparkSession,
+    base_docs: int = 5_000,
+    base_vectors: int = 2_000,
+    factor: int = 10,
+    queries: tuple[str, ...] = SCALING_QUERIES,
+    runs: int = 2,
+    stream_batches: int = 3,
+) -> dict:
+    """Run every scaling stage at 1x and ``factor``x; return
+    ``{"factor": f, "base_docs": n, "stages": {name: {"t1_sec", "tN_sec",
+    "ratio"}}}``. Stage timings are min-of-``runs``."""
+    from consensource_sds_spark.corpus import build_training_corpus
+    from consensource_sds_spark.queries import REGISTRY, all_queries
+    from consensource_sds_spark.sources.synth import write_corpus
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe,
+        ingest_embedding_batch,
+        init_ann_index,
+        train_centroids,
+    )
+    from consensource_sds_spark.streaming.corpus_ingest import _index_table_name, ingest_batch
+
+    all_queries()
+    work = tempfile.mkdtemp(prefix="scaling_")
+    out: dict[str, dict] = {}
+    try:
+        dirs: dict[int, str] = {}
+        for s in (1, factor):
+            dirs[s] = write_corpus(
+                spark, os.path.join(work, f"scale{s}"), base_docs * s, base_vectors * s
+            )
+
+        def stage(name: str, fn1: Callable[[], None], fnN: Callable[[], None]) -> None:
+            t1 = _timed(fn1, runs)
+            tN = _timed(fnN, runs)
+            out[name] = {
+                "t1_sec": round(t1, 3),
+                f"t{factor}_sec": round(tN, 3),
+                "ratio": round(tN / t1, 2) if t1 > 0 else None,
+            }
+
+        for q in queries:
+            fn = REGISTRY[q].fn
+            stage(
+                q,
+                lambda fn=fn: _noop_write(fn(spark, dirs[1])),
+                lambda fn=fn: _noop_write(fn(spark, dirs[factor])),
+            )
+
+        def corpus_build(scale: int) -> None:
+            dest = os.path.join(work, f"cb{scale}")
+            try:
+                build_training_corpus(spark, dirs[scale], dest, domain_cap=50 * scale, n_shards=16).collect()
+            finally:
+                shutil.rmtree(dest, ignore_errors=True)
+
+        stage("corpus_build", lambda: corpus_build(1), lambda: corpus_build(factor))
+
+        def corpus_stream(scale: int) -> None:
+            # standing-index ingest: the batches ACCUMULATE index state, so
+            # each run starts clean and replays the same batch sequence
+            dest = os.path.join(work, f"cs{scale}")
+            corpus = os.path.join(dest, "corpus")
+            idx = corpus + "_digest_index"
+            band = corpus + "_band_index"
+            docs = spark.read.parquet(os.path.join(dirs[scale], "documents.parquet"))
+            try:
+                for b in range(stream_batches):
+                    batch = docs.filter(F.pmod(F.hash("doc_id"), stream_batches) == b)
+                    ingest_batch(spark, batch, b, corpus, idx, n_shards=8, band_dir=band)
+            finally:
+                for d in (idx, band):
+                    spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(d)}")
+                shutil.rmtree(dest, ignore_errors=True)
+
+        stage("corpus_stream", lambda: corpus_stream(1), lambda: corpus_stream(factor))
+
+        def ann(scale: int, probe_out: dict) -> None:
+            dest = os.path.join(work, f"ann{scale}")
+            emb = spark.read.parquet(os.path.join(dirs[scale], "embeddings.parquet"))
+            # k held FIXED across scales: training cost is n*k*dim, so a
+            # scale-proportional k would make the 10x build pay 100x by
+            # DESIGN (the deployment policy grows k ~ sqrt(n), a documented
+            # IVF trade) — fixing k isolates the engine's n-dependence,
+            # which is what this pin is hunting; cells grow 10x and the
+            # nprobe=2 probe should grow ~linearly with cell size.
+            k = 16
+            try:
+                t0 = time.perf_counter()
+                init_ann_index(spark, dest, train_centroids(spark, emb, k=k, iters=2))
+                ingest_embedding_batch(spark, emb.select("vec_id", "embedding", "label"), 0, dest)
+                probe_out["build"] = time.perf_counter() - t0
+                q = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("qid"), "embedding")
+                probe_out["probe"] = _timed(
+                    lambda: _noop_write(ann_probe(spark, dest, q, k=10, nprobe=2)), runs
+                )
+            finally:
+                shutil.rmtree(dest, ignore_errors=True)
+
+        ann1: dict = {}
+        annN: dict = {}
+        ann(1, ann1)
+        ann(factor, annN)
+        for part in ("build", "probe"):
+            out[f"ann_{part}"] = {
+                "t1_sec": round(ann1[part], 3),
+                f"t{factor}_sec": round(annN[part], 3),
+                "ratio": round(annN[part] / ann1[part], 2) if ann1[part] > 0 else None,
+            }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "factor": factor,
+        "base_docs": base_docs,
+        "base_vectors": base_vectors,
+        "stages": out,
+    }
+
+
+__all__ = ["measure_scaling", "SCALING_QUERIES"]

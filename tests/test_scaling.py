@@ -1,0 +1,71 @@
+"""Scaling-curve pin: the dedup/ingest/ANN family must grow ~linearly.
+
+Plan pins (tests/test_plans.py, test_corpus_ingest.py) prove probes are
+index-shaped; this suite MEASURES the growth curve on a self-generated
+1x-vs-10x corpus and fails on any superlinear blowup — the failure mode
+plan structure can't catch (candidate-pair explosion when dup clusters
+chain, a driver collect that grows with the corpus, a stage re-scanning
+its input per partition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from consensource_sds_spark.scaling import measure_scaling
+from consensource_sds_spark.sources.synth import generate_documents, generate_embeddings
+
+FACTOR = 10
+#: one-sided bound: fixed per-job overhead keeps honest ratios well UNDER
+#: the data ratio at test scale; 1.5x headroom absorbs host CPU steal.
+#: A quadratic stage would land at ~FACTOR^2 x overhead-damping — far over.
+RATIO_BOUND = FACTOR * 1.5
+
+
+def test_generator_structure(spark):
+    """The generator's planted structure holds at any n — RATES constant,
+    so cross-scale comparisons measure the engine, not drifting data."""
+    n = 4000
+    d = generate_documents(spark, n).cache()
+    assert d.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert d.count() == n
+    n_distinct = d.select("text").distinct().count()
+    # ~10% exact dups + ~2% near-dups (near texts differ, so distinct
+    # drops by the exact-dup fraction only)
+    assert 0.85 * n <= n_distinct <= 0.95 * n
+    hot = d.filter("source = 'src0'").count() / n
+    assert 0.2 <= hot <= 0.4
+    en = d.filter("lang = 'en'").count() / n
+    assert 0.8 <= en <= 0.97
+    # deterministic: same n regenerates identical content
+    d2 = generate_documents(spark, n)
+    assert d.exceptAll(d2).count() == 0 and d2.exceptAll(d).count() == 0
+
+    e = generate_embeddings(spark, 2000).cache()
+    assert e.columns == ["vec_id", "embedding", "label"]
+    assert e.select(F.size("embedding")).distinct().collect()[0][0] == 64
+    # fixed ~200-row cluster size: label count scales with n
+    assert e.select("label").distinct().count() == 10
+    e10 = generate_embeddings(spark, 20000)
+    assert e10.select("label").distinct().count() == 100
+    d.unpersist()
+    e.unpersist()
+
+
+def test_scaling_ratios_stay_sub_linear(spark):
+    """Every stage's 10x/1x wall-clock ratio must stay under
+    ``RATIO_BOUND`` — the one-sided superlinearity alarm. Runs the full
+    stage set (x-family queries, corpus build, streaming ingest with
+    standing indexes, ANN build+probe) at a reduced base size; the ratio
+    bound, not the absolute times, is the contract."""
+    result = measure_scaling(spark, base_docs=2_000, base_vectors=1_000, factor=FACTOR)
+    assert result["factor"] == FACTOR
+    bad = {
+        name: st
+        for name, st in result["stages"].items()
+        if st["ratio"] is None or st["ratio"] > RATIO_BOUND
+    }
+    assert not bad, f"superlinear stages (bound {RATIO_BOUND}): {bad}"
+    # sanity: the harness really ran every declared stage at both scales
+    assert len(result["stages"]) >= 12
+    for st in result["stages"].values():
+        assert st["t1_sec"] > 0 and st[f"t{FACTOR}_sec"] > 0
