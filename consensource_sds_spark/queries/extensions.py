@@ -3556,3 +3556,131 @@ def x73_incremental_containment_probe(spark, sf_dir):
         )
         .filter(F.col("shared") >= 2)
     )
+
+
+#: BPE training wire format: symbols inside a word's segmentation string
+#: are delimited by a DOUBLED \x01 sentinel, so a single non-overlapping
+#: left-to-right string replace of "\x01L\x01\x01R\x01" -> "\x01LR\x01"
+#: applies one merge with EXACT greedy BPE semantics (adjacent occurrences
+#: never share boundary chars; a symbol-suffix can never false-match
+#: across the sentinel). Spark's ``replace`` and DuckDB's ``replace`` both
+#: scan left-to-right non-overlapping, which is what makes the same
+#: construction the operator AND its oracle.
+_BPE_SEP = "\x01\x01"
+#: separates lhs/rhs inside a pair key (never appears in corpus tokens)
+_BPE_PSEP = "\x02"
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """Unrolled DuckDB BPE training: the merge loop is inherently
+    sequential (merge k+1's pair counts depend on merge k's rewrite), so
+    the oracle unrolls N iterations as a CTE chain — plain ANSI SQL, no
+    recursion — with the identical segmentation wire format and the
+    identical (count DESC, pair-key ASC) tie-break as the Spark side."""
+    s, sep, p = "\x01", _BPE_SEP, _BPE_PSEP
+    parts = [
+        f"""v0 AS (
+      SELECT wc, '{sep}' || array_to_string(list_transform(range(1, len(w)+1),
+                   i -> substr(w, CAST(i AS INT), 1)), '{sep}') || '{sep}' AS seg
+      FROM (SELECT w, COUNT(*) AS wc
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+            WHERE len(w) >= 2 GROUP BY w))"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""p{k} AS (
+      SELECT pk, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        SELECT wc, UNNEST(list_transform(range(1, len(syms)),
+                     i -> syms[i] || '{p}' || syms[i+1])) AS pk
+        FROM (SELECT wc, list_filter(string_split(seg, '{sep}'), x -> x <> '') AS syms
+              FROM v{k}))
+      GROUP BY pk)"""
+        )
+        parts.append(f"b{k} AS (SELECT pk, cnt FROM p{k} ORDER BY cnt DESC, pk LIMIT 1)")
+        if k + 1 < n_merges:
+            parts.append(
+                f"""v{k + 1} AS (
+      SELECT wc, replace(seg,
+        '{s}' || string_split(pk, '{p}')[1] || '{sep}' || string_split(pk, '{p}')[2] || '{s}',
+        '{s}' || string_split(pk, '{p}')[1] || string_split(pk, '{p}')[2] || '{s}') AS seg
+      FROM v{k}, b{k})"""
+            )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {k + 1} AS merge_rank, string_split(pk, '{p}')[1] AS lhs, "
+        f"string_split(pk, '{p}')[2] AS rhs, cnt AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@register("x74_bpe_train", oracle=_bpe_oracle())
+def x74_bpe_train(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
+    """Complete BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909), N merges: x67 is one iteration's pair statistics;
+    this runs the full driver loop and emits the ranked merge table
+    (merge_rank, lhs, rhs, pair_count) — the artifact a tokenizer ships.
+
+    Scale — the classic BPE frequency compression (same argument as x67):
+    the CORPUS feeds exactly ONE word-count aggregation (map-side
+    combined; output is vocab-sized — millions of rows at 100 TB, not
+    billions). Every merge iteration then runs over the VOCAB only:
+    pair-explode + weighted count + a 1-row argmax collect (the one
+    driver action per iteration — bounded control plane, the merge
+    decision itself, inherently sequential). The merge applies as ONE
+    JVM-side string replace over the segmentation column (the \\x01\\x01
+    wire format above — exact greedy left-to-right BPE semantics), and
+    the vocab localCheckpoints each iteration so the plan never grows
+    with N. Iteration cost is O(vocab), independent of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg = F.concat(
+        F.lit(_BPE_SEP),
+        F.concat_ws(
+            _BPE_SEP,
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring(F.col("w"), i, F.lit(1)),
+            ),
+        ),
+        F.lit(_BPE_SEP),
+    )
+    vocab = words.select("wc", seg.alias("seg")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(n_merges):
+        syms = F.filter(F.split("seg", _BPE_SEP), lambda x: x != F.lit(""))
+        pair_keys = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit(_BPE_PSEP), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            vocab.select("wc", F.explode(pair_keys).alias("pk"))
+            .groupBy("pk")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pk"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pk, cnt = top[0]["pk"], int(top[0]["cnt"])
+        lhs, rhs = pk.split(_BPE_PSEP)
+        merges.append((k + 1, lhs, rhs, cnt))
+        pat = "\x01" + lhs + _BPE_SEP + rhs + "\x01"
+        rep = "\x01" + lhs + rhs + "\x01"
+        vocab = vocab.select(
+            "wc", F.replace(F.col("seg"), F.lit(pat), F.lit(rep)).alias("seg")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )

@@ -313,6 +313,147 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> None:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Generation management + the centroid-drift retrain policy — the ANN
+# member of the maintenance trio (store compact / index compact / bloom
+# rebuild). Centroids are immutable per generation (init_ann_index
+# enforces it), so adapting to distribution drift means building the NEXT
+# generation beside the current one and cutting probes over atomically —
+# the standard ANN index-rotation story, here as directory layout:
+#
+#   <root>/gen=0/{_centroids, batch_id=*/cell=*}   (complete: _GEN_DONE)
+#   <root>/gen=1/...                               (being built, no marker)
+#
+# ``current_generation`` resolves the highest COMPLETE generation; readers
+# stay on it while a rebuild runs; the ``_GEN_DONE`` marker lands last
+# (atomic create), so a crash mid-rebuild leaves an ignored partial dir
+# that the next retrain wipes and rebuilds — convergent like every other
+# maintenance op here.
+# ---------------------------------------------------------------------------
+
+#: sentinel marking a generation directory fully built (centroids +
+#: vectors + this file, in that order)
+_GEN_DONE = "_GEN_DONE"
+
+
+def _gen_dirs(root: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("gen="):
+            try:
+                out.append((int(d.split("=", 1)[1]), os.path.join(root, d)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_generation(root: str) -> str | None:
+    """Path of the newest COMPLETE generation (None before the first
+    finishes). Probes and ingest resolve through this, so a half-built
+    next generation is invisible until its marker lands."""
+    done = [p for _n, p in _gen_dirs(root) if os.path.exists(os.path.join(p, _GEN_DONE))]
+    return done[-1] if done else None
+
+
+def init_ann_generations(spark: SparkSession, root: str, centroids: DataFrame) -> str:
+    """Create generation 0 under ``root`` with the given centroids and
+    mark it complete (empty index, ready for ingest)."""
+    gen0 = os.path.join(root, "gen=0")
+    init_ann_index(spark, gen0, centroids)
+    open(os.path.join(gen0, _GEN_DONE), "x").close()
+    return gen0
+
+
+def describe_ann_index(spark: SparkSession, index_dir: str) -> dict:
+    """describe()-grade balance stats for one generation: vector count,
+    configured cell count, occupancy skew (``max_cell_frac`` — the share
+    of the corpus in the fullest cell; 1/k when perfectly balanced) and
+    the empty-cell fraction. One cell-keyed count over the index — the
+    same cadence-cheap shape as the SCD2 store's describe()."""
+    k = load_centroids(spark, index_dir).count()
+    if not any(d.startswith("batch_id=") for d in os.listdir(index_dir)):
+        return {"n_vectors": 0, "n_cells": k, "max_cell_frac": 0.0, "empty_cell_frac": 1.0}
+    per_cell = ann_index(spark, index_dir).groupBy("cell").agg(
+        F.count_distinct("vec_id").alias("n")
+    )
+    row = per_cell.agg(
+        F.sum("n").alias("total"), F.max("n").alias("mx"), F.count(F.lit(1)).alias("occupied")
+    ).collect()[0]
+    total = int(row["total"] or 0)
+    return {
+        "n_vectors": total,
+        "n_cells": k,
+        "max_cell_frac": round(int(row["mx"]) / total, 4) if total else 0.0,
+        "empty_cell_frac": round(1.0 - int(row["occupied"]) / k, 4),
+    }
+
+
+def maybe_retrain(
+    spark: SparkSession,
+    root: str,
+    balance_factor: float = 4.0,
+    empty_frac_threshold: float = 0.5,
+    min_vectors: int = 1024,
+    rows_per_cell: int | None = None,
+    iters: int = 2,
+) -> str | None:
+    """Retrain-on-drift policy, batch-cadence cheap: read the current
+    generation's balance stats; when the fullest cell holds more than
+    ``balance_factor`` times its fair share (1/k) — the signature of
+    incoming data drifting away from the trained centroids — or more than
+    ``empty_frac_threshold`` of cells sit empty, build the next
+    generation: train fresh centroids FROM the standing vectors, re-ingest
+    them (one batch 0, same assignment path as streaming), and publish the
+    completion marker last. Returns the new generation dir, or None when
+    balanced (a no-op costs one count aggregate). ``rows_per_cell`` grows
+    k with the corpus (k = n/rows_per_cell, the deployment policy);
+    default keeps the current k. Below ``min_vectors`` nothing retrains —
+    tiny indexes are always "skewed".
+
+    A crash anywhere mid-build leaves a marker-less dir: readers never see
+    it, and the next call wipes and rebuilds it — convergent."""
+    cur = current_generation(root)
+    if cur is None:
+        return None
+    stats = describe_ann_index(spark, cur)
+    n, k = stats["n_vectors"], stats["n_cells"]
+    if n < min_vectors:
+        return None
+    skewed = stats["max_cell_frac"] > balance_factor / k
+    hollow = stats["empty_cell_frac"] > empty_frac_threshold
+    if not (skewed or hollow):
+        return None
+    new_k = max(4, n // rows_per_cell) if rows_per_cell else k
+    cur_n = int(os.path.basename(cur).split("=", 1)[1])
+    nxt = os.path.join(root, f"gen={cur_n + 1}")
+    if os.path.isdir(nxt):  # crashed previous attempt (no marker, or it
+        # would BE current): wipe and rebuild
+        shutil.rmtree(nxt)
+    vectors = (
+        ann_index(spark, cur)
+        .select("vec_id", "embedding", "label")
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint()  # pin: the rebuild must not re-read mid-swap state
+    )
+    init_ann_index(spark, nxt, train_centroids(spark, vectors, k=new_k, iters=iters))
+    ingest_embedding_batch(spark, vectors, 0, nxt)
+    open(os.path.join(nxt, _GEN_DONE), "x").close()
+    return nxt
+
+
+def drop_old_generations(root: str, keep: int = 1) -> list[str]:
+    """Reclaim superseded COMPLETE generations, newest ``keep`` retained.
+    In-flight readers finish from open handles (POSIX); new probes already
+    resolve to the current generation."""
+    done = [p for _n, p in _gen_dirs(root) if os.path.exists(os.path.join(p, _GEN_DONE))]
+    dropped = done[:-keep] if keep else done
+    for p in dropped:
+        shutil.rmtree(p, ignore_errors=True)
+    return dropped
+
+
 __all__ = [
     "semantic_dedup_batch",
     "EMB_SCHEMA",
@@ -325,4 +466,9 @@ __all__ = [
     "ann_probe",
     "run_embedding_stream",
     "compact_ann_index",
+    "current_generation",
+    "init_ann_generations",
+    "describe_ann_index",
+    "maybe_retrain",
+    "drop_old_generations",
 ]

@@ -217,3 +217,100 @@ def test_semantic_dedup_batch(spark, index):
         [Row(vec_id=999999, embedding=[float((i * 37 % 19) - 9) for i in range(dim)], label=0)]
     )
     assert semantic_dedup_batch(spark, index, novel, threshold=0.9, nprobe=K_CELLS).count() == 1
+
+
+def test_retrain_policy_generation_swap(spark, tmp_path):
+    """The drift -> retrain -> generation-swap lifecycle: a balanced index
+    is a policy no-op; flooding one semantic region (incoming drift) skews
+    a cell past the balance factor, maybe_retrain builds gen=1 from the
+    standing vectors, probes through current_generation() answer EXACTLY
+    brute-force at nprobe=all across the swap, and old generations
+    reclaim. A crashed (marker-less) build dir is invisible to readers and
+    converges on the next call."""
+    import numpy as np
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        _GEN_DONE,
+        current_generation,
+        describe_ann_index,
+        drop_old_generations,
+        init_ann_generations,
+        maybe_retrain,
+    )
+
+    root = str(tmp_path / "ann_root")
+    rng = np.random.RandomState(7)
+    dim = 8
+
+    def rows(n, center, start_id):
+        pts = center + rng.randn(n, dim) * 0.05
+        return [(start_id + i, [float(x) for x in pts[i]], 0) for i in range(n)]
+
+    # two well-separated base regions -> balanced gen0
+    c1, c2 = np.zeros(dim), np.zeros(dim)
+    c1[0], c2[1] = 1.0, 1.0
+    base = rows(600, c1, 0) + rows(600, c2, 1000)
+    e = spark.createDataFrame(base, "vec_id long, embedding array<float>, label int")
+    gen0 = init_ann_generations(spark, root, train_centroids(spark, e, k=16, iters=2))
+    assert current_generation(root) == gen0
+    ingest_embedding_batch(spark, e, 0, gen0)
+
+    # balanced: no retrain (min_vectors met: 1200 rows)
+    assert maybe_retrain(spark, root, min_vectors=1000) is None
+
+    # drift: a flood concentrated in a NEW region lands in few cells
+    c3 = np.zeros(dim)
+    c3[2] = 1.0
+    flood = spark.createDataFrame(
+        rows(3000, c3, 10_000), "vec_id long, embedding array<float>, label int"
+    )
+    ingest_embedding_batch(spark, flood, 1, gen0)
+    stats = describe_ann_index(spark, gen0)
+    assert stats["n_vectors"] == 4200
+    assert stats["max_cell_frac"] > 4.0 / stats["n_cells"]
+
+    new_gen = maybe_retrain(spark, root, min_vectors=1000)
+    assert new_gen is not None and new_gen.endswith("gen=1")
+    assert current_generation(root) == new_gen
+    # retrained centroids rebalance: the fullest cell drops under the factor
+    assert describe_ann_index(spark, new_gen)["max_cell_frac"] <= 4.0 / 16
+    assert describe_ann_index(spark, new_gen)["n_vectors"] == 4200
+
+    # probes through the CURRENT generation stay exact at nprobe=all
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
+    got = ann_probe(spark, current_generation(root), q, k=5, nprobe=16).collect()
+    all_rows = e.unionByName(flood)
+    ce = all_rows.select("vec_id", F.col("embedding").alias("ce"))
+    brute = (
+        q.select("qid", F.col("embedding").alias("qe"))
+        .crossJoin(ce)
+        .select("qid", "vec_id", V.cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exp = brute.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 5)
+    assert {(r["qid"], r["vec_id"]) for r in got} == {
+        (r["qid"], r["vec_id"]) for r in exp.collect()
+    }
+
+    # rebalanced: the policy is quiescent again
+    assert maybe_retrain(spark, root, min_vectors=1000) is None
+
+    # crash convergence: a marker-less gen=2 dir is ignored by readers and
+    # wiped+rebuilt when drift strikes again
+    os.makedirs(os.path.join(root, "gen=2"))
+    assert current_generation(root) == new_gen
+    flood2 = spark.createDataFrame(
+        rows(20_000, c1 * -1.0, 50_000), "vec_id long, embedding array<float>, label int"
+    )
+    ingest_embedding_batch(spark, flood2, 2, new_gen)
+    gen2 = maybe_retrain(spark, root, min_vectors=1000)
+    assert gen2 is not None and gen2.endswith("gen=2")
+    assert os.path.exists(os.path.join(gen2, _GEN_DONE))
+    assert describe_ann_index(spark, gen2)["n_vectors"] == 24_200
+
+    # reclaim: only the newest survives; readers resolve to it
+    dropped = drop_old_generations(root, keep=1)
+    assert gen0 in dropped and new_gen in dropped
+    assert current_generation(root) == gen2
