@@ -140,11 +140,78 @@ def main() -> None:
                 "corpus": _corpus_bench(spark, sf_dir),
                 "corpus_stream": _corpus_stream_bench(spark, sf_dir),
                 "ann": _ann_bench(spark, sf_dir),
+                "media": _media_bench(),
                 "scaling": _scaling_bench(spark),
             }
         )
     )
     spark.stop()
+
+
+def _media_bench() -> dict:
+    """Per-format media decode throughput (MB/s) — pure numpy/stdlib
+    kernels unless PIL/soundfile are installed, in which case the fast
+    path takes over (the ``backend`` field says which ran). Published so
+    the cost of codec-less pure-python decode stays VISIBLE: the Spark
+    plumbing around these kernels is Arrow mapInPandas and scales out,
+    but per-byte decode is 2-3 orders slower than libjpeg/libflac until
+    the native libraries appear. Payloads are representative small media
+    (96x96 image, 2 s 16 kHz stereo audio); reps sized for >=0.2 s per
+    format so the numbers ride out scheduler jitter."""
+    import numpy as np
+
+    from consensource_sds_spark.operators import multimodal as MM
+
+    x = np.linspace(0, 4 * np.pi, 96)
+    px = (
+        (np.outer(np.sin(x), np.cos(x))[:, :, None] * np.array([100, 60, 30]) + 128)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    t = np.arange(2 * 16000)
+    wave = np.stack(
+        [(9000 * np.sin(t / 30)).astype(np.int64), (7000 * np.sin(t / 47)).astype(np.int64)],
+        axis=1,
+    )
+
+    def wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
+        ch = samples.shape[1]
+        data = samples.astype("<i2").tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + ch.to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate * ch * 2).to_bytes(4, "little") + (ch * 2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    image_backend = "pil" if (MM._HAVE_PIL and MM._fast_enabled()) else "pure"
+    audio_backend = "soundfile" if (MM._HAVE_SOUNDFILE and MM._fast_enabled()) else "pure"
+    cases = {
+        "png": (MM.encode_png_pixels(px), MM.decode_png_pixels, MM.fast_decode_pixels, image_backend),
+        "jpeg": (MM.encode_jpeg_pixels(px, quant=1), MM.decode_jpeg_pixels, MM.fast_decode_pixels, image_backend),
+        "bmp": (MM.encode_bmp_pixels(px), MM.decode_bmp_pixels, MM.fast_decode_pixels, image_backend),
+        "wav": (wav_bytes(wave), MM.decode_wav_samples, MM.fast_decode_samples, audio_backend),
+        "flac": (MM.encode_flac_samples(wave), MM.decode_flac_samples, MM.fast_decode_samples, audio_backend),
+    }
+    out: dict[str, dict] = {}
+    for fmt, (payload, pure_dec, fast_dec, backend) in cases.items():
+        dec = pure_dec if backend == "pure" else fast_dec
+        t0 = time.perf_counter()
+        assert dec(payload) is not None
+        once = time.perf_counter() - t0
+        reps = max(1, int(0.2 / max(once, 1e-6)))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dec(payload)
+        dt = (time.perf_counter() - t0) / reps
+        out[fmt] = {
+            "n_bytes": len(payload),
+            "mb_per_sec": round(len(payload) / dt / 1e6, 3),
+            "backend": backend,
+        }
+    return out
 
 
 def _scaling_bench(spark) -> dict | None:

@@ -91,6 +91,75 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+# ---------------------------------------------------------------------------
+# Optional native-codec fast path — the dual-backend pattern spark-protobuf
+# already uses here (codec/spark_udfs.py): the pure-python decoders below
+# are the ORACLE (complete, dependency-free, spec-pinned), and when PIL /
+# soundfile happen to exist in the runtime they take the hot path —
+# equivalence-tested against the pure decoders in
+# tests/test_multimodal.py::TestFastPathEquivalence (skip-gated on the
+# import probes, so the suite lights up unmodified the day the libraries
+# appear). Pure-python per-payload decode is 2-3 orders slower per byte
+# than libjpeg/libflac — fine for correctness in a codec-less sandbox,
+# and the published media bench block (bench.py `media`) keeps the cost
+# visible either way. Disable with SPARK_GRAFT_MEDIA_FAST=0.
+# ---------------------------------------------------------------------------
+
+try:
+    from PIL import Image as _PIL_Image
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+try:
+    import soundfile as _soundfile
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+
+def _fast_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_MEDIA_FAST", "1") != "0"
+
+
+def fast_decode_pixels(payload: bytes):
+    """PIL-backed image decode (PNG/GIF/BMP bit-identical to the pure
+    decoders; JPEG within IDCT rounding) -> uint8 RGB (h, w, 3) ndarray,
+    or None when PIL is absent/disabled or the payload doesn't decode."""
+    if not (_HAVE_PIL and _fast_enabled()):
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with _PIL_Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception:
+        return None
+
+
+def fast_decode_samples(payload: bytes):
+    """soundfile-backed audio decode (WAV/FLAC, bit-exact for 16-bit PCM)
+    -> float (n, ch) ndarray in [-1, 1) with the same /32768 scaling as
+    the pure decoders, or None when unavailable/undecodable."""
+    if not (_HAVE_SOUNDFILE and _fast_enabled()):
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        data, _sr = _soundfile.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        return data.astype(np.float32) / 32768.0
+    except Exception:
+        return None
+
+
 def decode_wav_samples(payload: bytes | None):
     """REAL audio decode for RIFF/WAVE PCM16 (format tag 1, 16 bits): a
     float32 ndarray (n_samples, channels) in [-1, 1), straight off the
@@ -1377,6 +1446,14 @@ def _features_one(payload, deterministic_fake: bool):
     if payload is None:
         return None
     b = bytes(payload)
+    # native-codec fast path when the libraries exist (pure decoders stay
+    # the fallback AND the oracle; see the fast-path block above)
+    samples = fast_decode_samples(b)
+    if samples is not None:
+        return _audio_features(samples)
+    px = fast_decode_pixels(b)
+    if px is not None:
+        return _image_features(px)
     samples = decode_wav_samples(b)
     if samples is None:
         samples = decode_flac_samples(b)

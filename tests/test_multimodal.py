@@ -841,3 +841,66 @@ def test_jpeg_restart_intervals():
             assert dec is not None, (ri, sub)
             mae = np.abs(dec.astype(float) - px).mean()
             assert mae < (0.5 if not sub else 8.0), (ri, sub, mae)
+
+
+class TestFastPathEquivalence:
+    """Native-codec fast path vs the pure-decoder oracle — these light up
+    unmodified the day PIL / soundfile appear in the runtime (the same
+    standing-probe discipline as the spark-protobuf JVM backend): lossless
+    formats must match BIT-EXACTLY; JPEG within IDCT rounding."""
+
+    @pytest.mark.skipif(not MM._HAVE_PIL, reason="PIL not installed in this container")
+    def test_pil_lossless_pixels_bit_exact(self):
+        import numpy as np
+
+        px = np.arange(16 * 12 * 3, dtype=np.uint8).reshape(16, 12, 3)
+        for enc, dec in (
+            (MM.encode_png_pixels, MM.decode_png_pixels),
+            (MM.encode_bmp_pixels, MM.decode_bmp_pixels),
+        ):
+            payload = enc(px)
+            fast = MM.fast_decode_pixels(payload)
+            pure = dec(payload)
+            assert fast is not None and pure is not None
+            assert np.array_equal(fast, pure), enc.__name__
+
+    @pytest.mark.skipif(not MM._HAVE_PIL, reason="PIL not installed in this container")
+    def test_pil_jpeg_within_idct_rounding(self):
+        import numpy as np
+
+        px = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+        payload = MM.encode_jpeg_pixels(px, quant=1)
+        fast = MM.fast_decode_pixels(payload).astype(np.int64)
+        pure = MM.decode_jpeg_pixels(payload).astype(np.int64)
+        assert fast.shape == pure.shape
+        assert np.abs(fast - pure).max() <= 2  # IDCT rounding envelope
+
+    @pytest.mark.skipif(
+        not MM._HAVE_SOUNDFILE, reason="soundfile not installed in this container"
+    )
+    def test_soundfile_flac_bit_exact(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        wave = rng.randint(-32768, 32768, size=(4000, 2)).astype(np.int64)
+        payload = MM.encode_flac_samples(wave, strategy="fixed", stereo="mid")
+        fast = MM.fast_decode_samples(payload)
+        pure = MM.decode_flac_samples(payload)
+        assert fast is not None and pure is not None
+        assert np.array_equal(
+            np.rint(fast * 32768.0).astype(np.int64), np.rint(pure * 32768.0).astype(np.int64)
+        )
+
+    def test_fast_path_absent_is_inert(self, monkeypatch):
+        """Without the libraries (or with SPARK_GRAFT_MEDIA_FAST=0) the
+        fast hooks return None and _features_one's answers come from the
+        pure decoders — the shipped sandbox behavior, pinned."""
+        import numpy as np
+
+        monkeypatch.setenv("SPARK_GRAFT_MEDIA_FAST", "0")
+        px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        payload = MM.encode_png_pixels(px)
+        assert MM.fast_decode_pixels(payload) is None
+        assert MM.fast_decode_samples(payload) is None
+        feats = MM._features_one(payload, deterministic_fake=False)
+        assert len(feats) == MM.FEATURE_DIM
