@@ -3614,43 +3614,30 @@ def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + union
 
 
-@register("x74_bpe_train", oracle=_bpe_oracle())
-def x74_bpe_train(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
-    """Complete BPE tokenizer training (Sennrich et al. 2016,
-    arXiv:1508.07909), N merges: x67 is one iteration's pair statistics;
-    this runs the full driver loop and emits the ranked merge table
-    (merge_rank, lhs, rhs, pair_count) — the artifact a tokenizer ships.
+def _bpe_seg_expr(col: str = "w"):
+    """Segmentation-string expression for a word column (the \\x01\\x01
+    wire format; safe for 0/1-char words — Spark's descending-sequence
+    surprise ``sequence(1, 0) == [1, 0]`` is guarded away)."""
+    chars = F.when(
+        F.length(col) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.substring(F.col(col), i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.lit(_BPE_SEP), F.concat_ws(_BPE_SEP, chars), F.lit(_BPE_SEP))
 
-    Scale — the classic BPE frequency compression (same argument as x67):
-    the CORPUS feeds exactly ONE word-count aggregation (map-side
-    combined; output is vocab-sized — millions of rows at 100 TB, not
-    billions). Every merge iteration then runs over the VOCAB only:
-    pair-explode + weighted count + a 1-row argmax collect (the one
-    driver action per iteration — bounded control plane, the merge
-    decision itself, inherently sequential). The merge applies as ONE
-    JVM-side string replace over the segmentation column (the \\x01\\x01
-    wire format above — exact greedy left-to-right BPE semantics), and
-    the vocab localCheckpoints each iteration so the plan never grows
-    with N. Iteration cost is O(vocab), independent of corpus size."""
-    d = load(spark, sf_dir, "documents")
+
+def _bpe_train_merges(spark, d, n_merges: int) -> list[tuple[int, str, str, int]]:
+    """The x74 training loop body, shared with x75's apply stage: returns
+    the ranked merge list [(rank, lhs, rhs, pair_count)]."""
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    seg = F.concat(
-        F.lit(_BPE_SEP),
-        F.concat_ws(
-            _BPE_SEP,
-            F.transform(
-                F.sequence(F.lit(1), F.length("w")),
-                lambda i: F.substring(F.col("w"), i, F.lit(1)),
-            ),
-        ),
-        F.lit(_BPE_SEP),
-    )
-    vocab = words.select("wc", seg.alias("seg")).localCheckpoint()
+    vocab = words.select("wc", _bpe_seg_expr("w").alias("seg")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for k in range(n_merges):
         syms = F.filter(F.split("seg", _BPE_SEP), lambda x: x != F.lit(""))
@@ -3681,6 +3668,101 @@ def x74_bpe_train(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
         vocab = vocab.select(
             "wc", F.replace(F.col("seg"), F.lit(pat), F.lit(rep)).alias("seg")
         ).localCheckpoint()
+    return merges
+
+
+@register("x74_bpe_train", oracle=_bpe_oracle())
+def x74_bpe_train(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
+    """Complete BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909), N merges: x67 is one iteration's pair statistics;
+    this runs the full driver loop and emits the ranked merge table
+    (merge_rank, lhs, rhs, pair_count) — the artifact a tokenizer ships.
+
+    Scale — the classic BPE frequency compression (same argument as x67):
+    the CORPUS feeds exactly ONE word-count aggregation (map-side
+    combined; output is vocab-sized — millions of rows at 100 TB, not
+    billions). Every merge iteration then runs over the VOCAB only:
+    pair-explode + weighted count + a 1-row argmax collect (the one
+    driver action per iteration — bounded control plane, the merge
+    decision itself, inherently sequential). The merge applies as ONE
+    JVM-side string replace over the segmentation column (the \\x01\\x01
+    wire format above — exact greedy left-to-right BPE semantics), and
+    the vocab localCheckpoints each iteration so the plan never grows
+    with N. Iteration cost is O(vocab), independent of corpus size."""
+    merges = _bpe_train_merges(spark, load(spark, sf_dir, "documents"), n_merges)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_apply_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """x75's oracle: the x74 training chain (unrolled), then the learned
+    merges applied to EVERY distinct corpus word as one nested-replace
+    expression, joined back per document."""
+    s, sep, p = "\x01", _BPE_SEP, _BPE_PSEP
+    train = _bpe_oracle(n_merges)
+    chain = train[len("WITH ") : train.rindex("SELECT 1 AS merge_rank")].rstrip().rstrip(",")
+    # drop the final UNION ALL select block: keep only the CTE chain
+    chain = chain[: chain.rindex(")") + 1]
+    merge_cte = ",\n    ".join(
+        f"""m{k} AS (SELECT
+        '{s}' || string_split(pk, '{p}')[1] || '{sep}' || string_split(pk, '{p}')[2] || '{s}' AS pat,
+        '{s}' || string_split(pk, '{p}')[1] || string_split(pk, '{p}')[2] || '{s}' AS rep
+        FROM b{k})"""
+        for k in range(n_merges)
+    )
+    applied_seg = "seg"
+    for k in range(n_merges):
+        applied_seg = f"replace({applied_seg}, m{k}.pat, m{k}.rep)"
+    froms = ", ".join(f"m{k}" for k in range(n_merges))
+    return f"""WITH {chain},
+    {merge_cte},
+    aw AS (SELECT DISTINCT w FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)),
+    aseg AS (
+      SELECT w, '{sep}' || array_to_string(list_transform(range(1, len(w)+1),
+                   i -> substr(w, CAST(i AS INT), 1)), '{sep}') || '{sep}' AS seg
+      FROM aw),
+    applied AS (SELECT w, {applied_seg} AS seg FROM aseg, {froms}),
+    wt AS (SELECT w, len(list_filter(string_split(seg, '{sep}'), x -> x <> '')) AS tok FROM applied)
+    SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(tok) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) dw
+    JOIN wt USING (w)
+    GROUP BY doc_id"""
+
+
+@register("x75_bpe_tokenize", oracle=_bpe_apply_oracle())
+def x75_bpe_tokenize(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
+    """BPE APPLY — the other half of the tokenizer lifecycle: train the
+    merge table (x74's loop) and tokenize the corpus with it, emitting
+    per-document (n_words, n_bpe_tokens) — the token-budget accounting a
+    training-data pipeline runs before packing sequences (x35/x52 feed on
+    exactly these counts).
+
+    Scale: training is x74 (corpus touched once, then vocab-sized
+    iterations). APPLY costs one pass over the DISTINCT words — the merge
+    table is driver-held (N rows) and compiles into a single nested
+    JVM-side replace chain, evaluated once per distinct word, never per
+    occurrence; per-doc counts then come from one (vocab x occurrences)
+    equi-join + aggregation, with the vocab side broadcastable at scale.
+    The segmentation wire format (and therefore greedy merge semantics)
+    is shared with x74 and its oracle."""
+    d = load(spark, sf_dir, "documents")
+    merges = _bpe_train_merges(spark, d, n_merges)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    seg = _bpe_seg_expr("w")
+    for _rank, lhs, rhs, _cnt in merges:
+        seg = F.replace(
+            seg,
+            F.lit("\x01" + lhs + _BPE_SEP + rhs + "\x01"),
+            F.lit("\x01" + lhs + rhs + "\x01"),
+        )
+    tok = F.size(F.filter(F.split(seg, _BPE_SEP), lambda x: x != F.lit("")))
+    wt = words.select("w").distinct().select("w", tok.alias("tok"))
+    return (
+        words.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("tok").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
