@@ -443,6 +443,48 @@ def maybe_retrain(
     return nxt
 
 
+def run_embedding_stream_generations(
+    spark: SparkSession,
+    source_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    auto_retrain: bool = False,
+    reclaim_old: bool = False,
+    **policy,
+):
+    """Generation-aware embedding stream: every microbatch lands in the
+    CURRENT generation, and with ``auto_retrain`` the drift policy runs at
+    batch cadence inside the same foreachBatch body — the ANN analog of
+    ``run_corpus_stream(auto_compact=True)``. Because ingest and retrain
+    run serially in the batch body, a rebuild's vector snapshot always
+    includes every batch already applied (no ingest/swap race). A crash
+    between retrain and the checkpoint commit replays the batch into the
+    NEW generation; its rows then exist both there (batch partition) and
+    in the rebuild snapshot (batch 0) — probes dedup on vec_id and
+    compaction folds the duplicates, the same tolerance the mid-compaction
+    crash already relies on. ``reclaim_old`` drops superseded generations
+    after a successful retrain. Extra ``policy`` kwargs pass through to
+    :func:`maybe_retrain`. Generation 0 must exist
+    (:func:`init_ann_generations`)."""
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(source_dir)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        gen = current_generation(root)
+        if gen is None:
+            raise ValueError(f"{root}: no complete ANN generation; run init_ann_generations first")
+        ingest_embedding_batch(spark, batch_df, batch_id, gen)
+        if auto_retrain and maybe_retrain(spark, root, **policy) is not None and reclaim_old:
+            drop_old_generations(root, keep=1)
+
+    writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
 def drop_old_generations(root: str, keep: int = 1) -> list[str]:
     """Reclaim superseded COMPLETE generations, newest ``keep`` retained.
     In-flight readers finish from open handles (POSIX); new probes already
@@ -470,5 +512,6 @@ __all__ = [
     "init_ann_generations",
     "describe_ann_index",
     "maybe_retrain",
+    "run_embedding_stream_generations",
     "drop_old_generations",
 ]

@@ -314,3 +314,81 @@ def test_retrain_policy_generation_swap(spark, tmp_path):
     dropped = drop_old_generations(root, keep=1)
     assert gen0 in dropped and new_gen in dropped
     assert current_generation(root) == gen2
+
+
+def test_streamed_generations_auto_retrain(spark, tmp_path):
+    """The generation-aware stream: drops flow into the current
+    generation; when a drifted drop skews the cells, the in-body policy
+    retrains and LATER batches land in the new generation — and probes
+    through current_generation() stay exact at nprobe=all across the
+    whole run (duplicate rows from the snapshot-plus-replay design are
+    absorbed by the probe's vec_id dedup)."""
+    import numpy as np
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        current_generation,
+        init_ann_generations,
+        run_embedding_stream_generations,
+    )
+
+    root, src, ckpt = str(tmp_path / "root"), str(tmp_path / "in"), str(tmp_path / "ck")
+    rng = np.random.RandomState(11)
+    dim = 8
+
+    def rows(n, axis, start_id):
+        c = np.zeros(dim)
+        c[axis] = 1.0
+        pts = c + rng.randn(n, dim) * 0.05
+        return [(start_id + i, [float(x) for x in pts[i]], 0) for i in range(n)]
+
+    base = spark.createDataFrame(
+        rows(800, 0, 0) + rows(800, 1, 10_000), "vec_id long, embedding array<float>, label int"
+    )
+    init_ann_generations(spark, root, train_centroids(spark, base, k=16, iters=2))
+
+    # drop 1: the training distribution; drop 2: a hard drift flood
+    base.coalesce(1).write.mode("append").parquet(src)
+    run_embedding_stream_generations(
+        spark, src, root, ckpt, auto_retrain=True, min_vectors=1000
+    )
+    gen_after_base = current_generation(root)
+    assert gen_after_base.endswith("gen=0")  # balanced: no retrain yet
+
+    flood = spark.createDataFrame(
+        rows(5000, 2, 50_000), "vec_id long, embedding array<float>, label int"
+    )
+    flood.coalesce(1).write.mode("append").parquet(src)
+    run_embedding_stream_generations(
+        spark, src, root, ckpt, auto_retrain=True, min_vectors=1000
+    )
+    gen_now = current_generation(root)
+    assert gen_now.endswith("gen=1"), "drifted drop must trigger the in-body retrain"
+
+    # a post-swap drop lands in the NEW generation
+    tail = spark.createDataFrame(rows(50, 1, 90_000), "vec_id long, embedding array<float>, label int")
+    tail.coalesce(1).write.mode("append").parquet(src)
+    run_embedding_stream_generations(spark, src, root, ckpt, auto_retrain=True, min_vectors=1000)
+    assert current_generation(root) == gen_now
+    from consensource_sds_spark.streaming.ann_ingest import describe_ann_index
+
+    assert describe_ann_index(spark, gen_now)["n_vectors"] == 800 + 800 + 5000 + 50
+
+    # probes through the current generation: exact at nprobe=all
+    all_rows = base.unionByName(flood).unionByName(tail)
+    q = all_rows.filter("vec_id IN (0, 10000, 50000, 90000)").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = ann_probe(spark, gen_now, q, k=3, nprobe=16).collect()
+    ce = all_rows.select("vec_id", F.col("embedding").alias("ce"))
+    brute = (
+        q.select("qid", F.col("embedding").alias("qe"))
+        .crossJoin(ce)
+        .select("qid", "vec_id", V.cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exp = brute.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3)
+    assert {(r["qid"], r["vec_id"]) for r in got} == {
+        (r["qid"], r["vec_id"]) for r in exp.collect()
+    }
