@@ -443,6 +443,19 @@ def maybe_retrain(
     return nxt
 
 
+def maybe_compact_ann(spark: SparkSession, index_dir: str, max_live_batches: int = 64) -> bool:
+    """Threshold compaction policy for one ANN generation — the IVF
+    member of the maintenance-cadence family (``maybe_compact_indexes``,
+    ``ScdParquetStore.maybe_compact``): fold per-batch partitions into
+    the consolidated ``batch_id=-1`` once more than ``max_live_batches``
+    have accumulated. Listing-cost only (one listdir) under threshold;
+    returns True when a compaction ran."""
+    if os.path.isdir(index_dir) and len(_live_batch_dirs(index_dir)) > max_live_batches:
+        compact_ann_index(spark, index_dir)
+        return True
+    return False
+
+
 def run_embedding_stream_generations(
     spark: SparkSession,
     source_dir: str,
@@ -451,6 +464,8 @@ def run_embedding_stream_generations(
     available_now: bool = True,
     auto_retrain: bool = False,
     reclaim_old: bool = False,
+    auto_compact: bool = False,
+    max_live_batches: int = 64,
     **policy,
 ):
     """Generation-aware embedding stream: every microbatch lands in the
@@ -464,8 +479,10 @@ def run_embedding_stream_generations(
     in the rebuild snapshot (batch 0) — probes dedup on vec_id and
     compaction folds the duplicates, the same tolerance the mid-compaction
     crash already relies on. ``reclaim_old`` drops superseded generations
-    after a successful retrain. Extra ``policy`` kwargs pass through to
-    :func:`maybe_retrain`. Generation 0 must exist
+    after a successful retrain; ``auto_compact`` additionally runs the
+    :func:`maybe_compact_ann` threshold fold on the current generation
+    each batch (listdir-cheap under threshold). Extra ``policy`` kwargs
+    pass through to :func:`maybe_retrain`. Generation 0 must exist
     (:func:`init_ann_generations`)."""
     stream = spark.readStream.schema(EMB_SCHEMA).parquet(source_dir)
 
@@ -476,6 +493,8 @@ def run_embedding_stream_generations(
         ingest_embedding_batch(spark, batch_df, batch_id, gen)
         if auto_retrain and maybe_retrain(spark, root, **policy) is not None and reclaim_old:
             drop_old_generations(root, keep=1)
+        if auto_compact:
+            maybe_compact_ann(spark, current_generation(root), max_live_batches=max_live_batches)
 
     writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -513,5 +532,6 @@ __all__ = [
     "describe_ann_index",
     "maybe_retrain",
     "run_embedding_stream_generations",
+    "maybe_compact_ann",
     "drop_old_generations",
 ]

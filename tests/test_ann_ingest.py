@@ -392,3 +392,26 @@ def test_streamed_generations_auto_retrain(spark, tmp_path):
     assert {(r["qid"], r["vec_id"]) for r in got} == {
         (r["qid"], r["vec_id"]) for r in exp.collect()
     }
+
+
+def test_maybe_compact_ann_policy(spark, index):
+    """The IVF compaction threshold policy: a no-op (False) under the
+    batch cap, a real fold (True) over it — and answers are unchanged
+    across the fold, the compaction contract."""
+    from consensource_sds_spark.streaming.ann_ingest import (
+        _live_batch_dirs,
+        maybe_compact_ann,
+    )
+
+    e = _emb(spark)
+    q = e.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
+    before = {(r["qid"], r["vec_id"]) for r in ann_probe(spark, index, q, k=3, nprobe=8).collect()}
+
+    assert len(_live_batch_dirs(index)) == 2
+    assert maybe_compact_ann(spark, index, max_live_batches=4) is False
+    assert len(_live_batch_dirs(index)) == 2  # untouched under threshold
+
+    assert maybe_compact_ann(spark, index, max_live_batches=1) is True
+    assert len(_live_batch_dirs(index)) == 0  # folded to batch_id=-1
+    after = {(r["qid"], r["vec_id"]) for r in ann_probe(spark, index, q, k=3, nprobe=8).collect()}
+    assert after == before
