@@ -2836,3 +2836,277 @@ def q93_rolling_active_users(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("mau30"))
     )
     return dau.join(mau, dau["day"] == mau["cday"]).select("day", "dau", "mau30")
+
+
+# --------------------------------------------------------------------------
+# TPC-H gap shapes, second batch: Q12/Q14/Q17/Q18/Q19/Q22 equivalents on
+# the available columns (no l_shipmode/l_commitdate/c_phone in the
+# testdata, so each keeps the CLASSIC plan shape with a faithful column
+# substitution, documented per query).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q94_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q94_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode -> returnflag substitution): how many
+    high- vs low-priority orders shipped LATE (>90 days after order
+    date), bucketed by line class. One equi-join on the order key with
+    the lateness predicate as a post-join filter (it references both
+    sides), one hash aggregate over a 3-value group key with conditional
+    counts folded map-side — no second pass, no pivot."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q95_promo_revenue",
+    oracle="""
+    WITH r AS (
+      SELECT
+        ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
+                            ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE), 2) AS promo_revenue,
+        ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01')
+    SELECT promo_revenue, total_revenue,
+           ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+    FROM r
+    """,
+)
+def q95_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue share for a ship-date window —
+    the conditional-aggregate-ratio pattern. ONE join + ONE aggregate
+    computes both the promo and total sums (the CASE rides the same
+    partial aggregate; no second scan, no scalar-subquery join); the
+    ratio divides the two already-rounded decimals so the percentage is
+    bit-stable under any partitioning. Part is dim-sized: broadcast in
+    the local profile, AQE-sized in cluster."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
+    agg = (
+        li.join(local_hint(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(30,10)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4).alias("promo_pct"),
+    )
+
+
+@register(
+    "q96_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pa ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q96_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked in SMALL-quantity orders of one
+    brand — the correlated per-part average, decorrelated into one
+    partkey-keyed aggregate joined back (never a per-row subquery). The
+    per-part average accumulates in DECIMAL and rounds at scale 4 BEFORE
+    the threshold comparison, so the boundary rows agree with the oracle
+    bit-for-bit; lineitem is scanned twice by design (once for the
+    averages, once for the probe) — at scale the pa aggregate is
+    part-cardinality-sized and the join keys on l_partkey co-partition
+    both sides in one shuffle wave."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_qty")
+        )
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(local_hint(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q97_large_volume_orders",
+    oracle="""
+    WITH oq AS (
+      SELECT l_orderkey AS lk,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) > 200)
+    SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us, o_totalprice, total_qty
+    FROM orders JOIN oq ON o_orderkey = lk
+                JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q97_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers who placed LARGE-volume orders — the
+    group-filter-then-enrich pattern. The per-order quantity aggregate
+    (with its HAVING) runs FIRST and shrinks the order-key set before any
+    wide join; orders then semi-filters through the surviving keys and
+    customer attaches last (dim-sized, broadcastable). Quantity sums
+    accumulate in DECIMAL so the HAVING boundary is partition-order
+    free."""
+    li = load(spark, sf_dir, "lineitem")
+    oq = (
+        li.groupBy(F.col("l_orderkey").alias("lk"))
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(oq, F.col("o_orderkey") == F.col("lk"))
+        .join(local_hint(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q98_disjunctive_predicate_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q98_disjunctive_predicate_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of conjunctive brand/size/
+    quantity filter combos. The join stays a plain p_partkey equi hash
+    join — the disjunction is a post-join filter, NOT a join condition,
+    which is exactly what keeps the plan off BroadcastNestedLoopJoin
+    (an OR in the ON clause would defeat the equi-join extractor; pinned
+    by test_plans). Each disjunct's part-side conjuncts could also push
+    into the part scan as a residual OR filter — Catalyst does this
+    automatically (PushedFilters: Or(...))."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    d1 = (F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5)
+    d2 = (F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10)
+    d3 = (F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15)
+    return (
+        li.join(local_hint(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(d1 | d2 | d3)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q99_dormant_rich_by_nation",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS ab
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q99_dormant_rich_by_nation(spark, sf_dir):
+    """TPC-H Q22 shape (cntrycode -> nationkey substitution): customers
+    richer than the positive-balance average with NO recent orders,
+    rolled up by nation. The scalar average is a 1-row broadcast (the
+    allowed BNLJ — same as q78's treatment), computed in DECIMAL and
+    rounded before the comparison so boundary customers agree with the
+    oracle; the NOT EXISTS decorrelates to a left anti join against the
+    date-filtered orders (the filter pushes below the join, so the anti
+    probe is small); one final nation-keyed aggregate."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    ab = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("ab")
+        )
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double"), 2).alias("total_bal"),
+        )
+    )

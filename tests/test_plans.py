@@ -34,6 +34,7 @@ _BNLJ_ALLOWED = {
     "x46_unigram_lm_score": 1,  # 1-row corpus-totals (T, V) scalar broadcast
     "x57_distribution_drift": 1,  # 1-row snapshot-totals scalar broadcast
     "q78_dormant_accounts": 1,  # 1-row average-balance scalar broadcast
+    "q99_dormant_rich_by_nation": 1,  # 1-row average-balance scalar broadcast (Q22 shape)
     "q86_value_concentration": 1,  # 1-row global-total scalar broadcast
     "x40_kmeans_update": 1,  # the 8-centroid assignment cross join
     "q62_gap_fill": 1,  # day-spine x event-type grid (both sides tiny, generated)
