@@ -3766,3 +3766,158 @@ def x75_bpe_tokenize(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
             F.sum("tok").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+#: exact-substring window width (tokens) and the boilerplate posting cap
+_X76_W = 8
+_X76_MAX_POSTING = 50
+_X76_MIN_SHARED = 4
+
+
+@register(
+    "x76_exact_substring_matches",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    win AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(ts) - {_X76_W} + 2),
+                    i -> md5(array_to_string(ts[i:i+{_X76_W}-1], ' ')))) AS h
+      FROM toks WHERE len(ts) >= {_X76_W}),
+    capped AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) <= {_X76_MAX_POSTING}),
+    w2 AS (SELECT win.doc_id, win.h FROM win JOIN capped USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM w2 a JOIN w2 b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_X76_MIN_SHARED}
+    """,
+)
+def x76_exact_substring_matches(spark, sf_dir):
+    """EXACT substring-overlap detection (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr method re-expressed for Spark): two docs
+    sharing any W-token run of IDENTICAL text are reported with the count
+    of shared windows. Unlike x48/x49 winnowing — which SAMPLES ~2/w of
+    shingles and has sampling recall — stride-1 hashing of every W-token
+    window has recall 1.0 for runs >= W tokens: the suffix-array result
+    for fixed W, without the suffix array (which doesn't distribute; the
+    stride-1 window relation does).
+
+    Scale: the window relation is O(total_tokens) rows — the honest cost
+    of exact matching, LINEAR, produced map-side (one transform+explode,
+    no shuffle until the hash agg). Distinct (doc, h) collapses repeated
+    in-doc runs; the posting cap drops boilerplate hashes shared by
+    > {_X76_MAX_POSTING} docs BEFORE the pair join (x49's treatment — a
+    k-doc hash would mint k^2 pairs), so pair volume is bounded per hash.
+    The pair join keys on the window hash — never doc x doc."""
+    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ts"))
+    windows = F.when(
+        F.size("ts") >= _X76_W,
+        F.expr(
+            f"transform(sequence(1, size(ts) - {_X76_W} + 1),"
+            f" i -> md5(concat_ws(' ', slice(ts, i, {_X76_W}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = d.select("doc_id", F.explode(windows).alias("h")).distinct()
+    capped = (
+        win.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= _X76_MAX_POSTING)
+        .select("h")
+    )
+    w2 = win.join(capped, "h")
+    a = w2.select(F.col("doc_id").alias("doc_a"), "h")
+    b = w2.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, ["h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _X76_MIN_SHARED)
+    )
+
+
+@register(
+    "x77_exact_substring_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(range(1, len(ts)+1)) AS pos,
+             UNNEST(ts) AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+    win AS (
+      SELECT doc_id, UNNEST(range(1, len(ts) - {_X76_W} + 2)) AS i,
+             UNNEST(list_transform(range(1, len(ts) - {_X76_W} + 2),
+                    i -> md5(array_to_string(ts[i:i+{_X76_W}-1], ' ')))) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      WHERE len(ts) >= {_X76_W}),
+    owner AS (
+      SELECT h, MIN(doc_id) AS own FROM win GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    removed AS (SELECT win.doc_id, win.i FROM win JOIN owner USING (h)
+                WHERE win.doc_id <> owner.own),
+    cover AS (
+      SELECT DISTINCT doc_id, i + off AS pos
+      FROM removed, (SELECT UNNEST(range({_X76_W})) AS off)),
+    flagged AS (
+      SELECT t.doc_id, t.pos, t.token, (c.pos IS NOT NULL) AS rm
+      FROM toks t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(STRING_AGG(CASE WHEN NOT rm THEN token END, ' ' ORDER BY pos), '')
+             AS text_scrubbed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def x77_exact_substring_scrub(spark, sf_dir):
+    """The APPLY half of exact-substring dedup (Lee et al. 2022's cut
+    step, x76's sibling): every W-token window shared ACROSS documents is
+    removed from every doc except the window's canonical owner (min
+    doc_id) — one copy of each duplicated span survives corpus-wide —
+    and the surviving tokens reassemble in order (x64's collect-skip-
+    nulls reassembly at token granularity).
+
+    Scale — crucially there is NO pair join anywhere: ownership is one
+    hash-agg over the window relation (min doc + distinct-doc count per
+    hash), removal coverage is a bounded W-fan-out explode over removed
+    windows (O(tokens x W) worst case, linear), and reconstruction is one
+    doc-keyed aggregate. A boilerplate window shared by k docs costs k
+    removal rows, never k^2 — the reason the scrub scales where naive
+    pairwise span-diffing would not."""
+    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ts"))
+    toks = d.select("doc_id", F.posexplode("ts").alias("pos0", "token")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
+    )
+    windows = F.when(
+        F.size("ts") >= _X76_W,
+        F.expr(
+            f"transform(sequence(1, size(ts) - {_X76_W} + 1),"
+            f" i -> md5(concat_ws(' ', slice(ts, i, {_X76_W}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = d.select("doc_id", F.posexplode(windows).alias("i0", "h")).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "h"
+    )
+    owner = (
+        win.groupBy("h")
+        .agg(F.min("doc_id").alias("own"), F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h", "own")
+    )
+    removed = win.join(owner, "h").filter(F.col("doc_id") != F.col("own")).select("doc_id", "i")
+    cover = (
+        removed.select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + _X76_W - 1)).alias("pos")
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    flagged = toks.join(cover, ["doc_id", "pos"], "left").withColumn(
+        "rm", F.coalesce(F.col("_rm"), F.lit(False))
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(~F.col("rm"), F.struct("pos", "token")))
+    ).getField("token")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_scrubbed"),
+    )

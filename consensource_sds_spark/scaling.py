@@ -48,6 +48,7 @@ SCALING_QUERIES = (
     "x61_domain_doc_cap",
     "x64_boilerplate_scrub",
     "x65_semantic_dedup",
+    "x76_exact_substring_matches",
 )
 
 
@@ -130,13 +131,17 @@ def measure_scaling(
             corpus = os.path.join(dest, "corpus")
             idx = corpus + "_digest_index"
             band = corpus + "_band_index"
+            fp = corpus + "_fp_index"
             docs = spark.read.parquet(os.path.join(dirs[scale], "documents.parquet"))
             try:
                 for b in range(stream_batches):
                     batch = docs.filter(F.pmod(F.hash("doc_id"), stream_batches) == b)
-                    ingest_batch(spark, batch, b, corpus, idx, n_shards=8, band_dir=band)
+                    ingest_batch(
+                        spark, batch, b, corpus, idx, n_shards=8,
+                        band_dir=band, fingerprint_dir=fp,
+                    )
             finally:
-                for d in (idx, band):
+                for d in (idx, band, fp):
                     spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(d)}")
                 shutil.rmtree(dest, ignore_errors=True)
 
