@@ -385,6 +385,7 @@ def describe_ann_index(spark: SparkSession, index_dir: str) -> dict:
     return {
         "n_vectors": total,
         "n_cells": k,
+        "occupied_cells": int(row["occupied"]),
         "max_cell_frac": round(int(row["mx"]) / total, 4) if total else 0.0,
         "empty_cell_frac": round(1.0 - int(row["occupied"]) / k, 4),
     }
@@ -425,7 +426,20 @@ def maybe_retrain(
     hollow = stats["empty_cell_frac"] > empty_frac_threshold
     if not (skewed or hollow):
         return None
-    new_k = max(4, n // rows_per_cell) if rows_per_cell else k
+    if rows_per_cell:
+        new_k = max(4, n // rows_per_cell)
+    elif hollow:
+        # a mostly-empty index means k exceeds the data's support: a
+        # retrain at the SAME k would likely leave cells empty again and
+        # the policy would churn a new generation every batch. Shrink to
+        # the occupied count (Lloyd seeds are data points, so these cells
+        # have members) — one retrain, then quiescent. (When ALSO skewed,
+        # the retrain itself redistributes the fat cell.)
+        new_k = max(2, stats["occupied_cells"])
+    else:
+        new_k = k
+    if hollow and not skewed and new_k == k:
+        return None  # the shrink would be structural no-op; never churn
     cur_n = int(os.path.basename(cur).split("=", 1)[1])
     nxt = os.path.join(root, f"gen={cur_n + 1}")
     if os.path.isdir(nxt):  # crashed previous attempt (no marker, or it

@@ -415,3 +415,49 @@ def test_maybe_compact_ann_policy(spark, index):
     assert len(_live_batch_dirs(index)) == 0  # folded to batch_id=-1
     after = {(r["qid"], r["vec_id"]) for r in ann_probe(spark, index, q, k=3, nprobe=8).collect()}
     assert after == before
+
+
+def test_hollow_retrain_shrinks_k_and_quiesces(spark, tmp_path):
+    """A mostly-empty index (k far beyond the data's support) must
+    retrain ONCE with k shrunk to the occupied-cell count and then go
+    quiet — not churn a new generation every batch (the hollow-trigger
+    pathology: same k would leave the same empties)."""
+    import numpy as np
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        current_generation,
+        describe_ann_index,
+        init_ann_generations,
+        maybe_retrain,
+    )
+
+    root = str(tmp_path / "root")
+    rng = np.random.RandomState(5)
+    dim = 8
+    # centroids trained on a BROAD corpus (all directions), but the
+    # standing index only ever receives vectors near one direction — the
+    # support shrank relative to the trained k, most cells sit empty
+    broad = rng.randn(2000, dim)
+    trainer = spark.createDataFrame(
+        [(i, [float(x) for x in broad[i]], 0) for i in range(len(broad))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    c1 = np.zeros(dim)
+    c1[0] = 1.0
+    narrow = c1 + rng.randn(1800, dim) * 0.02
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in narrow[i]], 0) for i in range(len(narrow))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    gen0 = init_ann_generations(spark, root, train_centroids(spark, trainer, k=32, iters=2))
+    ingest_embedding_batch(spark, e, 0, gen0)
+    s0 = describe_ann_index(spark, gen0)
+    assert s0["empty_cell_frac"] > 0.5  # the scenario is real
+
+    g1 = maybe_retrain(spark, root, min_vectors=100)
+    assert g1 is not None and g1.endswith("gen=1")
+    s1 = describe_ann_index(spark, g1)
+    assert s1["n_cells"] == max(2, s0["occupied_cells"])  # k shrank to the support
+    assert s1["n_vectors"] == 1800
+    # and the policy is now quiescent — no churn
+    assert maybe_retrain(spark, root, min_vectors=100) is None
