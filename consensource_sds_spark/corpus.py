@@ -53,6 +53,7 @@ from pyspark.sql.window import Window
 
 from consensource_sds_spark.queries import load
 from consensource_sds_spark.queries.extensions import (
+    exact_substring_scrub,
     near_dup_clusters,
     scrub_boilerplate,
     with_filter_verdict,
@@ -78,28 +79,53 @@ def build_training_corpus(
     out_dir: str,
     domain_cap: int = 10,
     n_shards: int = 16,
+    substring_scrub: bool = False,
 ) -> DataFrame:
     """Run the full pipeline and write ``split=*/shard_id=*`` parquet to
-    ``out_dir``; returns the per-(stage, reason) drop accounting."""
+    ``out_dir``; returns the per-(stage, reason) drop accounting.
+
+    ``substring_scrub`` inserts x77's exact-substring cut (Lee et al.
+    2022) between the boilerplate scrub and the quality filter: every
+    cross-document W-token run keeps one canonical copy corpus-wide, and
+    the filters judge the post-cut text. Off by default — it is the
+    expensive exact pass (O(tokens) window relation); the per-doc token
+    loss lands in an ``n_substr_removed`` column, not the drop audit
+    (documents are cut, not dropped — the downstream length filter is
+    what drops a hollowed-out doc, same single-purpose-stage discipline
+    as the boilerplate scrub)."""
     docs = load(spark, sf_dir, "documents")
     staging = out_dir.rstrip("/") + "_staging"
 
-    # 0+1. scrub boilerplate, then judge the CLEAN text — both land in ONE
-    #      staging table (text here = clean text; n_chars recomputed on it)
-    cleaned = (
-        docs.select("doc_id", "lang", "source")
-        .join(scrub_boilerplate(docs.select("doc_id", "text")), "doc_id")
-        .select(
+    # 0+1. scrub boilerplate (and optionally the exact-substring cut),
+    #      then judge the CLEAN text — all land in ONE staging table
+    #      (text here = clean text; n_chars recomputed on it)
+    base = docs.select("doc_id", "lang", "source").join(
+        scrub_boilerplate(docs.select("doc_id", "text")), "doc_id"
+    )
+    extra_cols: list[str] = []
+    if substring_scrub:
+        ss = exact_substring_scrub(
+            base.select("doc_id", F.col("clean_text").alias("text"))
+        ).select(
             "doc_id",
-            F.col("clean_text").alias("text"),
-            "lang",
-            "source",
-            F.length("clean_text").alias("n_chars"),
-            "n_removed",
+            F.col("text_scrubbed").alias("_ss_text"),
+            F.col("n_removed").alias("n_substr_removed"),
         )
+        base = base.drop("clean_text").join(ss, "doc_id").withColumnRenamed(
+            "_ss_text", "clean_text"
+        )
+        extra_cols = ["n_substr_removed"]
+    cleaned = base.select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        "lang",
+        "source",
+        F.length("clean_text").alias("n_chars"),
+        "n_removed",
+        *extra_cols,
     )
     with_filter_verdict(cleaned).select(
-        "doc_id", "text", "lang", "source", "n_chars", "n_removed", "verdict"
+        "doc_id", "text", "lang", "source", "n_chars", "n_removed", *extra_cols, "verdict"
     ).write.mode("overwrite").parquet(os.path.join(staging, "clean"))
     clean = spark.read.parquet(os.path.join(staging, "clean"))
     kept1 = clean.filter(F.col("verdict") == "keep").drop("verdict")

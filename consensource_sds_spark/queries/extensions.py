@@ -3873,7 +3873,8 @@ def x77_exact_substring_scrub(spark, sf_dir):
     removed from every doc except the window's canonical owner (min
     doc_id) — one copy of each duplicated span survives corpus-wide —
     and the surviving tokens reassemble in order (x64's collect-skip-
-    nulls reassembly at token granularity).
+    nulls reassembly at token granularity). Frame-level body in
+    :func:`exact_substring_scrub` (the corpus build's optional stage).
 
     Scale — crucially there is NO pair join anywhere: ownership is one
     hash-agg over the window relation (min doc + distinct-doc count per
@@ -3882,7 +3883,15 @@ def x77_exact_substring_scrub(spark, sf_dir):
     doc-keyed aggregate. A boilerplate window shared by k docs costs k
     removal rows, never k^2 — the reason the scrub scales where naive
     pairwise span-diffing would not."""
-    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ts"))
+    return exact_substring_scrub(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
+    """x77's frame-level body over any (doc_id, text) frame: returns
+    (doc_id, n_tokens, n_removed, text_scrubbed). See the registry
+    docstring for semantics and the scale argument."""
+    _X76_W = w  # noqa: N806  (keep the f-string expressions below intact)
+    d = docs.select("doc_id", F.split("text", " ").alias("ts"))
     toks = d.select("doc_id", F.posexplode("ts").alias("pos0", "token")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
     )

@@ -87,3 +87,46 @@ def test_build_training_corpus(spark, tmp_path):
     a = sorted(r["doc_id"] for r in written.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect())
     assert a == b
+
+
+def test_build_with_substring_scrub(spark, tmp_path):
+    """The optional exact-substring stage: every cross-doc W-token run
+    keeps one canonical copy — so the SURVIVORS' texts share no window —
+    the per-doc loss is accounted in n_substr_removed, and the rest of
+    the pipeline (filters, dedups, cap, layout) behaves as before."""
+    from consensource_sds_spark.queries.extensions import _X76_W
+
+    out = str(tmp_path / "corpus_ss")
+    stats = build_training_corpus(
+        spark, SF, out, domain_cap=50, n_shards=4, substring_scrub=True
+    )
+    stats.collect()
+    surv = spark.read.parquet(out)
+    assert "n_substr_removed" in surv.columns
+    # in THIS pipeline the boilerplate scrub runs first and already eats
+    # the corpus's repeated passages, so the substring stage may see
+    # nothing left — the cut's bite is proven on the RAW text instead,
+    # where the testdata's shared runs are plentiful
+    from consensource_sds_spark.queries.extensions import exact_substring_scrub
+
+    raw_cut = exact_substring_scrub(load(spark, SF, "documents").select("doc_id", "text"))
+    assert raw_cut.agg(F.sum("n_removed")).first()[0] > 0
+    # post-cut invariant: no W-token window appears in two surviving docs
+    win = (
+        surv.select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= _X76_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {_X76_W} + 1),"
+                    f" i -> md5(concat_ws(' ', slice(ts, i, {_X76_W}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    cross = win.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter("nd > 1")
+    assert cross.count() == 0
+    # exact dedup still holds on the post-cut text
+    assert surv.groupBy(F.md5("text")).count().filter("count > 1").count() == 0
