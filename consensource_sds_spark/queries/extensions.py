@@ -3890,16 +3890,15 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
     """x77's frame-level body over any (doc_id, text) frame: returns
     (doc_id, n_tokens, n_removed, text_scrubbed). See the registry
     docstring for semantics and the scale argument."""
-    _X76_W = w  # noqa: N806  (keep the f-string expressions below intact)
     d = docs.select("doc_id", F.split("text", " ").alias("ts"))
     toks = d.select("doc_id", F.posexplode("ts").alias("pos0", "token")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
     )
     windows = F.when(
-        F.size("ts") >= _X76_W,
+        F.size("ts") >= w,
         F.expr(
-            f"transform(sequence(1, size(ts) - {_X76_W} + 1),"
-            f" i -> md5(concat_ws(' ', slice(ts, i, {_X76_W}))))"
+            f"transform(sequence(1, size(ts) - {w} + 1),"
+            f" i -> md5(concat_ws(' ', slice(ts, i, {w}))))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     win = d.select("doc_id", F.posexplode(windows).alias("i0", "h")).select(
@@ -3914,7 +3913,7 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
     removed = win.join(owner, "h").filter(F.col("doc_id") != F.col("own")).select("doc_id", "i")
     cover = (
         removed.select(
-            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + _X76_W - 1)).alias("pos")
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + w - 1)).alias("pos")
         )
         .distinct()
         .withColumn("_rm", F.lit(True))
@@ -3929,4 +3928,82 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("rm"), 1).otherwise(0)).alias("n_removed"),
         F.concat_ws(" ", kept).alias("text_scrubbed"),
+    )
+
+
+@register(
+    "x78_histogram_quantile_rollup",
+    oracle="""
+    WITH mm AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+    b AS (
+      SELECT source,
+             CAST(LEAST(63, ((n_chars - mn) * 64) // (mx - mn + 1)) AS INT) AS bin
+      FROM documents, mm),
+    c AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY source, bin),
+    merged AS (SELECT 'ALL' AS source, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM c GROUP BY bin),
+    u AS (SELECT * FROM c UNION ALL SELECT * FROM merged),
+    cum AS (
+      SELECT source, bin,
+             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM u)
+    SELECT source,
+           MIN(CASE WHEN cum * 100 >= 50 * tot THEN bin END) AS p50_bin,
+           MIN(CASE WHEN cum * 100 >= 95 * tot THEN bin END) AS p95_bin,
+           MIN(CASE WHEN cum * 100 >= 99 * tot THEN bin END) AS p99_bin
+    FROM cum GROUP BY source
+    """,
+)
+def x78_histogram_quantile_rollup(spark, sf_dir):
+    """Mergeable quantile sketches — the third classic mergeable-summary
+    family beside x50's HLL (distinct) and x63's theta (overlap): a
+    64-bin equi-width histogram per source whose bin counts ADD, so any
+    coarser grain's quantiles come from summing fine-grain bins, never
+    from re-scanning raw data. The 'ALL' row here is computed exactly
+    that way — a rollup of the per-source bin counts — which is the whole
+    operational point at 100 TB: sketch once at the finest grain, answer
+    p50/p95/p99 at every grain from KB-sized summaries (the
+    fixed-bin-histogram member of the quantile-sketch family; KLL and
+    t-digest refine the bin placement, the merge algebra is the same).
+
+    Exactness discipline: binning is PURE INTEGER (``(x-mn)*64 //
+    (mx-mn+1)``) and the quantile walk compares ``cum*100 >= q*tot`` in
+    integers — no float anywhere until nothing is left to diverge, so
+    the oracle matches bit-for-bit. The global (mn, mx) is a 1-row
+    scalar broadcast (the allowed BNLJ); everything else is two
+    hash-aggs and one per-source window over <=64 rows each."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    mm = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    binned = d.join(F.broadcast(mm)).select(
+        "source",
+        F.least(
+            F.lit(63).cast("long"),
+            F.expr("((n_chars - mn) * 64) DIV (mx - mn + 1)"),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    c = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # the ALL grain rolls up from the per-source BIN COUNTS (mergeability
+    # in action); grouping-sets-style explode keeps it one subtree — a
+    # self-union would plan the binning scan (and its scalar broadcast)
+    # twice
+    u = (
+        c.select(F.explode(F.array(F.col("source"), F.lit("ALL"))).alias("source"), "bin", "cnt")
+        .groupBy("source", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wcum = Window.partitionBy("source").orderBy("bin")
+    wtot = Window.partitionBy("source")
+    cum = u.select(
+        "source",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("tot"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= q * F.col("tot"), F.col("bin"))
+    )
+    return cum.groupBy("source").agg(
+        pick(50).alias("p50_bin"), pick(95).alias("p95_bin"), pick(99).alias("p99_bin")
     )

@@ -35,6 +35,7 @@ _BNLJ_ALLOWED = {
     "x57_distribution_drift": 1,  # 1-row snapshot-totals scalar broadcast
     "q78_dormant_accounts": 1,  # 1-row average-balance scalar broadcast
     "q99_dormant_rich_by_nation": 1,  # 1-row average-balance scalar broadcast (Q22 shape)
+    "x78_histogram_quantile_rollup": 1,  # 1-row global (min, max) scalar broadcast
     "q86_value_concentration": 1,  # 1-row global-total scalar broadcast
     "x40_kmeans_update": 1,  # the 8-centroid assignment cross join
     "q62_gap_fill": 1,  # day-spine x event-type grid (both sides tiny, generated)
