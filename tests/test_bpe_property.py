@@ -1,0 +1,69 @@
+"""BPE training property test: x74's distributed merge loop must agree
+with an independent pure-Python reference implementation on arbitrary
+corpora — greedy left-to-right apply, frequency-weighted pair counts, and
+the (count DESC, pair ASC) tie-break are exactly where tokenizer
+implementations subtly diverge, and the single-testdata DuckDB oracle
+only pins one input. Hypothesis generates many."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from consensource_sds_spark.queries.extensions import _BPE_PSEP, _bpe_train_merges
+
+
+def _reference_bpe(texts: list[str], n_merges: int):
+    """Sennrich et al. 2016 reference: word-frequency table, symbol
+    sequences, argmax pair by (count desc, pair-key asc with the same
+    \\x02 separator the operator uses), greedy non-overlapping
+    left-to-right merge."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, syms in segs.items():
+            wc = vocab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + _BPE_PSEP + kv[0][1]))
+        (lhs, rhs), cnt = best
+        merges.append((rank, lhs, rhs, cnt))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+token = st.text(alphabet="abcde", min_size=1, max_size=6)
+doc = st.lists(token, min_size=1, max_size=12).map(" ".join)
+
+
+@pytest.mark.usefixtures("spark")
+@given(texts=st.lists(doc, min_size=1, max_size=10), n_merges=st.integers(1, 5))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_reference(spark, texts, n_merges):
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = _bpe_train_merges(spark, d, n_merges)
+    assert got == _reference_bpe(texts, n_merges)
