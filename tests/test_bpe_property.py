@@ -67,3 +67,51 @@ def test_bpe_matches_reference(spark, texts, n_merges):
     d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     got = _bpe_train_merges(spark, d, n_merges)
     assert got == _reference_bpe(texts, n_merges)
+
+
+# ---------------------------------------------------------------------------
+# x77 exact-substring scrub vs a pure-Python reference — ownership (min
+# doc_id per cross-doc window), W-token coverage union, and in-order
+# reconstruction are the subtle parts; the DuckDB oracle pins one input,
+# hypothesis pins many (including overlap chains and all-covered docs).
+# ---------------------------------------------------------------------------
+
+
+def _reference_scrub(texts: dict[int, str], w: int):
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    owner: dict[tuple, set] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - w + 1):
+            owner.setdefault(tuple(ts[i : i + w]), set()).add(d)
+    out = {}
+    for d, ts in toks.items():
+        cover = set()
+        for i in range(len(ts) - w + 1):
+            win = tuple(ts[i : i + w])
+            docs = owner[win]
+            if len(docs) >= 2 and d != min(docs):
+                cover.update(range(i, i + w))
+        kept = [t for i, t in enumerate(ts) if i not in cover]
+        out[d] = (len(ts), len(cover), " ".join(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    texts=st.lists(st.lists(token, min_size=1, max_size=14).map(" ".join), min_size=1, max_size=8),
+    w=st.integers(2, 4),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substring_scrub_matches_reference(spark, texts, w):
+    from consensource_sds_spark.queries.extensions import exact_substring_scrub
+
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_scrubbed"])
+        for r in exact_substring_scrub(d, w=w).collect()
+    }
+    assert got == _reference_scrub(dict(enumerate(texts)), w)
