@@ -256,6 +256,14 @@ def _corpus_bench(spark, sf_dir: str) -> dict:
             dt = min(dt, time.perf_counter() - t0)
             dropped = {f"{r['stage']}:{r['reason']}": r["n_dropped"] for r in rows}
         n_kept = n_docs - sum(dropped.values())
+        # the optional exact-substring cut (x77) is the expensive exact
+        # pass — publish its cost so turning it on is an informed choice
+        out_ss = os.path.join(tmp, "run_ss")
+        t0 = time.perf_counter()
+        build_training_corpus(
+            spark, sf_dir, out_ss, domain_cap=50, n_shards=16, substring_scrub=True
+        ).collect()
+        dt_ss = time.perf_counter() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -263,6 +271,7 @@ def _corpus_bench(spark, sf_dir: str) -> dict:
         "n_docs": n_docs,
         "n_kept": n_kept,
         "docs_per_sec": round(n_docs / dt, 1),
+        "sec_with_substring_scrub": round(dt_ss, 3),
         "dropped": dropped,
     }
 

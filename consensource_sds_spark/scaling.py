@@ -49,6 +49,7 @@ SCALING_QUERIES = (
     "x64_boilerplate_scrub",
     "x65_semantic_dedup",
     "x76_exact_substring_matches",
+    "x77_exact_substring_scrub",
 )
 
 
