@@ -90,6 +90,18 @@ def measure_scaling(
     from consensource_sds_spark.streaming.corpus_ingest import _index_table_name, ingest_batch
 
     all_queries()
+    # session hygiene: when this runs late in a long bench session, cached
+    # pooled tables and checkpoint RDDs from earlier blocks raise old-gen
+    # GC pressure that can inflate a single stage's wall-clock several
+    # fold (observed: one stage 0.6 s in isolation, 6.7 s mid-session) —
+    # exactly the kind of noise a RATIO pin cannot tolerate. Drop the
+    # caches (nothing after this block re-reads them) and hint a full GC
+    # so every stage starts from the same heap state.
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     work = tempfile.mkdtemp(prefix="scaling_")
     out: dict[str, dict] = {}
     try:

@@ -357,12 +357,35 @@ def current_generation(root: str) -> str | None:
     return done[-1] if done else None
 
 
+def _write_gen_marker(gen_dir: str, n_vectors: int) -> None:
+    """Publish the completion marker, recording the vector count the
+    generation was built over (the retrain policy's growth baseline)."""
+    import json
+
+    tmp = os.path.join(gen_dir, _GEN_DONE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"n_vectors_at_build": int(n_vectors)}))
+    os.replace(tmp, os.path.join(gen_dir, _GEN_DONE))
+
+
+def _n_at_build(gen_dir: str) -> int:
+    """Vector count recorded in the generation marker (0 for legacy empty
+    markers — the permissive direction: retrain stays allowed)."""
+    import json
+
+    try:
+        with open(os.path.join(gen_dir, _GEN_DONE)) as f:
+            return int(json.load(f).get("n_vectors_at_build", 0))
+    except (OSError, ValueError):
+        return 0
+
+
 def init_ann_generations(spark: SparkSession, root: str, centroids: DataFrame) -> str:
     """Create generation 0 under ``root`` with the given centroids and
     mark it complete (empty index, ready for ingest)."""
     gen0 = os.path.join(root, "gen=0")
     init_ann_index(spark, gen0, centroids)
-    open(os.path.join(gen0, _GEN_DONE), "x").close()
+    _write_gen_marker(gen0, 0)
     return gen0
 
 
@@ -422,6 +445,13 @@ def maybe_retrain(
     n, k = stats["n_vectors"], stats["n_cells"]
     if n < min_vectors:
         return None
+    # growth gate — the universal churn breaker: a policy rebuild over the
+    # SAME vectors is deterministic, so if the data hasn't materially grown
+    # since this generation was built, rebuilding again would reproduce it
+    # (a skew the retrain could not fix — e.g. genuinely concentrated data
+    # — must not trigger a rebuild per batch forever)
+    if n < 1.1 * _n_at_build(cur):
+        return None
     skewed = stats["max_cell_frac"] > balance_factor / k
     hollow = stats["empty_cell_frac"] > empty_frac_threshold
     if not (skewed or hollow):
@@ -453,7 +483,7 @@ def maybe_retrain(
     )
     init_ann_index(spark, nxt, train_centroids(spark, vectors, k=new_k, iters=iters))
     ingest_embedding_batch(spark, vectors, 0, nxt)
-    open(os.path.join(nxt, _GEN_DONE), "x").close()
+    _write_gen_marker(nxt, n)
     return nxt
 
 

@@ -461,3 +461,48 @@ def test_hollow_retrain_shrinks_k_and_quiesces(spark, tmp_path):
     assert s1["n_vectors"] == 1800
     # and the policy is now quiescent — no churn
     assert maybe_retrain(spark, root, min_vectors=100) is None
+
+
+def test_skew_retrain_growth_gate_breaks_churn(spark, tmp_path):
+    """Genuinely concentrated data stays skewed no matter how often you
+    retrain — a policy rebuild over the SAME vectors is deterministic.
+    The growth gate must allow ONE rebuild for the skew and then hold
+    until the corpus materially grows, never a rebuild per batch."""
+    import numpy as np
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        current_generation,
+        init_ann_generations,
+        maybe_retrain,
+    )
+
+    root = str(tmp_path / "root")
+    rng = np.random.RandomState(3)
+    dim = 8
+    c = np.zeros(dim)
+    c[0] = 1.0
+    # 95% of vectors in one tight blob: the fullest cell always exceeds
+    # its fair share at k=16, retrained or not
+    blob = c + rng.randn(1900, dim) * 0.01
+    spread = rng.randn(100, dim)
+    pts = np.concatenate([blob, spread])
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], 0) for i in range(len(pts))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    gen0 = init_ann_generations(spark, root, train_centroids(spark, e, k=16, iters=1))
+    ingest_embedding_batch(spark, e, 0, gen0)
+
+    g1 = maybe_retrain(spark, root, min_vectors=100)
+    assert g1 is not None  # the skew is real; one rebuild happens
+    # still skewed after the rebuild — but the growth gate holds
+    assert maybe_retrain(spark, root, min_vectors=100) is None
+    assert current_generation(root) == g1
+    # material growth re-arms the policy
+    more = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in (c + rng.randn(dim) * 0.01)], 0) for i in range(400)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ingest_embedding_batch(spark, more, 1, g1)
+    g2 = maybe_retrain(spark, root, min_vectors=100)
+    assert g2 is not None and current_generation(root) == g2
