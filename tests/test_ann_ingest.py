@@ -481,9 +481,10 @@ def test_skew_retrain_growth_gate_breaks_churn(spark, tmp_path):
     dim = 8
     c = np.zeros(dim)
     c[0] = 1.0
-    # 95% of vectors in one tight blob: the fullest cell always exceeds
-    # its fair share at k=16, retrained or not
-    blob = c + rng.randn(1900, dim) * 0.01
+    # 95% of vectors IDENTICAL: cosine ties send them all to one cell
+    # (ties break to the lowest cell id) no matter how centroids retrain
+    # — the genuinely unfixable skew
+    blob = np.tile(c, (1900, 1))
     spread = rng.randn(100, dim)
     pts = np.concatenate([blob, spread])
     e = spark.createDataFrame(
@@ -495,14 +496,17 @@ def test_skew_retrain_growth_gate_breaks_churn(spark, tmp_path):
 
     g1 = maybe_retrain(spark, root, min_vectors=100)
     assert g1 is not None  # the skew is real; one rebuild happens
-    # still skewed after the rebuild — but the growth gate holds
+    # still concentrated after the rebuild — but the gates hold (no churn)
     assert maybe_retrain(spark, root, min_vectors=100) is None
     assert current_generation(root) == g1
-    # material growth re-arms the policy
+    # even a trigger that WOULD fire (tight balance_factor: the blob cell
+    # holds ~96% > 2/k) is blocked until the corpus materially grows...
+    assert maybe_retrain(spark, root, min_vectors=100, balance_factor=2.0) is None
     more = spark.createDataFrame(
-        [(10_000 + i, [float(x) for x in (c + rng.randn(dim) * 0.01)], 0) for i in range(400)],
+        [(10_000 + i, [float(x) for x in c], 0) for i in range(400)],
         "vec_id long, embedding array<float>, label int",
     )
     ingest_embedding_batch(spark, more, 1, g1)
-    g2 = maybe_retrain(spark, root, min_vectors=100)
+    # ...after which the same trigger re-arms and rebuilds exactly once
+    g2 = maybe_retrain(spark, root, min_vectors=100, balance_factor=2.0)
     assert g2 is not None and current_generation(root) == g2
