@@ -3110,3 +3110,179 @@ def q99_dormant_rich_by_nation(spark, sf_dir):
             F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q100_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q100_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (commitdate -> shipdate-lag substitution): how many
+    orders per priority had at least one line shipped late. The
+    correlated EXISTS decorrelates to a LEFT SEMI join on the order key;
+    the lateness predicate references both sides so it rides the join
+    condition (still an equi join on l_orderkey — the extra conjunct is a
+    post-match filter, not a join-shape change), then one 5-group
+    aggregate."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q101_forecast_revenue_change",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE), 2)
+             AS potential_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q101_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — revenue that
+    WOULD have been collected had small discounts been waived. No join at
+    all; the whole query is one codegen span over the pushed-down date /
+    discount / quantity predicates (with the buffer pool off, all three
+    reach the parquet scan as PushedFilters — tests/test_plans pins
+    pushdown generally)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q102_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q102_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers — the left-join-then-double-aggregate pattern
+    (COUNT(col) counting only matched rows is the null-semantics crux).
+    First aggregate keys on the customer (the join's own key — one
+    shuffle wave serves both), second on the tiny count domain."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q103_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q103_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with the quarter's maximum
+    revenue — the view-then-max-equality pattern. The revenue view
+    aggregates once (DECIMAL, rounded — the equality against MAX then
+    compares identical doubles, so ties resolve identically to the
+    oracle); the max rides a window over the view instead of a second
+    scan-and-subquery pass, and the supplier dim attaches last
+    (broadcastable)."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = (
+        rev.withColumn("_mx", F.max("total_revenue").over(W.partitionBy()))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(local_hint(s), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "q104_min_cost_part_per_class",
+    oracle="""
+    WITH mn AS (
+      SELECT p_brand AS mb, p_size AS ms, MIN(p_retailprice) AS min_price
+      FROM part GROUP BY p_brand, p_size)
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part JOIN mn ON p_brand = mb AND p_size = ms AND p_retailprice = min_price
+    WHERE p_size <= 10
+    """,
+)
+def q104_min_cost_part_per_class(spark, sf_dir):
+    """TPC-H Q2 shape on the available tables (no partsupp in the
+    testdata, so the correlated minimum runs over part itself): for each
+    (brand, size) class, the part(s) at the class's MINIMUM price — the
+    correlated scalar subquery decorrelated into a grouped MIN joined
+    back on (group key, value), Q2's defining plan move. The size filter
+    pushes below both the aggregate and the join (both sides prune
+    before shuffling)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    mn = p.groupBy(
+        F.col("p_brand").alias("mb"), F.col("p_size").alias("ms")
+    ).agg(F.min("p_retailprice").alias("min_price"))
+    return p.join(
+        mn,
+        (F.col("p_brand") == F.col("mb"))
+        & (F.col("p_size") == F.col("ms"))
+        & (F.col("p_retailprice") == F.col("min_price")),
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
