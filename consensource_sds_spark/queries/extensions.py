@@ -4007,3 +4007,79 @@ def x78_histogram_quantile_rollup(spark, sf_dir):
     return cum.groupBy("source").agg(
         pick(50).alias("p50_bin"), pick(95).alias("p95_bin"), pick(99).alias("p99_bin")
     )
+
+
+@register(
+    "x79_zipf_fit",
+    oracle="""
+    WITH tc AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY source, w),
+    ranked AS (
+      SELECT source, w, c,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+      FROM tc),
+    terms AS (
+      SELECT source,
+             CAST(ln(r) AS DECIMAL(30,10)) AS x,
+             CAST(ln(c) AS DECIMAL(30,10)) AS y
+      FROM ranked),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(30,10))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
+      FROM terms GROUP BY source)
+    SELECT source, n_terms,
+           ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_terms * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+    FROM s
+    """,
+)
+def x79_zipf_fit(spark, sf_dir):
+    """Corpus-health diagnostic: the Zipf exponent per source — the slope
+    of ln(term frequency) against ln(frequency rank). Natural text sits
+    near -1; a source whose slope is far shallower (near-uniform token
+    use: machine-generated filler, template spam) or far steeper
+    (tiny-vocabulary repetition) is a data-quality flag the per-doc
+    signals (x21/x33) can miss because it only shows in the SOURCE-level
+    distribution.
+
+    Exactness discipline: the least-squares slope is computed from
+    DECIMAL-accumulated sums (every ln() term and every product is cast
+    to DECIMAL(30,10) BEFORE summation on both engines), so the partial
+    aggregation order cannot move the result — the only doubles are the
+    final numerator/denominator division. Scale: one token explode ->
+    (source, term) hash-agg, one per-source rank window over the
+    vocab-sized term table, one per-source fold to 5 sums; nothing
+    touches the corpus twice."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    dec = lambda col: col.cast("decimal(30,10)")  # noqa: E731
+    terms = tc.withColumn("r", F.row_number().over(wr)).select(
+        "source",
+        dec(F.log(F.col("r"))).alias("x"),
+        dec(F.log(F.col("c"))).alias("y"),
+    )
+    s = terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    return s.select(
+        "source",
+        "n_terms",
+        F.round(
+            (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            4,
+        ).alias("zipf_slope"),
+    )
