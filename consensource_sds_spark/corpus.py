@@ -104,6 +104,10 @@ def build_training_corpus(
     )
     extra_cols: list[str] = []
     if substring_scrub:
+        # The scrub subtree is otherwise planned three times in this one
+        # job: the outer join below plus exact_substring_scrub's two reads
+        # of its input (token and window explodes). Materialize it once.
+        base = base.localCheckpoint()
         ss = exact_substring_scrub(
             base.select("doc_id", F.col("clean_text").alias("text"))
         ).select(

@@ -1442,23 +1442,26 @@ def _image_features(px) -> list[float]:
     return base + [0.0] * (FEATURE_DIM - len(base))
 
 
-def _features_one(payload, deterministic_fake: bool):
-    if payload is None:
-        return None
-    b = bytes(payload)
+def _decode_one(b: bytes):
+    """Decode ONLY (no featurization): returns ``("audio", samples)`` or
+    ``("image", pixels)``. Raises NotImplementedError when no built-in
+    decoder recognizes the payload, and whatever the pure decoders raise
+    on malformed-but-recognized bytes — callers that quarantine (the media
+    ingest) catch around THIS step only, so a featurizer regression still
+    fails the task instead of silently quarantining a whole corpus."""
     # native-codec fast path when the libraries exist (pure decoders stay
     # the fallback AND the oracle; see the fast-path block above)
     samples = fast_decode_samples(b)
     if samples is not None:
-        return _audio_features(samples)
+        return "audio", samples
     px = fast_decode_pixels(b)
     if px is not None:
-        return _image_features(px)
+        return "image", px
     samples = decode_wav_samples(b)
     if samples is None:
         samples = decode_flac_samples(b)
     if samples is not None:
-        return _audio_features(samples)
+        return "audio", samples
     px = decode_bmp_pixels(b)
     if px is None:
         px = decode_png_pixels(b)
@@ -1467,12 +1470,23 @@ def _features_one(payload, deterministic_fake: bool):
     if px is None:
         px = decode_jpeg_pixels(b)
     if px is not None:
-        return _image_features(px)
-    if deterministic_fake:
-        return _fake_features(b)
+        return "image", px
     raise NotImplementedError(
         "payload matches no built-in decoder (BMP/PNG/GIF/JPEG/WAV/FLAC); foreign formats (e.g. video containers) need external libraries not present in this container"
     )
+
+
+def _features_one(payload, deterministic_fake: bool):
+    if payload is None:
+        return None
+    b = bytes(payload)
+    try:
+        kind, data = _decode_one(b)
+    except NotImplementedError:
+        if deterministic_fake:
+            return _fake_features(b)
+        raise
+    return _audio_features(data) if kind == "audio" else _image_features(data)
 
 
 def extract_features(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:

@@ -3695,20 +3695,25 @@ def x74_bpe_train(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     )
 
 
-def _bpe_apply_oracle(n_merges: int = _BPE_N_MERGES) -> str:
-    """x75's oracle: the x74 training chain (unrolled), then the learned
-    merges applied to EVERY distinct corpus word as one nested-replace
-    expression, joined back per document."""
+def _bpe_wt_chain(n_merges: int = _BPE_N_MERGES) -> str:
+    """The shared apply-side CTE chain: x74 training (unrolled) + the
+    learned merges applied to every DISTINCT corpus word, ending in
+    ``wt(w, tok)`` — per-word BPE token counts. x75 aggregates it per
+    document; x81 per language."""
     s, sep, p = "\x01", _BPE_SEP, _BPE_PSEP
     train = _bpe_oracle(n_merges)
     chain = train[len("WITH ") : train.rindex("SELECT 1 AS merge_rank")].rstrip().rstrip(",")
     # drop the final UNION ALL select block: keep only the CTE chain
     chain = chain[: chain.rindex(")") + 1]
+    # Each m{k} must yield EXACTLY one row even when training exhausted the
+    # pair supply before merge k (b{k} empty — the Spark loop breaks early).
+    # A scalar subquery returns NULL on an empty b{k}; COALESCE degrades the
+    # merge to an identity replace on the pair separator (never in a seg),
+    # so the aseg x m0 x ... cross join below keeps its rows.
     merge_cte = ",\n    ".join(
         f"""m{k} AS (SELECT
-        '{s}' || string_split(pk, '{p}')[1] || '{sep}' || string_split(pk, '{p}')[2] || '{s}' AS pat,
-        '{s}' || string_split(pk, '{p}')[1] || string_split(pk, '{p}')[2] || '{s}' AS rep
-        FROM b{k})"""
+        COALESCE((SELECT '{s}' || string_split(pk, '{p}')[1] || '{sep}' || string_split(pk, '{p}')[2] || '{s}' FROM b{k}), '{p}') AS pat,
+        COALESCE((SELECT '{s}' || string_split(pk, '{p}')[1] || string_split(pk, '{p}')[2] || '{s}' FROM b{k}), '{p}') AS rep)"""
         for k in range(n_merges)
     )
     applied_seg = "seg"
@@ -3723,7 +3728,12 @@ def _bpe_apply_oracle(n_merges: int = _BPE_N_MERGES) -> str:
                    i -> substr(w, CAST(i AS INT), 1)), '{sep}') || '{sep}' AS seg
       FROM aw),
     applied AS (SELECT w, {applied_seg} AS seg FROM aseg, {froms}),
-    wt AS (SELECT w, len(list_filter(string_split(seg, '{sep}'), x -> x <> '')) AS tok FROM applied)
+    wt AS (SELECT w, len(list_filter(string_split(seg, '{sep}'), x -> x <> '')) AS tok FROM applied)"""
+
+
+def _bpe_apply_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """x75's oracle: the shared wt chain aggregated per document."""
+    return f"""{_bpe_wt_chain(n_merges)}
     SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(tok) AS BIGINT) AS n_bpe_tokens
     FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) dw
     JOIN wt USING (w)

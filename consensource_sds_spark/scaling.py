@@ -170,17 +170,25 @@ def measure_scaling(
             # which is what this pin is hunting; cells grow 10x and the
             # nprobe=2 probe should grow ~linearly with cell size.
             k = 16
+            # build is min-of-``runs`` like every other stage (the ratio pin
+            # cannot tolerate one mid-session GC stall); each run builds into
+            # a fresh dir, the probe reads the last one
+            dests = [f"{dest}_{r}" for r in range(runs)]
             try:
-                t0 = time.perf_counter()
-                init_ann_index(spark, dest, train_centroids(spark, emb, k=k, iters=2))
-                ingest_embedding_batch(spark, emb.select("vec_id", "embedding", "label"), 0, dest)
-                probe_out["build"] = time.perf_counter() - t0
+                build = float("inf")
+                for d in dests:
+                    t0 = time.perf_counter()
+                    init_ann_index(spark, d, train_centroids(spark, emb, k=k, iters=2))
+                    ingest_embedding_batch(spark, emb.select("vec_id", "embedding", "label"), 0, d)
+                    build = min(build, time.perf_counter() - t0)
+                probe_out["build"] = build
                 q = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("qid"), "embedding")
                 probe_out["probe"] = _timed(
-                    lambda: _noop_write(ann_probe(spark, dest, q, k=10, nprobe=2)), runs
+                    lambda: _noop_write(ann_probe(spark, dests[-1], q, k=10, nprobe=2)), runs
                 )
             finally:
-                shutil.rmtree(dest, ignore_errors=True)
+                for d in dests:
+                    shutil.rmtree(d, ignore_errors=True)
 
         ann1: dict = {}
         annN: dict = {}

@@ -65,12 +65,18 @@ def generate_documents(spark: SparkSession, n: int) -> DataFrame:
     n_uniq = max(1, int(n * (1.0 - _DUP_FRAC)))
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
     base = spark.range(n).select(F.col("id").alias("doc_id"))
-    near = (F.col("doc_id") % _NEAR_EVERY == 1) & (F.col("doc_id") < n_uniq) & (F.col("doc_id") > 0)
-    seed = (
-        F.when(F.col("doc_id") >= n_uniq, F.pmod(F.xxhash64(F.lit("dup"), F.col("doc_id")), F.lit(n_uniq)))
-        .when(near, F.col("doc_id") - 1)
-        .otherwise(F.col("doc_id"))
-    )
+    # A dup doc must replicate its TARGET's text byte-exactly, so it goes
+    # through the same (seed, near) resolution the target itself used — a
+    # hash-chosen target that happens to be a near-dup doc renders with the
+    # target's shifted seed AND its marker suffix (previously such dups
+    # rendered un-markered text identical to no document, quietly diluting
+    # the ~10% exact-dup invariant by ~2%).
+    target = F.when(
+        F.col("doc_id") >= n_uniq,
+        F.pmod(F.xxhash64(F.lit("dup"), F.col("doc_id")), F.lit(n_uniq)),
+    ).otherwise(F.col("doc_id"))
+    near = (target % _NEAR_EVERY == 1) & (target < n_uniq) & (target > 0)
+    seed = F.when(near, target - 1).otherwise(target)
     df = base.select("doc_id", seed.alias("_seed"), near.alias("_near"))
     ntok = F.pmod(F.xxhash64(F.lit("len"), F.col("_seed")), F.lit(31)) + 25
     token = lambda i: F.element_at(  # noqa: E731

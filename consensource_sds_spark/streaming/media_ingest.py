@@ -41,7 +41,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from consensource_sds_spark.operators.multimodal import _features_one
+from consensource_sds_spark.operators.multimodal import (
+    _audio_features,
+    _decode_one,
+    _image_features,
+)
 
 #: every shape a malformed-but-sniffer-recognized payload can throw out of
 #: the pure decoders (truncated GIF descriptors and out-of-range PNG palette
@@ -90,17 +94,12 @@ def ingest_media_batch(
             rows = []
             for _i, r in pdf.iterrows():
                 payload = r["payload"]
+                # the quarantine catch wraps DECODE ONLY — a featurizer bug
+                # on a successfully-decoded payload must fail the task
+                # loudly, not silently quarantine the whole corpus
                 try:
-                    feats = _features_one(payload, deterministic_fake=False)
-                    rows.append(
-                        (
-                            r["media_id"],
-                            r["modality"],
-                            len(payload) if payload is not None else None,
-                            feats,
-                            True,
-                            None,
-                        )
+                    decoded = (
+                        _decode_one(bytes(payload)) if payload is not None else None
                     )
                 except _MALFORMED_PAYLOAD_ERRORS:
                     rows.append(
@@ -113,6 +112,21 @@ def ingest_media_batch(
                             bytes(payload) if payload is not None else None,
                         )
                     )
+                    continue
+                feats = None
+                if decoded is not None:
+                    kind, data = decoded
+                    feats = _audio_features(data) if kind == "audio" else _image_features(data)
+                rows.append(
+                    (
+                        r["media_id"],
+                        r["modality"],
+                        len(payload) if payload is not None else None,
+                        feats,
+                        True,
+                        None,
+                    )
+                )
             yield pd.DataFrame(
                 rows, columns=["media_id", "modality", "n_bytes", "features", "decoded", "payload"]
             )

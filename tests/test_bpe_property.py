@@ -69,6 +69,40 @@ def test_bpe_matches_reference(spark, texts, n_merges):
     assert got == _reference_bpe(texts, n_merges)
 
 
+def test_bpe_oracles_survive_merge_exhaustion(spark, tmp_path):
+    """When the pair supply dries up before n_merges, the Spark loop breaks
+    early; both unrolled DuckDB oracles must agree rather than annihilate.
+    x74's empty b{k} branches contribute zero UNION rows (matching the
+    break); x75's m{k} CTEs degrade to identity replaces via the scalar-
+    subquery COALESCE — this pins the regression where an empty b{k} made
+    the aseg x m0 x ... cross join return an empty apply result."""
+    import duckdb
+
+    from consensource_sds_spark.queries.extensions import (
+        _bpe_apply_oracle,
+        _bpe_oracle,
+        x74_bpe_train,
+        x75_bpe_tokenize,
+    )
+
+    # 'ab ab' exhausts after ONE merge (a+b -> ab, then no pairs remain)
+    spark.createDataFrame([(1, "ab ab")], "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}/*.parquet'"
+    )
+    n = 4
+    got_train = [tuple(r) for r in x74_bpe_train(spark, str(tmp_path), n_merges=n).collect()]
+    want_train = [tuple(r) for r in con.execute(_bpe_oracle(n)).fetchall()]
+    assert got_train == want_train == [(1, "a", "b", 2)]
+    got_apply = [tuple(r) for r in x75_bpe_tokenize(spark, str(tmp_path), n_merges=n).collect()]
+    want_apply = [tuple(r) for r in con.execute(_bpe_apply_oracle(n)).fetchall()]
+    con.close()
+    assert got_apply == want_apply == [(1, 2, 2)]
+
+
 # ---------------------------------------------------------------------------
 # x77 exact-substring scrub vs a pure-Python reference — ownership (min
 # doc_id per cross-doc window), W-token coverage union, and in-order

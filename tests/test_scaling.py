@@ -36,6 +36,13 @@ def test_generator_structure(spark):
     assert 0.2 <= hot <= 0.4
     en = d.filter("lang = 'en'").count() / n
     assert 0.8 <= en <= 0.97
+    # EVERY planted dup is byte-identical to some earlier unique doc —
+    # including dups whose hash-chosen target is itself a near-dup (those
+    # must reproduce the target's shifted seed AND its marker suffix)
+    n_uniq = int(n * 0.9)
+    dup_texts = d.filter(F.col("doc_id") >= n_uniq).select("text")
+    uniq_texts = d.filter(F.col("doc_id") < n_uniq).select("text").distinct()
+    assert dup_texts.join(uniq_texts, "text", "left_anti").count() == 0
     # deterministic: same n regenerates identical content
     d2 = generate_documents(spark, n)
     assert d.exceptAll(d2).count() == 0 and d2.exceptAll(d).count() == 0
