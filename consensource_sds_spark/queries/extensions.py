@@ -4093,3 +4093,241 @@ def x79_zipf_fit(spark, sf_dir):
             4,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "x80_gopher_quality_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT))) AS sum_len,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS n_stop,
+             n_hash, n_ellipsis
+      FROM base)
+    SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000 AS word_count_ok,
+           CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3 AND 10 AS mean_word_len_ok,
+           CAST(n_hash + n_ellipsis AS DOUBLE) / GREATEST(n_words, 1) < 0.1 AS symbol_ratio_ok,
+           CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8 AS alpha_word_frac_ok,
+           n_stop >= 2 AS stopword_ok,
+           (n_words BETWEEN 50 AND 100000)
+             AND (CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3 AND 10)
+             AND (CAST(n_hash + n_ellipsis AS DOUBLE) / GREATEST(n_words, 1) < 0.1)
+             AND (CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8)
+             AND (n_stop >= 2) AS gopher_pass
+    FROM m
+    """,
+)
+def x80_gopher_quality_rules(spark, sf_dir):
+    """The Gopher document-quality rule set (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as per-rule flags, not one opaque score: word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    ('#' chars + '...' runs) < 0.1, >= 80% of words contain an alphabetic
+    character, and >= 2 of the 8 canonical stop words present. Emitting
+    each flag separately is what makes the gate auditable — a corpus
+    health dashboard wants WHICH rule kills a source, not just the kill
+    rate (complements x21's continuous score and x43's filter pipeline).
+
+    Exactness: every ratio is one double division of exact BIGINTs
+    (counts / counts), so both engines compute bit-identical IEEE results;
+    rule thresholds compare those. Scale: a single narrow projection pass
+    over the corpus — per-doc higher-order functions, no shuffle at all
+    (the plan is scan -> project; Catalyst prunes to (doc_id, text))."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    ).cast("bigint")
+    stop_hits = sum(
+        F.array_contains("words", w).cast("int")
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    m = d.select(
+        "doc_id",
+        words.alias("words"),
+        n_hash.alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+    ).select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter("words", lambda w: w.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
+        stop_hits.alias("n_stop"),
+        "n_hash",
+        "n_ellipsis",
+    )
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    word_count_ok = F.col("n_words").between(50, 100000)
+    mean_len_ok = (F.col("sum_len").cast("double") / nw).between(3, 10)
+    symbol_ok = (F.col("n_hash") + F.col("n_ellipsis")).cast("double") / nw < 0.1
+    alpha_ok = F.col("n_alpha").cast("double") / nw >= 0.8
+    stop_ok = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        alpha_ok.alias("alpha_word_frac_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_count_ok & mean_len_ok & symbol_ok & alpha_ok & stop_ok).alias("gopher_pass"),
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """x81's oracle: the shared wt chain aggregated per language."""
+    return f"""{_bpe_wt_chain(n_merges)}
+    SELECT lang, COUNT(*) AS n_words, CAST(SUM(tok) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 4) AS fertility
+    FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents) dw
+    JOIN wt USING (w)
+    GROUP BY lang"""
+
+
+@register("x81_token_fertility_by_lang", oracle=_bpe_fertility_oracle())
+def x81_token_fertility_by_lang(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
+    """Tokenizer fertility (BPE tokens per word) per language — the
+    standard multilingual-tokenizer health metric: a tokenizer trained on
+    a skewed corpus over-fragments the minority languages, inflating
+    their effective sequence lengths and training cost; per-lang fertility
+    is the number a mixture designer (x35) reads before setting weights.
+
+    Scale: training is x74 (corpus touched once, then vocab-sized
+    iterations); apply is x75's distinct-word nested-replace; the only
+    addition is carrying ``lang`` through the occurrence join and
+    aggregating to one row per language. Fertility is a double division
+    of exact BIGINT sums, identical on both engines."""
+    d = load(spark, sf_dir, "documents")
+    merges = _bpe_train_merges(spark, d, n_merges)
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    seg = _bpe_seg_expr("w")
+    for _rank, lhs, rhs, _cnt in merges:
+        seg = F.replace(
+            seg,
+            F.lit("\x01" + lhs + _BPE_SEP + rhs + "\x01"),
+            F.lit("\x01" + lhs + rhs + "\x01"),
+        )
+    tok = F.size(F.filter(F.split(seg, _BPE_SEP), lambda x: x != F.lit("")))
+    wt = words.select("w").distinct().select("w", tok.alias("tok"))
+    return (
+        words.join(wt, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("tok").cast("bigint").alias("n_bpe_tokens"),
+            F.round(F.sum("tok").cast("double") / F.count(F.lit(1)), 4).alias("fertility"),
+        )
+    )
+
+
+@register(
+    "x82_centroid_outlier_prune",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    cs AS (
+      SELECT label, i,
+             list_sum(list(CAST(v AS DOUBLE) ORDER BY vec_id)) AS s
+      FROM u GROUP BY label, i),
+    cent AS (
+      SELECT label, list(s ORDER BY i) AS ce FROM cs GROUP BY label),
+    sc AS (
+      SELECT e.vec_id, e.label,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                     i -> CAST(e.embedding[i] AS DOUBLE) * ce[i])) AS dot,
+             sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) AS en,
+             sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+      FROM embeddings e JOIN cent USING (label)),
+    r AS (
+      SELECT vec_id, label, dot / (en * cn) AS c,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY dot / (en * cn) ASC, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM sc)
+    SELECT vec_id, label, ROUND(c, 6) AS centroid_cos,
+           rn <= CAST(ceil(0.1 * n) AS BIGINT) AS pruned
+    FROM r
+    """,
+)
+def x82_centroid_outlier_prune(spark, sf_dir):
+    """Prototype-distance data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486): score every vector by cosine to its cluster
+    centroid and flag the 10% farthest per label as prune candidates —
+    the SemDeDup complement (x65 removes redundant NEAR-centroid
+    near-twins; this surfaces the misclustered/outlier tail a curated
+    training set drops or routes to review).
+
+    Exactness across engines: the centroid component is a SEQUENTIAL
+    left-to-right double fold over the label's values in vec_id order
+    (collect -> sort -> fold on both engines, so partial-agg order cannot
+    move a bit; verified fold-identical to DuckDB's list_sum; a DECIMAL
+    sum would be order-free too, but the float->decimal cast itself
+    diverges between engines on 11th-digit ties). Cosine is
+    scale-invariant, so the un-divided sum IS the centroid direction.
+    Per-row dot/norm folds are sequential in both engines (the x10
+    discipline); the prune cut is a RANK (farthest-first, vec_id
+    tie-break), never a float-threshold comparison. Scale: one explode ->
+    (label, i) agg for centroids (state = one value list per label
+    component — bounded by cluster size, the same contract x65 enforces;
+    output = labels x dim, tiny), centroid table broadcast back, one
+    narrow pass for scores, one per-label rank window — linear in n."""
+    e = load(spark, sf_dir, "embeddings")
+    u = e.select("label", "vec_id", F.posexplode("embedding").alias("i", "v"))
+    cs = u.groupBy("label", "i").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                lambda x: x["v"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    cent = cs.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda x: x["s"].cast("double"),
+        ).alias("ce")
+    )
+    sc = e.join(F.broadcast(cent), "label").selectExpr(
+        "vec_id",
+        "label",
+        "aggregate(zip_with(embedding, ce, (x, y) -> cast(x AS double) * y), 0D,"
+        " (acc, x) -> acc + x) AS dot",
+        "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS double) * x)) AS en",
+        "sqrt(aggregate(ce, 0D, (acc, x) -> acc + x * x)) AS cn",
+    )
+    c = F.col("dot") / (F.col("en") * F.col("cn"))
+    w = Window.partitionBy("label").orderBy(c.asc(), F.asc("vec_id"))
+    wn = Window.partitionBy("label")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "vec_id",
+            "label",
+            F.round(c, 6).alias("centroid_cos"),
+            (F.col("rn") <= F.ceil(F.lit(0.1) * F.col("n"))).alias("pruned"),
+        )
+    )
