@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 #: join), brute top-k (bounded broadcast), quality scoring (scan-shaped),
 #: repetition signals (explode+agg), domain cap (window over over-cap
 #: only), boilerplate scrub (chunk explode + tiny broadcast), SemDeDup
-#: (label-keyed pair join — THE quadratic-unless-bounded one).
+#: (label-keyed pair join — THE quadratic-unless-bounded one), centroid
+#: pruning (per-(label, i) collect-and-fold — state bounded by cluster
+#: size, which the generator holds constant as labels grow).
 SCALING_QUERIES = (
     "x01_dedup_exact",
     "x02_minhash_signatures",
@@ -50,6 +52,7 @@ SCALING_QUERIES = (
     "x65_semantic_dedup",
     "x76_exact_substring_matches",
     "x77_exact_substring_scrub",
+    "x82_centroid_outlier_prune",
 )
 
 
