@@ -4331,3 +4331,64 @@ def x82_centroid_outlier_prune(spark, sf_dir):
             (F.col("rn") <= F.ceil(F.lit(0.1) * F.col("n"))).alias("pruned"),
         )
     )
+
+
+@register(
+    "x83_ngram_novelty",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+      FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents)),
+    dg AS (SELECT DISTINCT doc_id, bg FROM g WHERE bg IS NOT NULL),
+    first AS (SELECT bg, MIN(doc_id) AS first_doc FROM dg GROUP BY bg)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(CASE WHEN first.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN first.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM dg JOIN first USING (bg)
+    GROUP BY dg.doc_id
+    """,
+)
+def x83_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    bigrams whose first corpus appearance (min doc_id — the arrival
+    order) is this document. A crawl-freshness/curriculum signal: a
+    near-zero-novelty doc is recombined boilerplate even when no single
+    document duplicates it (the case x01/x03 miss), and a per-source
+    novelty average tells a mixture designer which feeds still add new
+    content (pairs with x63's sketch-level overlap, at n-gram
+    granularity).
+
+    Scale: bigram explode -> distinct -> min-agg on the bigram key (the
+    same shuffle family as x28/x68; partial aggs make the min map-side
+    cheap), then one join back on the bigram key reusing that shuffle,
+    and a doc_id re-agg. All counts exact BIGINTs; novelty is one double
+    division. Never doc x doc; state per key is one BIGINT."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .distinct()
+    )
+    first = dg.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
+    j = dg.join(first, "bg")
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).cast("bigint")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    )
