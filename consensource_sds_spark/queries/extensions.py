@@ -4392,3 +4392,130 @@ def x83_ngram_novelty(spark, sf_dir):
         novel.alias("n_novel"),
         F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
     )
+
+
+#: PQ geometry: 64-dim vectors cut into _PQ_M subspaces of _PQ_D dims;
+#: codebook = the first _PQ_K vectors' sub-vectors (deterministic seeds,
+#: the x11 convention — a k-means codebook is the production variant,
+#: x40 supplies the update step)
+_PQ_M = 8
+_PQ_D = 8
+_PQ_K = 16
+
+
+@register(
+    "x84_pq_adc_topk",
+    oracle=f"""
+    WITH ss AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
+    cb AS (
+      SELECT vec_id AS code, s,
+             list_transform(range(1, {_PQ_D} + 1),
+                            i -> CAST(embedding[s * {_PQ_D} + i] AS DOUBLE)) AS cw
+      FROM embeddings, ss WHERE vec_id < {_PQ_K}),
+    db AS (
+      SELECT vec_id AS did, s,
+             list_transform(range(1, {_PQ_D} + 1),
+                            i -> CAST(embedding[s * {_PQ_D} + i] AS DOUBLE)) AS dv
+      FROM embeddings, ss WHERE vec_id >= {_PQ_K}),
+    enc0 AS (
+      SELECT did, db.s, code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+                                     i -> (dv[i] - cw[i]) * (dv[i] - cw[i]))) AS d2
+      FROM db JOIN cb ON db.s = cb.s),
+    enc AS (
+      SELECT did, s, code FROM enc0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY did, s ORDER BY d2 ASC, code) = 1),
+    q AS (
+      SELECT vec_id AS qid, s,
+             list_transform(range(1, {_PQ_D} + 1),
+                            i -> CAST(embedding[s * {_PQ_D} + i] AS DOUBLE)) AS qv
+      FROM embeddings, ss WHERE vec_id < 5),
+    qd AS (
+      SELECT qid, q.s, code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+                                     i -> (qv[i] - cw[i]) * (qv[i] - cw[i]))) AS d2
+      FROM q JOIN cb ON q.s = cb.s),
+    adc AS (
+      SELECT qid, did, list_sum(list(d2 ORDER BY s)) AS dist
+      FROM enc JOIN qd USING (s, code) GROUP BY qid, did)
+    SELECT qid, did, ROUND(dist, 6) AS adc_dist
+    FROM adc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
+    """,
+)
+def x84_pq_adc_topk(spark, sf_dir):
+    """Product quantization with asymmetric distance (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): cut each vector
+    into 8 subspaces of 8 dims, encode the database as 8 one-byte
+    codeword ids against a fixed codebook, answer top-k by summing
+    per-subspace query->codeword distance TABLES — never touching the
+    raw database vectors at query time. THE compression that makes
+    billion-vector ANN fit storage budgets (64 floats -> 8 bytes here);
+    IVF (x13/x14) shrinks the search set, PQ shrinks the vectors, real
+    deployments compose both.
+
+    Scale: encode is (n x m) rows joined against an (m x k) broadcast
+    codebook — linear, one argmin window keyed (did, s); the query side
+    builds a per-query (m x k) distance table (tiny broadcast); ADC is
+    one equi-join on (s, code) + a per-(qid, did) fold. Determinism: all
+    distance folds are fixed-order sequential doubles (the x82
+    discipline — subspace folds via s-sorted collect, engine-verified
+    bit-identical); argmin and top-k cuts are RANKS with code/did
+    tie-breaks."""
+    e = load(spark, sf_dir, "embeddings")
+    subv = F.transform(
+        F.sequence(F.lit(1), F.lit(_PQ_D)),
+        lambda i: F.element_at(
+            F.col("embedding"), (F.col("s") * _PQ_D + i).cast("int")
+        ).cast("double"),
+    )
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), spaces, "embedding")
+        .select("code", "s", subv.alias("cw"))
+    )
+    db = (
+        e.filter(F.col("vec_id") >= _PQ_K)
+        .select(F.col("vec_id").alias("did"), spaces, "embedding")
+        .select("did", "s", subv.alias("dv"))
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wmin = Window.partitionBy("did", "s").orderBy(F.asc("d2"), F.asc("code"))
+    enc = (
+        db.join(F.broadcast(cb), "s")
+        .withColumn("d2", l2(F.col("dv"), F.col("cw")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("did", "s", "code")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), spaces, "embedding")
+        .select("qid", "s", subv.alias("qv"))
+    )
+    qd = (
+        q.join(F.broadcast(cb), "s")
+        .select("qid", "s", "code", l2(F.col("qv"), F.col("cw")).alias("d2"))
+    )
+    adc = (
+        enc.join(F.broadcast(qd), ["s", "code"])
+        .groupBy("qid", "did")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "d2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d2"],
+            ).alias("dist")
+        )
+    )
+    wtop = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("did"))
+    return (
+        adc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
+    )

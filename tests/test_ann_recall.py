@@ -66,3 +66,42 @@ def test_srp_finds_top_similarity_band(spark, exact):
     found = _bipartite(_pairs(x47_srp_neardup(spark, SF)))
     recall = len(found & strong) / len(strong)
     assert recall >= 0.5, f"SRP recall on strong pairs {recall:.2f} below floor"
+
+
+def test_pq_adc_recall(spark):
+    """x84's ADC ranking is approximate (database vectors are seen only
+    through 8 codeword ids), so its quality axis is recall of the EXACT
+    L2 top-5 over the same (query, database) split; the floor pins the
+    codebook/encode/ADC plumbing from degenerating into noise (a broken
+    encode step scores ~k/n by chance, far under it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.queries import load
+    from consensource_sds_spark.queries.extensions import _PQ_K, x84_pq_adc_topk
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    db = e.filter(F.col("vec_id") >= _PQ_K).select(F.col("vec_id").alias("did"), F.col("embedding").alias("de"))
+    d2 = F.aggregate(
+        F.zip_with("qe", "de", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("did"))
+    exact = {
+        (r["qid"], r["did"])
+        for r in db.crossJoin(F.broadcast(q))
+        .select("qid", "did", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    got = {(r["qid"], r["did"]) for r in x84_pq_adc_topk(spark, SF).collect()}
+    recall = len(got & exact) / len(exact)
+    # the registry entry uses deterministic SEED codewords, not a k-means-
+    # trained codebook (the production variant, per its docstring) — so
+    # recall is modest by design; chance recall is ~5/480 ≈ 0.01, and the
+    # 0.2 floor (the single-probe IVF convention) pins the encode/ADC
+    # plumbing from degenerating while tolerating the untrained codebook
+    assert recall >= 0.2, f"PQ ADC recall@5 {recall:.2f} below floor"
