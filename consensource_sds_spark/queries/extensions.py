@@ -4519,3 +4519,165 @@ def x84_pq_adc_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
     )
+
+
+@register(
+    "x85_ivfadc_topk",
+    oracle=f"""
+    WITH ss AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
+    cells AS (
+      SELECT did, ctr AS cell FROM (
+        SELECT d0.vec_id AS did, c0.vec_id AS ctr,
+               list_sum(list_transform(range(1, {_PQ_M * _PQ_D} + 1),
+                 i -> (CAST(d0.embedding[i] AS DOUBLE) - CAST(c0.embedding[i] AS DOUBLE))
+                    * (CAST(d0.embedding[i] AS DOUBLE) - CAST(c0.embedding[i] AS DOUBLE)))) AS d2
+        FROM embeddings d0, embeddings c0
+        WHERE d0.vec_id >= {_PQ_K} AND c0.vec_id < 8)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY did ORDER BY d2 ASC, ctr) = 1),
+    qcells AS (
+      SELECT qid, ctr AS cell FROM (
+        SELECT q0.vec_id AS qid, c0.vec_id AS ctr,
+               list_sum(list_transform(range(1, {_PQ_M * _PQ_D} + 1),
+                 i -> (CAST(q0.embedding[i] AS DOUBLE) - CAST(c0.embedding[i] AS DOUBLE))
+                    * (CAST(q0.embedding[i] AS DOUBLE) - CAST(c0.embedding[i] AS DOUBLE)))) AS d2
+        FROM embeddings q0, embeddings c0
+        WHERE q0.vec_id < 5 AND c0.vec_id < 8)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, ctr) <= 2),
+    cand AS (SELECT qid, did FROM qcells JOIN cells USING (cell)),
+    cb AS (
+      SELECT vec_id AS code, s,
+             list_transform(range(1, {_PQ_D} + 1),
+                            i -> CAST(embedding[s * {_PQ_D} + i] AS DOUBLE)) AS cw
+      FROM embeddings, ss WHERE vec_id < {_PQ_K}),
+    db AS (
+      SELECT vec_id AS did, s,
+             list_transform(range(1, {_PQ_D} + 1),
+                            i -> CAST(embedding[s * {_PQ_D} + i] AS DOUBLE)) AS dv
+      FROM embeddings, ss WHERE vec_id >= {_PQ_K}),
+    enc0 AS (
+      SELECT did, db.s, code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+                                     i -> (dv[i] - cw[i]) * (dv[i] - cw[i]))) AS d2
+      FROM db JOIN cb ON db.s = cb.s),
+    enc AS (
+      SELECT did, s, code FROM enc0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY did, s ORDER BY d2 ASC, code) = 1),
+    q AS (
+      SELECT vec_id AS qid, s,
+             list_transform(range(1, {_PQ_D} + 1),
+                            i -> CAST(embedding[s * {_PQ_D} + i] AS DOUBLE)) AS qv
+      FROM embeddings, ss WHERE vec_id < 5),
+    qd AS (
+      SELECT qid, q.s, code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+                                     i -> (qv[i] - cw[i]) * (qv[i] - cw[i]))) AS d2
+      FROM q JOIN cb ON q.s = cb.s),
+    adc AS (
+      SELECT qid, did, list_sum(list(d2 ORDER BY s)) AS dist
+      FROM enc JOIN qd USING (s, code)
+      JOIN cand USING (qid, did)
+      GROUP BY qid, did)
+    SELECT qid, did, ROUND(dist, 6) AS adc_dist
+    FROM adc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
+    """,
+)
+def x85_ivfadc_topk(spark, sf_dir):
+    """IVFADC — the IVF x PQ composition (Jegou 2011 §IV; the FAISS
+    IndexIVFPQ deployment shape, no-residual variant): coarse-assign every
+    database vector to its nearest of 8 centroids, probe each query's 2
+    nearest cells, and rank ONLY those candidates by PQ asymmetric
+    distance. x11/x13 shrink the SEARCH SET, x84 shrinks the VECTORS;
+    composed, a billion-vector index stores 8 bytes/vector and scans
+    nprobe/8 of them per query — this entry pins the composition
+    end-to-end under the oracle.
+
+    Scale: the cell assignment is the x11 plan (broadcast centroids +
+    argmin rank, linear); candidate filtering is one equi-join on the
+    cell id BEFORE any per-pair work (at scale the cell id is a partition
+    key, so probes prune partitions — the standing-index form is
+    streaming/ann_ingest.py); the ADC stage inherits x84's shapes.
+    Determinism: identical discipline to x82/x84 (fixed-order folds,
+    rank cuts only)."""
+    e = load(spark, sf_dir, "embeddings")
+    full_l2 = F.aggregate(
+        F.zip_with("ve", "ce", lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("ctr"), F.col("embedding").alias("ce")
+    )
+
+    def assign(side, id_alias, keep):
+        scored = side.select(F.col("vec_id").alias(id_alias), F.col("embedding").alias("ve")) \
+            .crossJoin(F.broadcast(cent)).select(id_alias, "ctr", full_l2.alias("d2"))
+        w = Window.partitionBy(id_alias).orderBy(F.asc("d2"), F.asc("ctr"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(id_alias, F.col("ctr").alias("cell"))
+        )
+
+    cells = assign(e.filter(F.col("vec_id") >= _PQ_K), "did", 1)
+    qcells = assign(e.filter(F.col("vec_id") < 5), "qid", 2)
+    cand = qcells.join(cells, "cell").select("qid", "did")
+
+    subv = F.transform(
+        F.sequence(F.lit(1), F.lit(_PQ_D)),
+        lambda i: F.element_at(
+            F.col("embedding"), (F.col("s") * _PQ_D + i).cast("int")
+        ).cast("double"),
+    )
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), spaces, "embedding")
+        .select("code", "s", subv.alias("cw"))
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    db = (
+        e.filter(F.col("vec_id") >= _PQ_K)
+        .select(F.col("vec_id").alias("did"), spaces, "embedding")
+        .select("did", "s", subv.alias("dv"))
+    )
+    wmin = Window.partitionBy("did", "s").orderBy(F.asc("d2"), F.asc("code"))
+    enc = (
+        db.join(F.broadcast(cb), "s")
+        .withColumn("d2", l2(F.col("dv"), F.col("cw")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("did", "s", "code")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), spaces, "embedding")
+        .select("qid", "s", subv.alias("qv"))
+    )
+    qd = (
+        q.join(F.broadcast(cb), "s")
+        .select("qid", "s", "code", l2(F.col("qv"), F.col("cw")).alias("d2"))
+    )
+    adc = (
+        enc.join(F.broadcast(qd), ["s", "code"])
+        .join(F.broadcast(cand), ["qid", "did"], "left_semi")
+        .groupBy("qid", "did")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "d2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d2"],
+            ).alias("dist")
+        )
+    )
+    wtop = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("did"))
+    return (
+        adc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
+    )

@@ -105,3 +105,36 @@ def test_pq_adc_recall(spark):
     # 0.2 floor (the single-probe IVF convention) pins the encode/ADC
     # plumbing from degenerating while tolerating the untrained codebook
     assert recall >= 0.2, f"PQ ADC recall@5 {recall:.2f} below floor"
+
+
+def test_ivfadc_recall(spark):
+    """x85 composes cell pruning with ADC ranking; same floor discipline
+    as x84 (chance ~0.01). Cell pruning can only narrow the candidate
+    set, but it also removes far distractors PQ mis-ranks — so IVFADC
+    recall is not ordered w.r.t. x84's and gets its own envelope."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.queries import load
+    from consensource_sds_spark.queries.extensions import _PQ_K, x85_ivfadc_topk
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    db = e.filter(F.col("vec_id") >= _PQ_K).select(F.col("vec_id").alias("did"), F.col("embedding").alias("de"))
+    d2 = F.aggregate(
+        F.zip_with("qe", "de", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("did"))
+    exact = {
+        (r["qid"], r["did"])
+        for r in db.crossJoin(F.broadcast(q))
+        .select("qid", "did", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    got = {(r["qid"], r["did"]) for r in x85_ivfadc_topk(spark, SF).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2, f"IVFADC recall@5 {recall:.2f} below floor"

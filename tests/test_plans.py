@@ -44,6 +44,9 @@ _BNLJ_ALLOWED = {
     "x63_source_vocab_overlap": 1,
     # ~10-row recursion product banded against orders by range condition
     "q80_recursive_bands": 1,
+    # the 8-centroid assignment cross join on both the db and query sides
+    # (x11's shape, twice); all PQ-stage joins are equi-joins
+    "x85_ivfadc_topk": 2,
 }
 
 
