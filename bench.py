@@ -336,7 +336,12 @@ def _ann_bench(spark, sf_dir: str) -> dict:
     + full ingest) and probe wall-clock/queries-per-sec for a 100-query
     top-10 probe at nprobe=2 (the deployed operating point). Build runs
     once (it is the amortized cost); the probe reports the MIN of 3 runs,
-    same steal-resistant methodology as the headline."""
+    same steal-resistant methodology as the headline. The PQ block builds
+    the code-carrying variant and times the ADC probe — at bench scale the
+    extra explode/join makes it SLOWER than the cosine probe (the win is
+    I/O: the ADC scan reads no embedding bytes, plan-pinned in
+    test_ann_ingest), so the number published here is plumbing cost, not
+    the at-scale story."""
     import shutil
     import tempfile
 
@@ -345,9 +350,12 @@ def _ann_bench(spark, sf_dir: str) -> dict:
     from consensource_sds_spark.queries import load
     from consensource_sds_spark.streaming.ann_ingest import (
         ann_probe,
+        ann_probe_adc,
         ingest_embedding_batch,
         init_ann_index,
+        init_pq,
         train_centroids,
+        train_pq_codebook,
     )
 
     e = load(spark, sf_dir, "embeddings")
@@ -365,6 +373,20 @@ def _ann_bench(spark, sf_dir: str) -> dict:
             t0 = time.perf_counter()
             ann_probe(spark, d, q, k=10, nprobe=2).write.format("noop").mode("overwrite").save()
             probe = min(probe, time.perf_counter() - t0)
+        # PQ lane: codes at ingest, ADC probe never reads the float payload
+        d2 = os.path.join(tmp, "idx_pq")
+        t0 = time.perf_counter()
+        init_ann_index(spark, d2, train_centroids(spark, e, k=8, iters=2))
+        init_pq(spark, d2, train_pq_codebook(spark, e, m=8, k=16, iters=1))
+        ingest_embedding_batch(spark, e.select("vec_id", "embedding", "label"), 0, d2)
+        pq_build = time.perf_counter() - t0
+        adc = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ann_probe_adc(spark, d2, q, k=10, nprobe=2).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            adc = min(adc, time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -372,6 +394,9 @@ def _ann_bench(spark, sf_dir: str) -> dict:
         "build_sec": round(build, 3),
         "probe_sec": round(probe, 3),
         "queries_per_sec": round(100 / probe, 1),
+        "pq_build_sec": round(pq_build, 3),
+        "adc_probe_sec": round(adc, 3),
+        "adc_queries_per_sec": round(100 / adc, 1),
     }
 
 

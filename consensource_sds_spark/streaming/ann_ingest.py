@@ -61,6 +61,10 @@ def _centroids_path(index_dir: str) -> str:
     return os.path.join(os.path.abspath(index_dir), "_centroids")
 
 
+def _pq_path(index_dir: str) -> str:
+    return os.path.join(os.path.abspath(index_dir), "_pq_codebook")
+
+
 def train_centroids(spark: SparkSession, emb: DataFrame, k: int, iters: int = 3) -> DataFrame:
     """k centroids by Lloyd iteration (x40's update step, looped).
 
@@ -139,6 +143,204 @@ def load_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(_centroids_path(index_dir))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou 2011; x84/x85's registry twins are the
+# oracle-checked forms) — the VECTOR-compression half of the index. IVF
+# cell partitioning shrinks what a probe READS to nprobe directories;
+# PQ codes shrink what those directories WEIGH: the ADC probe scans only
+# (vec_id, cell, codes) — column pruning drops the dim x float32
+# embedding payload entirely — and ranks candidates from a per-query
+# (m x k) distance table. At 10^9 vectors x 64 floats that is the
+# difference between reading 256 GB and reading 8 GB per full sweep.
+#
+# The codebook is a PER-GENERATION artifact exactly like the centroids
+# (immutable once ingest starts — codes written under one codebook must
+# never be scored against another), stored at ``_pq_codebook``. Enable PQ
+# at generation init, BEFORE the first batch: mixed code/no-code
+# partitions would make the probe read nulls, so ``init_pq`` refuses an
+# index that already holds batches.
+# ---------------------------------------------------------------------------
+
+
+def _subvec(col, s_col, d: int):
+    """The s-th d-dim sub-vector of ``col`` as array<double> (1-based
+    element_at; s is a column)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda i: F.element_at(col, (s_col * d + i).cast("int")).cast("double"),
+    )
+
+
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebook(
+    spark: SparkSession, emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2
+) -> DataFrame:
+    """Per-subspace Lloyd: cut ``dim`` into ``m`` subspaces and train
+    ``k`` codewords in each — all m k-means runs ride ONE DataFrame keyed
+    by the subspace id (never a per-subspace driver loop over data).
+    Seeds are the k smallest-md5 vectors' sub-vectors (train_centroids's
+    determinism rule). Returns (s INT, code INT, cw ARRAY<FLOAT>).
+
+    Scale: per iteration one (n x m) explode joined against the broadcast
+    (m x k) codebook, one argmin max_by per (vec, s), one (s, code, dim)
+    mean agg — linear in n, codebook-sized state only."""
+    dim = len(emb.select("embedding").first()["embedding"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    sub = emb.select("vec_id", spaces, "embedding").select(
+        "vec_id", "s", _subvec(F.col("embedding"), F.col("s"), d).alias("sv")
+    )
+    seeds = (
+        emb.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .withColumn("code", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int"))
+        .select("code", spaces, "embedding")
+        .select("s", "code", _subvec(F.col("embedding"), F.col("s"), d).alias("cw"))
+    )
+    cb = seeds.localCheckpoint()
+    for _ in range(iters):
+        asg = (
+            sub.join(F.broadcast(cb), "s")
+            .withColumn("_d2", _l2(F.col("sv"), F.col("cw")))
+            .groupBy("vec_id", "s")
+            .agg(
+                F.max_by("code", F.struct((-F.col("_d2")).alias("_n"), (-F.col("code")).alias("_c"))).alias("code"),
+            )
+        )
+        means = (
+            sub.join(asg, ["vec_id", "s"])
+            .select("s", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("s", "code", "dim")
+            .agg(F.avg("val").alias("mn"))
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mn"))).getField("mn").alias("cw"))
+        )
+        cb = (
+            cb.alias("old")
+            .join(means.alias("new"), ["s", "code"], "left")
+            .select("s", "code", F.coalesce(F.col("new.cw"), F.col("old.cw")).alias("cw"))
+            .localCheckpoint()
+        )
+    return cb.select("s", "code", F.expr("transform(cw, x -> CAST(x AS FLOAT))").alias("cw"))
+
+
+def init_pq(spark: SparkSession, index_dir: str, codebook: DataFrame) -> None:
+    """Pin this generation's PQ codebook. Must run BEFORE the first batch
+    (codes and codebook version together); immutable like the centroids."""
+    path = _pq_path(index_dir)
+    if os.path.exists(path):
+        raise ValueError(f"{path} exists; PQ codebooks are immutable per index generation")
+    if os.path.isdir(index_dir) and any(x.startswith("batch_id=") for x in os.listdir(index_dir)):
+        raise ValueError(
+            f"{index_dir} already holds batches; PQ must be enabled at generation init "
+            "(mixed code/no-code partitions would corrupt ADC probes)"
+        )
+    codebook.coalesce(1).write.parquet(path)
+
+
+def has_pq(index_dir: str) -> bool:
+    return os.path.exists(_pq_path(index_dir))
+
+
+def load_pq_codebook(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_pq_path(index_dir))
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, codes ARRAY<INT> in subspace order): nearest codeword per
+    subspace by L2, ties to the lower code — x84's encode as a reusable
+    frame function. One explode + broadcast join + argmin, linear."""
+    first = codebook.select(F.max(F.size("cw")).alias("d"), F.max("s").alias("ms")).first()
+    d, m = int(first["d"]), int(first["ms"]) + 1
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    sub = emb.select("vec_id", spaces, "embedding").select(
+        "vec_id", "s", _subvec(F.col("embedding"), F.col("s"), d).alias("sv")
+    )
+    asg = (
+        sub.join(F.broadcast(codebook.select("s", "code", F.expr("transform(cw, x -> CAST(x AS DOUBLE))").alias("cw"))), "s")
+        .withColumn("_d2", _l2(F.col("sv"), F.col("cw")))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.max_by("code", F.struct((-F.col("_d2")).alias("_n"), (-F.col("code")).alias("_c"))).alias("code"),
+        )
+    )
+    return asg.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "code"))).getField("code").alias("codes")
+    )
+
+
+def ann_probe_adc(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k per query by PQ asymmetric distance over the standing index —
+    the probe that never reads a database embedding: the scan projects
+    (vec_id, cell, codes) only (column pruning drops the float payload),
+    partition-prunes to the queries' nprobe cells, and ranks candidates by
+    summing each query's per-subspace distance TABLE (a (queries x m x k)
+    broadcast built from the codebook — KBs). Returns (qid, vec_id,
+    adc_dist, rank), rank 1 = nearest. Approximate by construction; the
+    exact-rerank pattern runs :func:`ann_probe` on this result's ids.
+
+    Compaction-duplicate tolerance: candidate rows dedup on vec_id BEFORE
+    the code explode (codes are identical for a vec_id within a
+    generation, so dropping either copy is exact)."""
+    cb = load_pq_codebook(spark, index_dir)
+    cent = load_centroids(spark, index_dir)
+    qs = queries.select("qid", F.col("embedding").alias("qe")).localCheckpoint()
+    scored_cells = qs.crossJoin(
+        F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
+    ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
+    wc = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("_c"))
+    q_cells = (
+        scored_cells.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", F.col("_c").alias("cell"))
+        .localCheckpoint()
+    )
+    first = cb.select(F.size("cw").alias("d")).first()
+    d = int(first["d"])
+    qd = (
+        qs.crossJoin(F.broadcast(cb.select("s", "code", F.expr("transform(cw, x -> CAST(x AS DOUBLE))").alias("cw"))))
+        .select(
+            "qid", "s", "code",
+            _l2(_subvec(F.col("qe"), F.col("s"), d), F.col("cw")).alias("d2"),
+        )
+        .localCheckpoint()  # the distance table: queries x m x k rows
+    )
+    needed = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    idx = ann_index(spark, index_dir).select("vec_id", "cell", "codes")
+    if len(needed) <= _MAX_PRUNE_CELLS:
+        idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
+    cand = (
+        idx.dropDuplicates(["vec_id"])
+        .join(F.broadcast(q_cells), "cell")
+        .select("qid", "vec_id", F.posexplode("codes").alias("s", "code"))
+        .join(F.broadcast(qd), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", "adc_dist", F.col("_rn").alias("rank"))
+    )
+
+
 def ingest_embedding_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, index_dir: str
 ) -> None:
@@ -152,6 +354,8 @@ def ingest_embedding_batch(
     rows = batch_df.join(asg, "vec_id").select(
         "vec_id", "embedding", "label", F.col("cell").cast("int").alias("cell")
     )
+    if has_pq(index_dir):
+        rows = rows.join(pq_encode(batch_df, load_pq_codebook(spark, index_dir)), "vec_id")
     (
         rows.withColumn("batch_id", F.lit(batch_id))
         .repartition("cell")
@@ -295,9 +499,10 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> None:
     live = _live_batch_dirs(index_dir)
     if not live:
         return
+    cols = ["vec_id", "embedding", "label", "cell"] + (["codes"] if has_pq(index_dir) else [])
     consolidated = (
         ann_index(spark, index_dir)
-        .select("vec_id", "embedding", "label", "cell")
+        .select(*cols)
         .dropDuplicates(["vec_id"])
         .repartition("cell")
         .withColumn("batch_id", F.lit(_COMPACTED_BATCH_ID))
@@ -482,6 +687,16 @@ def maybe_retrain(
         .localCheckpoint()  # pin: the rebuild must not re-read mid-swap state
     )
     init_ann_index(spark, nxt, train_centroids(spark, vectors, k=new_k, iters=iters))
+    if has_pq(cur):
+        # a PQ generation stays a PQ generation: fresh per-subspace
+        # codebook from the same snapshot, pinned before the re-ingest so
+        # batch 0 lands with codes
+        shape = load_pq_codebook(spark, cur).select(F.max("s"), F.max("code")).first()
+        init_pq(
+            spark,
+            nxt,
+            train_pq_codebook(spark, vectors, m=int(shape[0]) + 1, k=int(shape[1]) + 1),
+        )
     ingest_embedding_batch(spark, vectors, 0, nxt)
     _write_gen_marker(nxt, n)
     return nxt
@@ -562,6 +777,12 @@ def drop_old_generations(root: str, keep: int = 1) -> list[str]:
 __all__ = [
     "semantic_dedup_batch",
     "EMB_SCHEMA",
+    "train_pq_codebook",
+    "init_pq",
+    "has_pq",
+    "load_pq_codebook",
+    "pq_encode",
+    "ann_probe_adc",
     "train_centroids",
     "assign_cells",
     "init_ann_index",

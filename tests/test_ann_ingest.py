@@ -510,3 +510,201 @@ def test_skew_retrain_growth_gate_breaks_churn(spark, tmp_path):
     # ...after which the same trigger re-arms and rebuilds exactly once
     g2 = maybe_retrain(spark, root, min_vectors=100, balance_factor=2.0)
     assert g2 is not None and current_generation(root) == g2
+
+
+# ---------------------------------------------------------------------------
+# PQ lane: per-generation codebook, codes at ingest, ADC probes that never
+# read the embedding column. Load-bearing: ADC == the brute-force ADC over
+# the same candidates (the approximation comes only from quantization +
+# nprobe, never the plumbing); the probe scan's ReadSchema excludes the
+# float payload; codebook immutability; compaction preserves codes.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def pq_index(spark, tmp_path):
+    from consensource_sds_spark.streaming.ann_ingest import (
+        init_pq,
+        train_pq_codebook,
+    )
+
+    d = str(tmp_path / "pq_index")
+    e = _emb(spark)
+    init_ann_index(spark, d, train_centroids(spark, e, k=K_CELLS, iters=2))
+    init_pq(spark, d, train_pq_codebook(spark, e, m=8, k=16, iters=1))
+    ingest_embedding_batch(spark, e.filter("vec_id % 2 = 0"), 0, d)
+    ingest_embedding_batch(spark, e.filter("vec_id % 2 = 1"), 1, d)
+    return d
+
+
+def test_pq_codebook_shape_and_immutability(spark, pq_index):
+    from consensource_sds_spark.streaming.ann_ingest import (
+        init_pq,
+        load_pq_codebook,
+        train_pq_codebook,
+    )
+
+    cb = load_pq_codebook(spark, pq_index)
+    assert cb.count() == 8 * 16
+    assert cb.select(F.size("cw")).distinct().collect()[0][0] == 8  # 64/8
+    with pytest.raises(ValueError, match="immutable"):
+        init_pq(spark, pq_index, train_pq_codebook(spark, _emb(spark), m=8, k=16, iters=0))
+
+
+def test_pq_requires_empty_generation(spark, index):
+    from consensource_sds_spark.streaming.ann_ingest import init_pq, train_pq_codebook
+
+    with pytest.raises(ValueError, match="already holds batches"):
+        init_pq(spark, index, train_pq_codebook(spark, _emb(spark), m=8, k=16, iters=0))
+
+
+def test_ingested_codes_match_batch_encode(spark, pq_index):
+    from consensource_sds_spark.streaming.ann_ingest import load_pq_codebook, pq_encode
+
+    idx = ann_index(spark, pq_index)
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(_emb(spark), load_pq_codebook(spark, pq_index)).collect()
+    }
+    got = {r["vec_id"]: list(r["codes"]) for r in idx.select("vec_id", "codes").collect()}
+    assert got == want
+    assert all(len(c) == 8 for c in got.values())
+
+
+def test_adc_probe_matches_bruteforce_adc(spark, pq_index):
+    """Exact-equivalence pin: the probe's ADC distances equal a from-
+    scratch ADC computation (encode + table lookup) over the vectors in
+    the probed cells — the plumbing adds no approximation beyond PQ+IVF."""
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe_adc,
+        load_centroids,
+        load_pq_codebook,
+        pq_encode,
+    )
+
+    e = _emb(spark)
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
+    got = ann_probe_adc(spark, pq_index, q, k=5, nprobe=K_CELLS)  # all cells: IVF exact
+    # reference: encode all vectors, build the distance table in python
+    cb = {
+        (r["s"], r["code"]): [float(x) for x in r["cw"]]
+        for r in load_pq_codebook(spark, pq_index).collect()
+    }
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(e, load_pq_codebook(spark, pq_index)).collect()
+    }
+    qe = {r["qid"]: [float(x) for x in r["embedding"]] for r in q.collect()}
+    import itertools
+
+    expected = {}
+    for qid, qv in qe.items():
+        dists = []
+        for vid, cs in codes.items():
+            dist = 0.0
+            for s, code in enumerate(cs):
+                cw = cb[(s, code)]
+                sub = qv[s * 8 : (s + 1) * 8]
+                dist += sum((a - b) * (a - b) for a, b in zip(sub, cw))
+            dists.append((dist, vid))
+        dists.sort(key=lambda t: (t[0], t[1]))
+        expected[qid] = dists[:5]
+    for r in got.collect():
+        want_d, want_v = expected[r["qid"]][r["rank"] - 1]
+        assert r["vec_id"] == want_v
+        assert abs(r["adc_dist"] - want_d) < 1e-6, (r["qid"], r["rank"])
+
+
+def test_adc_probe_never_reads_embeddings(spark, pq_index):
+    """THE scale pin: the ADC candidate scan must not read the float
+    payload — ReadSchema on the index scan excludes ``embedding`` (only
+    the centroid/codebook sides and the bounded query set touch floats)."""
+    from consensource_sds_spark.streaming.ann_ingest import ann_probe_adc
+
+    q = _emb(spark).filter("vec_id < 2").select(F.col("vec_id").alias("qid"), "embedding")
+    plan = (
+        ann_probe_adc(spark, pq_index, q, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the index scan is the only FileScan whose schema carries ``codes``
+    # (path matching is unreliable — toString truncates long tmp paths)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "codes" in ln]
+    assert scans, "no index scan found in plan"
+    for ln in scans:
+        assert "embedding" not in ln, f"index scan reads the embedding column: {ln}"
+        assert "PartitionFilters: [cell" in ln, f"index scan not cell-pruned: {ln}"
+
+
+def test_adc_probe_tolerates_compaction_duplicates(spark, pq_index):
+    from consensource_sds_spark.streaming.ann_ingest import ann_probe_adc
+
+    q = _emb(spark).filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
+    before = {(r["qid"], r["rank"]): r["vec_id"] for r in ann_probe_adc(spark, pq_index, q, k=5).collect()}
+    # duplicate every row into a second batch partition (mid-compaction state)
+    dup = ann_index(spark, pq_index).filter("batch_id = 0").localCheckpoint()
+    dup.withColumn("batch_id", F.lit(99)).write.mode("append").partitionBy(
+        "batch_id", "cell"
+    ).parquet(pq_index)
+    mid = {(r["qid"], r["rank"]): r["vec_id"] for r in ann_probe_adc(spark, pq_index, q, k=5).collect()}
+    assert mid == before
+    compact_ann_index(spark, pq_index)
+    after = {(r["qid"], r["rank"]): r["vec_id"] for r in ann_probe_adc(spark, pq_index, q, k=5).collect()}
+    assert after == before
+    # codes survived compaction
+    assert "codes" in ann_index(spark, pq_index).columns
+
+
+def test_retrain_preserves_pq_lane(spark, tmp_path):
+    """A PQ generation retrains into a PQ generation: gen=1 gets a fresh
+    codebook of the SAME (m, k) shape pinned before batch 0, every row
+    carries codes, and ADC probes answer through the swap."""
+    import numpy as np
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe_adc,
+        current_generation,
+        has_pq,
+        init_ann_generations,
+        init_pq,
+        load_pq_codebook,
+        maybe_retrain,
+        train_pq_codebook,
+    )
+
+    root = str(tmp_path / "pq_root")
+    rng = np.random.RandomState(11)
+    dim = 16
+
+    def rows(n, center, start_id):
+        pts = center + rng.randn(n, dim) * 0.05
+        return [(start_id + i, [float(x) for x in pts[i]], 0) for i in range(n)]
+
+    c1, c2 = np.zeros(dim), np.zeros(dim)
+    c1[0], c2[1] = 1.0, 1.0
+    e = spark.createDataFrame(
+        rows(600, c1, 0) + rows(600, c2, 1000), "vec_id long, embedding array<float>, label int"
+    )
+    gen0 = init_ann_generations(spark, root, train_centroids(spark, e, k=16, iters=1))
+    init_pq(spark, gen0, train_pq_codebook(spark, e, m=4, k=8, iters=1))
+    ingest_embedding_batch(spark, e, 0, gen0)
+
+    c3 = np.zeros(dim)
+    c3[2] = 1.0
+    flood = spark.createDataFrame(
+        rows(3000, c3, 10_000), "vec_id long, embedding array<float>, label int"
+    )
+    ingest_embedding_batch(spark, flood, 1, gen0)
+    new_gen = maybe_retrain(spark, root, min_vectors=1000)
+    assert new_gen is not None and current_generation(root) == new_gen
+    assert has_pq(new_gen)
+    cb = load_pq_codebook(spark, new_gen)
+    assert cb.count() == 4 * 8 and cb.select(F.max("s")).first()[0] == 3
+    idx = ann_index(spark, new_gen)
+    assert idx.filter(F.col("codes").isNull()).count() == 0
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
+    got = ann_probe_adc(spark, new_gen, q, k=5, nprobe=16)
+    rows_out = got.collect()
+    assert len(rows_out) == 15
+    assert all(len({r["vec_id"] for r in rows_out if r["qid"] == g}) == 5 for g in (0, 1, 2))
