@@ -341,6 +341,52 @@ def ann_probe_adc(
     )
 
 
+def ann_probe_adc_rerank(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 4,
+) -> DataFrame:
+    """Two-stage retrieval — the standard PQ deployment: ADC shortlists
+    ``refine * k`` candidates per query WITHOUT reading embeddings, then
+    the exact cosine stage reads the float payload for ONLY those
+    shortlist ids (queries x refine x k rows — driver-bounded, an IN
+    filter on vec_id over the already-cell-pruned scan) and re-ranks the
+    final top-k. Output schema matches :func:`ann_probe` (qid, vec_id,
+    cosine, rank), so callers swap probes freely; quantization error then
+    affects only RECALL of the shortlist, never the returned scores.
+
+    Metric note: the shortlist ranks by L2 ADC (the classic PQ objective)
+    while the rerank scores cosine — on varying-norm corpora the two
+    orderings diverge, so ``refine`` buys recall against BOTH quantization
+    error and the metric gap (normalize vectors at ingest to remove the
+    latter entirely)."""
+    short = ann_probe_adc(spark, index_dir, queries, k=refine * k, nprobe=nprobe).select(
+        "qid", "vec_id"
+    ).localCheckpoint()
+    ids = [r["vec_id"] for r in short.select("vec_id").distinct().collect()]
+    emb = (
+        ann_index(spark, index_dir)
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id").isin(ids))
+        .dropDuplicates(["vec_id"])
+    )
+    qs = queries.select("qid", F.col("embedding").alias("qe"))
+    cand = (
+        short.join(emb, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .select("qid", "vec_id", V.cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
 def ingest_embedding_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, index_dir: str
 ) -> None:
@@ -783,6 +829,7 @@ __all__ = [
     "load_pq_codebook",
     "pq_encode",
     "ann_probe_adc",
+    "ann_probe_adc_rerank",
     "train_centroids",
     "assign_cells",
     "init_ann_index",

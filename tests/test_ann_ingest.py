@@ -708,3 +708,27 @@ def test_retrain_preserves_pq_lane(spark, tmp_path):
     rows_out = got.collect()
     assert len(rows_out) == 15
     assert all(len({r["vec_id"] for r in rows_out if r["qid"] == g}) == 5 for g in (0, 1, 2))
+
+
+def test_adc_rerank_matches_exact_probe_when_shortlist_covers(spark, pq_index):
+    """With refine*k >= the candidate count the shortlist IS the whole
+    probed set, so the two-stage probe must EQUAL ann_probe's exact top-k
+    (ids, ranks, scores) — any divergence is plumbing, not approximation.
+    (At production refine factors the shortlist is approximate on BOTH the
+    quantization axis and the L2-vs-cosine metric gap — the docstring's
+    normalize-at-ingest note; exactness of the rerank stage itself is
+    what this pins.)"""
+    from consensource_sds_spark.streaming.ann_ingest import ann_probe_adc_rerank
+
+    q = _emb(spark).filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+        for r in ann_probe_adc_rerank(
+            spark, pq_index, q, k=5, nprobe=K_CELLS, refine=100
+        ).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+        for r in ann_probe(spark, pq_index, q, k=5, nprobe=K_CELLS).collect()
+    }
+    assert got == want and len(got) == 20
