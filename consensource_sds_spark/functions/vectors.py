@@ -26,3 +26,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def unit(a: Column) -> Column:
+    """``a`` scaled to unit L2 norm (float, the storage dtype); zero
+    vectors pass through unchanged. Normalizing embeddings at INGEST makes
+    cosine and L2 orderings agree — which closes the PQ probe's
+    L2-shortlist-vs-cosine-rerank metric gap (see ann_probe_adc_rerank)."""
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: (x.cast("double") / n).cast("float"))).otherwise(a)
