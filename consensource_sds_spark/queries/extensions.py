@@ -4681,3 +4681,174 @@ def x85_ivfadc_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
     )
+
+
+@register(
+    "x86_ivfpq_residual_topk",
+    oracle=f"""
+    WITH ss AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
+    ctr AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    asg AS (
+      SELECT did, cell FROM (
+        SELECT d0.vec_id AS did, ctr.cell,
+               list_sum(list_transform(range(1, {_PQ_M * _PQ_D} + 1),
+                 i -> (CAST(d0.embedding[i] AS DOUBLE) - CAST(ctr.ce[i] AS DOUBLE))
+                    * (CAST(d0.embedding[i] AS DOUBLE) - CAST(ctr.ce[i] AS DOUBLE)))) AS d2
+        FROM embeddings d0, ctr WHERE d0.vec_id >= {_PQ_K})
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY did ORDER BY d2 ASC, cell) = 1),
+    res AS (
+      SELECT e.vec_id AS did, asg.cell,
+             list_transform(range(1, {_PQ_M * _PQ_D} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ctr.ce[i] AS DOUBLE)) AS rv
+      FROM embeddings e JOIN asg ON e.vec_id = asg.did JOIN ctr USING (cell)),
+    cb AS (
+      SELECT CAST(did - {_PQ_K} AS INT) AS code, s,
+             list_transform(range(1, {_PQ_D} + 1), i -> rv[s * {_PQ_D} + i]) AS cw
+      FROM res, ss WHERE did BETWEEN {_PQ_K} AND {2 * _PQ_K - 1}),
+    enc0 AS (
+      SELECT r.did, r.s, cb.code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+                                     i -> (rsub[i] - cw[i]) * (rsub[i] - cw[i]))) AS d2
+      FROM (SELECT did, s,
+                   list_transform(range(1, {_PQ_D} + 1), i -> rv[s * {_PQ_D} + i]) AS rsub
+            FROM res, ss) r JOIN cb ON r.s = cb.s),
+    enc AS (
+      SELECT did, s, code FROM enc0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY did, s ORDER BY d2 ASC, code) = 1),
+    qc AS (
+      SELECT qid, cell FROM (
+        SELECT q0.vec_id AS qid, ctr.cell,
+               list_sum(list_transform(range(1, {_PQ_M * _PQ_D} + 1),
+                 i -> (CAST(q0.embedding[i] AS DOUBLE) - CAST(ctr.ce[i] AS DOUBLE))
+                    * (CAST(q0.embedding[i] AS DOUBLE) - CAST(ctr.ce[i] AS DOUBLE)))) AS d2
+        FROM embeddings q0, ctr WHERE q0.vec_id < 5)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, cell) <= 2),
+    qres AS (
+      SELECT qc.qid, qc.cell,
+             list_transform(range(1, {_PQ_M * _PQ_D} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) - CAST(ctr.ce[i] AS DOUBLE)) AS qrv
+      FROM qc JOIN embeddings e ON e.vec_id = qc.qid JOIN ctr USING (cell)),
+    qd AS (
+      SELECT qq.qid, qq.cell, qq.s, cb.code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+                                     i -> (qsub[i] - cw[i]) * (qsub[i] - cw[i]))) AS d2
+      FROM (SELECT qid, cell, s,
+                   list_transform(range(1, {_PQ_D} + 1), i -> qrv[s * {_PQ_D} + i]) AS qsub
+            FROM qres, ss) qq JOIN cb ON qq.s = cb.s),
+    cand AS (SELECT qid, did, cell FROM qc JOIN asg USING (cell)),
+    adc AS (
+      SELECT cand.qid, cand.did, list_sum(list(qd.d2 ORDER BY qd.s)) AS dist
+      FROM cand
+      JOIN enc ON enc.did = cand.did
+      JOIN qd ON qd.qid = cand.qid AND qd.cell = cand.cell
+              AND qd.s = enc.s AND qd.code = enc.code
+      GROUP BY cand.qid, cand.did)
+    SELECT qid, did, ROUND(dist, 6) AS adc_dist
+    FROM adc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
+    """,
+)
+def x86_ivfpq_residual_topk(spark, sf_dir):
+    """Residual IVFPQ (Jegou 2011 §IV.B; FAISS IndexIVFPQ's by_residual
+    DEFAULT): quantize each vector's RESIDUAL from its coarse centroid
+    instead of the raw vector, and build the query's distance table PER
+    PROBED CELL (its residual differs per cell) — table work scales with
+    nprobe, the classic accuracy/probe-cost trade. With a TRAINED
+    codebook residuals concentrate near zero and the codebook budget buys
+    accuracy; with this entry's deterministic SEED codewords the recall
+    is deliberately weak (the residual's fine structure is exactly what
+    untrained codewords destroy — measured ~8x chance on the testdata,
+    pinned in test_ann_recall), so what the oracle pins here is the
+    residual-ADC PIPELINE's exactness end-to-end; the trained variant
+    lives operationally in streaming/ann_ingest.train_pq_codebook.
+
+    Scale: identical shapes to x85 (broadcast centroids, argmin windows,
+    equi-join candidate filter, per-(qid, did) sorted fold) plus one
+    (query x nprobe) residual expansion — all tiny-side; the corpus-side
+    work stays one encode pass. Determinism: residual arithmetic is
+    per-element double subtraction (order-free); every fold is
+    fixed-order sequential; cuts are ranks (the x82/x84 discipline)."""
+    e = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ctr = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), as_double.alias("ce")
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(side, id_alias, keep):
+        scored = side.select(F.col("vec_id").alias(id_alias), as_double.alias("ve")) \
+            .crossJoin(F.broadcast(ctr)).select(id_alias, "cell", l2(F.col("ve"), F.col("ce")).alias("d2"))
+        w = Window.partitionBy(id_alias).orderBy(F.asc("d2"), F.asc("cell"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(id_alias, "cell")
+        )
+
+    db = e.filter(F.col("vec_id") >= _PQ_K)
+    # the assignment/residual stage feeds the codebook, the encode AND the
+    # candidate filter — checkpoint once so the centroid cross join plans
+    # once (q91's single-scan discipline), not per consumer
+    asg = assign(db, "did", 1).localCheckpoint()
+    res = (
+        db.select(F.col("vec_id").alias("did"), as_double.alias("ve"))
+        .join(asg, "did")
+        .join(F.broadcast(ctr), "cell")
+        .select("did", "cell", F.zip_with("ve", "ce", lambda x, y: x - y).alias("rv"))
+        .localCheckpoint()
+    )
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    rsub = F.slice(F.col("rv"), F.col("s") * _PQ_D + 1, _PQ_D)
+    cb = (
+        res.filter(F.col("did").between(_PQ_K, 2 * _PQ_K - 1))
+        .select((F.col("did") - _PQ_K).cast("int").alias("code"), spaces, "rv")
+        .select("code", "s", rsub.alias("cw"))
+    )
+    wmin = Window.partitionBy("did", "s").orderBy(F.asc("d2"), F.asc("code"))
+    enc = (
+        res.select("did", spaces, "rv")
+        .select("did", "s", rsub.alias("dsub"))
+        .join(F.broadcast(cb), "s")
+        .withColumn("d2", l2(F.col("dsub"), F.col("cw")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("did", "s", "code")
+    )
+    qc = assign(e.filter(F.col("vec_id") < 5), "qid", 2).localCheckpoint()
+    qres = (
+        qc.join(
+            e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), as_double.alias("ve")),
+            "qid",
+        )
+        .join(F.broadcast(ctr), "cell")
+        .select("qid", "cell", F.zip_with("ve", "ce", lambda x, y: x - y).alias("rv"))
+    )
+    qd = (
+        qres.select("qid", "cell", spaces, "rv")
+        .select("qid", "cell", "s", rsub.alias("qsub"))
+        .join(F.broadcast(cb), "s")
+        .select("qid", "cell", "s", "code", l2(F.col("qsub"), F.col("cw")).alias("d2"))
+    )
+    cand = qc.join(asg, "cell").select("qid", "did", "cell")
+    adc = (
+        cand.join(enc, "did")
+        .join(F.broadcast(qd), ["qid", "cell", "s", "code"])
+        .groupBy("qid", "did")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "d2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d2"],
+            ).alias("dist")
+        )
+    )
+    wtop = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("did"))
+    return (
+        adc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
+    )

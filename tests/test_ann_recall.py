@@ -138,3 +138,38 @@ def test_ivfadc_recall(spark):
     got = {(r["qid"], r["did"]) for r in x85_ivfadc_topk(spark, SF).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.2, f"IVFADC recall@5 {recall:.2f} below floor"
+
+
+def test_residual_ivfpq_above_chance(spark):
+    """x86's seed codebook is deliberately untrained (see its docstring:
+    the oracle pins the residual-ADC pipeline, not accuracy — residual
+    fine structure is what untrained codewords destroy), so the envelope
+    here is only that the ranking retains signal: recall well above the
+    ~0.01 chance level. Everything is deterministic, so the measured 0.08
+    is stable; the floor sits at half of it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.queries import load
+    from consensource_sds_spark.queries.extensions import _PQ_K, x86_ivfpq_residual_topk
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    db = e.filter(F.col("vec_id") >= _PQ_K).select(F.col("vec_id").alias("did"), F.col("embedding").alias("de"))
+    d2 = F.aggregate(
+        F.zip_with("qe", "de", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("did"))
+    exact = {
+        (r["qid"], r["did"])
+        for r in db.crossJoin(F.broadcast(q))
+        .select("qid", "did", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    got = {(r["qid"], r["did"]) for r in x86_ivfpq_residual_topk(spark, SF).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.04, f"residual IVFPQ recall@5 {recall:.2f} at chance level"
