@@ -57,6 +57,7 @@ from consensource_sds_spark.queries.extensions import (
     near_dup_clusters,
     scrub_boilerplate,
     with_filter_verdict,
+    with_gopher_verdict,
 )
 from consensource_sds_spark.sources.dataset_writer import with_shard_columns, write_training_shards
 
@@ -80,9 +81,18 @@ def build_training_corpus(
     domain_cap: int = 10,
     n_shards: int = 16,
     substring_scrub: bool = False,
+    gopher_gate: bool = False,
+    gopher_rules: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Run the full pipeline and write ``split=*/shard_id=*`` parquet to
     ``out_dir``; returns the per-(stage, reason) drop accounting.
+
+    ``gopher_gate`` inserts x80's Gopher rule set (Rae 2021) after the
+    x43 filter, dropping failures with per-rule attribution in the audit
+    (stage ``gopher_gate``, reason = first failing rule); ``gopher_rules``
+    selects a rule subset by name. Off by default: the thresholds are
+    tuned for web-crawl English prose and cut hard on short or
+    synthetic-vocabulary corpora.
 
     ``substring_scrub`` inserts x77's exact-substring cut (Lee et al.
     2022) between the boilerplate scrub and the quality filter: every
@@ -133,6 +143,15 @@ def build_training_corpus(
     ).write.mode("overwrite").parquet(os.path.join(staging, "clean"))
     clean = spark.read.parquet(os.path.join(staging, "clean"))
     kept1 = clean.filter(F.col("verdict") == "keep").drop("verdict")
+    if gopher_gate:
+        # x80's rule set as a drop stage, per-rule attributed; a pure
+        # projection over the staged clean table (the audit below
+        # recomputes only this projection, never upstream stages)
+        kept1 = (
+            with_gopher_verdict(kept1, rules=gopher_rules)
+            .filter(F.col("gopher_verdict") == "keep")
+            .drop("gopher_verdict")
+        )
 
     # 2. exact dedup — digest groupBy on the clean text, lowest doc_id
     exact_keep = (
@@ -179,11 +198,23 @@ def build_training_corpus(
             F.count(F.lit(1)).alias("n_dropped"),
         ).select("stage", "reason", "n_dropped")
 
-    return (
+    out = (
         filt.unionByName(_one("exact_dedup", exact_dropped))
         .unionByName(_one("near_dedup", near_dropped))
         .unionByName(_one("domain_cap", cap_dropped))
     )
+    if gopher_gate:
+        gop = (
+            with_gopher_verdict(clean.filter(F.col("verdict") == "keep"), rules=gopher_rules)
+            .filter(F.col("gopher_verdict") != "keep")
+            .groupBy(
+                F.lit("gopher_gate").alias("stage"),
+                F.col("gopher_verdict").alias("reason"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_dropped"))
+        )
+        out = out.unionByName(gop)
+    return out
 
 
 __all__ = ["build_training_corpus", "with_shard_columns"]

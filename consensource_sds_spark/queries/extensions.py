@@ -4149,48 +4149,93 @@ def x80_gopher_quality_rules(spark, sf_dir):
     over the corpus — per-doc higher-order functions, no shuffle at all
     (the plan is scan -> project; Catalyst prunes to (doc_id, text))."""
     d = load(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
-    ).cast("bigint")
-    stop_hits = sum(
-        F.array_contains("words", w).cast("int")
-        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
-    )
-    m = d.select(
-        "doc_id",
-        words.alias("words"),
-        n_hash.alias("n_hash"),
-        n_ellipsis.alias("n_ellipsis"),
-    ).select(
-        "doc_id",
-        F.size("words").cast("bigint").alias("n_words"),
-        F.aggregate(
-            F.transform("words", lambda w: F.length(w).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("sum_len"),
-        F.size(F.filter("words", lambda w: w.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
-        stop_hits.alias("n_stop"),
-        "n_hash",
-        "n_ellipsis",
-    )
-    nw = F.greatest(F.col("n_words"), F.lit(1))
-    word_count_ok = F.col("n_words").between(50, 100000)
-    mean_len_ok = (F.col("sum_len").cast("double") / nw).between(3, 10)
-    symbol_ok = (F.col("n_hash") + F.col("n_ellipsis")).cast("double") / nw < 0.1
-    alpha_ok = F.col("n_alpha").cast("double") / nw >= 0.8
-    stop_ok = F.col("n_stop") >= 2
+    m = _gopher_metrics(d.select("doc_id", "text"))
+    r = _gopher_rules()
     return m.select(
         "doc_id",
-        "n_words",
-        word_count_ok.alias("word_count_ok"),
-        mean_len_ok.alias("mean_word_len_ok"),
-        symbol_ok.alias("symbol_ratio_ok"),
-        alpha_ok.alias("alpha_word_frac_ok"),
-        stop_ok.alias("stopword_ok"),
-        (word_count_ok & mean_len_ok & symbol_ok & alpha_ok & stop_ok).alias("gopher_pass"),
+        F.col("_g_n_words").alias("n_words"),
+        r["word_count"].alias("word_count_ok"),
+        r["mean_word_len"].alias("mean_word_len_ok"),
+        r["symbol_ratio"].alias("symbol_ratio_ok"),
+        r["alpha_word_frac"].alias("alpha_word_frac_ok"),
+        r["stopword"].alias("stopword_ok"),
+        (
+            r["word_count"] & r["mean_word_len"] & r["symbol_ratio"]
+            & r["alpha_word_frac"] & r["stopword"]
+        ).alias("gopher_pass"),
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: the underscore-prefixed metric columns _gopher_metrics adds
+_GOPHER_METRIC_COLS = (
+    "_g_n_words", "_g_sum_len", "_g_n_alpha", "_g_n_stop", "_g_n_hash", "_g_n_ellipsis"
+)
+
+
+def _gopher_metrics(df):
+    """Stamp the Gopher rule inputs (exact BIGINT counts, underscore
+    columns) onto any frame with a ``text`` column — x80's oracle face and
+    the corpus build's gopher_gate stage share these expressions."""
+    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    df = df.withColumn("_gw", words)
+    stop_hits = sum(F.array_contains("_gw", w).cast("int") for w in _GOPHER_STOPWORDS)
+    return df.withColumns(
+        {
+            "_g_n_words": F.size("_gw").cast("bigint"),
+            "_g_sum_len": F.aggregate(
+                F.transform("_gw", lambda w: F.length(w).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+            "_g_n_alpha": F.size(F.filter("_gw", lambda w: w.rlike("[A-Za-z]"))).cast("bigint"),
+            "_g_n_stop": stop_hits,
+            "_g_n_hash": F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))),
+            "_g_n_ellipsis": (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit(""))))
+                / 3
+            ).cast("bigint"),
+        }
+    ).drop("_gw")
+
+
+def _gopher_rules() -> dict:
+    """Rule-name -> boolean Column over _gopher_metrics output (Rae 2021
+    §A1.1 thresholds)."""
+    nw = F.greatest(F.col("_g_n_words"), F.lit(1))
+    return {
+        "word_count": F.col("_g_n_words").between(50, 100000),
+        "mean_word_len": (F.col("_g_sum_len").cast("double") / nw).between(3, 10),
+        "symbol_ratio": (F.col("_g_n_hash") + F.col("_g_n_ellipsis")).cast("double") / nw < 0.1,
+        "alpha_word_frac": F.col("_g_n_alpha").cast("double") / nw >= 0.8,
+        "stopword": F.col("_g_n_stop") >= 2,
+    }
+
+
+def with_gopher_verdict(df, rules: tuple[str, ...] | None = None):
+    """Stamp ``gopher_verdict`` onto any frame with a ``text`` column:
+    'keep', or the FIRST failing rule in x80's flag order — per-rule
+    attribution for the corpus build's drop audit, the same
+    first-tripped-wins discipline as with_filter_verdict. NULL text trips
+    'malformed' (a NULL predicate would otherwise fall through every
+    WHEN to 'keep' — the x43 hazard). ``rules`` selects a subset by name
+    (default: all five) — deployments tune the set per corpus (e.g. the
+    stopword rule presumes English prose and annihilates code or
+    synthetic-vocabulary corpora). Pure projection, no shuffle."""
+    m = _gopher_metrics(df)
+    r = _gopher_rules()
+    active = rules if rules is not None else tuple(r)
+    unknown = set(active) - set(r)
+    if unknown:
+        raise ValueError(f"unknown gopher rules: {sorted(unknown)}")
+    verdict = F.when(F.col("text").isNull(), F.lit("malformed"))
+    for name in r:  # canonical order, filtered to the active subset
+        if name in active:
+            verdict = verdict.when(~r[name], F.lit(name))
+    return m.withColumn("gopher_verdict", verdict.otherwise(F.lit("keep"))).drop(
+        *_GOPHER_METRIC_COLS
     )
 
 

@@ -130,3 +130,48 @@ def test_build_with_substring_scrub(spark, tmp_path):
     assert cross.count() == 0
     # exact dedup still holds on the post-cut text
     assert surv.groupBy(F.md5("text")).count().filter("count > 1").count() == 0
+
+
+def test_build_with_gopher_gate(spark, tmp_path):
+    """gopher_gate drops x80-failing docs between the x43 filter and
+    exact dedup, with per-rule attribution: conservation still holds,
+    every survivor passes the full rule set, and each gopher drop reason
+    is a real rule name."""
+    from consensource_sds_spark.queries.extensions import (
+        with_gopher_verdict,
+        x80_gopher_quality_rules,
+    )
+
+    # the stopword rule presumes English prose and would annihilate this
+    # synthetic-vocabulary corpus (zero survivors) — exactly the tuning
+    # case the rules= knob exists for
+    active = ("word_count", "mean_word_len", "symbol_ratio", "alpha_word_frac")
+    out = str(tmp_path / "corpus_g")
+    stats = build_training_corpus(
+        spark, SF, out, domain_cap=5, n_shards=4, gopher_gate=True, gopher_rules=active
+    )
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    n_total = load(spark, SF, "documents").count()
+    dropped = {(r["stage"], r["reason"]): r["n_dropped"] for r in stats.collect()}
+    assert written.count() + sum(dropped.values()) == n_total
+    gop = {r: n for (s, r), n in dropped.items() if s == "gopher_gate"}
+    assert gop, "the gate dropped nothing on this corpus — vacuous test"
+    assert set(gop) <= set(active) | {"malformed"}
+    # survivors pass every ACTIVE rule (check against the registry entry's
+    # flags: the gate and x80 must agree — shared expressions, pinned here)
+    flags = x80_gopher_quality_rules(spark, SF).filter(
+        ~(
+            F.col("word_count_ok") & F.col("mean_word_len_ok")
+            & F.col("symbol_ratio_ok") & F.col("alpha_word_frac_ok")
+        )
+    )
+    bad = written.join(flags.select("doc_id"), "doc_id", "left_semi").count()
+    assert bad == 0
+    # verdict helper: first-tripped-rule attribution, NULL text -> malformed
+    d = spark.createDataFrame(
+        [(1, None), (2, "a " * 60)], "doc_id long, text string"
+    )
+    v = {r["doc_id"]: r["gopher_verdict"] for r in with_gopher_verdict(d).collect()}
+    assert v[1] == "malformed"
+    assert v[2] == "mean_word_len"  # 60 words of len 1: word_count passes first
