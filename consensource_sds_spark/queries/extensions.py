@@ -4214,6 +4214,10 @@ def _gopher_rules() -> dict:
     }
 
 
+#: the full rule set, in verdict-attribution order (subset with rules=)
+GOPHER_RULES = ("word_count", "mean_word_len", "symbol_ratio", "alpha_word_frac", "stopword")
+
+
 def with_gopher_verdict(df, rules: tuple[str, ...] | None = None):
     """Stamp ``gopher_verdict`` onto any frame with a ``text`` column:
     'keep', or the FIRST failing rule in x80's flag order — per-rule

@@ -62,6 +62,7 @@ from consensource_sds_spark.queries.extensions import (
     minhash_band_values,
     winnow_fingerprint_hashes,
     with_filter_verdict,
+    with_gopher_verdict,
 )
 from consensource_sds_spark.sources.dataset_writer import ROW_GROUP_BYTES, with_shard_columns
 
@@ -308,6 +309,7 @@ def ingest_batch(
     bloom_bits: int | None = DEFAULT_M_BITS,
     quarantine_dir: str | None = None,
     fingerprint_dir: str | None = None,
+    gopher_rules: tuple[str, ...] | None = None,
 ) -> None:
     """One microbatch through filter -> incremental dedup -> sharded append.
 
@@ -365,6 +367,15 @@ def ingest_batch(
         batch_df = batch_df.filter(~bad)
     batch_df = batch_df.drop("_corrupt_record")
     kept = with_filter_verdict(batch_df).filter(F.col("verdict") == "keep")
+    if gopher_rules is not None:
+        # the batch build's gopher_gate, streaming face — identical rule
+        # expressions (GOPHER_RULES names the full set), applied after the
+        # x43 filter exactly like build_training_corpus does
+        kept = (
+            with_gopher_verdict(kept, rules=gopher_rules)
+            .filter(F.col("gopher_verdict") == "keep")
+            .drop("gopher_verdict")
+        )
     digests = kept.withColumn("digest", F.md5("text"))
     # collapse within-batch duplicates first (min doc_id survives), then
     # probe the standing index — one digest-keyed shuffle + one probe join
@@ -534,6 +545,7 @@ def run_corpus_stream(
     reader_options: dict | None = None,
     quarantine: bool | None = None,
     auto_compact: bool = False,
+    gopher_rules: tuple[str, ...] | None = None,
 ):
     """Stream document files from ``source_dir`` through the corpus gates
     into ``out_dir`` (+ ``<out_dir>_digest_index``; with ``near_dedup``
@@ -560,7 +572,12 @@ def run_corpus_stream(
     ``auto_compact`` runs :func:`maybe_compact_indexes` after every
     applied batch — the same per-batch-interval maintenance cadence the
     SCD2 runner's ``auto_compact`` gives the store: a listdir no-op under
-    threshold, one index fold when the per-batch partitions pile up."""
+    threshold, one index fold when the per-batch partitions pile up.
+
+    ``gopher_rules`` (None = off) activates the x80 rule gate after the
+    x43 filter — the batch build's ``gopher_gate``, identical
+    expressions, same per-rule tuning knob (extensions.GOPHER_RULES is
+    the full set)."""
     index_dir = out_dir.rstrip("/") + "_digest_index"
     band_dir = out_dir.rstrip("/") + "_band_index" if near_dedup else None
     fp_dir = out_dir.rstrip("/") + "_fp_index" if containment_index else None
@@ -582,7 +599,7 @@ def run_corpus_stream(
     def body(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
             spark, batch_df, batch_id, out_dir, index_dir, n_shards, band_dir, bloom_bits,
-            q_dir, fp_dir
+            q_dir, fp_dir, gopher_rules
         )
         if auto_compact:
             maybe_compact_indexes(batch_df.sparkSession, out_dir)

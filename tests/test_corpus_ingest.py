@@ -722,3 +722,31 @@ def test_stream_with_containment_index(spark, dirs):
     prof = {p["surface"]: p for p in corpus_profile(dirs["out"])}
     assert prof["fp_index"]["n_rows"] == fp.count()
     assert prof["fp_index"]["n_live_batches"] == 1
+
+
+def test_ingest_gopher_rules_gate(spark, tmp_path):
+    """gopher_rules activates the x80 gate inside the streaming ingest:
+    docs failing an active rule never reach the corpus or the digest
+    index, and the gate agrees with the batch build's with_gopher_verdict
+    (shared expressions)."""
+    from consensource_sds_spark.queries.extensions import with_gopher_verdict
+
+    out = str(tmp_path / "corpus")
+    idx = out + "_digest_index"
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    active = ("word_count", "mean_word_len")
+    ingest_batch(spark, docs, 0, out, idx, n_shards=4, gopher_rules=active)
+    got_ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    # every retained doc passes the active rules on its (unmodified) text
+    v = with_gopher_verdict(docs, rules=active)
+    failing = {r["doc_id"] for r in v.filter(F.col("gopher_verdict") != "keep").collect()}
+    assert got_ids and not (got_ids & failing)
+    # and the gate actually dropped something beyond the x43 filter
+    base_out = str(tmp_path / "corpus_nogate")
+    ingest_batch(spark, docs, 0, base_out, base_out + "_digest_index", n_shards=4)
+    base_ids = {r["doc_id"] for r in spark.read.parquet(base_out).select("doc_id").collect()}
+    assert got_ids < base_ids
+    from consensource_sds_spark.streaming import corpus_ingest as ci
+
+    spark.sql(f"DROP TABLE IF EXISTS {ci._index_table_name(idx)}")
+    spark.sql(f"DROP TABLE IF EXISTS {ci._index_table_name(base_out + '_digest_index')}")
