@@ -4901,3 +4901,125 @@ def x86_ivfpq_residual_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
     )
+
+
+@register(
+    "x87_effective_tokens_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents),
+    win AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens_raw,
+           CAST(SUM(CASE WHEN w.doc_id IS NOT NULL THEN tok ELSE 0 END) AS BIGINT)
+             AS n_tokens_effective,
+           ROUND(CAST(SUM(CASE WHEN w.doc_id IS NOT NULL THEN tok ELSE 0 END) AS DOUBLE)
+                 / SUM(tok), 6) AS effective_ratio
+    FROM t LEFT JOIN win w ON t.doc_id = w.doc_id
+    GROUP BY t.source
+    """,
+)
+def x87_effective_tokens_by_source(spark, sf_dir):
+    """Effective (post-exact-dedup) token contribution per source — the
+    number a mixture designer (x35) actually budgets on: raw token counts
+    overweight sources that shovel duplicates, so the weightable quantity
+    is the tokens of each source's DEDUP WINNERS (x01's min-doc_id rule;
+    a duplicated doc's tokens count once, attributed to the winner's
+    source). ``effective_ratio`` near 0 flags a feed that is mostly
+    recycled content even when per-doc quality signals pass.
+
+    Scale: one digest hash-agg for the winner set (x01's shape), one
+    key join back, one source rollup — all map-side-combinable; counts
+    are exact BIGINTs, the ratio one double division."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("tok")
+    )
+    win = (
+        d.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("_w"))
+    )
+    j = t.join(win, "doc_id", "left")
+    eff = F.sum(F.when(F.col("_w") == 1, F.col("tok")).otherwise(F.lit(0))).cast("bigint")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens_raw"),
+        eff.alias("n_tokens_effective"),
+        F.round(eff.cast("double") / F.sum("tok"), 6).alias("effective_ratio"),
+    )
+
+
+@register(
+    "x88_split_leakage_audit",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(string_split(text,' '))),
+                                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents)
+    ), hashed AS (
+      SELECT doc_id, md5(sh) AS h0, md5('x:' || sh) AS h1 FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(CASE WHEN seed < 4 THEN h0 ELSE h1 END,
+                        CAST((seed % 4) * 8 + 1 AS BIGINT), 8)) AS minhash
+      FROM hashed, (SELECT UNNEST(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, STRING_AGG(minhash, '|' ORDER BY seed) AS band_val
+      FROM sig GROUP BY doc_id, seed // 2
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                               AND a.doc_id < b.doc_id
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+            FROM documents)
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split) AS is_leak
+    FROM pairs
+    JOIN sp sa ON sa.doc_id = pairs.doc_a
+    JOIN sp sb ON sb.doc_id = pairs.doc_b
+    GROUP BY 1, 2, 4
+    """,
+)
+def x88_split_leakage_audit(spark, sf_dir):
+    """Cross-split contamination audit: count the x03 near-dup candidate
+    pairs that land on each side of the NAIVE x25 doc_id-hash split —
+    every ``is_leak`` pair is a test/val document whose near-twin sits in
+    train, the quiet eval inflation x72's cluster-keyed split exists to
+    prevent. Run as a gate after any split change: the leak rows must be
+    zero (or explicitly accepted) before the split ships.
+
+    Scale: the pair side is x03's banded equi-join (never doc x doc);
+    the split map is a pure projection joined twice on doc_id; output is
+    at most the handful of (split, split) combinations. All counts exact
+    BIGINTs; pair canonicalization via LEAST/GREATEST on the split
+    label, so (train, test) and (test, train) fold together."""
+    pairs = x03_minhash_lsh_pairs(spark, sf_dir)
+    sp = x25_dataset_split(spark, sf_dir)
+    j = (
+        pairs.join(sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "_sa"), "doc_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "_sb"), "doc_b")
+    )
+    sa, sb = F.least("_sa", "_sb"), F.greatest("_sa", "_sb")
+    return (
+        j.select(sa.alias("split_a"), sb.alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a", "split_b", "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
