@@ -5023,3 +5023,82 @@ def x88_split_leakage_audit(spark, sf_dir):
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+@register(
+    "x89_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w, i FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents)),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY w),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+    bg AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM toks)
+      WHERE w2 IS NOT NULL),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(ln((cb + 1.0) / (cw + vocab)) AS DECIMAL(30,10)) AS lp
+      FROM bg JOIN bgc USING (w1, w2) JOIN uni ON uni.w = bg.w1, v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x89_bigram_lm_score(spark, sf_dir):
+    """Per-document mean bigram log-likelihood under the corpus's own
+    add-1-smoothed bigram model — the fluency upgrade over x46's unigram
+    score: word-salad that passes unigram frequency (common words, wrong
+    order) scores low here, so it is the cheap in-engine stand-in for the
+    perplexity filters (CCNet, Wenzek 2020) production pipelines run with
+    external LMs.
+
+    Scale: unigram + bigram hash-aggs over one token explode (the
+    x28/x83 shuffle family), the corpus-total vocab as a 1-row scalar
+    broadcast (x46's allowance), then one equi-join per table back onto
+    the doc bigram stream and a per-doc fold. Exactness: each ln term is
+    computed from exact BIGINT counts then DECIMAL-accumulated (x79's
+    discipline — order-free summation), one double division at the
+    end."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pair_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pair_structs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.col("vocab")))
+            .cast("decimal(30,10)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )
