@@ -5102,3 +5102,99 @@ def x89_bigram_lm_score(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
     )
+
+
+@register(
+    "x90_heaps_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, w FROM (
+        SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)),
+    per_doc AS (
+      SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY source, doc_id),
+    first_seen AS (
+      SELECT source, w, MIN(doc_id) AS first_doc
+      FROM toks GROUP BY source, w),
+    new_terms AS (
+      SELECT source, first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY source, first_doc),
+    cum AS (
+      SELECT p.source, p.doc_id,
+             SUM(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.doc_id) AS n_cum,
+             SUM(COALESCE(nt.n_new, 0)) OVER (PARTITION BY p.source ORDER BY p.doc_id) AS v_cum
+      FROM per_doc p LEFT JOIN new_terms nt
+        ON nt.source = p.source AND nt.doc_id = p.doc_id),
+    pts AS (
+      SELECT source,
+             CAST(ln(n_cum) AS DECIMAL(30,10)) AS x,
+             CAST(ln(v_cum) AS DECIMAL(30,10)) AS y
+      FROM cum),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(30,10))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
+      FROM pts GROUP BY source)
+    SELECT source, n_points,
+           ROUND(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_points * sxx - sx * sx AS DOUBLE), 4) AS heaps_beta
+    FROM s
+    """,
+)
+def x90_heaps_vocab_growth(spark, sf_dir):
+    """Corpus-health diagnostic, x79's sibling: the Heaps-law exponent
+    per source — the slope of ln(cumulative vocabulary) against
+    ln(cumulative tokens) over the source's documents in arrival
+    (doc_id) order. Natural text grows vocabulary as N^beta with beta
+    ~0.4-0.6; beta near 0 is a source that stopped contributing new
+    language (template spam, a stuck crawler re-fetching one site), beta
+    near 1 is near-random token soup — both invisible to per-doc
+    signals and the cheap leading indicator for x87's effective-token
+    collapse.
+
+    Scale: one token explode feeds BOTH the per-doc token counts and the
+    per-(source, term) first-occurrence min-agg (vocab-sized); the
+    cumulative series is two running-sum windows over the per-DOC table
+    (rows = documents, not tokens); the slope is x79's DECIMAL-summed
+    least squares — every cross-row sum is exact (BIGINT running sums,
+    DECIMAL regression terms), so window/agg order cannot move a bit."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_doc = toks.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_terms = (
+        toks.groupBy("source", "w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wrun = Window.partitionBy("source").orderBy("doc_id")
+    cum = (
+        per_doc.join(new_terms, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("n_tok").over(wrun).alias("n_cum"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(wrun).alias("v_cum"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(30,10)")  # noqa: E731
+    pts = cum.select(
+        "source", dec(F.log("n_cum")).alias("x"), dec(F.log("v_cum")).alias("y")
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    return s.select(
+        "source",
+        "n_points",
+        F.round(
+            (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            4,
+        ).alias("heaps_beta"),
+    )
