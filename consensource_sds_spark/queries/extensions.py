@@ -5198,3 +5198,71 @@ def x90_heaps_vocab_growth(spark, sf_dir):
             4,
         ).alias("heaps_beta"),
     )
+
+
+@register(
+    "x91_term_burstiness",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    agg AS (
+      SELECT w, CAST(SUM(k) AS BIGINT) AS total,
+             CAST(SUM(k * k) AS BIGINT) AS sk2,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM tc GROUP BY w)
+    SELECT w, df, total,
+           ROUND(CAST(nd * sk2 - total * total AS DOUBLE)
+                 / (CAST(nd AS DOUBLE) * total), 6) AS vmr
+    FROM agg, d
+    WHERE total >= 50
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY CAST(nd * sk2 - total * total AS DOUBLE)
+               / (CAST(nd AS DOUBLE) * total) DESC, w) <= 20
+    """,
+)
+def x91_term_burstiness(spark, sf_dir):
+    """The 20 burstiest frequent terms by variance-to-mean ratio of
+    per-document counts (Church & Gale 1995): a Poisson-spread term has
+    VMR ~1; content words CLUMP (high VMR — they saturate the few docs
+    about their topic), so a frequent term whose VMR is near 1 across a
+    whole source is machine-padding (keyword stuffing, template filler)
+    — the term-level lens the doc-level repetition signals (x33) and
+    source-level fits (x79/x90) bracket from either side.
+
+    Exactness: VMR = (D*sum(k^2) - total^2) / (D*total) entirely from
+    exact BIGINT aggregates — one double division at the end, so the
+    ranking is bit-stable across engines (BIGINT products here are safe
+    to ~3e9 occurrences per term; production would lift sk2 into
+    DECIMAL). Scale: one (doc, term) hash-agg then a vocab-sized term
+    agg; the doc count is a 1-row scalar broadcast; the top-20 cut is a
+    rank."""
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    agg = tc.groupBy("w").agg(
+        F.sum("k").cast("bigint").alias("total"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sk2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    vmr = (
+        (F.col("nd") * F.col("sk2") - F.col("total") * F.col("total")).cast("double")
+        / (F.col("nd").cast("double") * F.col("total"))
+    )
+    scored = (
+        agg.crossJoin(F.broadcast(nd))
+        .filter(F.col("total") >= 50)
+        .select("w", "df", "total", vmr.alias("vmr"))
+    )
+    wtop = Window.orderBy(F.desc("vmr"), F.asc("w"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= 20)
+        .select("w", "df", "total", F.round("vmr", 6).alias("vmr"))
+    )

@@ -33,6 +33,7 @@ _BNLJ_ALLOWED = {
     "x45_tfidf_top_term": 1,  # 1-row doc-count scalar broadcast
     "x46_unigram_lm_score": 1,  # 1-row corpus-totals (T, V) scalar broadcast
     "x89_bigram_lm_score": 1,  # 1-row vocab-size scalar broadcast (x46's shape)
+    "x91_term_burstiness": 1,  # 1-row doc-count scalar broadcast
     "x57_distribution_drift": 1,  # 1-row snapshot-totals scalar broadcast
     "q78_dormant_accounts": 1,  # 1-row average-balance scalar broadcast
     "q99_dormant_rich_by_nation": 1,  # 1-row average-balance scalar broadcast (Q22 shape)
