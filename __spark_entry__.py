@@ -89,8 +89,11 @@ def _sds_pipeline_current_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = all_queries()
-    q["sds_pipeline_current_agents"] = _sds_pipeline_current_agents
+    # pipeline demo FIRST: the driver's 50-slot window reads iteration
+    # order, and this flagship entry has never had a driver-side hash row
+    # (its VALUES oracle landed after its only r1 appearance)
+    q = {"sds_pipeline_current_agents": _sds_pipeline_current_agents}
+    q.update(all_queries())
     return q
 
 

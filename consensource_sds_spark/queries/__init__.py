@@ -258,63 +258,47 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate checks a 50-slot window of the registry in
 # iteration order, rotating across rounds. This tuple is the FULL registry
-# ordered by staleness of driver signal (oldest CORRECTNESS round first,
-# that round's file order within): r6's window should land on the q01-q46
-# block (last checked r1), x57/x58 (r2), and the leading 13 of the r4
-# block — disjoint from r5's window. Regenerate per round from the
-# CORRECTNESS_r0*.json files; keep never-checked additions at the top.
+# ordered by staleness of driver signal (never-checked first, then oldest
+# CORRECTNESS round, that round's file order within): r7's window should
+# land on the 29 round-7 additions (q94-q104, x74-x91) plus the leading
+# 20 of the r4-stale q47-q81 band — disjoint from r6's window; the
+# pipeline demo leads via __spark_entry__.queries(). Regenerate per round
+# from the CORRECTNESS_r0*.json files (the transform lives in git history
+# of this comment's round bump).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # round-6 additions: never driver-checked yet
-    'x67_bpe_pair_counts',
-    'x68_inverted_index',
-    'x69_bloom_digest_probe',
-    'x70_ann_ivf_topk',
-    'q92_time_weighted_avg',
-    'q93_rolling_active_users',
-    'x71_per_lang_quality_floor',
-    'x72_leakage_safe_split',
-    'x73_incremental_containment_probe',
-    'q01_pricing_summary',
-    'q02_filter_pushdown',
-    'q03_shipping_priority',
-    'q05_local_supplier_volume',
-    'q06_broadcast_dim_join',
-    'q07_star_join_parts',
-    'q10_window_topk_per_group',
-    'q11_window_running_sum',
-    'q12_window_lag_delta',
-    'q13_dense_rank_suppliers',
-    'q15_rollup',
-    'q16_cube',
-    'q17_grouping_sets',
-    'q20_sort_topk',
-    'q21_distinct',
-    'q22_set_ops',
-    'q23_except',
-    'q24_union_all',
-    'q25_semi_join',
-    'q26_anti_join',
-    'q27_left_join_nulls',
-    'q28_scalar_subquery',
-    'q29_having',
-    'q30_string_funcs',
-    'q31_date_funcs',
-    'q32_math_funcs',
-    'q33_case_when_enum',
-    'q34_nullif_coalesce',
-    'q40_explode_unnest',
-    'q41_maxby_lastwins',
-    'q42_type_dispatch',
-    'q43_scd2_versions',
-    'q44_time_travel_asof',
-    'q45_distinct_agg',
-    'q46_json_extract',
-    'x57_distribution_drift',
-    'x58_incremental_dedup',
-    'x61_domain_doc_cap',
-    'x62_vocab_heavy_hitters',
-    'x63_source_vocab_overlap',
-    'q80_recursive_bands',
+    # round-7 additions: never driver-checked yet (29 entries; with
+    # the pipeline demo now leading __spark_entry__.queries(), the
+    # 50-slot window covers all of these + the 20 stalest r4 rows)
+    'x74_bpe_train',
+    'x75_bpe_tokenize',
+    'x76_exact_substring_matches',
+    'x77_exact_substring_scrub',
+    'x78_histogram_quantile_rollup',
+    'x79_zipf_fit',
+    'x80_gopher_quality_rules',
+    'x81_token_fertility_by_lang',
+    'x82_centroid_outlier_prune',
+    'x83_ngram_novelty',
+    'x84_pq_adc_topk',
+    'x85_ivfadc_topk',
+    'x86_ivfpq_residual_topk',
+    'x87_effective_tokens_by_source',
+    'x88_split_leakage_audit',
+    'x89_bigram_lm_score',
+    'x90_heaps_vocab_growth',
+    'x91_term_burstiness',
+    'q94_late_shipment_priority',
+    'q95_promo_revenue',
+    'q96_small_quantity_revenue',
+    'q97_large_volume_orders',
+    'q98_disjunctive_predicate_revenue',
+    'q99_dormant_rich_by_nation',
+    'q100_order_priority_check',
+    'q101_forecast_revenue_change',
+    'q102_customer_order_distribution',
+    'q103_top_supplier',
+    'q104_min_cost_part_per_class',
+    # previously checked, stalest driver signal first
     'q81_variant_json',
     'q47_fulltext_search',
     'q48_asof_join',
@@ -411,6 +395,56 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x54_column_profile',
     'x55_fk_integrity',
     'x56_completeness_profile',
+    'x67_bpe_pair_counts',
+    'x68_inverted_index',
+    'x69_bloom_digest_probe',
+    'x70_ann_ivf_topk',
+    'q92_time_weighted_avg',
+    'q93_rolling_active_users',
+    'x71_per_lang_quality_floor',
+    'x72_leakage_safe_split',
+    'x73_incremental_containment_probe',
+    'q01_pricing_summary',
+    'q02_filter_pushdown',
+    'q03_shipping_priority',
+    'q05_local_supplier_volume',
+    'q06_broadcast_dim_join',
+    'q07_star_join_parts',
+    'q10_window_topk_per_group',
+    'q11_window_running_sum',
+    'q12_window_lag_delta',
+    'q13_dense_rank_suppliers',
+    'q15_rollup',
+    'q16_cube',
+    'q17_grouping_sets',
+    'q20_sort_topk',
+    'q21_distinct',
+    'q22_set_ops',
+    'q23_except',
+    'q24_union_all',
+    'q25_semi_join',
+    'q26_anti_join',
+    'q27_left_join_nulls',
+    'q28_scalar_subquery',
+    'q29_having',
+    'q30_string_funcs',
+    'q31_date_funcs',
+    'q32_math_funcs',
+    'q33_case_when_enum',
+    'q34_nullif_coalesce',
+    'q40_explode_unnest',
+    'q41_maxby_lastwins',
+    'q42_type_dispatch',
+    'q43_scd2_versions',
+    'q44_time_travel_asof',
+    'q45_distinct_agg',
+    'q46_json_extract',
+    'x57_distribution_drift',
+    'x58_incremental_dedup',
+    'x61_domain_doc_cap',
+    'x62_vocab_heavy_hitters',
+    'x63_source_vocab_overlap',
+    'q80_recursive_bands',
 )
 
 
