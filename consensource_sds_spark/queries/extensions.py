@@ -5266,3 +5266,62 @@ def x91_term_burstiness(spark, sf_dir):
         .filter(F.col("_rn") <= 20)
         .select("w", "df", "total", F.round("vmr", 6).alias("vmr"))
     )
+
+
+#: continuation-boundary window width (tokens)
+_X92_W = 6
+
+
+@register(
+    "x92_continuation_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sized AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= {_X92_W}),
+    heads AS (
+      SELECT doc_id AS head_doc,
+             array_to_string(ts[1:{_X92_W}], ' ') AS win
+      FROM sized),
+    tails AS (
+      SELECT doc_id AS tail_doc,
+             array_to_string(ts[n - {_X92_W} + 1:n], ' ') AS win
+      FROM sized)
+    SELECT tail_doc, head_doc, md5(win) AS boundary_hash
+    FROM tails JOIN heads USING (win)
+    WHERE tail_doc <> head_doc
+    """,
+)
+def x92_continuation_pairs(spark, sf_dir):
+    """Cross-document continuation detection: documents whose LAST
+    {_X92_W} tokens equal another document's FIRST {_X92_W} tokens —
+    the signature of one source document split across crawl records
+    (pagination, shard boundaries, fetch truncation+retry). Downstream a
+    reassembly pass chains these pairs (x06's components over this edge
+    list) and concatenates; x76 finds shared windows ANYWHERE (dedup
+    territory), this finds the boundary-aligned ones (reassembly
+    territory).
+
+    Scale: each doc contributes exactly ONE head key and ONE tail key
+    (O(n) rows, vs x76's O(tokens) window relation), and the match is an
+    equi-join on the window string — hot boilerplate openings (identical
+    first lines across a template's pages) are real fan-out the
+    downstream chain step must cap, exactly like x76's posting cap.
+    Pure-projection keys, one shuffle each side."""
+    d = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    sized = d.select("doc_id", ts.alias("ts"), F.size(ts).alias("n")).filter(
+        F.col("n") >= _X92_W
+    )
+    heads = sized.select(
+        F.col("doc_id").alias("head_doc"),
+        F.concat_ws(" ", F.slice("ts", 1, _X92_W)).alias("win"),
+    )
+    tails = sized.select(
+        F.col("doc_id").alias("tail_doc"),
+        F.concat_ws(" ", F.slice(F.col("ts"), F.col("n") - _X92_W + 1, F.lit(_X92_W))).alias("win"),
+    )
+    return (
+        tails.join(heads, "win")
+        .filter(F.col("tail_doc") != F.col("head_doc"))
+        .select("tail_doc", "head_doc", F.md5("win").alias("boundary_hash"))
+    )

@@ -103,3 +103,45 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name, monkeypatch):
     assert sn == on, f"{name}: rows {sn} != {on}"
     assert ss == os_, f"{name}: schema {ss} != {os_}"
     assert sh == oh, f"{name}: value hash mismatch on edge corpus"
+
+
+def test_x92_continuation_pairs_nonvacuous(spark, tmp_path):
+    """The driver testdata has no continuation structure (x92 returns 0
+    rows there), so the operator's behavior is pinned here on a crafted
+    corpus: split docs chain tail->head, unrelated docs don't, and the
+    Spark result matches the DuckDB oracle on the same table."""
+    import duckdb
+
+    from consensource_sds_spark.queries import REGISTRY, all_queries
+    from consensource_sds_spark.queries.extensions import x92_continuation_pairs
+
+    all_queries()
+    w = 6
+    boundary = " ".join(f"b{i}" for i in range(w))
+    rows = [
+        # doc 1's tail == doc 2's head: a continuation pair
+        (1, "alpha beta gamma " + boundary, "en", "s", 0),
+        (2, boundary + " delta epsilon zeta", "en", "s", 0),
+        # doc 3: contains the boundary MID-TEXT only -> no pair
+        (3, "pre " + boundary + " post tail words here now", "en", "s", 0),
+        # doc 4: unrelated
+        (4, "entirely different words with no shared boundary window", "en", "s", 0),
+        # doc 5: too short to have a window
+        (5, "short doc", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["tail_doc"], r["head_doc"])
+        for r in x92_continuation_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2)}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}/*.parquet'"
+    )
+    want = {(a, b) for a, b, _h in con.execute(REGISTRY["x92_continuation_pairs"].oracle).fetchall()}
+    con.close()
+    assert want == {(1, 2)}
