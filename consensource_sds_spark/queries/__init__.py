@@ -260,8 +260,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration order, rotating across rounds. This tuple is the FULL registry
 # ordered by staleness of driver signal (never-checked first, then oldest
 # CORRECTNESS round, that round's file order within): r7's window should
-# land on the 29 round-7 additions (q94-q104, x74-x91) plus the leading
-# 20 of the r4-stale q47-q81 band — disjoint from r6's window; the
+# land on the 30 round-7 additions (q94-q104, x74-x92) plus the leading
+# 19 of the r4-stale q47-q81 band — disjoint from r6's window; the
 # pipeline demo leads via __spark_entry__.queries(). Regenerate per round
 # from the CORRECTNESS_r0*.json files (the transform lives in git history
 # of this comment's round bump).
@@ -287,6 +287,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x89_bigram_lm_score',
     'x90_heaps_vocab_growth',
     'x91_term_burstiness',
+    'x92_continuation_pairs',
     'q94_late_shipment_priority',
     'q95_promo_revenue',
     'q96_small_quantity_revenue',

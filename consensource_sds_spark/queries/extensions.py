@@ -4452,6 +4452,79 @@ _PQ_D = 8
 _PQ_K = 16
 
 
+def _pq_seed_stages(e):
+    """The PQ pipeline x84 and x85 share over the deterministic seed
+    codebook: returns ``(enc, qd)`` — the database encode table
+    (did, s, code) and the per-query distance tables (qid, s, code, d2).
+    One definition so a threshold/fold fix cannot drift between the two
+    entries (x86's residual variant derives its own residual-space
+    twins)."""
+    subv = F.transform(
+        F.sequence(F.lit(1), F.lit(_PQ_D)),
+        lambda i: F.element_at(
+            F.col("embedding"), (F.col("s") * _PQ_D + i).cast("int")
+        ).cast("double"),
+    )
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), spaces, "embedding")
+        .select("code", "s", subv.alias("cw"))
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    db = (
+        e.filter(F.col("vec_id") >= _PQ_K)
+        .select(F.col("vec_id").alias("did"), spaces, "embedding")
+        .select("did", "s", subv.alias("dv"))
+    )
+    wmin = Window.partitionBy("did", "s").orderBy(F.asc("d2"), F.asc("code"))
+    enc = (
+        db.join(F.broadcast(cb), "s")
+        .withColumn("d2", l2(F.col("dv"), F.col("cw")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("did", "s", "code")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), spaces, "embedding")
+        .select("qid", "s", subv.alias("qv"))
+    )
+    qd = (
+        q.join(F.broadcast(cb), "s")
+        .select("qid", "s", "code", l2(F.col("qv"), F.col("cw")).alias("d2"))
+    )
+    return enc, qd
+
+
+def _pq_adc_rank(enc, qd, cand=None, k: int = 5):
+    """ADC summation + per-query top-k over the encode/distance-table
+    frames (the shared x84/x85 tail): s-sorted sequential fold, rank cut
+    with did tie-break; ``cand`` (qid, did) semi-join-filters candidates
+    first (x85's cell pruning)."""
+    adc = enc.join(F.broadcast(qd), ["s", "code"])
+    if cand is not None:
+        adc = adc.join(F.broadcast(cand), ["qid", "did"], "left_semi")
+    adc = adc.groupBy("qid", "did").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("s", "d2"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d2"],
+        ).alias("dist")
+    )
+    wtop = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("did"))
+    return (
+        adc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= k)
+        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
+    )
+
+
+
 @register(
     "x84_pq_adc_topk",
     oracle=f"""
@@ -4511,63 +4584,8 @@ def x84_pq_adc_topk(spark, sf_dir):
     discipline — subspace folds via s-sorted collect, engine-verified
     bit-identical); argmin and top-k cuts are RANKS with code/did
     tie-breaks."""
-    e = load(spark, sf_dir, "embeddings")
-    subv = F.transform(
-        F.sequence(F.lit(1), F.lit(_PQ_D)),
-        lambda i: F.element_at(
-            F.col("embedding"), (F.col("s") * _PQ_D + i).cast("int")
-        ).cast("double"),
-    )
-    spaces = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
-    cb = (
-        e.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("code"), spaces, "embedding")
-        .select("code", "s", subv.alias("cw"))
-    )
-    db = (
-        e.filter(F.col("vec_id") >= _PQ_K)
-        .select(F.col("vec_id").alias("did"), spaces, "embedding")
-        .select("did", "s", subv.alias("dv"))
-    )
-    l2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wmin = Window.partitionBy("did", "s").orderBy(F.asc("d2"), F.asc("code"))
-    enc = (
-        db.join(F.broadcast(cb), "s")
-        .withColumn("d2", l2(F.col("dv"), F.col("cw")))
-        .withColumn("rn", F.row_number().over(wmin))
-        .filter(F.col("rn") == 1)
-        .select("did", "s", "code")
-    )
-    q = (
-        e.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("qid"), spaces, "embedding")
-        .select("qid", "s", subv.alias("qv"))
-    )
-    qd = (
-        q.join(F.broadcast(cb), "s")
-        .select("qid", "s", "code", l2(F.col("qv"), F.col("cw")).alias("d2"))
-    )
-    adc = (
-        enc.join(F.broadcast(qd), ["s", "code"])
-        .groupBy("qid", "did")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("s", "d2"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["d2"],
-            ).alias("dist")
-        )
-    )
-    wtop = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("did"))
-    return (
-        adc.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
-    )
+    enc, qd = _pq_seed_stages(load(spark, sf_dir, "embeddings"))
+    return _pq_adc_rank(enc, qd)
 
 
 @register(
@@ -4672,64 +4690,8 @@ def x85_ivfadc_topk(spark, sf_dir):
     cells = assign(e.filter(F.col("vec_id") >= _PQ_K), "did", 1)
     qcells = assign(e.filter(F.col("vec_id") < 5), "qid", 2)
     cand = qcells.join(cells, "cell").select("qid", "did")
-
-    subv = F.transform(
-        F.sequence(F.lit(1), F.lit(_PQ_D)),
-        lambda i: F.element_at(
-            F.col("embedding"), (F.col("s") * _PQ_D + i).cast("int")
-        ).cast("double"),
-    )
-    spaces = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
-    cb = (
-        e.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("code"), spaces, "embedding")
-        .select("code", "s", subv.alias("cw"))
-    )
-    l2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    db = (
-        e.filter(F.col("vec_id") >= _PQ_K)
-        .select(F.col("vec_id").alias("did"), spaces, "embedding")
-        .select("did", "s", subv.alias("dv"))
-    )
-    wmin = Window.partitionBy("did", "s").orderBy(F.asc("d2"), F.asc("code"))
-    enc = (
-        db.join(F.broadcast(cb), "s")
-        .withColumn("d2", l2(F.col("dv"), F.col("cw")))
-        .withColumn("rn", F.row_number().over(wmin))
-        .filter(F.col("rn") == 1)
-        .select("did", "s", "code")
-    )
-    q = (
-        e.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("qid"), spaces, "embedding")
-        .select("qid", "s", subv.alias("qv"))
-    )
-    qd = (
-        q.join(F.broadcast(cb), "s")
-        .select("qid", "s", "code", l2(F.col("qv"), F.col("cw")).alias("d2"))
-    )
-    adc = (
-        enc.join(F.broadcast(qd), ["s", "code"])
-        .join(F.broadcast(cand), ["qid", "did"], "left_semi")
-        .groupBy("qid", "did")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("s", "d2"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["d2"],
-            ).alias("dist")
-        )
-    )
-    wtop = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("did"))
-    return (
-        adc.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
-    )
+    enc, qd = _pq_seed_stages(e)
+    return _pq_adc_rank(enc, qd, cand=cand)
 
 
 @register(
@@ -5293,7 +5255,7 @@ _X92_W = 6
 )
 def x92_continuation_pairs(spark, sf_dir):
     """Cross-document continuation detection: documents whose LAST
-    {_X92_W} tokens equal another document's FIRST {_X92_W} tokens —
+    6 tokens (_X92_W) equal another document's FIRST 6 tokens —
     the signature of one source document split across crawl records
     (pagination, shard boundaries, fetch truncation+retry). Downstream a
     reassembly pass chains these pairs (x06's components over this edge

@@ -262,6 +262,14 @@ def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     frame function. One explode + broadcast join + argmin, linear."""
     first = codebook.select(F.max(F.size("cw")).alias("d"), F.max("s").alias("ms")).first()
     d, m = int(first["d"]), int(first["ms"]) + 1
+    # fail fast on geometry mismatch: element_at past the end is NULL
+    # (non-ANSI), which would fold to NULL distances and write silently
+    # GARBAGE codes — a whole mis-sized batch corrupted, not an error
+    head = emb.select(F.size("embedding").alias("w")).first()
+    if head is not None and int(head["w"]) != m * d:
+        raise ValueError(
+            f"embedding width {head['w']} does not match the codebook's m*d = {m}*{d}"
+        )
     spaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
     sub = emb.select("vec_id", spaces, "embedding").select(
         "vec_id", "s", _subvec(F.col("embedding"), F.col("s"), d).alias("sv")
@@ -277,6 +285,26 @@ def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     return asg.groupBy("vec_id").agg(
         F.array_sort(F.collect_list(F.struct("s", "code"))).getField("code").alias("codes")
     )
+
+
+def _probe_cells(spark: SparkSession, index_dir: str, qs: DataFrame, nprobe: int):
+    """Each query's top-``nprobe`` cells by centroid cosine + the union of
+    needed cell ids (the driver-bounded partition-pruning set). ``qs`` is
+    (qid, qe); shared by the ADC probe and its rerank stage so BOTH scans
+    prune to the same cells."""
+    cent = load_centroids(spark, index_dir)
+    scored = qs.crossJoin(
+        F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
+    ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
+    wc = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("_c"))
+    q_cells = (
+        scored.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qe", F.col("_c").alias("cell"))
+        .localCheckpoint()
+    )
+    needed = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    return q_cells, needed
 
 
 def ann_probe_adc(
@@ -299,18 +327,8 @@ def ann_probe_adc(
     the code explode (codes are identical for a vec_id within a
     generation, so dropping either copy is exact)."""
     cb = load_pq_codebook(spark, index_dir)
-    cent = load_centroids(spark, index_dir)
     qs = queries.select("qid", F.col("embedding").alias("qe")).localCheckpoint()
-    scored_cells = qs.crossJoin(
-        F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
-    ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
-    wc = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("_c"))
-    q_cells = (
-        scored_cells.withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") <= nprobe)
-        .select("qid", F.col("_c").alias("cell"))
-        .localCheckpoint()
-    )
+    q_cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
     first = cb.select(F.size("cw").alias("d")).first()
     d = int(first["d"])
     qd = (
@@ -321,7 +339,6 @@ def ann_probe_adc(
         )
         .localCheckpoint()  # the distance table: queries x m x k rows
     )
-    needed = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
     idx = ann_index(spark, index_dir).select("vec_id", "cell", "codes")
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
@@ -367,13 +384,20 @@ def ann_probe_adc_rerank(
         "qid", "vec_id"
     ).localCheckpoint()
     ids = [r["vec_id"] for r in short.select("vec_id").distinct().collect()]
+    # the rerank scan prunes to the SAME nprobe cells the shortlist came
+    # from (every shortlisted id lives in one of them) — without the cell
+    # filter the vec_id IN list alone reads row groups of every cell
+    # directory, undoing the probe's partition pruning
+    qs = queries.select("qid", F.col("embedding").alias("qe"))
+    _cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
+    emb = ann_index(spark, index_dir).select("vec_id", "embedding", "cell")
+    if len(needed) <= _MAX_PRUNE_CELLS:
+        emb = emb.filter(F.col("cell").isin(needed))
     emb = (
-        ann_index(spark, index_dir)
-        .select("vec_id", "embedding")
+        emb.drop("cell")
         .filter(F.col("vec_id").isin(ids))
         .dropDuplicates(["vec_id"])
     )
-    qs = queries.select("qid", F.col("embedding").alias("qe"))
     cand = (
         short.join(emb, "vec_id")
         .join(F.broadcast(qs), "qid")
@@ -438,19 +462,8 @@ def ann_probe(
     cosine-score with the shared JVM vector ops, dedup on (qid, vec_id)
     (compaction-duplicate tolerance), one window takes top-k. Ties break
     toward the lower vec_id."""
-    cent = load_centroids(spark, index_dir)
     qs = queries.select(F.col("qid"), F.col("embedding").alias("qe")).localCheckpoint()
-    scored_cells = qs.crossJoin(
-        F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
-    ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
-    wc = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("_c"))
-    q_cells = (
-        scored_cells.withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") <= nprobe)
-        .select("qid", "qe", F.col("_c").alias("cell"))
-        .localCheckpoint()
-    )
-    needed = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    q_cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
     idx = ann_index(spark, index_dir)
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning

@@ -140,6 +140,11 @@ def test_registry_integrity():
     assert len(REGISTRY) >= 146
     missing = [n for n in _GATE_PRIORITY if n not in REGISTRY]
     assert missing == [], missing
+    # and the reverse: an entry absent from the tuple is silently appended
+    # LAST by _ordered_registry — outside the driver's 50-slot window
+    # forever (the x92 near-miss); every registry entry must be ordered
+    unordered = [n for n in REGISTRY if n not in _GATE_PRIORITY]
+    assert unordered == [], unordered
     tables = ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings")
     for name, qd in REGISTRY.items():
