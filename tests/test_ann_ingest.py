@@ -760,3 +760,31 @@ def test_adc_rerank_refine_lever(spark, pq_index):
     r8, r32 = recall(8), recall(32)
     assert r32 >= r8, (r8, r32)
     assert r32 >= 0.7, r32
+
+
+def test_adc_rerank_scan_is_cell_pruned(spark, pq_index):
+    """The review fix, pinned: the rerank stage's embedding scan carries a
+    cell PartitionFilter (same nprobe cells as the shortlist) — without it
+    the vec_id IN list alone reads row groups of every cell directory."""
+    from consensource_sds_spark.streaming.ann_ingest import ann_probe_adc_rerank
+
+    q = _emb(spark).filter("vec_id < 2").select(F.col("vec_id").alias("qid"), "embedding")
+    plan = (
+        ann_probe_adc_rerank(spark, pq_index, q, k=3, nprobe=2, refine=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rerank's INDEX scan is the embedding-reading FileScan that also
+    # carries the shortlist's vec_id IN pushdown; it must be cell-pruned
+    # (the query-side testdata scan also reads embedding — ignore it)
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "embedding:array" in ln
+        and "centroid" not in ln and "cw" not in ln
+    ]
+    index_scans = [ln for ln in emb_scans if "In(vec_id" in ln]
+    assert index_scans, f"no shortlist-filtered index scan in the rerank plan: {emb_scans}"
+    for ln in index_scans:
+        assert "PartitionFilters: [cell" in ln, f"rerank scan not cell-pruned: {ln}"
