@@ -2,9 +2,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "total_wallclock_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Stdout contract (the driver tail-captures a bounded window and parses the
+LAST line, so the last line must stay compact — r7's single ~3.3 KB line
+overflowed the capture and the round's bench record was lost):
+
+  line 1: {"detail": {...full ingest/corpus/ann/media/scaling blocks...}}
+  line 2 (LAST): {"metric": "total_wallclock_sec", "value": N,
+                  "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1,
+                  ...one-scalar summaries of each detail block...}
+
+The full detail is also written to BENCH_DETAIL.json next to this file.
 
 Each query is forced with the noop sink (full execution, no driver
 collect). The first query absorbs JVM/codegen warmup; a warmup scan runs
@@ -127,24 +134,42 @@ def main() -> None:
     timings = {name: min(w[name] for w in warm) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wallclock_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "ingest": _ingest_bench(spark),
-                "corpus": _corpus_bench(spark, sf_dir),
-                "corpus_stream": _corpus_stream_bench(spark, sf_dir),
-                "ann": _ann_bench(spark, sf_dir),
-                "media": _media_bench(),
-                "scaling": _scaling_bench(spark),
-            }
-        )
-    )
+    detail = {
+        "ingest": _ingest_bench(spark),
+        "corpus": _corpus_bench(spark, sf_dir),
+        "corpus_stream": _corpus_stream_bench(spark, sf_dir),
+        "ann": _ann_bench(spark, sf_dir),
+        "media": _media_bench(),
+        "scaling": _scaling_bench(spark),
+    }
+    # full detail: sidecar file + an EARLIER stdout line (never the last)
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    print(json.dumps({"detail": detail}), flush=True)
+    # compact headline — MUST be the last stdout line and stay well under
+    # the driver's tail-capture window (~2 KB): per-query timings plus one
+    # scalar per detail block
+    scaling = detail["scaling"]
+    headline = {
+        "metric": "total_wallclock_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "ingest_changes_per_sec": detail["ingest"]["changes_per_sec"],
+        "corpus_docs_per_sec": detail["corpus"]["docs_per_sec"],
+        "corpus_stream_docs_per_sec": detail["corpus_stream"]["near_dedup"]["docs_per_sec"],
+        "ann_queries_per_sec": detail["ann"]["queries_per_sec"],
+        "adc_queries_per_sec": detail["ann"]["adc_queries_per_sec"],
+        "scaling_max_ratio": (
+            max(s["ratio"] for s in scaling["stages"].values()) if scaling else None
+        ),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(headline)
+    assert len(line) < 2048, f"headline line grew to {len(line)}B; trim it"
+    print(line, flush=True)
     spark.stop()
 
 
@@ -257,13 +282,17 @@ def _corpus_bench(spark, sf_dir: str) -> dict:
             dropped = {f"{r['stage']}:{r['reason']}": r["n_dropped"] for r in rows}
         n_kept = n_docs - sum(dropped.values())
         # the optional exact-substring cut (x77) is the expensive exact
-        # pass — publish its cost so turning it on is an informed choice
-        out_ss = os.path.join(tmp, "run_ss")
-        t0 = time.perf_counter()
-        build_training_corpus(
-            spark, sf_dir, out_ss, domain_cap=50, n_shards=16, substring_scrub=True
-        ).collect()
-        dt_ss = time.perf_counter() - t0
+        # pass — publish its cost so turning it on is an informed choice;
+        # min-of-2 like every other published number (this host's CPU
+        # steal can inflate any single pass 2-3x)
+        dt_ss = float("inf")
+        for i in range(2):
+            out_ss = os.path.join(tmp, f"run_ss{i}")
+            t0 = time.perf_counter()
+            build_training_corpus(
+                spark, sf_dir, out_ss, domain_cap=50, n_shards=16, substring_scrub=True
+            ).collect()
+            dt_ss = min(dt_ss, time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {

@@ -258,67 +258,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness gate checks a 50-slot window of the registry in
 # iteration order, rotating across rounds. This tuple is the FULL registry
-# ordered by staleness of driver signal (never-checked first, then oldest
-# CORRECTNESS round, that round's file order within): r7's window should
-# land on the 30 round-7 additions (q94-q104, x74-x92) plus the leading
-# 19 of the r4-stale q47-q81 band — disjoint from r6's window; the
-# pipeline demo leads via __spark_entry__.queries(). Regenerate per round
-# from the CORRECTNESS_r0*.json files (the transform lives in git history
-# of this comment's round bump).
+# ordered by staleness of driver signal (oldest CORRECTNESS round first,
+# that round's file order within): r8's window = the pipeline demo (leads
+# via __spark_entry__.queries()) + the 27 r4-stale entries (q65-q79 band,
+# x01-x08 dedup family, x25/x26/x44/x60) + the 22 stalest r5 rows —
+# disjoint from r7's window. Regenerate per round from the
+# CORRECTNESS_r0*.json files (staleness = latest round whose file contains
+# the entry; never-checked entries would lead).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # round-7 additions: never driver-checked yet (29 entries; with
-    # the pipeline demo now leading __spark_entry__.queries(), the
-    # 50-slot window covers all of these + the 20 stalest r4 rows)
-    'x74_bpe_train',
-    'x75_bpe_tokenize',
-    'x76_exact_substring_matches',
-    'x77_exact_substring_scrub',
-    'x78_histogram_quantile_rollup',
-    'x79_zipf_fit',
-    'x80_gopher_quality_rules',
-    'x81_token_fertility_by_lang',
-    'x82_centroid_outlier_prune',
-    'x83_ngram_novelty',
-    'x84_pq_adc_topk',
-    'x85_ivfadc_topk',
-    'x86_ivfpq_residual_topk',
-    'x87_effective_tokens_by_source',
-    'x88_split_leakage_audit',
-    'x89_bigram_lm_score',
-    'x90_heaps_vocab_growth',
-    'x91_term_burstiness',
-    'x92_continuation_pairs',
-    'q94_late_shipment_priority',
-    'q95_promo_revenue',
-    'q96_small_quantity_revenue',
-    'q97_large_volume_orders',
-    'q98_disjunctive_predicate_revenue',
-    'q99_dormant_rich_by_nation',
-    'q100_order_priority_check',
-    'q101_forecast_revenue_change',
-    'q102_customer_order_distribution',
-    'q103_top_supplier',
-    'q104_min_cost_part_per_class',
-    # previously checked, stalest driver signal first
-    'q81_variant_json',
-    'q47_fulltext_search',
-    'q48_asof_join',
-    'q49_range_join',
-    'q50_array_map_funcs',
-    'q51_sessionize_batch',
-    'q52_bm25_rank',
-    'q53_exists_correlated',
-    'q54_customer_distribution',
-    'q55_promo_share',
-    'q56_large_orders',
-    'q57_small_qty_revenue',
-    'q58_disjunctive_pred',
-    'q59_window_family',
-    'q60_pivot',
-    'q61_hopping_windows',
-    'q62_gap_fill',
-    'q63_stat_aggs',
-    'q64_posexplode_ordinality',
     'q65_multiset_ops',
     'q66_string_agg',
     'q67_conditional_agg',
@@ -446,6 +393,55 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x62_vocab_heavy_hitters',
     'x63_source_vocab_overlap',
     'q80_recursive_bands',
+    'x74_bpe_train',
+    'x75_bpe_tokenize',
+    'x76_exact_substring_matches',
+    'x77_exact_substring_scrub',
+    'x78_histogram_quantile_rollup',
+    'x79_zipf_fit',
+    'x80_gopher_quality_rules',
+    'x81_token_fertility_by_lang',
+    'x82_centroid_outlier_prune',
+    'x83_ngram_novelty',
+    'x84_pq_adc_topk',
+    'x85_ivfadc_topk',
+    'x86_ivfpq_residual_topk',
+    'x87_effective_tokens_by_source',
+    'x88_split_leakage_audit',
+    'x89_bigram_lm_score',
+    'x90_heaps_vocab_growth',
+    'x91_term_burstiness',
+    'x92_continuation_pairs',
+    'q94_late_shipment_priority',
+    'q95_promo_revenue',
+    'q96_small_quantity_revenue',
+    'q97_large_volume_orders',
+    'q98_disjunctive_predicate_revenue',
+    'q99_dormant_rich_by_nation',
+    'q100_order_priority_check',
+    'q101_forecast_revenue_change',
+    'q102_customer_order_distribution',
+    'q103_top_supplier',
+    'q104_min_cost_part_per_class',
+    'q81_variant_json',
+    'q47_fulltext_search',
+    'q48_asof_join',
+    'q49_range_join',
+    'q50_array_map_funcs',
+    'q51_sessionize_batch',
+    'q52_bm25_rank',
+    'q53_exists_correlated',
+    'q54_customer_distribution',
+    'q55_promo_share',
+    'q56_large_orders',
+    'q57_small_qty_revenue',
+    'q58_disjunctive_pred',
+    'q59_window_family',
+    'q60_pivot',
+    'q61_hopping_windows',
+    'q62_gap_fill',
+    'q63_stat_aggs',
+    'q64_posexplode_ordinality',
 )
 
 

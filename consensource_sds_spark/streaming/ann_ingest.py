@@ -313,6 +313,7 @@ def ann_probe_adc(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 2,
+    cells: tuple[DataFrame, list[int]] | None = None,
 ) -> DataFrame:
     """Top-k per query by PQ asymmetric distance over the standing index —
     the probe that never reads a database embedding: the scan projects
@@ -325,10 +326,15 @@ def ann_probe_adc(
 
     Compaction-duplicate tolerance: candidate rows dedup on vec_id BEFORE
     the code explode (codes are identical for a vec_id within a
-    generation, so dropping either copy is exact)."""
+    generation, so dropping either copy is exact).
+
+    ``cells`` is the pre-computed ``_probe_cells`` pair for these same
+    (queries, nprobe) — pass it when a caller (the rerank stage) already
+    derived the probed-cell set, so the centroid scoring + driver collect
+    run once per probe, not once per stage."""
     cb = load_pq_codebook(spark, index_dir)
     qs = queries.select("qid", F.col("embedding").alias("qe")).localCheckpoint()
-    q_cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
+    q_cells, needed = cells if cells is not None else _probe_cells(spark, index_dir, qs, nprobe)
     first = cb.select(F.size("cw").alias("d")).first()
     d = int(first["d"])
     qd = (
@@ -348,7 +354,16 @@ def ann_probe_adc(
         .select("qid", "vec_id", F.posexplode("codes").alias("s", "code"))
         .join(F.broadcast(qd), ["qid", "s", "code"])
         .groupBy("qid", "vec_id")
-        .agg(F.sum("d2").alias("adc_dist"))
+        # s-sorted sequential fold (same as _pq_adc_rank, x84/x85): a plain
+        # sum's partial-agg order is partition-dependent and could flip
+        # near-tie ranks — the repo's fixed-order-fold determinism rule
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "d2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d2"],
+            ).alias("adc_dist")
+        )
     )
     wk = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
@@ -380,16 +395,19 @@ def ann_probe_adc_rerank(
     orderings diverge, so ``refine`` buys recall against BOTH quantization
     error and the metric gap (normalize vectors at ingest to remove the
     latter entirely)."""
-    short = ann_probe_adc(spark, index_dir, queries, k=refine * k, nprobe=nprobe).select(
-        "qid", "vec_id"
-    ).localCheckpoint()
-    ids = [r["vec_id"] for r in short.select("vec_id").distinct().collect()]
-    # the rerank scan prunes to the SAME nprobe cells the shortlist came
-    # from (every shortlisted id lives in one of them) — without the cell
+    # derive the probed-cell set ONCE and hand it to the shortlist stage —
+    # the centroid cross-join + driver collect is per-probe work, and the
+    # rerank scan must prune to the SAME nprobe cells the shortlist came
+    # from (every shortlisted id lives in one of them); without the cell
     # filter the vec_id IN list alone reads row groups of every cell
     # directory, undoing the probe's partition pruning
-    qs = queries.select("qid", F.col("embedding").alias("qe"))
-    _cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
+    qs = queries.select("qid", F.col("embedding").alias("qe")).localCheckpoint()
+    cells = _probe_cells(spark, index_dir, qs, nprobe)
+    _q_cells, needed = cells
+    short = ann_probe_adc(
+        spark, index_dir, queries, k=refine * k, nprobe=nprobe, cells=cells
+    ).select("qid", "vec_id").localCheckpoint()
+    ids = [r["vec_id"] for r in short.select("vec_id").distinct().collect()]
     emb = ann_index(spark, index_dir).select("vec_id", "embedding", "cell")
     if len(needed) <= _MAX_PRUNE_CELLS:
         emb = emb.filter(F.col("cell").isin(needed))
@@ -661,7 +679,13 @@ def describe_ann_index(spark: SparkSession, index_dir: str) -> dict:
     same cadence-cheap shape as the SCD2 store's describe()."""
     k = load_centroids(spark, index_dir).count()
     if not any(d.startswith("batch_id=") for d in os.listdir(index_dir)):
-        return {"n_vectors": 0, "n_cells": k, "max_cell_frac": 0.0, "empty_cell_frac": 1.0}
+        return {
+            "n_vectors": 0,
+            "n_cells": k,
+            "occupied_cells": 0,
+            "max_cell_frac": 0.0,
+            "empty_cell_frac": 1.0,
+        }
     per_cell = ann_index(spark, index_dir).groupBy("cell").agg(
         F.count_distinct("vec_id").alias("n")
     )
