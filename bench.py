@@ -139,6 +139,7 @@ def main() -> None:
         "corpus": _corpus_bench(spark, sf_dir),
         "corpus_stream": _corpus_stream_bench(spark, sf_dir),
         "ann": _ann_bench(spark, sf_dir),
+        "bpe": _bpe_bench(spark, sf_dir),
         "media": _media_bench(),
         "scaling": _scaling_bench(spark),
     }
@@ -162,6 +163,7 @@ def main() -> None:
         "corpus_stream_docs_per_sec": detail["corpus_stream"]["near_dedup"]["docs_per_sec"],
         "ann_queries_per_sec": detail["ann"]["queries_per_sec"],
         "adc_queries_per_sec": detail["ann"]["adc_queries_per_sec"],
+        "bpe_merges_per_job": detail["bpe"]["merges_per_job"],
         "scaling_max_ratio": (
             max(s["ratio"] for s in scaling["stages"].values()) if scaling else None
         ),
@@ -171,6 +173,57 @@ def main() -> None:
     assert len(line) < 2048, f"headline line grew to {len(line)}B; trim it"
     print(line, flush=True)
     spark.stop()
+
+
+def _bpe_bench(spark, sf_dir: str) -> dict:
+    """Batched BPE training at a tokenizer-realistic merge count: 256
+    merges with top-M symbol-disjoint batching (batch_m=16). The number
+    that matters is ``rounds`` — one pair-count job + one checkpoint per
+    ROUND, so driver actions scale as N/M instead of the greedy loop's
+    one-job-per-merge (the r7 scale concern: 30k+ serial jobs at real
+    vocab sizes). ``merges_per_job`` is the published jobs ≈ N/M
+    evidence; single run — the signal is the round count, not the
+    wall-clock. Training text is a deterministic hash-expression corpus
+    (same discipline as the scaling generator): the testdata documents
+    table has a 31-word vocabulary whose pair supply exhausts near 90
+    merges, nowhere near a tokenizer-realistic regime — 8-char base64
+    words give a 64-symbol alphabet and an effectively unbounded merge
+    supply, so every round can fill its batch."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
+
+    n_merges, batch_m = 256, 16
+    d = spark.range(2_000).select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.substring(
+                    F.base64(
+                        F.unhex(
+                            F.sha2(
+                                F.concat_ws("_", F.col("id").cast("string"), i.cast("string")),
+                                256,
+                            )
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+            ),
+        ).alias("text")
+    )
+    t0 = time.perf_counter()
+    merges, rounds = _bpe_train_merges_batched(spark, d, n_merges, batch_m=batch_m)
+    dt = time.perf_counter() - t0
+    return {
+        "n_merges": len(merges),
+        "batch_m": batch_m,
+        "rounds": rounds,
+        "merges_per_job": round(len(merges) / max(rounds, 1), 1),
+        "sec": round(dt, 3),
+    }
 
 
 def _media_bench() -> dict:

@@ -3640,18 +3640,8 @@ def _bpe_train_merges(spark, d, n_merges: int) -> list[tuple[int, str, str, int]
     vocab = words.select("wc", _bpe_seg_expr("w").alias("seg")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for k in range(n_merges):
-        syms = F.filter(F.split("seg", _BPE_SEP), lambda x: x != F.lit(""))
-        pair_keys = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.concat(
-                    F.element_at(syms, i), F.lit(_BPE_PSEP), F.element_at(syms, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         top = (
-            vocab.select("wc", F.explode(pair_keys).alias("pk"))
+            vocab.select("wc", F.explode(_bpe_pair_keys_expr()).alias("pk"))
             .groupBy("pk")
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pk"))
@@ -3671,6 +3661,105 @@ def _bpe_train_merges(spark, d, n_merges: int) -> list[tuple[int, str, str, int]
     return merges
 
 
+def _bpe_pair_keys_expr():
+    """Adjacent-pair key array over a segmentation column (shared by the
+    greedy and batched trainers)."""
+    syms = F.filter(F.split("seg", _BPE_SEP), lambda x: x != F.lit(""))
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(_BPE_PSEP), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bpe_select_compatible(
+    cands: list[tuple[str, int]], batch_m: int
+) -> list[tuple[str, str, int]]:
+    """The (cnt DESC, pk ASC)-ordered prefix of candidates such that no
+    two selected merges share a symbol — lhs, rhs, or the created
+    lhs+rhs. Symbol-disjoint merges commute (their replace patterns can
+    never overlap in a segmentation string) and leave each other's pair
+    counts unchanged, so every selected merge applies with its snapshot
+    count exact."""
+    sel: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for pk, cnt in cands:
+        lhs, rhs = pk.split(_BPE_PSEP)
+        syms = {lhs, rhs, lhs + rhs}
+        if used & syms:
+            continue
+        sel.append((lhs, rhs, int(cnt)))
+        used |= syms
+        if len(sel) >= batch_m:
+            break
+    return sel
+
+
+def _bpe_train_merges_batched(
+    spark, d, n_merges: int, batch_m: int = 16
+) -> tuple[list[tuple[int, str, str, int]], int]:
+    """Scale path for BPE training (VERDICT r7 #2: the greedy loop is one
+    Spark job per merge — 30k+ serial jobs at real vocab sizes, days of
+    scheduler latency): per ROUND, one vocab-sized pair-count job
+    collects the top ``8 * batch_m`` candidate pairs and the driver keeps
+    the (cnt DESC, pk ASC) prefix of pairwise symbol-disjoint merges
+    (:func:`_bpe_select_compatible`), applying them all as ONE chained
+    JVM replace + one checkpoint — driver actions drop from ~2N (greedy:
+    argmax + checkpoint per merge) to ~2N/batch_m, while each round stays
+    O(vocab) exactly like the greedy loop.
+
+    Semantics: symbol-disjoint merges commute and keep their snapshot
+    counts exact at application time, so the emitted (lhs, rhs,
+    pair_count) rows are individually exact. The ONLY divergence from
+    exact greedy (:func:`_bpe_train_merges`, the small-N oracle regime)
+    is ordering: a pair CREATED by an earlier batch member can outrank a
+    later member, which pure greedy would have interposed — the standard
+    batched-BPE concession. ``batch_m=1`` degenerates to exact greedy
+    (property-pinned in tests/test_bpe_property.py).
+
+    Returns ``(merges, rounds)``; ``rounds`` is the number of pair-count
+    jobs run (bench publishes it so jobs ≈ N/M stays visible)."""
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = words.select("wc", _bpe_seg_expr("w").alias("seg")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        top = (
+            vocab.select("wc", F.explode(_bpe_pair_keys_expr()).alias("pk"))
+            .groupBy("pk")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pk"))
+            .limit(8 * batch_m)
+            .collect()
+        )
+        rounds += 1
+        if not top:
+            break
+        sel = _bpe_select_compatible(
+            [(r["pk"], int(r["cnt"])) for r in top],
+            min(batch_m, n_merges - len(merges)),
+        )
+        seg = F.col("seg")
+        for lhs, rhs, cnt in sel:
+            merges.append((len(merges) + 1, lhs, rhs, cnt))
+            seg = F.replace(
+                seg,
+                F.lit("\x01" + lhs + _BPE_SEP + rhs + "\x01"),
+                F.lit("\x01" + lhs + rhs + "\x01"),
+            )
+        vocab = vocab.select("wc", seg.alias("seg")).localCheckpoint()
+    return merges, rounds
+
+
 @register("x74_bpe_train", oracle=_bpe_oracle())
 def x74_bpe_train(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     """Complete BPE tokenizer training (Sennrich et al. 2016,
@@ -3688,7 +3777,12 @@ def x74_bpe_train(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     JVM-side string replace over the segmentation column (the \\x01\\x01
     wire format above — exact greedy left-to-right BPE semantics), and
     the vocab localCheckpoints each iteration so the plan never grows
-    with N. Iteration cost is O(vocab), independent of corpus size."""
+    with N. Iteration cost is O(vocab), independent of corpus size.
+
+    This exact greedy loop is one driver action per merge — the right
+    oracle regime at demo N, but 30k+ serial jobs at real vocab sizes;
+    :func:`_bpe_train_merges_batched` is the production path (top-M
+    symbol-disjoint merges per job, jobs ~ N/M, bench block ``bpe``)."""
     merges = _bpe_train_merges(spark, load(spark, sf_dir, "documents"), n_merges)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"

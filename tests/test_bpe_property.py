@@ -104,6 +104,121 @@ def test_bpe_oracles_survive_merge_exhaustion(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Batched BPE training (the scale path: top-M symbol-disjoint merges per
+# pair-count job instead of top-1). Two pins: batch_m=1 degenerates to
+# EXACT greedy on arbitrary corpora, and the batched selection semantics
+# (snapshot top-8M candidates -> (cnt DESC, pk ASC) compatibility prefix)
+# match an independent pure-Python mirror — so the only greedy divergence
+# is the documented created-pair-ordering concession, never a counting or
+# application bug.
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe_batched(texts: list[str], n_merges: int, batch_m: int):
+    """Pure-Python mirror of _bpe_train_merges_batched: per round, rank
+    the FULL pair snapshot by (count desc, pair-key asc), truncate to the
+    top 8*batch_m (the Spark side's bounded driver collect), keep the
+    pairwise symbol-disjoint prefix, apply all kept merges greedily
+    left-to-right (disjoint merges commute), one round at a time."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    rounds = 0
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for w, syms in segs.items():
+            wc = vocab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc
+        rounds += 1
+        if not pairs:
+            break
+        ranked = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + _BPE_PSEP + kv[0][1])
+        )[: 8 * batch_m]
+        sel, used = [], set()
+        for (lhs, rhs), cnt in ranked:
+            syms3 = {lhs, rhs, lhs + rhs}
+            if used & syms3:
+                continue
+            sel.append((lhs, rhs, cnt))
+            used |= syms3
+            if len(sel) >= min(batch_m, n_merges - len(merges)):
+                break
+        for lhs, rhs, cnt in sel:
+            merges.append((len(merges) + 1, lhs, rhs, cnt))
+        for lhs, rhs, _cnt in sel:
+            for w, syms in segs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                segs[w] = out
+    return merges, rounds
+
+
+@pytest.mark.usefixtures("spark")
+@given(texts=st.lists(doc, min_size=1, max_size=10), n_merges=st.integers(1, 5))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_batched_m1_equals_greedy(spark, texts, n_merges):
+    """batch_m=1 IS exact greedy: each round's snapshot argmax is the
+    greedy argmax, so the batched machinery must reproduce the reference
+    merge-for-merge (counts included)."""
+    from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
+
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got, rounds = _bpe_train_merges_batched(spark, d, n_merges, batch_m=1)
+    assert got == _reference_bpe(texts, n_merges)
+    assert rounds >= len(got)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    texts=st.lists(doc, min_size=1, max_size=10),
+    n_merges=st.integers(1, 8),
+    batch_m=st.integers(2, 4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_batched_matches_python_mirror(spark, texts, n_merges, batch_m):
+    from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
+
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got, got_rounds = _bpe_train_merges_batched(spark, d, n_merges, batch_m=batch_m)
+    want, want_rounds = _reference_bpe_batched(texts, n_merges, batch_m)
+    assert got == want
+    assert got_rounds == want_rounds
+
+
+def test_bpe_batched_rounds_scale_as_n_over_m(spark):
+    """The point of batching: driver rounds (pair-count jobs) ≈ N/M, not
+    N — on a corpus rich enough to fill every batch with compatible
+    merges, 12 merges at batch_m=4 take ≤ 4 rounds, vs 12 for greedy."""
+    from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
+
+    texts = [" ".join(f"{a}{b}{a}{b}" for a in "abcdef" for b in "uvwxyz")] * 3
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges, rounds = _bpe_train_merges_batched(spark, d, 12, batch_m=4)
+    assert len(merges) == 12
+    assert rounds <= 4
+
+
+# ---------------------------------------------------------------------------
 # x77 exact-substring scrub vs a pure-Python reference — ownership (min
 # doc_id per cross-doc window), W-token coverage union, and in-order
 # reconstruction are the subtle parts; the DuckDB oracle pins one input,
