@@ -167,6 +167,11 @@ def main() -> None:
         "scaling_max_ratio": (
             max(s["ratio"] for s in scaling["stages"].values()) if scaling else None
         ),
+        "substring30_max_ratio": (
+            max(s["ratio"] for s in scaling["factor30"]["stages"].values())
+            if scaling and "factor30" in scaling
+            else None
+        ),
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(headline)
@@ -307,7 +312,14 @@ def _scaling_bench(spark) -> dict | None:
     from consensource_sds_spark.scaling import measure_scaling
 
     factor = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "10"))
-    return measure_scaling(spark, base_docs=5_000, base_vectors=2_000, factor=factor)
+    # the substring family gets a second, deeper scale point (default 30x,
+    # SPARK_GRAFT_SCALING_SUBSTRING=0 disables) — the heaviest stages are
+    # the ones most likely to curve past the first decade
+    sub = int(os.environ.get("SPARK_GRAFT_SCALING_SUBSTRING", "30"))
+    return measure_scaling(
+        spark, base_docs=5_000, base_vectors=2_000, factor=factor,
+        substring_factor=sub or None,
+    )
 
 
 def _corpus_bench(spark, sf_dir: str) -> dict:

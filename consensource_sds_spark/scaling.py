@@ -69,6 +69,16 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: the substring family — the two heaviest scaling stages (stride-1
+#: window relations are the honest linear cost of EXACT matching, r7's
+#: worst ratio at 9.0x/10x) and therefore the most likely to CURVE past
+#: the first measured decade; they alone get a second, deeper scale point.
+SUBSTRING_QUERIES = (
+    "x76_exact_substring_matches",
+    "x77_exact_substring_scrub",
+)
+
+
 def measure_scaling(
     spark: SparkSession,
     base_docs: int = 5_000,
@@ -77,10 +87,18 @@ def measure_scaling(
     queries: tuple[str, ...] = SCALING_QUERIES,
     runs: int = 2,
     stream_batches: int = 3,
+    substring_factor: int | None = 30,
 ) -> dict:
     """Run every scaling stage at 1x and ``factor``x; return
     ``{"factor": f, "base_docs": n, "stages": {name: {"t1_sec", "tN_sec",
-    "ratio"}}}``. Stage timings are min-of-``runs``."""
+    "ratio"}}}``. Stage timings are min-of-``runs``.
+
+    ``substring_factor`` adds one more decade of evidence for the
+    substring family ONLY (``SUBSTRING_QUERIES``): a
+    ``factor{substring_factor}`` sub-block with ratios against the same
+    1x timings — superlinear candidate-pair terms that hide inside a 10x
+    ratio's overhead damping show up at 30x. ``None`` (or a value equal
+    to ``factor``) disables it."""
     from consensource_sds_spark.corpus import build_training_corpus
     from consensource_sds_spark.queries import REGISTRY, all_queries
     from consensource_sds_spark.sources.synth import write_corpus
@@ -203,14 +221,41 @@ def measure_scaling(
                 f"t{factor}_sec": round(annN[part], 3),
                 "ratio": round(annN[part] / ann1[part], 2) if ann1[part] > 0 else None,
             }
+
+        sub_out: dict[str, dict] | None = None
+        if substring_factor and substring_factor != factor:
+            # documents-only corpus: the substring stages never read
+            # embeddings, so the deep-scale dir keeps vectors at base size
+            dir_sub = write_corpus(
+                spark,
+                os.path.join(work, f"scale{substring_factor}"),
+                base_docs * substring_factor,
+                base_vectors,
+            )
+            sub_out = {}
+            for q in SUBSTRING_QUERIES:
+                fn = REGISTRY[q].fn
+                tN = _timed(lambda fn=fn: _noop_write(fn(spark, dir_sub)), runs)
+                t1 = out[q]["t1_sec"]
+                sub_out[q] = {
+                    "t1_sec": t1,
+                    f"t{substring_factor}_sec": round(tN, 3),
+                    "ratio": round(tN / t1, 2) if t1 > 0 else None,
+                }
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return {
+    result = {
         "factor": factor,
         "base_docs": base_docs,
         "base_vectors": base_vectors,
         "stages": out,
     }
+    if sub_out is not None:
+        result[f"factor{substring_factor}"] = {
+            "factor": substring_factor,
+            "stages": sub_out,
+        }
+    return result
 
 
-__all__ = ["measure_scaling", "SCALING_QUERIES"]
+__all__ = ["measure_scaling", "SCALING_QUERIES", "SUBSTRING_QUERIES"]

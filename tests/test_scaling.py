@@ -19,6 +19,11 @@ FACTOR = 10
 #: the data ratio at test scale; 1.5x headroom absorbs host CPU steal.
 #: A quadratic stage would land at ~FACTOR^2 x overhead-damping — far over.
 RATIO_BOUND = FACTOR * 1.5
+#: the substring family's deeper scale point (x76/x77, the heaviest
+#: stages): same 1.5x headroom at 30x. A quadratic term that hid inside
+#: the 10x ratio's overhead damping lands near 900x here — unmissable.
+SUBSTRING_FACTOR = 30
+SUBSTRING_RATIO_BOUND = SUBSTRING_FACTOR * 1.5
 
 
 def test_generator_structure(spark):
@@ -64,7 +69,13 @@ def test_scaling_ratios_stay_sub_linear(spark):
     stage set (x-family queries, corpus build, streaming ingest with
     standing indexes, ANN build+probe) at a reduced base size; the ratio
     bound, not the absolute times, is the contract."""
-    result = measure_scaling(spark, base_docs=2_000, base_vectors=1_000, factor=FACTOR)
+    result = measure_scaling(
+        spark,
+        base_docs=2_000,
+        base_vectors=1_000,
+        factor=FACTOR,
+        substring_factor=SUBSTRING_FACTOR,
+    )
     assert result["factor"] == FACTOR
     bad = {
         name: st
@@ -76,3 +87,19 @@ def test_scaling_ratios_stay_sub_linear(spark):
     assert len(result["stages"]) >= 12
     for st in result["stages"].values():
         assert st["t1_sec"] > 0 and st[f"t{FACTOR}_sec"] > 0
+    # the substring family's 30x sub-block: one more decade of evidence
+    # for the two heaviest stages
+    sub = result[f"factor{SUBSTRING_FACTOR}"]
+    assert sub["factor"] == SUBSTRING_FACTOR
+    assert set(sub["stages"]) == {
+        "x76_exact_substring_matches",
+        "x77_exact_substring_scrub",
+    }
+    bad30 = {
+        name: st
+        for name, st in sub["stages"].items()
+        if st["ratio"] is None or st["ratio"] > SUBSTRING_RATIO_BOUND
+    }
+    assert not bad30, f"superlinear substring stages (bound {SUBSTRING_RATIO_BOUND}): {bad30}"
+    for st in sub["stages"].values():
+        assert st["t1_sec"] > 0 and st[f"t{SUBSTRING_FACTOR}_sec"] > 0
