@@ -448,6 +448,7 @@ def _ann_bench(spark, sf_dir: str) -> dict:
         ingest_embedding_batch,
         init_ann_index,
         init_pq,
+        load_centroids,
         train_centroids,
         train_pq_codebook,
     )
@@ -467,11 +468,19 @@ def _ann_bench(spark, sf_dir: str) -> dict:
             t0 = time.perf_counter()
             ann_probe(spark, d, q, k=10, nprobe=2).write.format("noop").mode("overwrite").save()
             probe = min(probe, time.perf_counter() - t0)
-        # PQ lane: codes at ingest, ADC probe never reads the float payload
+        # PQ lane: codes at ingest, ADC probe never reads the float
+        # payload; by_residual codebook (the FAISS IndexIVFPQ default and
+        # this repo's production configuration — recall win pinned in
+        # test_ann_recall)
         d2 = os.path.join(tmp, "idx_pq")
         t0 = time.perf_counter()
         init_ann_index(spark, d2, train_centroids(spark, e, k=8, iters=2))
-        init_pq(spark, d2, train_pq_codebook(spark, e, m=8, k=16, iters=1))
+        init_pq(
+            spark,
+            d2,
+            train_pq_codebook(spark, e, m=8, k=16, iters=1, centroids=load_centroids(spark, d2)),
+            by_residual=True,
+        )
         ingest_embedding_batch(spark, e.select("vec_id", "embedding", "label"), 0, d2)
         pq_build = time.perf_counter() - t0
         adc = float("inf")

@@ -65,6 +65,10 @@ def _pq_path(index_dir: str) -> str:
     return os.path.join(os.path.abspath(index_dir), "_pq_codebook")
 
 
+def _pq_residual_marker(index_dir: str) -> str:
+    return os.path.join(os.path.abspath(index_dir), "_pq_residual")
+
+
 def train_centroids(spark: SparkSession, emb: DataFrame, k: int, iters: int = 3) -> DataFrame:
     """k centroids by Lloyd iteration (x40's update step, looped).
 
@@ -179,8 +183,38 @@ def _l2(a, b):
     )
 
 
+def _residual_expr(emb_col, cent_col):
+    """x − c as array<double> — the by_residual frame (Jegou 2011 §IV.B;
+    FAISS IndexIVFPQ's default). One expression shared by codebook
+    training, ingest-time encode, and the probe's query-residual stage so
+    all three see the identical residual geometry."""
+    return F.zip_with(emb_col, cent_col, lambda x, y: x.cast("double") - y.cast("double"))
+
+
+def _residuals(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding=residual, cell): each vector minus its ASSIGNED
+    cell centroid, assignment by the same :func:`assign_cells` rule the
+    index uses. Broadcast centroid join — no shuffle of the embedding
+    frame beyond the assignment it already pays."""
+    asg = assign_cells(emb, centroids)
+    return (
+        emb.join(asg, "vec_id")
+        .join(F.broadcast(centroids.select("cell", "centroid")), "cell")
+        .select(
+            "vec_id",
+            _residual_expr(F.col("embedding"), F.col("centroid")).alias("embedding"),
+            "cell",
+        )
+    )
+
+
 def train_pq_codebook(
-    spark: SparkSession, emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-subspace Lloyd: cut ``dim`` into ``m`` subspaces and train
     ``k`` codewords in each — all m k-means runs ride ONE DataFrame keyed
@@ -188,9 +222,21 @@ def train_pq_codebook(
     Seeds are the k smallest-md5 vectors' sub-vectors (train_centroids's
     determinism rule). Returns (s INT, code INT, cw ARRAY<FLOAT>).
 
+    With ``centroids`` (the generation's coarse IVF table) the codebook
+    trains on RESIDUALS — each vector minus its assigned centroid, the
+    FAISS IndexIVFPQ by_residual default: residuals concentrate near
+    zero, so the same codeword budget spends on fine structure instead of
+    re-describing cell position, and ADC recall rises at fixed m/k
+    (pinned in tests/test_ann_recall.py). Pass the SAME centroids the
+    index pins; pair with ``init_pq(..., by_residual=True)`` so encode
+    and probe use the matching residual frame.
+
     Scale: per iteration one (n x m) explode joined against the broadcast
     (m x k) codebook, one argmin max_by per (vec, s), one (s, code, dim)
-    mean agg — linear in n, codebook-sized state only."""
+    mean agg — linear in n, codebook-sized state only; the residual
+    variant adds one broadcast centroid join in front."""
+    if centroids is not None:
+        emb = _residuals(emb, centroids).select("vec_id", "embedding")
     dim = len(emb.select("embedding").first()["embedding"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -234,9 +280,15 @@ def train_pq_codebook(
     return cb.select("s", "code", F.expr("transform(cw, x -> CAST(x AS FLOAT))").alias("cw"))
 
 
-def init_pq(spark: SparkSession, index_dir: str, codebook: DataFrame) -> None:
+def init_pq(
+    spark: SparkSession, index_dir: str, codebook: DataFrame, by_residual: bool = False
+) -> None:
     """Pin this generation's PQ codebook. Must run BEFORE the first batch
-    (codes and codebook version together); immutable like the centroids."""
+    (codes and codebook version together); immutable like the centroids.
+    ``by_residual`` records that the codebook was trained on residuals
+    (``train_pq_codebook(..., centroids=...)``) — the marker routes
+    encode AND probe through the matching residual frame, because codes
+    written in one geometry scored in the other are garbage."""
     path = _pq_path(index_dir)
     if os.path.exists(path):
         raise ValueError(f"{path} exists; PQ codebooks are immutable per index generation")
@@ -246,10 +298,20 @@ def init_pq(spark: SparkSession, index_dir: str, codebook: DataFrame) -> None:
             "(mixed code/no-code partitions would corrupt ADC probes)"
         )
     codebook.coalesce(1).write.parquet(path)
+    if by_residual:
+        # marker LAST: a crash between the two writes leaves a plain-PQ
+        # codebook dir, which init_pq's immutability check forces the
+        # caller to wipe and redo — never a half-residual generation
+        with open(_pq_residual_marker(index_dir), "w") as f:
+            f.write("{}")
 
 
 def has_pq(index_dir: str) -> bool:
     return os.path.exists(_pq_path(index_dir))
+
+
+def pq_is_residual(index_dir: str) -> bool:
+    return os.path.exists(_pq_residual_marker(index_dir))
 
 
 def load_pq_codebook(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -337,22 +399,44 @@ def ann_probe_adc(
     q_cells, needed = cells if cells is not None else _probe_cells(spark, index_dir, qs, nprobe)
     first = cb.select(F.size("cw").alias("d")).first()
     d = int(first["d"])
-    qd = (
-        qs.crossJoin(F.broadcast(cb.select("s", "code", F.expr("transform(cw, x -> CAST(x AS DOUBLE))").alias("cw"))))
-        .select(
-            "qid", "s", "code",
-            _l2(_subvec(F.col("qe"), F.col("s"), d), F.col("cw")).alias("d2"),
-        )
-        .localCheckpoint()  # the distance table: queries x m x k rows
+    cbd = F.broadcast(
+        cb.select("s", "code", F.expr("transform(cw, x -> CAST(x AS DOUBLE))").alias("cw"))
     )
+    if pq_is_residual(index_dir):
+        # by_residual: codes describe (vector − cell centroid), so the
+        # distance table is PER PROBED CELL — the query's residual differs
+        # per cell. Still tiny: queries x nprobe x m x k rows.
+        cent = load_centroids(spark, index_dir)
+        rq = q_cells.join(F.broadcast(cent.select("cell", "centroid")), "cell").select(
+            "qid", "cell", _residual_expr(F.col("qe"), F.col("centroid")).alias("qe")
+        )
+        qd = (
+            rq.crossJoin(cbd)
+            .select(
+                "qid", "cell", "s", "code",
+                _l2(_subvec(F.col("qe"), F.col("s"), d), F.col("cw")).alias("d2"),
+            )
+            .localCheckpoint()
+        )
+        qd_keys = ["qid", "cell", "s", "code"]
+    else:
+        qd = (
+            qs.crossJoin(cbd)
+            .select(
+                "qid", "s", "code",
+                _l2(_subvec(F.col("qe"), F.col("s"), d), F.col("cw")).alias("d2"),
+            )
+            .localCheckpoint()  # the distance table: queries x m x k rows
+        )
+        qd_keys = ["qid", "s", "code"]
     idx = ann_index(spark, index_dir).select("vec_id", "cell", "codes")
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
     cand = (
         idx.dropDuplicates(["vec_id"])
         .join(F.broadcast(q_cells), "cell")
-        .select("qid", "vec_id", F.posexplode("codes").alias("s", "code"))
-        .join(F.broadcast(qd), ["qid", "s", "code"])
+        .select("qid", "vec_id", "cell", F.posexplode("codes").alias("s", "code"))
+        .join(F.broadcast(qd), qd_keys)
         .groupBy("qid", "vec_id")
         # s-sorted sequential fold (same as _pq_adc_rank, x84/x85): a plain
         # sum's partial-agg order is partition-dependent and could flip
@@ -443,7 +527,16 @@ def ingest_embedding_batch(
         "vec_id", "embedding", "label", F.col("cell").cast("int").alias("cell")
     )
     if has_pq(index_dir):
-        rows = rows.join(pq_encode(batch_df, load_pq_codebook(spark, index_dir)), "vec_id")
+        enc_in = batch_df
+        if pq_is_residual(index_dir):
+            # reuse the assignment already computed for partitioning — the
+            # residual frame must subtract the SAME centroid the row files
+            # under
+            enc_in = rows.join(F.broadcast(cent.select("cell", "centroid")), "cell").select(
+                "vec_id",
+                _residual_expr(F.col("embedding"), F.col("centroid")).alias("embedding"),
+            )
+        rows = rows.join(pq_encode(enc_in, load_pq_codebook(spark, index_dir)), "vec_id")
     (
         rows.withColumn("batch_id", F.lit(batch_id))
         .repartition("cell")
@@ -773,12 +866,21 @@ def maybe_retrain(
     if has_pq(cur):
         # a PQ generation stays a PQ generation: fresh per-subspace
         # codebook from the same snapshot, pinned before the re-ingest so
-        # batch 0 lands with codes
+        # batch 0 lands with codes; a residual generation stays residual,
+        # trained against the NEW generation's just-pinned centroids
         shape = load_pq_codebook(spark, cur).select(F.max("s"), F.max("code")).first()
+        residual = pq_is_residual(cur)
         init_pq(
             spark,
             nxt,
-            train_pq_codebook(spark, vectors, m=int(shape[0]) + 1, k=int(shape[1]) + 1),
+            train_pq_codebook(
+                spark,
+                vectors,
+                m=int(shape[0]) + 1,
+                k=int(shape[1]) + 1,
+                centroids=load_centroids(spark, nxt) if residual else None,
+            ),
+            by_residual=residual,
         )
     ingest_embedding_batch(spark, vectors, 0, nxt)
     _write_gen_marker(nxt, n)
@@ -865,6 +967,7 @@ __all__ = [
     "has_pq",
     "load_pq_codebook",
     "pq_encode",
+    "pq_is_residual",
     "ann_probe_adc",
     "ann_probe_adc_rerank",
     "train_centroids",

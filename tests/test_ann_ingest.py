@@ -788,3 +788,159 @@ def test_adc_rerank_scan_is_cell_pruned(spark, pq_index):
     assert index_scans, f"no shortlist-filtered index scan in the rerank plan: {emb_scans}"
     for ln in index_scans:
         assert "PartitionFilters: [cell" in ln, f"rerank scan not cell-pruned: {ln}"
+
+
+# ---------------------------------------------------------------------------
+# by_residual PQ lane (FAISS IndexIVFPQ default): codebook trained on
+# (vector - assigned centroid), codes written in residual space, the ADC
+# table built PER PROBED CELL from the query's per-cell residual. Pins:
+# exact equivalence against a from-scratch residual ADC, the no-embedding
+# ReadSchema scale pin carries over, and retrain keeps the residual mode.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def residual_pq_index(spark, tmp_path):
+    from consensource_sds_spark.streaming.ann_ingest import (
+        init_pq,
+        train_pq_codebook,
+    )
+
+    d = str(tmp_path / "residual_pq_index")
+    e = _emb(spark)
+    init_ann_index(spark, d, train_centroids(spark, e, k=K_CELLS, iters=2))
+    init_pq(
+        spark,
+        d,
+        train_pq_codebook(spark, e, m=8, k=16, iters=1, centroids=load_centroids(spark, d)),
+        by_residual=True,
+    )
+    ingest_embedding_batch(spark, e.filter("vec_id % 2 = 0"), 0, d)
+    ingest_embedding_batch(spark, e.filter("vec_id % 2 = 1"), 1, d)
+    return d
+
+
+def test_residual_adc_probe_matches_bruteforce(spark, residual_pq_index):
+    """Exact-equivalence pin for the residual lane: the probe's ADC
+    distances equal a from-scratch python computation — per-vector
+    residual codes as written by ingest, per-(query, cell) residual
+    distance table — so the per-cell table join adds no approximation
+    beyond PQ+IVF."""
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe_adc,
+        load_centroids,
+        load_pq_codebook,
+        pq_is_residual,
+    )
+
+    assert pq_is_residual(residual_pq_index)
+    e = _emb(spark)
+    q = e.filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
+    got = ann_probe_adc(spark, residual_pq_index, q, k=5, nprobe=K_CELLS)
+    cent = {
+        r["cell"]: [float(x) for x in r["centroid"]]
+        for r in load_centroids(spark, residual_pq_index).collect()
+    }
+    cb = {
+        (r["s"], r["code"]): [float(x) for x in r["cw"]]
+        for r in load_pq_codebook(spark, residual_pq_index).collect()
+    }
+    # cells + codes exactly as ingest wrote them
+    idx = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in ann_index(spark, residual_pq_index).collect()
+    }
+    qe = {r["qid"]: [float(x) for x in r["embedding"]] for r in q.collect()}
+    expected = {}
+    for qid, qv in qe.items():
+        dists = []
+        for vid, (cell, cs) in idx.items():
+            rq = [a - b for a, b in zip(qv, cent[cell])]
+            dist = 0.0
+            for s, code in enumerate(cs):
+                cw = cb[(s, code)]
+                sub = rq[s * 8 : (s + 1) * 8]
+                dist += sum((a - b) * (a - b) for a, b in zip(sub, cw))
+            dists.append((dist, vid))
+        dists.sort(key=lambda t: (t[0], t[1]))
+        expected[qid] = dists[:5]
+    rows = got.collect()
+    assert len(rows) == 4 * 5
+    for r in rows:
+        want_d, want_v = expected[r["qid"]][r["rank"] - 1]
+        assert r["vec_id"] == want_v, (r["qid"], r["rank"])
+        assert abs(r["adc_dist"] - want_d) < 1e-6, (r["qid"], r["rank"])
+
+
+def test_residual_adc_probe_never_reads_embeddings(spark, residual_pq_index):
+    """The scale pin survives the residual mode: the per-cell distance
+    table reads centroids and the bounded query set, never the index's
+    float payload — ReadSchema on the codes scan excludes ``embedding``
+    and stays cell-pruned."""
+    from consensource_sds_spark.streaming.ann_ingest import ann_probe_adc
+
+    q = _emb(spark).filter("vec_id < 2").select(F.col("vec_id").alias("qid"), "embedding")
+    plan = (
+        ann_probe_adc(spark, residual_pq_index, q, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "codes" in ln]
+    assert scans, "no index scan found in plan"
+    for ln in scans:
+        assert "embedding" not in ln, f"index scan reads the embedding column: {ln}"
+        assert "PartitionFilters: [cell" in ln, f"index scan not cell-pruned: {ln}"
+
+
+def test_residual_retrain_stays_residual(spark, tmp_path):
+    """maybe_retrain on a residual generation builds the next generation
+    with a residual codebook trained against the NEW centroids — the mode
+    is generational state, not a per-call flag."""
+    import numpy as np
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe_adc,
+        current_generation,
+        init_ann_generations,
+        init_pq,
+        maybe_retrain,
+        pq_is_residual,
+        train_pq_codebook,
+    )
+
+    root = str(tmp_path / "resid_root")
+    rng = np.random.RandomState(7)
+    dim = 16
+
+    def rows(n, center, start_id):
+        pts = center + rng.randn(n, dim) * 0.05
+        return [(start_id + i, [float(x) for x in pts[i]], 0) for i in range(n)]
+
+    c1, c2 = np.zeros(dim), np.zeros(dim)
+    c1[0], c2[1] = 1.0, 1.0
+    e = spark.createDataFrame(
+        rows(600, c1, 0) + rows(600, c2, 1000), "vec_id long, embedding array<float>, label int"
+    )
+    gen0 = init_ann_generations(spark, root, train_centroids(spark, e, k=16, iters=1))
+    init_pq(
+        spark,
+        gen0,
+        train_pq_codebook(spark, e, m=4, k=8, iters=1, centroids=load_centroids(spark, gen0)),
+        by_residual=True,
+    )
+    ingest_embedding_batch(spark, e, 0, gen0)
+    c3 = np.zeros(dim)
+    c3[2] = 1.0
+    flood = spark.createDataFrame(
+        rows(3000, c3, 10_000), "vec_id long, embedding array<float>, label int"
+    )
+    ingest_embedding_batch(spark, flood, 1, gen0)
+    new_gen = maybe_retrain(spark, root, min_vectors=1000)
+    assert new_gen is not None and current_generation(root) == new_gen
+    assert pq_is_residual(new_gen)
+    idx = ann_index(spark, new_gen)
+    assert idx.filter(F.col("codes").isNull()).count() == 0
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
+    rows_out = ann_probe_adc(spark, new_gen, q, k=5, nprobe=16).collect()
+    assert len(rows_out) == 15

@@ -140,6 +140,70 @@ def test_ivfadc_recall(spark):
     assert recall >= 0.2, f"IVFADC recall@5 {recall:.2f} below floor"
 
 
+def test_standing_residual_codebook_beats_plain(spark, tmp_path):
+    """The standing PQ lane's by_residual variant (train_pq_codebook with
+    centroids + init_pq(by_residual=True) — the FAISS IndexIVFPQ default)
+    must BUY recall at the deployed operating point: same data, same
+    coarse centroids, same m/k/nprobe, the only difference being whether
+    the codebook describes raw vectors or residuals. Residuals
+    concentrate near zero, so the codeword budget spends on fine
+    structure instead of re-describing cell position. Everything in both
+    builds is deterministic (md5 seeds, fixed-order folds), so the
+    measured recalls (0.28 plain / 0.31 residual on this data) are
+    stable, and the pin is the INEQUALITY plus a floor — not the exact
+    values."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.queries import load
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe_adc,
+        ingest_embedding_batch,
+        init_ann_index,
+        init_pq,
+        load_centroids,
+        train_centroids,
+        train_pq_codebook,
+    )
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"), "embedding")
+    db = e.select(F.col("vec_id").alias("did"), F.col("embedding").alias("de"))
+    d2 = F.aggregate(
+        F.zip_with("qe", "de", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("did"))
+    exact = {
+        (r["qid"], r["did"])
+        for r in db.crossJoin(F.broadcast(q.select("qid", F.col("embedding").alias("qe"))))
+        .select("qid", "did", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    }
+    recall = {}
+    for mode in ("plain", "residual"):
+        d = os.path.join(str(tmp_path), mode)
+        init_ann_index(spark, d, train_centroids(spark, e, k=8, iters=2))
+        cb = train_pq_codebook(
+            spark, e, m=8, k=16, iters=2,
+            centroids=load_centroids(spark, d) if mode == "residual" else None,
+        )
+        init_pq(spark, d, cb, by_residual=(mode == "residual"))
+        ingest_embedding_batch(spark, e.select("vec_id", "embedding", "label"), 0, d)
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ann_probe_adc(spark, d, q, k=10, nprobe=2).collect()
+        }
+        recall[mode] = len(got & exact) / len(exact)
+    assert recall["residual"] > recall["plain"], f"residual must improve recall: {recall}"
+    assert recall["residual"] >= 0.3, f"residual recall below floor: {recall}"
+
+
 def test_residual_ivfpq_above_chance(spark):
     """x86's seed codebook is deliberately untrained (see its docstring:
     the oracle pins the residual-ADC pipeline, not accuracy — residual
