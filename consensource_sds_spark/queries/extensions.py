@@ -5362,7 +5362,15 @@ def x92_continuation_pairs(spark, sf_dir):
     equi-join on the window string — hot boilerplate openings (identical
     first lines across a template's pages) are real fan-out the
     downstream chain step must cap, exactly like x76's posting cap.
-    Pure-projection keys, one shuffle each side."""
+    Pure-projection keys, one shuffle each side.
+
+    DRIVER-SIGNAL NOTE (the x30/x50 rows-only convention): the driver's
+    hash row for this entry is VACUOUS on the provided testdata — the
+    synthetic documents have no boundary-aligned continuation structure,
+    so Spark and the oracle both return 0 rows and the green row pins
+    nothing. The behavior pin lives in a crafted-corpus differential
+    test against this same registry oracle:
+    tests/test_text_edges.py::test_x92_continuation_pairs_nonvacuous."""
     d = load(spark, sf_dir, "documents")
     ts = F.split("text", " ")
     sized = d.select("doc_id", ts.alias("ts"), F.size(ts).alias("n")).filter(
