@@ -146,11 +146,18 @@ def main() -> None:
     # full detail: sidecar file + an EARLIER stdout line (never the last)
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
-    print(json.dumps({"detail": detail}), flush=True)
     # compact headline — MUST be the last stdout line and stay well under
     # the driver's tail-capture window (~2 KB): per-query timings plus one
     # scalar per detail block
     scaling = detail["scaling"]
+    # the deep-scale sub-block's key follows the configured factor
+    # (SPARK_GRAFT_SCALING_SUBSTRING, default 30) — match it dynamically so
+    # a non-default run still lands its ratio in the headline
+    sub_key = (
+        next((k for k in scaling if k.startswith("factor") and k != "factor"), None)
+        if scaling
+        else None
+    )
     headline = {
         "metric": "total_wallclock_sec",
         "value": total,
@@ -167,15 +174,22 @@ def main() -> None:
         "scaling_max_ratio": (
             max(s["ratio"] for s in scaling["stages"].values()) if scaling else None
         ),
-        "substring30_max_ratio": (
-            max(s["ratio"] for s in scaling["factor30"]["stages"].values())
-            if scaling and "factor30" in scaling
-            else None
+        "substring_deep_factor": scaling[sub_key]["factor"] if sub_key else None,
+        "substring_deep_max_ratio": (
+            max(s["ratio"] for s in scaling[sub_key]["stages"].values()) if sub_key else None
         ),
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(headline)
-    assert len(line) < 2048, f"headline line grew to {len(line)}B; trim it"
+    if len(line) >= 2048:
+        # never let the LAST stdout line overflow the driver's tail capture
+        # (the r7 failure mode — and an assert here would make the giant
+        # detail line the last line, reproducing exactly that): shed the
+        # per-query dict; the sidecar still carries everything
+        headline.pop("queries", None)
+        headline["queries_dropped"] = "headline exceeded 2KB; see BENCH_DETAIL.json"
+        line = json.dumps(headline)
+    print(json.dumps({"detail": detail}), flush=True)
     print(line, flush=True)
     spark.stop()
 

@@ -223,7 +223,8 @@ def measure_scaling(
             }
 
         sub_out: dict[str, dict] | None = None
-        if substring_factor and substring_factor != factor:
+        sub_queries = tuple(q for q in SUBSTRING_QUERIES if q in queries)
+        if substring_factor and substring_factor != factor and sub_queries:
             # documents-only corpus: the substring stages never read
             # embeddings, so the deep-scale dir keeps vectors at base size
             dir_sub = write_corpus(
@@ -232,13 +233,24 @@ def measure_scaling(
                 base_docs * substring_factor,
                 base_vectors,
             )
+            # this pass runs LAST, after corpus/stream/ANN stages have
+            # raised heap pressure — re-run the session hygiene AND
+            # re-measure the 1x side HERE, so the ratio pairs a late-session
+            # numerator with a late-session denominator (pairing it with the
+            # start-of-session t1 would let mid-session GC inflation
+            # masquerade as superlinearity)
+            spark.catalog.clearCache()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             sub_out = {}
-            for q in SUBSTRING_QUERIES:
+            for q in sub_queries:
                 fn = REGISTRY[q].fn
+                t1 = _timed(lambda fn=fn: _noop_write(fn(spark, dirs[1])), runs)
                 tN = _timed(lambda fn=fn: _noop_write(fn(spark, dir_sub)), runs)
-                t1 = out[q]["t1_sec"]
                 sub_out[q] = {
-                    "t1_sec": t1,
+                    "t1_sec": round(t1, 3),
                     f"t{substring_factor}_sec": round(tN, 3),
                     "ratio": round(tN / t1, 2) if t1 > 0 else None,
                 }

@@ -235,9 +235,12 @@ def train_pq_codebook(
     (m x k) codebook, one argmin max_by per (vec, s), one (s, code, dim)
     mean agg — linear in n, codebook-sized state only; the residual
     variant adds one broadcast centroid join in front."""
-    if centroids is not None:
-        emb = _residuals(emb, centroids).select("vec_id", "embedding")
+    # dim from the RAW frame (residuals preserve width), and the residual
+    # frame checkpointed once — otherwise the k-way assignment cross-join
+    # re-executes for the seed build and every Lloyd iteration's asg/means
     dim = len(emb.select("embedding").first()["embedding"])
+    if centroids is not None:
+        emb = _residuals(emb, centroids).select("vec_id", "embedding").localCheckpoint()
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
@@ -395,8 +398,16 @@ def ann_probe_adc(
     derived the probed-cell set, so the centroid scoring + driver collect
     run once per probe, not once per stage."""
     cb = load_pq_codebook(spark, index_dir)
-    qs = queries.select("qid", F.col("embedding").alias("qe")).localCheckpoint()
-    q_cells, needed = cells if cells is not None else _probe_cells(spark, index_dir, qs, nprobe)
+    if cells is not None:
+        # caller-supplied cell set: qs is only needed (uncheckpointed, used
+        # exactly once) for the non-residual distance table — the residual
+        # branch reads qe out of q_cells, so building/materializing qs here
+        # would be a dead eager job on every rerank probe
+        qs = None
+        q_cells, needed = cells
+    else:
+        qs = queries.select("qid", F.col("embedding").alias("qe")).localCheckpoint()
+        q_cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
     first = cb.select(F.size("cw").alias("d")).first()
     d = int(first["d"])
     cbd = F.broadcast(
@@ -420,6 +431,8 @@ def ann_probe_adc(
         )
         qd_keys = ["qid", "cell", "s", "code"]
     else:
+        if qs is None:
+            qs = queries.select("qid", F.col("embedding").alias("qe"))
         qd = (
             qs.crossJoin(cbd)
             .select(

@@ -103,3 +103,21 @@ def test_scaling_ratios_stay_sub_linear(spark):
     assert not bad30, f"superlinear substring stages (bound {SUBSTRING_RATIO_BOUND}): {bad30}"
     for st in sub["stages"].values():
         assert st["t1_sec"] > 0 and st[f"t{SUBSTRING_FACTOR}_sec"] > 0
+
+
+def test_narrowed_query_set_skips_substring_sub_block(spark):
+    """A caller narrowing ``queries`` past the substring family must not
+    lose the whole measurement to a KeyError in the deep-scale sub-block
+    — the sub-block only runs for substring queries actually measured."""
+    result = measure_scaling(
+        spark,
+        base_docs=400,
+        base_vectors=300,
+        factor=2,
+        queries=("x01_dedup_exact",),
+        runs=1,
+        stream_batches=2,
+        substring_factor=30,
+    )
+    assert "x01_dedup_exact" in result["stages"]
+    assert "factor30" not in result
