@@ -1599,7 +1599,7 @@ def q61_hopping_windows(spark, sf_dir):
 @register(
     "q62_gap_fill",
     oracle="""
-    WITH e AS (SELECT (epoch_us(ts) // 86400000000) AS dnum, event_type FROM events),
+    WITH e AS (SELECT ((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS dnum, event_type FROM events),
     b AS (SELECT MIN(dnum) AS lo, MAX(dnum) AS hi FROM e),
     days AS (SELECT UNNEST(range(lo, hi + 1)) AS dnum FROM b),
     types AS (SELECT DISTINCT event_type FROM e),
@@ -1621,7 +1621,7 @@ def q62_gap_fill(spark, sf_dir):
     the fact table shuffles once for its own aggregation and never
     again."""
     e = load(spark, sf_dir, "events").select(
-        F.expr("ts_us div 86400000000 AS dnum"), "event_type"
+        F.expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000 AS dnum"), "event_type"
     )
     days = e.agg(F.min("dnum").alias("lo"), F.max("dnum").alias("hi")).select(
         F.explode(F.expr("sequence(lo, hi)")).alias("dnum")
@@ -2637,7 +2637,7 @@ def q89_potential_promotion(spark, sf_dir):
 @register(
     "q90_cohort_retention",
     oracle="""
-    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    WITH d AS (SELECT user_id, ((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS day FROM events),
          f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
          a AS (SELECT DISTINCT user_id, day FROM d)
     SELECT f.cohort_day, a.day - f.cohort_day AS age_days,
@@ -2657,11 +2657,14 @@ def q90_cohort_retention(spark, sf_dir):
     than events. Scale: no window over the raw stream, and the retention
     matrix is O(days²) rows regardless of corpus size.
 
-    Oracle footnote: Spark ``div`` truncates toward zero while DuckDB
-    ``//`` floors — identical for the non-negative epoch-us testdata,
-    divergent one day for pre-1970 timestamps (negative ts_us)."""
+    Day arithmetic is ``(ts_us - pmod(ts_us, day)) div day`` — exact
+    integer FLOOR division (pmod is non-negative), the calendar-correct
+    day bucketing for pre-1970 timestamps. Spark ``div`` and DuckDB's
+    integer ``//`` BOTH truncate toward zero (one day late for negative
+    ts_us), so the oracle spells the same pmod-style floor; pinned with
+    crafted negatives in test_oracle_parity.py."""
     e = load(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts_us div 86400000000").alias("day")
+        "user_id", F.expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000").alias("day")
     )
     f = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     a = e.distinct()
@@ -2796,7 +2799,7 @@ def q92_time_weighted_avg(spark, sf_dir):
 @register(
     "q93_rolling_active_users",
     oracle="""
-    WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    WITH p AS (SELECT DISTINCT user_id, ((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS day FROM events),
          days AS (SELECT DISTINCT day FROM p)
     SELECT d.day,
            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM p
@@ -2822,7 +2825,7 @@ def q93_rolling_active_users(spark, sf_dir):
     warehouse scale is x50's HLL-per-day union — this is its exact
     yardstick."""
     e = load(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts_us div 86400000000").alias("day")
+        "user_id", F.expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000").alias("day")
     )
     pairs = e.distinct()
     days = pairs.select("day").distinct()

@@ -70,3 +70,32 @@ def test_query_matches_oracle(spark, ddb, name, qd):
 def test_no_oracle_queries_run(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_epoch_day_floor_division_pre_1970(spark, ddb):
+    """The day-number expression used by q62/q90/q93 —
+    ``(ts_us - pmod(ts_us, day)) div day`` — must FLOOR like Python's
+    ``//``, not truncate toward zero: both a bare Spark ``div`` AND
+    DuckDB's integer ``//`` land every pre-1970 timestamp (negative
+    ts_us) one day late, so the oracles spell the same pmod-style floor
+    (pinned here against DuckDB's own evaluation of it). Crafted values
+    straddle day boundaries on both sides of the epoch."""
+    day = 86_400_000_000
+    vals = [-2 * day, -day - 1, -day, -1, 0, 1, day - 1, day, 2 * day + 5]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "ts_us long")
+        .selectExpr("ts_us", f"(ts_us - pmod(ts_us, {day})) div {day} AS d")
+        .orderBy("ts_us")
+        .collect()
+    )
+    want = {v: v // day for v in vals}
+    duck = dict(
+        ddb.execute(
+            "SELECT ts_us, (ts_us - ((ts_us % 86400000000 + 86400000000) % 86400000000))"
+            " // 86400000000 FROM (VALUES "
+            + ",".join(f"({v}::BIGINT)" for v in vals)
+            + ") t(ts_us)"
+        ).fetchall()
+    )
+    for r in got:
+        assert r["d"] == want[r["ts_us"]] == duck[r["ts_us"]], r
