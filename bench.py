@@ -146,9 +146,25 @@ def main() -> None:
     # full detail: sidecar file + an EARLIER stdout line (never the last)
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
-    # compact headline — MUST be the last stdout line and stay well under
-    # the driver's tail-capture window (~2 KB): per-query timings plus one
-    # scalar per detail block
+    line = _headline_line(detail, timings, cold, sf, total)
+    print(json.dumps({"detail": detail}), flush=True)
+    print(line, flush=True)
+    spark.stop()
+
+
+#: the driver tail-captures a bounded stdout window and parses the LAST
+#: line; r7's single 3.3 KB line overflowed it and the round's bench
+#: record was lost. The headline must stay comfortably under this.
+_HEADLINE_MAX_BYTES = 2048
+
+
+def _headline_line(detail: dict, timings: dict, cold: dict, sf, total: float) -> str:
+    """The compact headline JSON — MUST be the last stdout line and stay
+    under ``_HEADLINE_MAX_BYTES``: per-query timings plus one scalar per
+    detail block. If it ever grows past the cap it sheds the per-query
+    dict instead of erroring (an error AFTER the detail line printed
+    would make that multi-KB line the last one — exactly the r7 overflow
+    this guards against). Pinned by tests/test_bench_headline.py."""
     scaling = detail["scaling"]
     # the deep-scale sub-block's key follows the configured factor
     # (SPARK_GRAFT_SCALING_SUBSTRING, default 30) — match it dynamically so
@@ -181,17 +197,11 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(headline)
-    if len(line) >= 2048:
-        # never let the LAST stdout line overflow the driver's tail capture
-        # (the r7 failure mode — and an assert here would make the giant
-        # detail line the last line, reproducing exactly that): shed the
-        # per-query dict; the sidecar still carries everything
+    if len(line) >= _HEADLINE_MAX_BYTES:
         headline.pop("queries", None)
         headline["queries_dropped"] = "headline exceeded 2KB; see BENCH_DETAIL.json"
         line = json.dumps(headline)
-    print(json.dumps({"detail": detail}), flush=True)
-    print(line, flush=True)
-    spark.stop()
+    return line
 
 
 def _bpe_bench(spark, sf_dir: str) -> dict:
