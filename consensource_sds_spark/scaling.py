@@ -101,6 +101,7 @@ def measure_scaling(
     to ``factor``) disables it."""
     from consensource_sds_spark.corpus import build_training_corpus
     from consensource_sds_spark.queries import REGISTRY, all_queries
+    from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
     from consensource_sds_spark.sources.synth import write_corpus
     from consensource_sds_spark.streaming.ann_ingest import (
         ann_probe,
@@ -180,6 +181,17 @@ def measure_scaling(
                 shutil.rmtree(dest, ignore_errors=True)
 
         stage("corpus_stream", lambda: corpus_stream(1), lambda: corpus_stream(factor))
+
+        def bpe_train(scale: int) -> None:
+            # batched BPE trainer (the r7 scale concern's fix): merge count
+            # and batch size FIXED across scales, so rounds — and with them
+            # driver actions — are identical at 1x and Nx (the synth vocab
+            # is scale-invariant); the ratio isolates the per-round
+            # pair-count cost, which must grow linearly with the corpus
+            docs = spark.read.parquet(os.path.join(dirs[scale], "documents.parquet"))
+            _bpe_train_merges_batched(spark, docs, 32, batch_m=8)
+
+        stage("bpe_train_batched", lambda: bpe_train(1), lambda: bpe_train(factor))
 
         def ann(scale: int, probe_out: dict) -> None:
             dest = os.path.join(work, f"ann{scale}")
