@@ -558,6 +558,35 @@ def test_pq_requires_empty_generation(spark, index):
         init_pq(spark, index, train_pq_codebook(spark, _emb(spark), m=8, k=16, iters=0))
 
 
+def test_half_residual_crash_window_forces_clean_redo(spark, tmp_path):
+    """init_pq writes the codebook THEN the by_residual marker; a crash
+    between the two must never yield a half-residual generation. The
+    surviving dir reads as plain-PQ (marker absent → pq_is_residual
+    False — consistent, codes were never written), and a retry hits the
+    immutability check so the caller wipes and redoes — pinning the
+    crash-recovery contract the init_pq comment documents."""
+    from consensource_sds_spark.streaming.ann_ingest import (
+        _pq_residual_marker,
+        init_pq,
+        pq_is_residual,
+        train_pq_codebook,
+    )
+
+    d = str(tmp_path / "half_residual")
+    e = _emb(spark)
+    cent = train_centroids(spark, e, k=K_CELLS, iters=1)
+    init_ann_index(spark, d, cent)
+    from consensource_sds_spark.streaming.ann_ingest import load_centroids
+
+    cb = train_pq_codebook(spark, e, m=8, k=16, iters=0, centroids=load_centroids(spark, d))
+    init_pq(spark, d, cb, by_residual=True)
+    # simulate the crash: codebook landed, marker write never happened
+    os.remove(_pq_residual_marker(d))
+    assert not pq_is_residual(d)  # reads as plain-PQ, never half-residual
+    with pytest.raises(ValueError, match="immutable"):
+        init_pq(spark, d, cb, by_residual=True)  # retry must force a wipe
+
+
 def test_ingested_codes_match_batch_encode(spark, pq_index):
     from consensource_sds_spark.streaming.ann_ingest import load_pq_codebook, pq_encode
 
