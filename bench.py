@@ -221,28 +221,10 @@ def _bpe_bench(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
+    from consensource_sds_spark.sources.synth import generate_bpe_text
 
     n_merges, batch_m = 256, 16
-    d = spark.range(2_000).select(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sequence(F.lit(1), F.lit(12)),
-                lambda i: F.substring(
-                    F.base64(
-                        F.unhex(
-                            F.sha2(
-                                F.concat_ws("_", F.col("id").cast("string"), i.cast("string")),
-                                256,
-                            )
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-            ),
-        ).alias("text")
-    )
+    d = generate_bpe_text(spark, 2_000)
     t0 = time.perf_counter()
     merges, rounds = _bpe_train_merges_batched(spark, d, n_merges, batch_m=batch_m)
     dt = time.perf_counter() - t0

@@ -102,7 +102,7 @@ def measure_scaling(
     from consensource_sds_spark.corpus import build_training_corpus
     from consensource_sds_spark.queries import REGISTRY, all_queries
     from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
-    from consensource_sds_spark.sources.synth import write_corpus
+    from consensource_sds_spark.sources.synth import generate_bpe_text, write_corpus
     from consensource_sds_spark.streaming.ann_ingest import (
         ann_probe,
         ingest_embedding_batch,
@@ -185,11 +185,15 @@ def measure_scaling(
         def bpe_train(scale: int) -> None:
             # batched BPE trainer (the r7 scale concern's fix): merge count
             # and batch size FIXED across scales, so rounds — and with them
-            # driver actions — are identical at 1x and Nx (the synth vocab
-            # is scale-invariant); the ratio isolates the per-round
-            # pair-count cost, which must grow linearly with the corpus
-            docs = spark.read.parquet(os.path.join(dirs[scale], "documents.parquet"))
-            _bpe_train_merges_batched(spark, docs, 32, batch_m=8)
+            # driver actions — are identical at 1x and Nx; the text comes
+            # from generate_bpe_text, whose DISTINCT-WORD count grows
+            # ~linearly with the corpus (the documents table's fixed synth
+            # vocabulary would make every post-scan round scale-invariant
+            # and the ratio a near-vacuous ~1), so the ratio measures the
+            # per-round pair-count job's real corpus dependence
+            _bpe_train_merges_batched(
+                spark, generate_bpe_text(spark, base_docs * scale), 32, batch_m=8
+            )
 
         stage("bpe_train_batched", lambda: bpe_train(1), lambda: bpe_train(factor))
 

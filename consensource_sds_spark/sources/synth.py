@@ -130,6 +130,36 @@ def generate_embeddings(
     return df.select("vec_id", emb.alias("embedding"), "label")
 
 
+def generate_bpe_text(spark: SparkSession, n_docs: int, words_per_doc: int = 12) -> DataFrame:
+    """n_docs rows of (text) for BPE-training benchmarks: each word is 8
+    base64 chars of a per-(doc, position) sha2 — a 64-symbol alphabet
+    with an effectively unbounded merge supply (every round of a batched
+    trainer can fill its batch) and a DISTINCT-WORD count that grows
+    ~linearly with n_docs, so per-round pair-count cost genuinely scales
+    with the corpus. The testdata documents table (31-word vocabulary,
+    pair supply exhausted near 90 merges) measures neither."""
+    return spark.range(n_docs).select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words_per_doc)),
+                lambda i: F.substring(
+                    F.base64(
+                        F.unhex(
+                            F.sha2(
+                                F.concat_ws("_", F.col("id").cast("string"), i.cast("string")),
+                                256,
+                            )
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+            ),
+        ).alias("text")
+    )
+
+
 def write_corpus(spark: SparkSession, out_dir: str, n_docs: int, n_vectors: int, dim: int = 64) -> str:
     """Materialize a generated corpus under ``out_dir`` in the testdata
     layout (``documents.parquet`` / ``embeddings.parquet`` directories) so
@@ -145,4 +175,4 @@ def write_corpus(spark: SparkSession, out_dir: str, n_docs: int, n_vectors: int,
     return out_dir
 
 
-__all__ = ["generate_documents", "generate_embeddings", "write_corpus"]
+__all__ = ["generate_bpe_text", "generate_documents", "generate_embeddings", "write_corpus"]
