@@ -71,6 +71,17 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int) -> np.ndarra
     return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
 
 
+#: byte -> set-bit count, for popcounts without the 8x unpackbits blowup
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _popcount(bits: np.ndarray) -> int:
+    """Total set bits, chunked so the LUT gather's transient stays at a
+    few MB regardless of bitmap size."""
+    step = 1 << 24
+    return sum(int(_POPCOUNT[bits[i : i + step]].sum()) for i in range(0, bits.size, step))
+
+
 def _set_bits(bits: np.ndarray, digests, k: int) -> None:
     h1, h2 = _halves(digests)
     if not h1.size:
@@ -111,7 +122,13 @@ def might_contain_col(spark, bits: np.ndarray, k: int = DEFAULT_K):
     """Distributed probe: a BooleanType pandas UDF over a digest column,
     bits broadcast ONCE per call (torrent broadcast amortizes across
     executors; do not call per-microbatch with a corpus-sized filter —
-    that is what :class:`BloomSidecar`'s driver-side probe is for)."""
+    that is what :class:`BloomSidecar`'s driver-side probe is for).
+
+    The broadcast handle rides on the returned UDF as
+    ``.bloom_broadcast`` so a caller that has MATERIALIZED its result
+    (checkpoint/write) can ``unpersist()`` deterministically instead of
+    leaving an m/8-byte broadcast pinned until driver GC notices —
+    several uncollected large filters between GCs is real memory."""
     from pyspark.sql.functions import pandas_udf
 
     bc = spark.sparkContext.broadcast(bits.tobytes())
@@ -121,6 +138,10 @@ def might_contain_col(spark, bits: np.ndarray, k: int = DEFAULT_K):
         b = np.frombuffer(bc.value, dtype=np.uint8)
         return pd.Series(_test_bits(b, s.tolist(), k))
 
+    try:
+        _might_contain.bloom_broadcast = bc
+    except AttributeError:  # a future UDF wrapper without settable attrs
+        pass
     return _might_contain
 
 
@@ -157,7 +178,12 @@ class BloomSidecar:
             self.bits = np.zeros(m_bits // 8, dtype=np.uint8)
 
     def save(self) -> None:
-        hdr = json.dumps({"m": self.m_bits, "k": self.k, "n": self.n_added}).encode()
+        # "f" snapshots the fill fraction so maintenance hooks can read it
+        # header-only; the popcount pass is cheaper than the full-bitmap
+        # write this method performs anyway
+        hdr = json.dumps(
+            {"m": self.m_bits, "k": self.k, "n": self.n_added, "f": round(self.fill_fraction(), 8)}
+        ).encode()
         hdr = hdr + b" " * (128 - len(hdr))
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         tmp = self.path + ".tmp"
@@ -197,8 +223,24 @@ class BloomSidecar:
     def fill_fraction(self) -> float:
         """Set-bit fraction; past ~0.5 the FPR degrades and the fast path
         decays toward the plain join (correctness unaffected). The cue to
-        :func:`rebuild` at a larger m."""
-        return float(np.unpackbits(self.bits).mean())
+        :func:`rebuild` at a larger m. Chunked LUT popcount — an
+        ``unpackbits`` here would allocate 8 bytes per BIT (a ~10 GB
+        transient at the documented 10^9-doc sidecar scale)."""
+        return _popcount(self.bits) / float(self.bits.size * 8)
+
+    @classmethod
+    def read_header(cls, path: str) -> dict:
+        """The json header alone — 8-byte magic + 128 bytes, no bitmap
+        read. The
+        maintenance hooks' under-threshold check reads THIS (``f`` is the
+        fill fraction as of the last save), not the full sidecar; headers
+        written before the field existed lack ``f`` and callers fall back
+        to a full open."""
+        with open(path, "rb") as f:
+            magic = f.read(8)
+            if magic != cls.MAGIC:
+                raise ValueError(f"{path}: not a bloom sidecar (magic {magic!r})")
+            return json.loads(f.read(128))
 
 
 def rebuild(spark, index_df, path: str, m_bits: int, digest_col: str = "digest", k: int = DEFAULT_K) -> BloomSidecar:

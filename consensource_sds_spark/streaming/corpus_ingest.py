@@ -129,7 +129,13 @@ def _index_table_name(dir_: str) -> str:
 def _index_has_files(dir_: str) -> bool:
     """True when ``dir_`` holds any parquet data at all (bucketed or
     legacy) — the guard that keeps a missing bloom sidecar from being
-    mistaken for an empty corpus."""
+    mistaken for an empty corpus. A COMPLETED migration aside copy
+    (``<dir>.migrating`` with _SUCCESS, see :func:`_ensure_index_table`)
+    counts: mid-migration those rows ARE the index's durable data, and
+    ignoring them would let a fresh empty bloom claim the whole corpus
+    as definitely-new."""
+    if os.path.isfile(os.path.join(os.path.abspath(dir_) + ".migrating", "_SUCCESS")):
+        return True
     if not os.path.isdir(dir_):
         return False
     for _root, _dirs, files in os.walk(dir_):
@@ -165,14 +171,35 @@ def _ensure_index_table(spark: SparkSession, dir_: str, cols: str, bucket_keys: 
       metastore over an existing index needs the repair)."""
     dir_ = os.path.abspath(dir_)
     name = _index_table_name(dir_)
+    # Legacy migration is write-aside-then-swap: the legacy dir is the ONLY
+    # durable copy of the standing index, so it must never be deleted until
+    # another durable copy exists — localCheckpoint blocks are NOT durable,
+    # and a crash between rmtree and the bucketed rewrite would silently
+    # destroy the whole index (the empty dir then reads as an empty corpus
+    # and every future batch re-admits duplicates). The aside copy is only
+    # trusted once its _SUCCESS marker landed; every crash point either
+    # still has the legacy dir (redo from it) or a complete aside (resume).
+    # The resume check runs BEFORE the tableExists early return: a crash
+    # mid-rewrite leaves the table registered over a PARTIAL dir.
+    aside = dir_ + ".migrating"
+    resume = os.path.isfile(os.path.join(aside, "_SUCCESS"))
     if spark.catalog.tableExists(name):
-        if os.path.isdir(dir_):
+        if os.path.isdir(dir_) and not resume:
             return name
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-    legacy_rows = None
+    legacy_src = None
     if _legacy_unbucketed(dir_):
-        legacy_rows = spark.read.parquet(dir_).localCheckpoint()
+        shutil.rmtree(aside, ignore_errors=True)  # any aside here is partial
+        spark.read.parquet(dir_).write.parquet(aside)
         shutil.rmtree(dir_)
+        legacy_src = aside
+    elif resume:
+        # a prior migration crashed after removing the legacy dir (or
+        # mid-rewrite): the aside copy is the durable source — converge by
+        # redoing the bucketed rewrite from it
+        if os.path.isdir(dir_):
+            shutil.rmtree(dir_)
+        legacy_src = aside
     spark.sql(
         f"""CREATE TABLE IF NOT EXISTS {name} ({cols}, batch_id INT)
             USING PARQUET PARTITIONED BY (batch_id)
@@ -180,9 +207,11 @@ def _ensure_index_table(spark: SparkSession, dir_: str, cols: str, bucket_keys: 
             INTO {_N_INDEX_BUCKETS} BUCKETS
             LOCATION '{dir_}'"""
     )
-    if legacy_rows is not None:
+    if legacy_src is not None:
         base = [c.split()[0] for c in cols.split(",")]
+        legacy_rows = spark.read.parquet(legacy_src)
         _insert_index(spark, name, legacy_rows.select(*base, F.col("batch_id").cast("int")))
+        shutil.rmtree(legacy_src, ignore_errors=True)  # migration committed
     elif os.path.isdir(dir_):
         # a prior session's partitions exist on disk but this catalog is
         # fresh — recover them (MSCK lists the location, so only when the
@@ -217,7 +246,9 @@ def band_index(spark: SparkSession, band_dir: str) -> DataFrame:
     return spark.table(_ensure_index_table(spark, band_dir, _BAND_COLS, _BAND_KEYS))
 
 
-def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFrame:
+def _near_dedup(
+    spark: SparkSession, fresh: DataFrame, band_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Drop near-duplicates via the x66 band probe, streaming form:
 
     1. within-batch — a doc sharing any band with a SMALLER doc_id in the
@@ -232,7 +263,12 @@ def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFra
     and batch-sized; batch x index reads the index's bucketed layout in
     place — no Exchange, no BroadcastExchange on the index side (plan
     pinned by ``test_corpus_ingest.py::test_probe_joins_never_shuffle_or_
-    broadcast_the_index``). Never corpus x corpus."""
+    broadcast_the_index``). Never corpus x corpus.
+
+    Returns ``(retained, bands)`` — the checkpointed band frame rides
+    along so the caller's band-index insert reuses it (MinHash signatures
+    are the dominant per-batch CPU cost; recomputing them for the insert
+    would double it)."""
     bands = minhash_band_values(fresh.select("doc_id", "text")).localCheckpoint()
     a = bands.select(F.col("doc_id").alias("_da"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("_db"), "band", "band_val")
@@ -253,7 +289,7 @@ def _near_dedup(spark: SparkSession, fresh: DataFrame, band_dir: str) -> DataFra
         .select("doc_id")
         .distinct()
     )
-    return fresh.join(hits, "doc_id", "left_anti")
+    return fresh.join(hits, "doc_id", "left_anti"), bands
 
 
 def fingerprint_index(spark: SparkSession, fingerprint_dir: str) -> DataFrame:
@@ -277,11 +313,11 @@ def probe_containment(
     Scale: the join keys on fp_hash — batch fingerprints x matching
     postings against the bucketed index side, never corpus x corpus;
     same-doc hits are ignored so a replayed batch never reports itself."""
-    from pyspark.sql.window import Window as W
-
+    # same foreachBatch-clone discipline as ingest_batch: the passed
+    # session is superseded by the batch frame's own
     spark = batch_df.sparkSession
     fp = winnow_fingerprint_hashes(batch_df.select("doc_id", "text"))
-    sized = fp.withColumn("n_new", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    sized = fp.withColumn("n_new", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     idx = fingerprint_index(spark, fingerprint_dir).select(
         F.col("doc_id").alias("corpus_doc_id"), "fp_hash"
     )
@@ -289,6 +325,15 @@ def probe_containment(
         sized.select(F.col("doc_id").alias("new_doc_id"), "fp_hash", "n_new")
         .join(idx, "fp_hash")
         .filter(F.col("corpus_doc_id") != F.col("new_doc_id"))
+        # one distinct over the HITS (batch-bounded): crash-duplicated
+        # index partitions (a compaction interrupted between its
+        # consolidated insert and the per-batch partition drops) would
+        # otherwise double `shared` and push `containment` past 1.0 — the
+        # digest (anti-join) and band (DISTINCT) probes are
+        # duplicate-agnostic by shape, this COUNT was not. Deduping the
+        # index side directly would re-shuffle the bucketed scan; the
+        # hits relation is batch-sized.
+        .dropDuplicates(["new_doc_id", "corpus_doc_id", "fp_hash"])
         .groupBy("new_doc_id", "corpus_doc_id")
         .agg(
             F.count(F.lit(1)).alias("shared"),
@@ -352,10 +397,10 @@ def ingest_batch(
     # batch frames resolve against one state (tables themselves are in the
     # shared external catalog either way)
     spark = batch_df.sparkSession
+    bad = F.col("doc_id").isNull() | F.col("text").isNull()
+    if "_corrupt_record" in batch_df.columns:
+        bad = bad | F.col("_corrupt_record").isNotNull()
     if quarantine_dir is not None:
-        bad = F.col("doc_id").isNull() | F.col("text").isNull()
-        if "_corrupt_record" in batch_df.columns:
-            bad = bad | F.col("_corrupt_record").isNotNull()
         (
             batch_df.filter(bad)
             .withColumn("batch_id", F.lit(batch_id))
@@ -364,8 +409,14 @@ def ingest_batch(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(quarantine_dir)
         )
-        batch_df = batch_df.filter(~bad)
-    batch_df = batch_df.drop("_corrupt_record")
+    # the NULL-key drop is UNCONDITIONAL — quarantine_dir only controls
+    # whether such rows are preserved for inspection, never whether they
+    # enter the pipeline: a NULL doc_id row passes the text gates (the x43
+    # verdict only traps NULL text/lang), then WINS the within-batch digest
+    # collapse (ascending orderBy ranks NULLs first), ejecting the real doc
+    # and planting NULL keep_doc_id rows and NULL-keyed postings in every
+    # standing index (where the same-doc_id replay guard is vacuously NULL)
+    batch_df = batch_df.filter(~bad).drop("_corrupt_record")
     kept = with_filter_verdict(batch_df).filter(F.col("verdict") == "keep")
     if gopher_rules is not None:
         # the batch build's gopher_gate, streaming face — identical rule
@@ -388,7 +439,7 @@ def ingest_batch(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    sidecar, batch_digs, batch_bits_n = None, None, None
+    sidecar, batch_digs = None, None
     if bloom_bits is not None:
         bloom_path = os.path.join(os.path.abspath(index_dir), "_bloom")
         if not os.path.exists(bloom_path) and _index_has_files(index_dir):
@@ -431,7 +482,18 @@ def ingest_batch(
             from consensource_sds_spark.functions.bloom import might_contain_col
 
             probe = might_contain_col(spark, sidecar.bits, sidecar.k)
-            flagged = batch_min.withColumn("_bh", probe(F.col("digest")))
+            # checkpoint the flagged frame: both branches of the union
+            # filter it, and left lazy each would re-run the membership UDF
+            # over the whole batch — doubling the probe pass on exactly the
+            # batches chosen for being large
+            flagged = batch_min.withColumn("_bh", probe(F.col("digest"))).localCheckpoint()
+            bc = getattr(probe, "bloom_broadcast", None)
+            if bc is not None:
+                # the checkpoint above MATERIALIZED the probe — release the
+                # m/8-byte bitmap broadcast now rather than waiting for
+                # driver GC to notice it (several pinned filters between
+                # GCs is real memory at large m)
+                bc.unpersist()
             maybe = flagged.filter(F.col("_bh")).drop("_bh")
             fresh = (
                 flagged.filter(~F.col("_bh"))
@@ -442,12 +504,13 @@ def ingest_batch(
                     )
                 )
             )
-            batch_bits_n = n_batch
     else:
         fresh = batch_min.join(digest_index(spark, index_dir).select("digest"), "digest", "left_anti")
     fresh = fresh.select("doc_id", "text", "lang", "source", "n_chars", "digest").localCheckpoint()
+    batch_bands = None
     if band_dir is not None:
-        fresh = _near_dedup(spark, fresh, band_dir).localCheckpoint()
+        fresh, batch_bands = _near_dedup(spark, fresh, band_dir)
+        fresh = fresh.localCheckpoint()
 
     # idempotent-by-layout appends: each write owns its batch_id partition.
     # ORDER MATTERS for crash convergence: corpus rows first, then the
@@ -481,26 +544,35 @@ def ingest_batch(
         .parquet(out_dir)
     )
     if sidecar is not None:
-        # superset-before-index: OR the batch's post-collapse digests in
-        # now, so the index never holds a digest the bloom lacks
+        # superset-before-index: OR in the digests of exactly the rows the
+        # digest insert below commits — `fresh`, not the pre-probe
+        # batch_min. Cross-batch dups and near-dup drops never enter the
+        # index, so counting them inflated fill fraction (earlier rebuilds
+        # than the index warranted) and n_added; and a crash-replayed
+        # batch re-counted every digest (replay's fresh is empty, so this
+        # form is also naturally replay-idempotent). Superset safety only
+        # requires the committed digests, which fresh is.
         if batch_digs is not None:
-            sidecar.add_digests(batch_digs)
+            sidecar.add_digests([r["digest"] for r in fresh.select("digest").collect()])
         else:
             # executor path: the update ships a per-partition OR-reduced
             # bitmap (partitions x m/8 bytes), never the digests
             from consensource_sds_spark.functions.bloom import build_bits
 
             sidecar.add_bits(
-                build_bits(batch_min.select("digest"), "digest", sidecar.m_bits, sidecar.k),
-                batch_bits_n,
+                build_bits(fresh.select("digest"), "digest", sidecar.m_bits, sidecar.k),
+                fresh.count(),  # checkpointed: a metadata-cheap job
             )
     if band_dir is not None:
         # only RETAINED docs enter the band index (dups must never become
-        # probes' reference points); replay-safe like the digest index
+        # probes' reference points); replay-safe like the digest index.
+        # The probe's checkpointed band frame is reused (narrowed to the
+        # survivors) — recomputing MinHash signatures here would double
+        # the dominant per-batch CPU cost for identical rows
         _insert_index(
             spark,
             _index_table_name(band_dir),
-            minhash_band_values(fresh.select("doc_id", "text")).select(
+            batch_bands.join(fresh.select("doc_id"), "doc_id").select(
                 "doc_id", "band", "band_val", F.lit(batch_id).cast("int").alias("batch_id")
             ),
         )
@@ -647,11 +719,13 @@ def compact_indexes(spark: SparkSession, out_dir: str) -> None:
     Crash-safe by probe semantics, no manifest needed: the consolidated
     segment is written FIRST (dynamic overwrite of its own partition),
     then per-batch partitions are dropped. A crash in between leaves rows
-    duplicated across old and consolidated partitions — and both probes
-    are agnostic to duplicate index rows (anti joins and DISTINCT'd hit
-    sets), so reads stay correct and the next compaction converges. New
-    batches arriving after compaction append fresh batch_id partitions as
-    usual."""
+    duplicated across old and consolidated partitions — and every probe
+    is agnostic to duplicate index rows (the digest/band probes by shape:
+    anti joins and DISTINCT'd hit sets; the fp containment probe via its
+    explicit hit-set dedup in :func:`probe_containment`, whose COUNT
+    would otherwise double), so reads stay correct and the next
+    compaction converges. New batches arriving after compaction append
+    fresh batch_id partitions as usual."""
     for dir_, cols, keys in (
         (out_dir.rstrip("/") + "_digest_index", _DIGEST_COLS, _DIGEST_KEYS),
         (out_dir.rstrip("/") + "_band_index", _BAND_COLS, _BAND_KEYS),
@@ -757,9 +831,12 @@ def corpus_profile(out_dir: str) -> list[dict]:
         if name == "digest_index":
             bp = os.path.join(d, "_bloom")
             if os.path.exists(bp):
-                sc = BloomSidecar(bp)
-                prof["bloom_n_added"] = sc.n_added
-                prof["bloom_fill"] = round(sc.fill_fraction(), 8)
+                hdr = BloomSidecar.read_header(bp)
+                prof["bloom_n_added"] = hdr["n"]
+                if "f" in hdr:  # header-only (see read_header)
+                    prof["bloom_fill"] = hdr["f"]
+                else:
+                    prof["bloom_fill"] = round(BloomSidecar(bp).fill_fraction(), 8)
         out.append(prof)
     return out
 
@@ -781,10 +858,15 @@ def maybe_rebuild_bloom(
     path = os.path.join(os.path.abspath(index_dir), "_bloom")
     if not os.path.exists(path):
         return False
-    sc = BloomSidecar(path)
-    if sc.fill_fraction() <= max_fill:
+    hdr = BloomSidecar.read_header(path)
+    if "f" in hdr:  # header-only: no bitmap read under threshold
+        fill, m_bits = hdr["f"], hdr["m"]
+    else:  # pre-"f" sidecar: one full open, upgraded at its next save
+        sc = BloomSidecar(path)
+        fill, m_bits = sc.fill_fraction(), sc.m_bits
+    if fill <= max_fill:
         return False
     _bloom.rebuild(
-        spark, digest_index(spark, index_dir).select("digest"), path, m_bits=sc.m_bits * growth
+        spark, digest_index(spark, index_dir).select("digest"), path, m_bits=m_bits * growth
     )
     return True

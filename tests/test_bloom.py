@@ -129,3 +129,20 @@ def test_property_no_false_negatives_any_digest_set(tmp_path):
         assert re.n_added == len(added)
 
     prop()
+
+
+def test_header_carries_fill_fraction_for_header_only_reads(tmp_path):
+    """save() snapshots the fill fraction into the fixed-width header so
+    maintenance hooks (maybe_rebuild_bloom, corpus_profile) can check the
+    threshold without reading — or unpacking — the bitmap; the chunked
+    popcount must agree with the bit-exact unpackbits answer."""
+    import numpy as np
+
+    p = str(tmp_path / "hdr_bloom")
+    sc = BloomSidecar(p, m_bits=1 << 14)
+    sc.add_digests([hashlib.md5(f"d{i}".encode()).hexdigest() for i in range(300)])
+    hdr = BloomSidecar.read_header(p)
+    assert hdr["m"] == 1 << 14 and hdr["k"] == sc.k and hdr["n"] == 300
+    exact = float(np.unpackbits(sc.bits).mean())
+    assert abs(sc.fill_fraction() - exact) < 1e-12
+    assert abs(hdr["f"] - exact) < 1e-8  # header rounds to 8 places

@@ -750,3 +750,93 @@ def test_ingest_gopher_rules_gate(spark, tmp_path):
 
     spark.sql(f"DROP TABLE IF EXISTS {ci._index_table_name(idx)}")
     spark.sql(f"DROP TABLE IF EXISTS {ci._index_table_name(base_out + '_digest_index')}")
+
+
+def test_migration_crash_after_legacy_removed_recovers_from_aside(spark, dirs):
+    """Write-aside-then-swap crash pin: a migration that died AFTER the
+    legacy dir was removed (the old code's permanent-data-loss window —
+    localCheckpoint blocks are not durable) must recover the index from
+    the completed aside copy and keep deduping against it."""
+    import shutil
+
+    # legacy layout on disk: md5(GOOD) retained as doc 1
+    (
+        spark.createDataFrame([(1,)], "keep_doc_id long")
+        .select(F.md5(F.lit(GOOD)).alias("digest"), "keep_doc_id")
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(dirs["idx"])
+    )
+    # simulate the migration up to the crash: aside copy complete
+    # (_SUCCESS landed), legacy dir gone, bucketed rewrite never ran
+    aside = os.path.abspath(dirs["idx"]) + ".migrating"
+    spark.read.parquet(dirs["idx"]).write.parquet(aside)
+    assert os.path.isfile(os.path.join(aside, "_SUCCESS"))
+    shutil.rmtree(dirs["idx"])
+
+    batch = _docs(spark, [(10, GOOD, "en", "b"), (11, GOOD2, "en", "b")])
+    ingest_batch(spark, batch, 1, dirs["out"], dirs["idx"], n_shards=4)
+    got = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert got == {11}  # 10 deduped against the aside-recovered index
+    idx = spark.read.parquet(dirs["idx"])
+    assert {r["keep_doc_id"] for r in idx.collect()} == {1, 11}
+    assert not os.path.isdir(aside)  # migration committed, aside reclaimed
+
+
+def test_null_doc_id_never_enters_pipeline_without_quarantine(spark, dirs):
+    """The W5 contract holds with quarantine OFF: a NULL doc_id row
+    duplicating a real doc must not win the within-batch digest collapse
+    (ascending orderBy ranks NULLs first) and eject the real doc, nor
+    plant NULL keep_doc_id rows in the standing index."""
+    batch = spark.createDataFrame(
+        [(None, GOOD, "en", "a", len(GOOD)), (1, GOOD, "en", "a", len(GOOD)), (2, GOOD2, "en", "a", len(GOOD2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ingest_batch(spark, batch, 0, dirs["out"], dirs["idx"], n_shards=4)
+    kept = read_corpus(spark, dirs["out"]).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]  # the real doc won
+    idx = spark.read.parquet(dirs["idx"])
+    assert idx.filter(F.col("keep_doc_id").isNull()).count() == 0
+    assert {r["keep_doc_id"] for r in idx.collect()} == {1, 2}
+
+
+def test_containment_probe_agnostic_to_duplicated_postings(spark, dirs, tmp_path):
+    """An interrupted compaction (consolidated insert landed, per-batch
+    partition drops didn't) leaves every fp posting duplicated; the
+    containment COUNT must not double `shared` or push containment past
+    1.0 — reads stay correct until the next compaction converges."""
+    from consensource_sds_spark.streaming.corpus_ingest import (
+        _insert_index,
+        _index_table_name,
+        probe_containment,
+    )
+
+    fp_dir = str(tmp_path / "corpus_fp_index")
+    base = " ".join(f"tok{i}" for i in range(40))
+    ingest_batch(
+        spark,
+        _docs(spark, [(1, base, "en", "a")]),
+        0,
+        dirs["out"],
+        dirs["idx"],
+        n_shards=4,
+        fingerprint_dir=fp_dir,
+    )
+    quoter = base + " plus novel tail content here"
+    before = {
+        (r["corpus_doc_id"], r["shared"], r["containment"])
+        for r in probe_containment(spark, _docs(spark, [(9, quoter, "en", "b")]), fp_dir).collect()
+    }
+    assert before, "probe must hit the quoted corpus doc"
+    # simulate the crash window: the same postings duplicated under the
+    # consolidated batch_id=-1 partition
+    name = _index_table_name(fp_dir)
+    dup = spark.table(name).select("doc_id", "fp_hash", F.lit(-1).cast("int").alias("batch_id"))
+    _insert_index(spark, name, dup)
+    after = {
+        (r["corpus_doc_id"], r["shared"], r["containment"])
+        for r in probe_containment(spark, _docs(spark, [(9, quoter, "en", "b")]), fp_dir).collect()
+    }
+    assert after == before
+    assert all(c <= 1.0 for (_d, _s, c) in after)
