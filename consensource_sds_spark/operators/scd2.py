@@ -91,8 +91,12 @@ ENTITY_GROUPS: dict[str, tuple[str, list[str]]] = {
 
 _ORDER = ["block_num", "batch_ord", "change_idx", "entry_idx"]
 _EMISSION_COLS = ["vkey", *_ORDER, "is_delete"]
+#: full emission order key within a block: delivery arrival first —
+#: (batch_ord, change_idx, entry_idx) are PER-DELIVERY ordinals and can
+#: collide across two deliveries at one height (an intra-batch fork)
 #: order columns a new-rows DataFrame must carry for the insert join
-_NEW_ROW_ORDER = ["batch_ord", "change_idx", "entry_idx"]
+#: (delivery_id is normalized to NULL by merge_scd2 when absent)
+_NEW_ROW_ORDER = ["delivery_id", "batch_ord", "change_idx", "entry_idx"]
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -108,6 +112,13 @@ class UnsupportedStoreLayout(RuntimeError):
     open state and its commit's vacuum would delete the still-referenced
     legacy directories — silent data loss. Failing loudly preserves the
     store for a manual migration."""
+
+
+class CorruptManifestError(RuntimeError):
+    """The manifest file exists but cannot be parsed. Same loud-failure
+    rationale as :class:`UnsupportedStoreLayout`: reading it as an empty
+    store would let the next commit's vacuum delete every committed
+    generation."""
 
 
 def _stage_token() -> str:
@@ -166,15 +177,24 @@ def merge_scd2(open_rows: DataFrame, new_rows: DataFrame, vkey: str, emissions: 
     of one key at the same block yield a zero-width version [b, b) for the
     earlier one — exactly the reference's UPDATE-then-INSERT sequencing."""
     out_cols = [f.name for f in table_schema.fields]
+    # delivery_id is part of the order key (per-delivery ordinals collide
+    # across two deliveries at one height) but optional on the public
+    # surface — normalize to NULL and join null-safely so hand-built
+    # frames without it keep their old semantics
+    if "delivery_id" not in emissions.columns:
+        emissions = emissions.withColumn("delivery_id", F.lit(None).cast("long"))
+    if "delivery_id" not in new_rows.columns:
+        new_rows = new_rows.withColumn("delivery_id", F.lit(None).cast("long"))
     emis = emissions.select(
         F.col("vkey").alias("e_vkey"),
         F.col("block_num").alias("e_block"),
+        F.col("delivery_id").alias("e_did"),
         F.col("batch_ord").alias("e_bo"),
         F.col("change_idx").alias("e_ci"),
         F.col("entry_idx").alias("e_ei"),
         "is_delete",
     )
-    w = Window.partitionBy("e_vkey").orderBy("e_block", "e_bo", "e_ci", "e_ei")
+    w = Window.partitionBy("e_vkey").orderBy("e_block", "e_did", "e_bo", "e_ci", "e_ei")
     emis = emis.withColumn("next_start", F.lead("e_block").over(w))
 
     sets = _microbatch_hint(emis.filter(~F.col("is_delete")))
@@ -183,10 +203,16 @@ def merge_scd2(open_rows: DataFrame, new_rows: DataFrame, vkey: str, emissions: 
             sets,
             (new_rows[vkey] == sets["e_vkey"])
             & (new_rows["start_block_num"] == sets["e_block"])
+            & new_rows["delivery_id"].eqNullSafe(sets["e_did"])
             & (new_rows["batch_ord"] == sets["e_bo"])
             & (new_rows["change_idx"] == sets["e_ci"])
             & (new_rows["entry_idx"] == sets["e_ei"]),
-            "left",
+            # INNER: a new version row exists exactly because its SET
+            # emission does (both are projections of the same entry). A
+            # left join would still insert rows whose emission was rewound
+            # out of the batch (a superseded fork delivery) — resurrecting
+            # the losing chain's state as open versions.
+            "inner",
         )
         .withColumn("new_end", F.coalesce(F.col("next_start"), F.lit(MAX_BLOCK_NUM)))
         .select(*[new_rows[c] for c in out_cols if c != "end_block_num"], F.col("new_end").alias("end_block_num"))
@@ -195,7 +221,10 @@ def merge_scd2(open_rows: DataFrame, new_rows: DataFrame, vkey: str, emissions: 
 
     first = emissions.groupBy("vkey").agg(F.min("block_num").alias("first_block"))
     closed = (
-        open_rows.join(F.broadcast(first), open_rows[vkey] == first["vkey"], "left")
+        # _microbatch_hint, not a bare broadcast: `first` is one row per
+        # touched key, which a backfill batch can grow arbitrarily — the
+        # cluster profile must leave the build side to AQE like `sets`
+        open_rows.join(_microbatch_hint(first), open_rows[vkey] == first["vkey"], "left")
         .withColumn(
             "end_block_num",
             F.coalesce(F.col("first_block"), F.col("end_block_num")),
@@ -244,8 +273,23 @@ class ScdParquetStore:
         try:
             with open(self._manifest_path()) as f:
                 man = json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
+            # ONLY a missing file means "fresh store". Any other failure —
+            # EMFILE, permissions, a truncated/corrupt file — must fail
+            # loudly: returning the empty manifest here would make the next
+            # commit's vacuum treat every committed generation as
+            # unreferenced and DELETE it (total silent data loss). The
+            # commit path fsyncs write-then-rename, so a crashed commit
+            # leaves the previous manifest intact, never a corrupt one.
             return {"gen": 0, "last_batch_id": -1, "tables": {}, "blocks": []}
+        except ValueError as e:
+            raise CorruptManifestError(
+                f"manifest at {self._manifest_path()!r} is unreadable: {e}. "
+                "Refusing to treat a populated store as empty (a commit on "
+                "top of that would vacuum away every committed generation). "
+                "Restore the manifest or rebuild the store by replaying the "
+                "stream."
+            ) from e
         # layout version guard: the pre-bucketing format kept one 'open' dir
         # per table. Reading it as empty open_buckets would silently lose it
         # (see UnsupportedStoreLayout) — refuse instead.
@@ -328,8 +372,24 @@ class ScdParquetStore:
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
+                # rename atomicity is not durability: without the fsync a
+                # power loss after os.replace can surface a TRUNCATED
+                # manifest (data still in page cache when the rename
+                # metadata committed) — which _manifest() refuses loudly,
+                # wedging the store until manual repair
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self._manifest_path())
-        self._vacuum(manifest)
+            dfd = os.open(self.path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)  # make the rename itself durable
+            finally:
+                os.close(dfd)
+            # vacuum INSIDE the lock: deferred past the release, a stalled
+            # writer's vacuum would run with a stale keep set and could
+            # rmtree directories a faster writer committed in the meantime
+            # — deleting COMMITTED data despite the OCC gen check
+            self._vacuum(manifest)
 
     def _vacuum(self, manifest: dict) -> None:
         keep = self._referenced(manifest) | set(manifest.get("retired", []))
@@ -355,12 +415,18 @@ class ScdParquetStore:
         dirs = [*t.get("open_buckets", {}).values(), *t.get("closed", [])]
         return self._read_dirs(dirs, schemas.SINK_TABLES[table])
 
-    def current(self, table: str, buckets: list[int] | None = None) -> DataFrame:
+    def current(
+        self, table: str, buckets: list[int] | None = None, _man: dict | None = None
+    ) -> DataFrame:
         """Current state = the open partition (end == MAX by construction).
         ``buckets`` restricts the scan to those hash buckets — the bucketed
         analog of partition pruning; ``apply`` uses it to read only the
-        buckets a batch's keys land in."""
-        ob = self._manifest()["tables"].get(table, {}).get("open_buckets", {})
+        buckets a batch's keys land in (and passes its already-loaded
+        manifest as ``_man`` so an 11-table batch doesn't re-open and
+        re-parse the manifest once per member table)."""
+        ob = (_man if _man is not None else self._manifest())["tables"].get(table, {}).get(
+            "open_buckets", {}
+        )
         if buckets is None:
             dirs = list(ob.values())
         else:
@@ -382,7 +448,7 @@ class ScdParquetStore:
         """Catch-up cursor (S3, main.rs:57-63): block ids, newest first.
         ``count`` is pushed into the plan (top-k, not a full collect)."""
         df = self.blocks().orderBy(F.col("block_num").desc())
-        if count:
+        if count is not None:  # falsy 0 must mean "none", not "all"
             df = df.limit(count)
         return [r["block_id"] for r in df.collect()]
 
@@ -513,7 +579,7 @@ class ScdParquetStore:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        n = self._n_buckets()
+        n = man.get("n_buckets") or self._default_n_buckets
         # ONE emission wave for the whole batch. The previous shape ran a
         # localCheckpoint + isEmpty + bucket-distinct PER entity group — ~3
         # serial driver round trips x groups before any write started. Now:
@@ -523,11 +589,21 @@ class ScdParquetStore:
         # appear). The block-row collect (driver-tiny) is submitted from a
         # second thread so its job overlaps the checkpoint wave instead of
         # serializing in front of it.
-        tagged = [
-            batch.emissions[g].select(*_EMISSION_COLS).withColumn("_grp", F.lit(g))
-            for g in ENTITY_GROUPS
-            if g in batch.emissions
-        ]
+        def _emis_frame(g: str) -> DataFrame:
+            e = batch.emissions[g]
+            # delivery_id is optional on the public apply surface (hand-
+            # built batches) — normalize to a NULL column so the union
+            # schema is stable and the fork resolution can test for it
+            did = (
+                F.col("delivery_id").cast("long")
+                if "delivery_id" in e.columns
+                else F.lit(None).cast("long")
+            )
+            return e.select(*_EMISSION_COLS, did.alias("delivery_id")).withColumn(
+                "_grp", F.lit(g)
+            )
+
+        tagged = [_emis_frame(g) for g in ENTITY_GROUPS if g in batch.emissions]
         unioned: DataFrame | None = None
         if tagged:
             unioned = tagged[0]
@@ -543,23 +619,50 @@ class ScdParquetStore:
                 unioned = unioned.localCheckpoint()
             blocks_new = blocks_fut.result() if blocks_fut is not None else []
 
-        touched_by_group: dict[str, list[int]] = {}
-        if batch.touched_buckets is not None and batch.buckets_n == n:
-            # producer observed the bucket sets on its own checkpoint waves
-            # (transform_events(n_buckets=...)) — no extra job here
-            touched_by_group = {g: list(b) for g, b in batch.touched_buckets.items()}
-        elif unioned is not None:
-            for r in (
-                unioned.select("_grp", self._bucket_expr("vkey", n).alias("b")).distinct().collect()
-            ):
-                touched_by_group.setdefault(r["_grp"], []).append(r["b"])
-
         if blocks_new:
-            # W4 fork detection: look up ONLY the incoming block-number range
-            # in the stored segments (driver-side pyarrow, row-group pruned)
-            # — O(microbatch), never an O(chain) scan, and no Spark job.
+            # -- intra-batch resolution first (serial-delivery semantics:
+            # the reference applies deliveries one at a time). Processing
+            # in ARRIVAL order (delivery_id, which transform_events passes
+            # through on both the block frame and the emissions): a
+            # same-height SAME-id re-delivery is a duplicate and is
+            # dropped; a same-height DIFFERENT-id delivery is a fork that
+            # supersedes every already-accepted delivery at or above that
+            # height (the in-batch scope of rewind) — and the superseded
+            # deliveries' EMISSIONS are rewound out by their delivery_id.
+            has_did = all(
+                "delivery_id" in getattr(r, "__fields__", ()) and r["delivery_id"] is not None
+                for r in blocks_new
+            )
+            rows = sorted(blocks_new, key=lambda r: r["delivery_id"]) if has_did else list(blocks_new)
+            surviving: dict[int, object] = {}
+            in_batch_dropped: list = []
+            for r in rows:
+                h = r["block_num"]
+                cur = surviving.get(h)
+                if cur is not None and cur["block_id"] == r["block_id"]:
+                    in_batch_dropped.append(r)  # duplicate re-delivery
+                    continue
+                if cur is not None:
+                    if not has_did:
+                        raise ValueError(
+                            f"batch carries conflicting block ids at height {h} "
+                            f"({cur['block_id']!r} then {r['block_id']!r}) but its "
+                            "block frame has no delivery_id column, so the "
+                            "superseded delivery's emissions cannot be rewound "
+                            "out. Produce the batch via transform_events (which "
+                            "passes delivery_id through) or split the deliveries "
+                            "across batches."
+                        )
+                    for hh in [x for x in list(surviving) if x >= h]:
+                        in_batch_dropped.append(surviving.pop(hh))
+                surviving[h] = r
+            blocks_new = [surviving[h] for h in sorted(surviving)]
+
+            # -- W4 stored-fork detection: look up ONLY the incoming range
+            # in the stored segments (driver-side pyarrow, row-group
+            # pruned) — O(microbatch), never an O(chain) scan, no Spark job.
             nums = [r["block_num"] for r in blocks_new]
-            stored = self._stored_block_ids(man, min(nums), max(nums))
+            stored = self._stored_block_ids(man, min(nums), max(nums)) if nums else {}
             forked = sorted(
                 r["block_num"]
                 for r in blocks_new
@@ -571,6 +674,49 @@ class ScdParquetStore:
                 # re-run sees no fork and just applies).
                 self.rewind(forked[0])
                 man = self._manifest()
+                # heights >= the rewind point were just removed, so re-read
+                # what is STILL stored before the re-delivery check below
+                stored = self._stored_block_ids(man, min(nums), max(nums))
+
+            # -- stored same-id re-deliveries (a rebuilt checkpoint replays
+            # the stream under a new query id, so the txn guard cannot
+            # catch it): re-merging their emissions would revert current
+            # state to a stale version and duplicate their block rows,
+            # breaking blocks() disjointness — skip block AND emissions.
+            redelivered = {
+                r["block_num"] for r in blocks_new if stored.get(r["block_num"]) == r["block_id"]
+            }
+            if redelivered:
+                blocks_new = [r for r in blocks_new if r["block_num"] not in redelivered]
+            if unioned is not None and (in_batch_dropped or redelivered):
+                drop = F.lit(False)
+                if has_did and in_batch_dropped:
+                    # exact: the superseded deliveries' emissions carry the
+                    # same delivery_id. (Id-less duplicate re-deliveries
+                    # keep their emissions — same block id → same content;
+                    # the merge's same-block sequencing turns the extra
+                    # SETs into zero-width versions.)
+                    drop = drop | F.col("delivery_id").isin(
+                        [r["delivery_id"] for r in in_batch_dropped]
+                    )
+                for h in sorted(redelivered):
+                    # exact by construction: every emission at height h
+                    # belongs to the re-delivered block
+                    drop = drop | (F.col("block_num") == F.lit(h))
+                unioned = unioned.filter(~drop)
+
+        touched_by_group: dict[str, list[int]] = {}
+        if batch.touched_buckets is not None and batch.buckets_n == n:
+            # producer observed the bucket sets on its own checkpoint waves
+            # (transform_events(n_buckets=...)) — no extra job here; after
+            # an in-batch drop the sets are supersets (harmless: untouched
+            # keys pass through their bucket's merge unchanged)
+            touched_by_group = {g: list(b) for g, b in batch.touched_buckets.items()}
+        elif unioned is not None:
+            for r in (
+                unioned.select("_grp", self._bucket_expr("vkey", n).alias("b")).distinct().collect()
+            ):
+                touched_by_group.setdefault(r["_grp"], []).append(r["b"])
 
         gen = man["gen"] + 1
         tok = _stage_token()
@@ -585,6 +731,24 @@ class ScdParquetStore:
         # slowest table, not the sum). Crash semantics are unchanged: every
         # write lands in fresh generation directories and the manifest only
         # commits after ALL writes returned.
+        # API guard: new rows only enter through the merge their group's
+        # emissions drive — a tables= entry whose group supplied NO
+        # emissions frame would be silently discarded (the group loop
+        # skips it), a data-losing footgun for hand-built backfill batches
+        table_group = {t: g for g, (_vk, tabs) in ENTITY_GROUPS.items() for t in tabs}
+        orphaned = sorted(
+            t for t in batch.tables if t in table_group and table_group[t] not in batch.emissions
+        )
+        if orphaned:
+            raise ValueError(
+                f"PipelineBatch.tables supplies {orphaned} but carries no "
+                f"emissions frame for group(s) "
+                f"{sorted({table_group[t] for t in orphaned})} — those rows "
+                "would be silently dropped. Supply the emission rows that "
+                "drive the merge (vkey, block_num, batch_ord, change_idx, "
+                "entry_idx, is_delete)."
+            )
+
         jobs: list[tuple[str, str, list[int], DataFrame]] = []
         for group, (vkey, tables) in ENTITY_GROUPS.items():
             touched = sorted(touched_by_group.get(group, []))
@@ -602,7 +766,9 @@ class ScdParquetStore:
                 # only the TOUCHED open buckets participate; untouched
                 # buckets carry over by pointer and closed history is
                 # immutable and never rescanned during apply
-                merged = merge_scd2(self.current(table, buckets=touched), new_rows, vkey, emis, schema)
+                merged = merge_scd2(
+                    self.current(table, buckets=touched, _man=man), new_rows, vkey, emis, schema
+                )
                 jobs.append((table, vkey, touched, merged))
 
         if jobs:

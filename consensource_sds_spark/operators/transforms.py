@@ -173,7 +173,12 @@ def entity_entries(deltas_with_space: DataFrame, space: str) -> DataFrame:
 # pinned by the same golden tests (tests/test_transforms.py).
 # ---------------------------------------------------------------------------
 
-_ORDER_COLS = ["batch_ord", "change_idx", "entry_idx"]
+# delivery_id leads: (batch_ord, change_idx, entry_idx) are PER-DELIVERY
+# ordinals, so two deliveries at the same block height (an intra-batch
+# fork) would otherwise produce colliding order keys — the sink's
+# emission<->new-row join and its version sequencing key on the full
+# four-tuple
+_ORDER_COLS = ["delivery_id", "batch_ord", "change_idx", "entry_idx"]
 
 
 def _proj(entries: DataFrame, *cols: Column) -> DataFrame:
@@ -359,6 +364,7 @@ def assertion_deletes(deltas_with_space: DataFrame) -> DataFrame:
     return deltas_with_space.filter(
         (F.col("address_space") == "assertion") & (F.col("change_type") == "DELETE")
     ).select(
+        "delivery_id",
         "batch_ord",
         "change_idx",
         F.col("address").alias("state_address"),

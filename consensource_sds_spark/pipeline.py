@@ -50,6 +50,7 @@ def _emissions(entries: DataFrame, key_expr: str) -> DataFrame:
         "change_idx",
         "entry_idx",
         F.lit(False).alias("is_delete"),
+        "delivery_id",
     )
 
 
@@ -180,11 +181,16 @@ def transform_events(
             "change_idx",
             F.lit(0).alias("entry_idx"),
             F.lit(True).alias("is_delete"),
+            "delivery_id",
         )
         emissions["assertion"] = emissions["assertion"].unionByName(deletes)
 
     return PipelineBatch(
-        block=blocks.select("block_num", "block_id"),
+        # delivery_id rides along: it is the serial ARRIVAL key the sink's
+        # intra-batch fork resolution orders deliveries by, and the exact
+        # handle for rewinding a superseded delivery's emissions (which
+        # carry the same id) — see ScdParquetStore.apply
+        block=blocks.select("delivery_id", "block_num", "block_id"),
         tables=tables,
         emissions=emissions,
         quarantine=T.invalid_changes(changes),

@@ -510,3 +510,93 @@ def test_stale_writer_staging_never_clobbers_committed_data(spark, store, monkey
     # was overwritten, and the loser's value never appears
     assert _agent_versions(store) == committed
     assert [r["name"] for r in store.current("agents").collect()] == ["n2"]
+
+
+def test_corrupt_manifest_raises_instead_of_emptying_store(spark, store):
+    """A populated store whose manifest is unreadable must fail LOUDLY:
+    reading it as empty would let the next commit's vacuum delete every
+    committed generation (total silent data loss)."""
+    from consensource_sds_spark.operators.scd2 import CorruptManifestError
+
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])])
+    with open(store._manifest_path(), "w") as f:
+        f.write('{"gen": 3, "tables"')  # truncated mid-write
+    with pytest.raises(CorruptManifestError):
+        store.read("agents")
+    with pytest.raises(CorruptManifestError):
+        _apply(spark, store, [fx.delivery(2, "b2", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])])
+
+
+def test_stored_same_id_redelivery_is_skipped(spark, store):
+    """A rebuilt checkpoint (new query id) re-delivers an already-stored
+    block: its emissions must NOT re-merge (that would revert current
+    state to the stale version with an inverted interval) and its block
+    row must not duplicate — blocks() disjointness is an invariant."""
+    a1, a2 = fx.make_agent(), dict(fx.make_agent(), name="renamed")
+    _apply(spark, store, [fx.delivery(5, "b5", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])])])
+    _apply(spark, store, [fx.delivery(7, "b7", [fx.state_change("agent", fx.PUBLIC_KEY, [a2])])])
+    # the re-delivery arrives without a batch guard (new stream identity)
+    _apply(spark, store, [fx.delivery(5, "b5", [fx.state_change("agent", fx.PUBLIC_KEY, [a1])])])
+    assert _agent_versions(store) == [
+        ("test_public_key", "renamed", 7, MAX),
+        ("test_public_key", "test", 5, 7),
+    ]
+    blocks = sorted((r["block_num"], r["block_id"]) for r in store.blocks().collect())
+    assert blocks == [(5, "b5"), (7, "b7")]
+
+
+def test_intra_batch_fork_keeps_only_winning_chain(spark, store):
+    """One microbatch carrying both a block and its same-height fork
+    replacement (two deliveries): serial semantics — the later delivery
+    wins, the superseded delivery's state changes are rewound out, and
+    the blocks segment holds ONE row at that height."""
+    a_lose = dict(fx.make_agent(), name="losing_chain")
+    a_win = dict(fx.make_agent(), name="winning_chain")
+    _apply(
+        spark,
+        store,
+        [
+            fx.delivery(6, "b6a", [fx.state_change("agent", fx.PUBLIC_KEY, [a_lose])]),
+            fx.delivery(6, "b6b", [fx.state_change("agent", fx.PUBLIC_KEY, [a_win])]),
+        ],
+    )
+    assert _agent_versions(store) == [("test_public_key", "winning_chain", 6, MAX)]
+    assert [(r["block_num"], r["block_id"]) for r in store.blocks().collect()] == [(6, "b6b")]
+
+
+def test_intra_batch_fork_supersedes_higher_blocks_of_old_chain(spark, store):
+    """A fork at height h also rewinds in-batch deliveries ABOVE h from
+    the old chain: [ (6,a), (7,a) then fork (6,b) ] must keep only the
+    new chain's 6 — the old chain's 7 never happened."""
+    a6 = dict(fx.make_agent(), name="old6")
+    a7 = dict(fx.make_agent(), name="old7")
+    b6 = dict(fx.make_agent(), name="new6")
+    _apply(
+        spark,
+        store,
+        [
+            fx.delivery(6, "b6a", [fx.state_change("agent", fx.PUBLIC_KEY, [a6])]),
+            fx.delivery(7, "b7a", [fx.state_change("agent", fx.PUBLIC_KEY, [a7])]),
+            fx.delivery(6, "b6b", [fx.state_change("agent", fx.PUBLIC_KEY, [b6])]),
+        ],
+    )
+    assert _agent_versions(store) == [("test_public_key", "new6", 6, MAX)]
+    assert [(r["block_num"], r["block_id"]) for r in store.blocks().collect()] == [(6, "b6b")]
+
+
+def test_known_block_ids_count_zero_is_empty(spark, store):
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])])
+    assert store.known_block_ids(count=0) == []
+    assert store.known_block_ids(count=1) == ["b1"]
+
+
+def test_tables_without_emissions_raise(spark, store):
+    """A hand-built batch supplying tables= rows but no emissions frame
+    for their group must fail loudly — those rows would otherwise be
+    silently dropped (the group loop skips emission-less groups)."""
+    from consensource_sds_spark.operators.scd2 import PipelineBatch
+    from consensource_sds_spark.schemas import SINK_TABLES
+
+    rows = spark.createDataFrame([], SINK_TABLES["agents"])
+    with pytest.raises(ValueError, match="emissions"):
+        store.apply(PipelineBatch(tables={"agents": rows}))

@@ -21,7 +21,9 @@ def _entries(spark, space, entity, block_num=1, key="k"):
 
 
 def _data_rows(df):
-    return [tuple(r) for r in df.drop("batch_ord", "change_idx", "entry_idx").collect()]
+    return [
+        tuple(r) for r in df.drop("delivery_id", "batch_ord", "change_idx", "entry_idx").collect()
+    ]
 
 
 def test_agent_at_block(spark):
