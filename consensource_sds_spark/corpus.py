@@ -32,11 +32,13 @@ exactly once. At 100 TB each avoided recompute is a full corpus pass;
 staging tables are also the natural restart points for a multi-day
 build.
 
-Near-dedup representative choice is computed over the documents that
-are still alive at that stage, not a global keep flag: if a cluster's
-minimum doc_id was already dropped by the rule filter or exact dedup,
-the cluster still keeps one surviving representative (the minimum
-doc_id among survivors) instead of vanishing entirely.
+Near-dedup clusters over the documents still ALIVE at that stage (post
+filter + exact dedup), and the representative is the minimum surviving
+doc_id — so a cluster never vanishes just because its global minimum
+was dropped upstream. Clustering the full corpus instead would let a
+filter-rejected doc transitively bridge two dissimilar survivors into
+one cluster (wrongly deleting one of them) and would pay the LSH
+chain over the rejected majority of a crawl.
 
 Scale posture: each stage is a hash-keyed shuffle or a projection; the
 materializations are the staging tables and the final partitioned write.
@@ -66,9 +68,10 @@ def _near_dedup_survivors(alive: DataFrame, clusters: DataFrame) -> DataFrame:
     """One representative per near-dup cluster, chosen among the documents
     still ``alive`` at this stage (min doc_id of the surviving members).
 
-    ``clusters`` is the (doc_id, cluster_id) map over ALL documents; a
-    cluster whose global minimum was dropped upstream still keeps its
-    smallest surviving member. One shuffle on cluster_id."""
+    ``clusters`` is a (doc_id, cluster_id) map covering at least the
+    alive docs; members absent from ``alive`` are ignored, so a cluster
+    whose minimum was dropped upstream still keeps its smallest
+    surviving member. One shuffle on cluster_id."""
     member = alive.select("doc_id").join(clusters, "doc_id")
     reps = member.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
     return alive.join(reps.select("doc_id"), "doc_id", "left_semi")
@@ -116,8 +119,13 @@ def build_training_corpus(
     if substring_scrub:
         # The scrub subtree is otherwise planned three times in this one
         # job: the outer join below plus exact_substring_scrub's two reads
-        # of its input (token and window explodes). Materialize it once.
-        base = base.localCheckpoint()
+        # of its input (token and window explodes). Materialize it once —
+        # into STAGING, not a localCheckpoint: checkpoint blocks are
+        # executor-local with lineage cut, so one lost executor during the
+        # multi-hour exact pass would abort the whole build; the staging
+        # table is the module's own fault-tolerant restart discipline.
+        base.write.mode("overwrite").parquet(os.path.join(staging, "scrub_base"))
+        base = spark.read.parquet(os.path.join(staging, "scrub_base"))
         ss = exact_substring_scrub(
             base.select("doc_id", F.col("clean_text").alias("text"))
         ).select(
@@ -153,43 +161,62 @@ def build_training_corpus(
             .drop("gopher_verdict")
         )
 
+    def _stage_ids(name: str, df: DataFrame) -> DataFrame:
+        """Materialize a stage's surviving doc_ids ONCE into staging.
+        Every downstream consumer — the next stage, the final shard
+        write, every audit branch — then reads the tiny id table instead
+        of re-deriving the stage chain; without this, one
+        ``stats.collect()`` re-ran the dedup aggregations and the
+        domain-cap window several times over (at 100 TB, each avoided
+        re-derivation is a full corpus pass)."""
+        df.select("doc_id").write.mode("overwrite").parquet(os.path.join(staging, name))
+        return spark.read.parquet(os.path.join(staging, name))
+
     # 2. exact dedup — digest groupBy on the clean text, lowest doc_id
     exact_keep = (
         kept1.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    kept2 = kept1.join(exact_keep.select("doc_id"), "doc_id", "left_semi")
+    ids2 = _stage_ids("ids_exact", kept1.join(exact_keep.select("doc_id"), "doc_id", "left_semi"))
+    kept2 = kept1.join(ids2, "doc_id", "left_semi")
 
-    # 3. near-dedup — cluster map over the CLEAN text (LSH chain runs once,
-    #    into staging); representative = min doc_id among members alive here
-    near_dup_clusters(clean.select("doc_id", "text")).write.mode("overwrite").parquet(
+    # 3. near-dedup — cluster map over the docs ALIVE at this stage (LSH
+    #    chain runs once, into staging). Clustering the full corpus
+    #    instead would let a filter-rejected doc transitively BRIDGE two
+    #    dissimilar survivors into one cluster (one of them then wrongly
+    #    dropped) — and would pay the most expensive stage over the
+    #    rejected majority. Representative survival needs no dead docs:
+    #    the min-doc_id choice runs among the members present here.
+    near_dup_clusters(kept2.select("doc_id", "text")).write.mode("overwrite").parquet(
         os.path.join(staging, "clusters")
     )
     clusters = spark.read.parquet(os.path.join(staging, "clusters"))
-    kept3 = _near_dedup_survivors(kept2, clusters)
+    ids3 = _stage_ids("ids_near", _near_dedup_survivors(kept2, clusters))
+    kept3 = kept1.join(ids3, "doc_id", "left_semi")
 
     # 4. per-domain cap (x61 rule: prefer longer CLEAN docs, doc_id tie-break)
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    kept4 = (
-        kept3.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= domain_cap)
-        .drop("_rk")
+    ids4 = _stage_ids(
+        "ids_cap",
+        kept3.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= domain_cap),
     )
+    kept4 = kept1.join(ids4, "doc_id", "left_semi")
 
     # 5. deterministic split/shard columns + sharded layout
     write_training_shards(kept4, out_dir, key="doc_id", n_shards=n_shards)
 
-    # audit trail: one row per (stage, reason) with drop counts — reads
-    # the staging tables, never re-runs the stage computations
+    # audit trail: one row per (stage, reason) with drop counts — every
+    # branch is a projection over the staged clean table joined against
+    # the staged id sets, never a re-run of the stage computations
     filt = (
         clean.filter(F.col("verdict") != "keep")
         .groupBy(F.lit("filter").alias("stage"), F.col("verdict").alias("reason"))
         .agg(F.count(F.lit(1)).alias("n_dropped"))
     )
-    exact_dropped = kept1.join(exact_keep.select("doc_id"), "doc_id", "left_anti")
-    near_dropped = kept2.join(kept3.select("doc_id"), "doc_id", "left_anti")
-    cap_dropped = kept3.join(kept4.select("doc_id"), "doc_id", "left_anti")
+    exact_dropped = kept1.join(ids2, "doc_id", "left_anti")
+    near_dropped = kept2.join(ids3, "doc_id", "left_anti")
+    cap_dropped = kept3.join(ids4, "doc_id", "left_anti")
 
     def _one(stage: str, df: DataFrame) -> DataFrame:
         return df.agg(

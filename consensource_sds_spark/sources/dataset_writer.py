@@ -55,19 +55,34 @@ def _with_bloom(writer, bloom_columns, bloom_ndv):
 def write_training_shards(
     df: DataFrame, out_dir: str, key: str = "doc_id", n_shards: int = 64,
     bloom_columns: list | None = None, bloom_ndv: int = 1_000_000,
+    files_per_shard: int = 1,
 ) -> None:
     """Write ``split=<s>/shard_id=<k>/`` partitioned parquet, one file per
     (split, shard): ``repartition(split, shard_id)`` co-locates each
     partition's rows on one task BEFORE the partitioned write, so the
     writer emits one file per directory instead of one-per-input-task
     (the small-files problem at 100 TB is writer-task x partition count —
-    this bounds it at partition count)."""
+    this bounds it at partition count).
+
+    ``files_per_shard`` is the write-parallelism knob that layout caps:
+    at 1 the whole write funnels through <= 3 x n_shards tasks — with 16
+    shards at the 100 TB posture that is ~TBs through ONE task. Raising
+    it salts the repartition (deterministic key hash) so each directory
+    gets ``files_per_shard`` co-located files; loaders glob the shard
+    directory either way, and the row-group bound below keeps scan
+    parallelism independent of file count regardless."""
     sharded = with_shard_columns(df, key=key, n_shards=n_shards)
-    writer = (
-        sharded.repartition("split", "shard_id")
-        .write.mode("overwrite")
-        .option("parquet.block.size", ROW_GROUP_BYTES)
-    )
+    if files_per_shard > 1:
+        # explicit partition count: AQE would otherwise coalesce the salted
+        # shuffle back into few partitions on small inputs, collapsing the
+        # parallelism (and the per-dir file count) the salt exists to buy
+        salt = F.pmod(F.xxhash64(F.col(key)), F.lit(files_per_shard))
+        sharded = sharded.repartition(
+            3 * n_shards * files_per_shard, F.col("split"), F.col("shard_id"), salt
+        )
+    else:
+        sharded = sharded.repartition("split", "shard_id")
+    writer = sharded.write.mode("overwrite").option("parquet.block.size", ROW_GROUP_BYTES)
     _with_bloom(writer, bloom_columns, bloom_ndv).partitionBy("split", "shard_id").parquet(out_dir)
 
 

@@ -29,20 +29,41 @@ from consensource_sds_spark.operators.scd2 import ScdParquetStore
 from consensource_sds_spark.pipeline import transform_events
 
 
-def _query_id(checkpoint_dir: str) -> str | None:
-    """The engine's persistent streaming query id (written to
-    ``<checkpoint>/metadata`` at stream start, stable across restarts of
-    the same checkpoint) — the store's replay-idempotency app id, exactly
-    Delta's txnAppId. Rebuilt checkpoint => new id => batch 0 is a new
-    stream, not a replay."""
-    import json
-    import os
+def _stream_identity():
+    """(holder, resolve) for the store's replay-idempotency app id —
+    exactly Delta's txnAppId: the engine's persistent query id, stable
+    across restarts of one checkpoint, new on a rebuilt checkpoint (so
+    its batch 0 is a new stream, not a replay).
 
-    try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
-            return json.load(f)["id"]
-    except (OSError, ValueError, KeyError):
-        return None
+    The id comes from ``StreamingQuery.id`` on the STARTED query (the
+    runner sets the holder right after ``start()``; the first microbatch
+    waits the few ms until then) instead of a driver-local ``open()`` of
+    ``<checkpoint>/metadata``: a production checkpoint lives on
+    fault-tolerant storage (hdfs://, s3a://) where the local read fails
+    on every batch — and a silently-None app id degrades apply() to the
+    GLOBAL last_batch_id guard, under which a rebuilt checkpoint's fresh
+    batches 0..N are skipped as replays (permanent silent data loss).
+    Unresolvable identity now raises instead."""
+    import threading
+
+    ready = threading.Event()
+    holder: dict = {}
+
+    def resolve() -> str:
+        if not ready.wait(timeout=120):
+            raise RuntimeError(
+                "stream identity was not resolved within 120 s of the first "
+                "microbatch — refusing to fall back to the global batch-id "
+                "guard (a rebuilt checkpoint would silently skip its fresh "
+                "batches as replays)"
+            )
+        return holder["id"]
+
+    def publish(query) -> None:
+        holder["id"] = str(query.id)
+        ready.set()
+
+    return resolve, publish
 
 
 def run_file_stream(
@@ -63,6 +84,8 @@ def run_file_stream(
     accumulated closed/block segments fold in their own committed
     generation (a maintenance commit between batches, never inside one)."""
 
+    resolve_qid, publish_qid = _stream_identity()
+
     def apply_batch(batch_df, batch_id: int):
         # transform_events materializes the decoded changes once (one decode
         # pass per microbatch); ScdParquetStore.apply is the transaction
@@ -71,7 +94,7 @@ def run_file_stream(
         store.apply(
             transform_events(batch_df, materialize=True, n_buckets=store._n_buckets()),
             batch_id=batch_id,
-            txn_app_id=_query_id(checkpoint_dir),
+            txn_app_id=resolve_qid(),
         )
         if auto_compact:
             store.maybe_compact()
@@ -91,7 +114,9 @@ def run_file_stream(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    q = writer.start()
+    publish_qid(q)
+    return q
 
 
 def run_validator_stream(
@@ -119,11 +144,13 @@ def run_validator_stream(
     head = store.blocks().agg(F.max("block_num").alias("m")).collect()[0]["m"]
     start_block = head if head is not None else -1
 
+    resolve_qid, publish_qid = _stream_identity()
+
     def apply_batch(batch_df, batch_id: int):
         store.apply(
             transform_events(batch_df, materialize=True, n_buckets=store._n_buckets()),
             batch_id=batch_id,
-            txn_app_id=_query_id(checkpoint_dir),
+            txn_app_id=resolve_qid(),
         )
 
     reader = (
@@ -139,14 +166,30 @@ def run_validator_stream(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    q = writer.start()
+    publish_qid(q)
+    return q
 
 
 def stop_stream(query, timeout_sec: int = 60) -> None:
     """S4 graceful shutdown (subscriber.rs:121-151 / main.rs:67-71 analog):
-    stop the microbatch trigger and wait for the in-flight batch to drain.
+    DRAIN the in-flight microbatch, then stop. ``StreamingQuery.stop()``
+    interrupts the batch thread and cancels its jobs — the opposite of the
+    reference's finish-the-block contract — so this polls the trigger
+    status until the current batch completes (bounded by ``timeout_sec``;
+    a continuously-busy stream is stopped at the deadline, where the
+    store's atomic manifest commit + idempotent replay keep it safe).
     ``foreachBatch`` commits are atomic on the store manifest and the
-    checkpoint survives, so the next ``run_file_stream`` over the same
-    checkpoint resumes exactly-once."""
+    checkpoint survives, so the next run over the same checkpoint resumes
+    exactly-once."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    while (
+        query.isActive
+        and query.status.get("isTriggerActive")
+        and time.monotonic() < deadline
+    ):
+        time.sleep(0.2)
     query.stop()
     query.awaitTermination(timeout_sec)

@@ -175,3 +175,42 @@ def test_build_with_gopher_gate(spark, tmp_path):
     v = {r["doc_id"]: r["gopher_verdict"] for r in with_gopher_verdict(d).collect()}
     assert v[1] == "malformed"
     assert v[2] == "mean_word_len"  # 60 words of len 1: word_count passes first
+
+
+def test_clusters_built_over_alive_docs_only(spark, tmp_path):
+    """The LSH cluster map must cover only docs alive after the filter +
+    exact-dedup stages: clustering the full corpus would let a
+    filter-rejected doc transitively bridge two dissimilar survivors
+    into one cluster (wrongly deleting one) — and pays the most
+    expensive stage over the rejected majority."""
+    out = str(tmp_path / "corpus")
+    build_training_corpus(spark, SF, out, domain_cap=50, n_shards=4)
+    clean = spark.read.parquet(str(tmp_path / "corpus_staging" / "clean"))
+    dropped = {r["doc_id"] for r in clean.filter("verdict != 'keep'").collect()}
+    assert dropped, "fixture corpus must have filter-dropped docs"
+    clustered = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus_staging" / "clusters")).collect()
+    }
+    assert not (clustered & dropped)
+
+
+def test_files_per_shard_raises_write_parallelism(spark, tmp_path):
+    """files_per_shard > 1 salts the shard repartition: each
+    split=*/shard_id=* directory gets multiple co-located files (write
+    parallelism no longer capped at 3 x n_shards tasks) with the SAME
+    rows as the one-file layout."""
+    from consensource_sds_spark.sources.dataset_writer import write_training_shards
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    one, many = str(tmp_path / "one"), str(tmp_path / "many")
+    write_training_shards(df, one, n_shards=2)
+    write_training_shards(df, many, n_shards=2, files_per_shard=4)
+    a = sorted(r["doc_id"] for r in spark.read.parquet(one).collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(many).collect())
+    assert a == b
+    train0 = os.path.join(many, "split=train", "shard_id=0")
+    files = [f for f in os.listdir(train0) if f.endswith(".parquet")]
+    assert len(files) > 1
