@@ -13,8 +13,10 @@ walk-back window here, ``start_block`` there).
 
 from __future__ import annotations
 
+from collections import deque
+
 from consensource_sds_spark.codec import decode_message
-from consensource_sds_spark.sources.validator_source import write_envelope
+from consensource_sds_spark.sources.validator_source import next_seq, write_envelope
 from consensource_sds_spark.streaming import zmtp
 from consensource_sds_spark.streaming.subscriber import EventSubscription, WireTransport
 
@@ -46,14 +48,21 @@ class ZmtpSpoolBridge:
         self.subscription = EventSubscription(
             WireTransport(self.channel), handler=self._on_delivery, poll_timeout_sec=0.2
         )
-        self.spooled: list[int] = []
+        # own counter: one listdir at startup, never one per delivery
+        self._seq = next_seq(spool_dir)
+        #: recent spooled block numbers (BOUNDED — a long-running bridge
+        #: must not grow a list forever); n_spooled is the full count
+        self.spooled: deque[int] = deque(maxlen=4096)
+        self.n_spooled = 0
 
     def _on_delivery(self, event_list_bytes: bytes) -> None:
         bn = block_num_of(event_list_bytes)
         if bn is None:
             return  # heartbeat
-        write_envelope(self.spool_dir, bn, bytes(event_list_bytes))
+        write_envelope(self.spool_dir, bn, bytes(event_list_bytes), seq=self._seq)
+        self._seq += 1
         self.spooled.append(bn)
+        self.n_spooled += 1
 
     def run(self, known_block_ids: list[str]) -> None:
         """Negotiate (S3 walk-back) then poll until ``request_stop`` —

@@ -156,20 +156,31 @@ class EventSubscription:
         self.handler = handler
         self.poll_timeout_sec = poll_timeout_sec
         self._active = False
+        self._stop_requested = False
 
     def start(self, known_block_ids: list[str]) -> None:
-        """Negotiate (S3), then poll until ``request_stop`` (S4)."""
+        """Negotiate (S3), then poll until ``request_stop`` (S4). The
+        acknowledged unsubscribe runs even when the handler raises
+        (try/finally), and a ``request_stop`` issued DURING negotiation
+        is honored — a separate latch, because negotiation can take many
+        seconds of walk-back round trips and a flag the loop-entry
+        overwrites would lose the request and poll forever."""
+        self._stop_requested = False  # fresh latch per start
         negotiate_subscription(self.transport.subscribe, known_block_ids)
         self._active = True
-        while self._active:
-            msg = self.transport.recv(self.poll_timeout_sec)
-            if msg is not None:
-                self.handler(msg)
-        self.stop()
+        try:
+            while self._active and not self._stop_requested:
+                msg = self.transport.recv(self.poll_timeout_sec)
+                if msg is not None:
+                    self.handler(msg)
+        finally:
+            self.stop()
 
     def request_stop(self) -> None:
-        """Flip the stop flag (the reference's ctrl-c AtomicBool,
-        main.rs:67-71); the poll loop exits at the next tick."""
+        """Latch the stop request (the reference's ctrl-c AtomicBool,
+        main.rs:67-71); the poll loop exits at the next tick — or never
+        starts, if negotiation is still in flight."""
+        self._stop_requested = True
         self._active = False
 
     def stop(self) -> None:

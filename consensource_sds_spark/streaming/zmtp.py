@@ -33,6 +33,9 @@ _SIGNATURE = b"\xff" + b"\x00" * 8 + b"\x7f"
 _VERSION = bytes((3, 0))
 _MECHANISM = b"NULL" + b"\x00" * 16
 _FLAG_MORE, _FLAG_LONG, _FLAG_COMMAND = 0x01, 0x02, 0x04
+#: sanity bound on a single incoming frame — validator EventLists are
+#: KBs-to-MBs; anything larger is a desynced or hostile stream
+_MAX_FRAME_BYTES = 64 * 1024 * 1024
 
 # -- sawtooth Message envelope (public validator.proto) ----------------------
 
@@ -107,6 +110,11 @@ def _recv_frame(sock: socket.socket, first_byte_timeout: float | None = None) ->
         size = struct.unpack(">Q", _recv_exact(sock, 8))[0]
     else:
         size = _recv_exact(sock, 1)[0]
+    if size > _MAX_FRAME_BYTES:
+        # a desynced stream or non-ZMTP peer advertising a huge frame must
+        # surface as the module's documented ConnectionError, not as an
+        # OverflowError/MemoryError from recv(2**63)
+        raise ConnectionError(f"frame size {size} exceeds the {_MAX_FRAME_BYTES}-byte bound")
     body = _recv_exact(sock, size)
     return body, bool(flags & _FLAG_COMMAND), bool(flags & _FLAG_MORE)
 
@@ -133,9 +141,15 @@ def _parse_ready(body: bytes) -> dict[str, bytes]:
     pos = 1 + nlen
     while pos < len(body):
         klen = body[pos]
+        if pos + 1 + klen + 4 > len(body):
+            # truncated metadata must be the documented ConnectionError,
+            # not a struct.error escaping from a short unpack slice
+            raise ConnectionError("truncated READY metadata")
         key = body[pos + 1 : pos + 1 + klen].decode()
         pos += 1 + klen
         vlen = struct.unpack(">I", body[pos : pos + 4])[0]
+        if pos + 4 + vlen > len(body):
+            raise ConnectionError("truncated READY metadata value")
         meta[key] = body[pos + 4 : pos + 4 + vlen]
         pos += 4 + vlen
     return meta
@@ -225,9 +239,17 @@ class ValidatorChannel:
         self._events: list[bytes] = []
         self._replies: dict[str, bytes] = {}
         self._lock = threading.Lock()
+        # serialize frame READS and WRITES separately: two threads inside
+        # recv_message would interleave multipart frame reads (corrupted
+        # messages / spurious mid-multipart errors); reads must not hold
+        # the dict lock (they block up to the poll timeout), and sends are
+        # an independent socket direction
+        self._read_lock = threading.Lock()
+        self._send_lock = threading.Lock()
 
     def _pump(self, timeout_sec: float) -> bool:
-        msg = self.zsock.recv_message(timeout_sec)
+        with self._read_lock:
+            msg = self.zsock.recv_message(timeout_sec)
         if msg is None:
             return False
         mtype, corr, content = decode_validator_message(msg)
@@ -241,14 +263,19 @@ class ValidatorChannel:
     def send_request(self, message_type: str, payload: bytes, timeout_sec: float = 10.0) -> bytes:
         mtype = _TYPE_BY_NAME[message_type]
         corr = uuid.uuid4().hex
-        self.zsock.send_message(encode_validator_message(mtype, corr, payload))
+        with self._send_lock:
+            self.zsock.send_message(encode_validator_message(mtype, corr, payload))
         deadline = time.monotonic() + timeout_sec
         while time.monotonic() < deadline:
             with self._lock:
                 if corr in self._replies:
                     return self._replies.pop(corr)
-            if not self._pump(min(0.2, max(0.01, deadline - time.monotonic()))):
-                continue
+            self._pump(min(0.2, max(0.01, deadline - time.monotonic())))
+        # the final _pump may have stored the reply right AT the deadline —
+        # raising then would discard a reply we hold (and leak its entry)
+        with self._lock:
+            if corr in self._replies:
+                return self._replies.pop(corr)
         raise TimeoutError(f"no reply to {message_type} within {timeout_sec}s")
 
     def recv_event(self, timeout_sec: float) -> bytes | None:

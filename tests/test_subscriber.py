@@ -202,3 +202,35 @@ def test_spark_stream_graceful_stop_and_resume(spark, tmp_path):
         (r["name"], r["start_block_num"], r["end_block_num"]) for r in store.read("agents").collect()
     )
     assert versions == [("test", 1, 2), ("v2", 2, MAX_BLOCK_NUM)]
+
+
+def test_request_stop_during_negotiation_is_not_lost():
+    """request_stop issued while start() is still negotiating (walk-back
+    round trips can take many seconds) must be honored: the old flag was
+    overwritten by the loop entry's _active = True and the poll loop ran
+    forever."""
+    v = FakeValidator(known={"b1"})
+    sub = EventSubscription(v, handler=lambda m: None, poll_timeout_sec=0.01)
+    orig_subscribe = v.subscribe
+
+    def slow_subscribe(block_ids):
+        sub.request_stop()  # lands mid-negotiation
+        return orig_subscribe(block_ids)
+
+    v.subscribe = slow_subscribe
+    sub.start(["b1"])  # must return (and unsubscribe), not poll forever
+    assert v.unsubscribed
+
+
+def test_handler_exception_still_unsubscribes():
+    """A handler crash must not skip the acknowledged unsubscribe (S4):
+    the validator would otherwise keep the subscription until TCP
+    teardown and the object would be left active."""
+    import pytest
+
+    v = FakeValidator(known={"b1"})
+    v.recv = lambda timeout_sec: b"boom"
+    sub = EventSubscription(v, handler=lambda m: (_ for _ in ()).throw(OSError("disk full")))
+    with pytest.raises(OSError):
+        sub.start(["b1"])
+    assert v.unsubscribed

@@ -52,7 +52,8 @@ def test_stream_delivers_envelopes_and_resumes(spark, tmp_path):
     # 2 events per delivery (block-commit + state-delta), EVENT envelope shape
     assert df.count() == 6
     assert df.schema == vs.STREAM_SCHEMA
-    assert sorted(r["delivery_id"] for r in df.select("delivery_id").distinct().collect()) == [1, 2, 3]
+    # delivery_id = spool SEQ (arrival order), not block_num: seqs 0..2
+    assert sorted(r["delivery_id"] for r in df.select("delivery_id").distinct().collect()) == [0, 1, 2]
 
     # the normal pipeline transforms run on the stream output unchanged
     from consensource_sds_spark.operators import transforms as T
@@ -65,7 +66,7 @@ def test_stream_delivers_envelopes_and_resumes(spark, tmp_path):
     _drain(spark, spool, out, ckpt)
     df2 = spark.read.parquet(out)
     assert df2.count() == 8
-    assert df2.filter("delivery_id = 4").count() == 2
+    assert df2.filter("delivery_id = 3").count() == 2  # block 4 arrived as seq 3
 
 
 def test_start_block_catch_up_skip(spark, tmp_path):
@@ -76,7 +77,7 @@ def test_start_block_catch_up_skip(spark, tmp_path):
         _spool_block(spool, b)
     _drain(spark, spool, out, ckpt, start_block=2)
     df = spark.read.parquet(out)
-    assert sorted(r["delivery_id"] for r in df.select("delivery_id").distinct().collect()) == [3]
+    assert sorted(r["delivery_id"] for r in df.select("delivery_id").distinct().collect()) == [2]  # blocks 1,2 (seqs 0,1) skipped; block 3 = seq 2
 
 
 def test_validator_stream_to_scd2_store(spark, tmp_path):
@@ -107,3 +108,44 @@ def test_validator_stream_to_scd2_store(spark, tmp_path):
     q2.awaitTermination(180)
     assert sorted(r["block_num"] for r in store.blocks().collect()) == [1, 2, 3]
     assert {r["public_key"] for r in store.current("agents").collect()} == {"pk1", "pk2", "pk3"}
+
+
+def test_fork_replay_flows_through_appendonly_spool(spark, tmp_path):
+    """A fork's replacement delivery for an already-ingested height must
+    reach the store: the append-only spool gives it a FRESH seq (the old
+    block-keyed spool overwrote the committed file past the cursor, so
+    the replacement was never re-read and W4 repair silently never ran).
+    The store rewinds the orphaned chain and applies the winner."""
+    from consensource_sds_spark.operators.scd2 import ScdParquetStore
+    from consensource_sds_spark.streaming.runner import run_validator_stream
+
+    spool = str(tmp_path / "spool")
+    store = ScdParquetStore(spark, str(tmp_path / "reporting"))
+
+    for b in (1, 2):
+        _spool_block(spool, b)
+    q = run_validator_stream(spark, spool, store, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    assert {(r["block_num"], r["block_id"]) for r in store.blocks().collect()} == {
+        (1, "block1"),
+        (2, "block2"),
+    }
+
+    # the validator switches to a fork: block 2 is re-delivered with a
+    # different id and different state — a NEW delivery (fresh seq)
+    events = fx.delivery(
+        2,
+        "block2_fork",
+        [fx.state_change("agent", "agentF", [dict(fx.make_agent(), public_key="pk_fork")])],
+    )
+    vs.write_envelope(spool, 2, encode_message("EventList", {"events": events}))
+
+    # same checkpoint resumes past seq 1 and picks up the replacement
+    q2 = run_validator_stream(spark, spool, store, str(tmp_path / "ck"))
+    q2.awaitTermination(180)
+    assert {(r["block_num"], r["block_id"]) for r in store.blocks().collect()} == {
+        (1, "block1"),
+        (2, "block2_fork"),
+    }
+    cur = {r["public_key"] for r in store.current("agents").collect()}
+    assert cur == {"pk1", "pk_fork"}  # pk2 (orphaned chain) rewound out

@@ -196,3 +196,29 @@ def test_framing_roundtrip_property():
             b.close()
 
     check()
+
+
+def test_huge_frame_header_raises_connection_error():
+    """A desynced or non-ZMTP peer advertising an absurd long-frame size
+    must surface as the module's documented ConnectionError — never an
+    OverflowError/MemoryError escaping from recv(2**63)."""
+    import struct
+
+    import pytest
+
+    a, b = socket.socketpair()
+    client = zmtp.ZmtpSocket(b)
+    a.sendall(bytes((zmtp._FLAG_LONG,)) + struct.pack(">Q", 2**63))
+    with pytest.raises(ConnectionError, match="bound"):
+        client.recv_message(timeout_sec=1)
+    a.close()
+    b.close()
+
+
+def test_truncated_ready_metadata_raises_connection_error():
+    import pytest
+
+    # READY command with a metadata key length pointing past the body
+    body = bytes((5,)) + b"READY" + bytes((200,)) + b"short"
+    with pytest.raises(ConnectionError, match="truncated"):
+        zmtp._parse_ready(body)

@@ -50,7 +50,7 @@ def test_zmtp_bridge_to_store(spark, tmp_path):
         time.sleep(0.05)
     bridge.request_stop()
     t.join(timeout=10)
-    assert bridge.spooled == [1, 2]  # heartbeat dropped, blocks spooled in order
+    assert list(bridge.spooled) == [1, 2]  # heartbeat dropped, blocks spooled in order
 
     store = ScdParquetStore(spark, str(tmp_path / "reporting"))
     q = run_validator_stream(spark, spool, store, str(tmp_path / "ckpt"), trigger_once=True)
