@@ -135,6 +135,12 @@ def decode_backend(spark: SparkSession) -> str:
     mode = os.environ.get("SPARK_GRAFT_PROTO_DECODE", "auto")
     if mode in ("python", "jvm"):
         return mode
+    if mode != "auto":
+        # a typo'd pin ("JVM", "pyhton") must not silently fall back to
+        # auto-probing — the operator believes the backend is fixed
+        raise ValueError(
+            f"SPARK_GRAFT_PROTO_DECODE={mode!r}: expected 'python', 'jvm' or 'auto'"
+        )
     return "jvm" if jvm_available(spark) else "python"
 
 
@@ -163,21 +169,42 @@ def _shape(msg: str, expr: Column, target: StructType) -> Column:
             cols.append(_shape(kind[4:], sub, fld.dataType).alias(fld.name))
         else:
             cols.append(sub.alias(fld.name))
-    return F.struct(*cols)
+    # guard the re-wrap: field access on a null struct yields null FIELDS,
+    # but F.struct(...) over them would yield a NON-null all-null struct —
+    # diverging from the Python codec (absent wrapper -> None) and defeating
+    # downstream isNotNull() filters (e.g. to_addresses on factory_address)
+    return F.when(expr.isNotNull(), F.struct(*cols))
 
 
 def state_changes_col(data: Column) -> Column:
-    """BINARY -> ARRAY<STATE_CHANGE>, JVM-side. Enum decodes to its NAME
-    string (spark-protobuf default), matching the Python path."""
+    """BINARY -> ARRAY<STATE_CHANGE>, JVM-side. Enums decode as ints and map
+    to NAME strings with the Python codec's clamp (out-of-range -> zero
+    value): spark-protobuf's name mode would emit
+    ``UNKNOWN_ENUM_VALUE_StateChangeType_<n>`` for unknown numbers, which
+    matches neither 'TYPE_UNSET' (no quarantine) nor 'SET'/'DELETE' — same
+    data, different dead-letter behavior per backend."""
     from pyspark.sql.protobuf.functions import from_protobuf
 
-    parsed = from_protobuf(data, f"{PACKAGE}.StateChangeList", binaryDescriptorSet=file_descriptor_set())
+    names = ENUMS["StateChangeType"]
+    parsed = from_protobuf(
+        data,
+        f"{PACKAGE}.StateChangeList",
+        binaryDescriptorSet=file_descriptor_set(),
+        options={"enums.as.ints": "true"},
+    )
+
+    def _name(ct: Column) -> Column:
+        return F.when(
+            (ct >= 0) & (ct < len(names)),
+            F.element_at(F.array(*[F.lit(n) for n in names]), ct.cast("int") + 1),
+        ).otherwise(F.lit(names[0]))
+
     return F.transform(
         parsed["state_changes"],
         lambda c: F.struct(
             c["address"].alias("address"),
             c["value"].alias("value"),
-            c["change_type"].alias("change_type"),
+            _name(c["change_type"]).alias("change_type"),
         ),
     )
 

@@ -138,20 +138,6 @@ for _entity in ("Organization", "Agent", "Certificate", "Request", "Standard", "
     MESSAGES[f"{_entity}Container"] = {1: ("entries", f"rep:{_entity}")}
 
 
-def _default(kind: str):
-    if kind == "string":
-        return ""
-    if kind == "bytes":
-        return b""
-    if kind == "uint64":
-        return 0
-    if kind.startswith("enum:"):
-        return ENUMS[kind[5:]][0]
-    if kind.startswith("rep:") or kind == "rep_string":
-        return []
-    return None  # msg:
-
-
 def encode_message(name: str, obj: dict) -> bytes:
     """proto3 encoding: default-valued scalar fields are omitted."""
     desc = MESSAGES[name]
@@ -168,8 +154,13 @@ def encode_message(name: str, obj: dict) -> bytes:
             if val != b"":
                 out += wire.encode_len_delimited(fnum, bytes(val))
         elif kind == "uint64":
-            if val != 0:
-                out += wire.encode_varint_field(fnum, int(val))
+            # negative ints are the i64 view of a u64 >= 2^63 (the decode
+            # side wraps, matching Spark's LongType) — wrap back for the wire
+            v = int(val)
+            if v < 0:
+                v += 0x10000000000000000
+            if v != 0:
+                out += wire.encode_varint_field(fnum, v)
         elif kind.startswith("enum:"):
             num = val if isinstance(val, int) else ENUMS[kind[5:]].index(val)
             if num != 0:
@@ -261,12 +252,22 @@ def decode_message(name: str, buf: bytes, enums_as_number: bool = False) -> dict
         elif ktag == _K_REP:
             obj[fname].append(decode_message(extra, raw, enums_as_number))
         elif ktag == _K_U64:
-            obj[fname] = raw
+            # u64 in [2^63, 2^64) -> two's-complement i64, matching the JVM
+            # backend's cast("long"); an unwrapped Python int would overflow
+            # the Arrow LongType conversion (opaque worker crash, not a
+            # classifiable ValueError)
+            obj[fname] = raw - 0x10000000000000000 if raw >= 0x8000000000000000 else raw
         elif ktag == _K_ENUM:
+            # enum wire values are int32 (protobuf-java narrows the varint);
+            # wrap so hostile 64-bit payloads can't overflow Arrow or index
+            # the name table out of range
+            v = raw & 0xFFFFFFFF
+            if v >= 0x80000000:
+                v -= 0x100000000
             if enums_as_number:
-                obj[fname] = raw
+                obj[fname] = v
             else:
-                obj[fname] = extra[raw] if raw < len(extra) else extra[0]
+                obj[fname] = extra[v] if 0 <= v < len(extra) else extra[0]
         elif ktag == _K_MSG:
             obj[fname] = decode_message(extra, raw, enums_as_number)
         elif ktag == _K_REPSTR:

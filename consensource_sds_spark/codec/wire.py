@@ -39,7 +39,10 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not (b & 0x80):
-            return result, pos
+            # varints are 64-bit: the 10th byte of a max-length encoding
+            # contributes one bit, so an unmasked result can reach 2^70-1;
+            # protobuf parsers truncate to the low 64 bits
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
         if shift > 63:
             raise ValueError("varint too long")
@@ -72,6 +75,11 @@ def iter_fields(buf: bytes):
         else:
             tag, pos = decode_varint(buf, pos)
         field_number, wire_type = tag >> 3, tag & 0x07
+        if field_number == 0:
+            # the spec reserves field number 0; accepting it would let
+            # zero-filled/corrupt buffers "decode" to all-defaults instead
+            # of raising the classifiable ValueError (W5 quarantine)
+            raise ValueError("field number 0 is invalid")
         if wire_type == 0:
             if pos < n and buf[pos] < 0x80:
                 value, pos = buf[pos], pos + 1

@@ -33,6 +33,63 @@ def test_truncated_input_raises_value_error():
         list(iter_fields(b"\x0a\x64abc"))
 
 
+def test_varint_ten_byte_encoding_masked_to_64_bits():
+    """Max-length (10-byte) varints carry up to 70 payload bits; parsers
+    truncate to the low 64. Without the mask, a hostile 10th byte yields an
+    oversized Python int that overflows Arrow's LongType conversion."""
+    # bits 0..62 from nine 0xff bytes, bit 63 from the final 0x01
+    out, pos = decode_varint(b"\xff" * 9 + b"\x01", 0)
+    assert out == 2**64 - 1 and pos == 10
+    # excess bits in the 10th byte are dropped, not kept
+    out, _ = decode_varint(b"\xff" * 9 + b"\x7f", 0)
+    assert out == 2**64 - 1
+
+
+def test_field_number_zero_rejected():
+    """The spec reserves field number 0: zero-filled buffers must raise the
+    classifiable ValueError, not silently decode to all-defaults (which
+    would drop a corrupt StateChange with no quarantine row)."""
+    import pytest
+
+    from consensource_sds_spark.codec.wire import iter_fields
+
+    with pytest.raises(ValueError):
+        list(iter_fields(b"\x00\x00"))
+    with pytest.raises(ValueError):
+        decode_message("Agent", b"\x00\x00")
+
+
+def test_u64_high_range_wraps_to_i64():
+    """u64 values in [2^63, 2^64) — e.g. a 'never expires' sentinel — decode
+    to their two's-complement i64 view (matching the JVM backend's
+    cast('long') and Spark's LongType) and round-trip back to the same
+    wire bytes."""
+    from consensource_sds_spark.codec import wire
+
+    buf = wire.encode_varint_field(4, 2**64 - 1) + wire.encode_varint_field(5, 2**63)
+    out = decode_message("Accreditation", buf)
+    assert out["valid_from"] == -1
+    assert out["valid_to"] == -(2**63)
+    assert encode_message("Accreditation", out) == buf
+
+
+def test_unknown_enum_number_clamps_to_zero_value():
+    """Enum numbers outside the declared domain (newer proto, corruption)
+    clamp to the zero value name — including 64-bit varints, which first
+    narrow to int32 as protobuf-java does."""
+    from consensource_sds_spark.codec import wire
+
+    for n in (99, 2**32 + 99, 2**64 - 1):
+        buf = wire.encode_varint_field(4, n)  # Request.status
+        assert decode_message("Request", buf)["status"] == "UNSET_STATUS"
+    # int32 narrowing happens BEFORE the domain check (protobuf-java
+    # semantics): 2^33+1 narrows to 1, which IS in domain
+    assert decode_message("Request", wire.encode_varint_field(4, 2**33 + 1))["status"] == "OPEN"
+    # enums_as_number view stays within int32 (Arrow-safe)
+    v = decode_message("Request", wire.encode_varint_field(4, 2**64 - 1), enums_as_number=True)["status"]
+    assert -(2**31) <= v < 2**31
+
+
 def test_agent_roundtrip():
     a = fx.make_agent()
     out = decode_message("Agent", encode_message("Agent", a))

@@ -138,6 +138,10 @@ def test_backend_selection(spark, monkeypatch):
     assert decode_backend(spark) == "jvm"
     monkeypatch.setenv("SPARK_GRAFT_PROTO_DECODE", "auto")
     assert decode_backend(spark) == ("jvm" if jvm_available(spark) else "python")
+    # a typo'd pin must fail loudly, not silently fall back to auto-probing
+    monkeypatch.setenv("SPARK_GRAFT_PROTO_DECODE", "JVM")
+    with pytest.raises(ValueError):
+        decode_backend(spark)
 
 
 def test_jvm_decode_matches_python_codec(spark):
