@@ -32,19 +32,8 @@ ADDRESS_SPACE_INFIX = {
 }
 INFIX_TO_SPACE = {v: k for k, v in ADDRESS_SPACE_INFIX.items()}
 
-ADDRESS_LEN = 70
-
-
 def make_address(space: str, natural_key: str) -> str:
     """Build a deterministic 70-char address for an entity (fixtures/tests)."""
     infix = ADDRESS_SPACE_INFIX[space]
     tail = hashlib.sha256(natural_key.encode()).hexdigest()[:62]
     return NAMESPACE + infix + tail
-
-
-def get_address_type(address: str) -> str:
-    """AddressSpace dispatch (event_handler.rs:139-201). Returns the space
-    name, or 'another_family' when outside the namespace / unknown infix."""
-    if not address.startswith(NAMESPACE):
-        return "another_family"
-    return INFIX_TO_SPACE.get(address[6:8], "another_family")

@@ -190,7 +190,10 @@ def state_changes_col(data: Column) -> Column:
         data,
         f"{PACKAGE}.StateChangeList",
         binaryDescriptorSet=file_descriptor_set(),
-        options={"enums.as.ints": "true"},
+        # emit.default.values: absent proto3 scalars must surface as ''/0/[]
+        # like the Python codec and the Rust getters do, not as NULL
+        # (from_protobuf's default) — message fields stay NULL either way
+        options={"enums.as.ints": "true", "emit.default.values": "true"},
     )
 
     def _name(ct: Column) -> Column:
@@ -222,7 +225,8 @@ def container_entries_col(space: str, value: Column) -> Column:
         value,
         f"{PACKAGE}.{_CONTAINER_MSG[space]}",
         binaryDescriptorSet=file_descriptor_set(),
-        options={"enums.as.ints": "true"},
+        # see state_changes_col: proto3 defaults, not NULLs, for scalars
+        options={"enums.as.ints": "true", "emit.default.values": "true"},
     )
     entries = parsed["entries"]
     target: StructType = schemas.ENTITY_SCHEMAS[space]

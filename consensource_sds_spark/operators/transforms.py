@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from consensource_sds_spark.addressing import INFIX_TO_SPACE, NAMESPACE
 from consensource_sds_spark.codec import descriptor
+from consensource_sds_spark.codec.messages import ENUMS
 from consensource_sds_spark.codec.spark_udfs import decode_container, decode_state_changes
 from consensource_sds_spark.schemas import MAX_BLOCK_NUM
 
@@ -26,19 +27,26 @@ BLOCK_COMMIT = "sawtooth/block-commit"
 STATE_DELTA = "sawtooth/state-delta"
 
 # DB enum domains = proto enum names, exactly the reference's match arms
-# (event_handler.rs:222-232, 264-272, 371-378, 422-427). Key = wire number.
-ORG_TYPE_ENUM = {0: "UNSET_TYPE", 1: "CERTIFYING_BODY", 2: "STANDARDS_BODY", 3: "FACTORY", 4: "INGESTION"}
-ROLE_ENUM = {0: "UNSET_ROLE", 1: "ADMIN", 2: "TRANSACTOR"}
-REQUEST_STATUS_ENUM = {0: "UNSET_STATUS", 1: "OPEN", 2: "IN_PROGRESS", 3: "CLOSED", 4: "CERTIFIED", 5: "PRE_CERTIFIED"}
-ASSERTION_TYPE_ENUM = {0: "UNSET_TYPE", 1: "STANDARD", 2: "CERTIFICATE", 3: "FACTORY"}
+# (event_handler.rs:222-232, 264-272, 371-378, 422-427). Derived from the
+# codec's authoritative tables (wire number = list position) so encoder,
+# descriptor set and this decode layer cannot drift apart.
+ORG_TYPE_ENUM = dict(enumerate(ENUMS["OrganizationType"]))
+ROLE_ENUM = dict(enumerate(ENUMS["Role"]))
+REQUEST_STATUS_ENUM = dict(enumerate(ENUMS["RequestStatus"]))
+ASSERTION_TYPE_ENUM = dict(enumerate(ENUMS["AssertionType"]))
+
+
+def _when_chain(col: Column, mapping: dict, default) -> Column:
+    """Value-mapping CASE WHEN chain with a fall-through default."""
+    expr = None
+    for key, val in mapping.items():
+        expr = F.when(col == key, val) if expr is None else expr.when(col == key, val)
+    return expr.otherwise(default)
 
 
 def decode_enum(col: Column, mapping: dict[int, str]) -> Column:
     """P3: proto enum number -> name via a JVM-side CASE WHEN chain."""
-    expr = None
-    for num, name in mapping.items():
-        expr = F.when(col == num, name) if expr is None else expr.when(col == num, name)
-    return expr.otherwise(mapping[0])
+    return _when_chain(col, mapping, mapping[0])
 
 
 def nullif_empty(col: Column) -> Column:
@@ -65,21 +73,37 @@ def _ensure_delivery(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _attr(key: str) -> Column:
+    """F4 + A2: FIRST attribute with this key (the reference filters the
+    repeated attribute list and indexes [0], event_handler.rs:66-78 — a
+    repeated key is legal on the wire and must not error), fail-fast when
+    the key is missing (``block_num[0]`` on an empty Vec panics there;
+    raise_error is the classifiable equivalent). A map_from_entries lookup
+    would instead throw DUPLICATED_MAP_KEY on a repeated key and return
+    silent NULLs — violating the non-nullable block schema — on a missing
+    one."""
+    first = F.get(F.filter(F.col("attributes"), lambda a: a["key"] == key), 0)["value"]
+    return F.coalesce(
+        first, F.raise_error(F.lit(f"block-commit event missing attribute {key!r}"))
+    )
+
+
 def parse_blocks(events: DataFrame) -> DataFrame:
     """F2 + F4 + A2 + P1 + A1: one (delivery_id, block_num, block_id) row per
     delivery that contains block-commit events; among several in one delivery
     the LAST wins (Iterator::last, event_handler.rs:88) — expressed as
-    ``max_by`` over the arrival ordinal. Parse failure of block_num is
-    fail-fast in the reference; ANSI mode makes the cast raise likewise."""
+    ``max_by`` over the arrival ordinal. Parse failure is fail-fast like the
+    reference: a missing attribute raises via :func:`_attr` (it panics on
+    any block-commit event, last or not — map(..).last() drains the
+    iterator), and ANSI mode makes a malformed block_num cast raise."""
     events = _ensure_delivery(events)
-    attrs = F.map_from_entries(F.col("attributes"))
     return (
         events.filter(F.col("event_type") == BLOCK_COMMIT)
         .select(
             "delivery_id",
             F.col("batch_ord"),
-            attrs.getItem("block_num").cast("long").alias("block_num"),
-            attrs.getItem("block_id").alias("block_id"),
+            _attr("block_num").cast("long").alias("block_num"),
+            _attr("block_id").alias("block_id"),
         )
         .groupBy("delivery_id")
         .agg(F.max_by(F.struct("block_num", "block_id"), "batch_ord").alias("b"))
@@ -123,39 +147,51 @@ def with_address_space(deltas: DataFrame) -> DataFrame:
     """A3: 7-way address-space dispatch on chars 7-8 of the address
     (event_handler.rs:134-202), as a derived routing column."""
     infix = F.substring(F.col("address"), 7, 2)
-    expr = None
-    for code, space in INFIX_TO_SPACE.items():
-        expr = F.when(infix == code, space) if expr is None else expr.when(infix == code, space)
-    return deltas.withColumn("address_space", expr.otherwise("another_family"))
+    return deltas.withColumn("address_space", _when_chain(infix, INFIX_TO_SPACE, "another_family"))
 
 
 def changes_at_blocks(deltas: DataFrame, blocks: DataFrame) -> DataFrame:
     """Attach each state change to its delivery's block (the reference gets
     this for free by processing one delivery at a time). blocks is tiny
-    (<= one row per delivery) -> broadcast."""
-    return deltas.join(F.broadcast(blocks), "delivery_id")
+    (<= one row per delivery) -> broadcast. LEFT join: a delivery carrying
+    state deltas but no block-commit event is a hard EventParseError in the
+    reference (event_handler.rs:88-93); here its changes keep a NULL
+    block_num so :func:`invalid_changes` quarantines them instead of an
+    inner join silently discarding them."""
+    return deltas.join(F.broadcast(blocks), "delivery_id", "left")
 
 
 def invalid_changes(deltas_with_space: DataFrame) -> DataFrame:
-    """W5 dead-letter split: TYPE_UNSET assertions and unknown address spaces
-    error in the reference (event_handler.rs:192-200); here they route to a
-    quarantine DataFrame instead of poisoning the stream."""
-    return deltas_with_space.filter(
-        (F.col("address_space") == "another_family")
-        | ((F.col("address_space") == "assertion") & (F.col("change_type") == "TYPE_UNSET"))
+    """W5 dead-letter split: TYPE_UNSET assertions, unknown address spaces,
+    and (post :func:`changes_at_blocks`) changes from a delivery with no
+    block-commit event all error in the reference (event_handler.rs:88-93,
+    192-200); here they route to a quarantine DataFrame instead of
+    poisoning the stream."""
+    pred = (F.col("address_space") == "another_family") | (
+        (F.col("address_space") == "assertion") & (F.col("change_type") == "TYPE_UNSET")
     )
+    if "block_num" in deltas_with_space.columns:
+        pred = pred | F.col("block_num").isNull()
+    return deltas_with_space.filter(pred)
 
 
 def entity_entries(deltas_with_space: DataFrame, space: str) -> DataFrame:
     """P7 + U2 for one entity type: decode the container, explode entries.
-    Non-assertion spaces only consume SET changes (DELETE is only produced
-    for assertions in the certificate_registry family)."""
+    The reference unpacks non-assertion changes regardless of change_type
+    (parse_operation has no type match outside the assertion arm,
+    event_handler.rs:141-175 — a DELETE's empty value decodes to an empty
+    container, zero entries); only the assertion space is SET-gated (DELETE
+    -> tombstone, TYPE_UNSET -> quarantine). NULL-block rows (delivery with
+    no block-commit event) are quarantine-bound, not entries."""
     if descriptor.decode_backend(deltas_with_space.sparkSession) == "jvm":
         decoded = descriptor.container_entries_col(space, F.col("value"))
     else:
         decoded = decode_container(space)(F.col("value"))
+    pred = (F.col("address_space") == space) & F.col("block_num").isNotNull()
+    if space == "assertion":
+        pred = pred & (F.col("change_type") == "SET")
     return (
-        deltas_with_space.filter((F.col("address_space") == space) & (F.col("change_type") == "SET"))
+        deltas_with_space.filter(pred)
         .select(
             "delivery_id",
             "batch_ord",
@@ -362,7 +398,9 @@ def assertion_deletes(deltas_with_space: DataFrame) -> DataFrame:
     that closes the open version (event_handler.rs:185-191). Output:
     state_address, block_num, plus order cols."""
     return deltas_with_space.filter(
-        (F.col("address_space") == "assertion") & (F.col("change_type") == "DELETE")
+        (F.col("address_space") == "assertion")
+        & (F.col("change_type") == "DELETE")
+        & F.col("block_num").isNotNull()
     ).select(
         "delivery_id",
         "batch_ord",

@@ -123,6 +123,63 @@ def test_invalid_changes_quarantine(spark):
     assert T.invalid_changes(deltas).count() == 2
 
 
+def test_block_commit_missing_attr_raises(spark):
+    """A block-commit event without block_num fails loudly (the reference
+    panics at block_num[0], event_handler.rs:81) instead of emitting a NULL
+    block row into the non-nullable schema."""
+    ev = dict(fx.block_commit_event(1, "b1"), attributes=[{"key": "block_id", "value": "b1"}])
+    df = fx.events_df(spark, [[ev]])
+    with pytest.raises(Exception, match="missing attribute 'block_num'"):
+        T.parse_blocks(df).collect()
+
+
+def test_block_commit_repeated_attr_first_wins(spark):
+    """Event_Attribute is a repeated proto field: two block_num attributes in
+    one event are legal on the wire; the reference takes the first match
+    (filter + [0], event_handler.rs:66-78). A map lookup would throw
+    DUPLICATED_MAP_KEY and poison the whole microbatch."""
+    ev = dict(
+        fx.block_commit_event(1, "b1"),
+        attributes=[
+            {"key": "block_num", "value": "7"},
+            {"key": "block_num", "value": "8"},
+            {"key": "block_id", "value": "b1"},
+        ],
+    )
+    assert [tuple(r) for r in T.parse_blocks(fx.events_df(spark, [[ev]])).collect()] == [(0, 7, "b1")]
+
+
+def test_delta_without_block_commit_quarantined(spark):
+    """A delivery carrying state deltas but no block-commit event is a hard
+    EventParseError in the reference (event_handler.rs:88-93); here its
+    changes must land in the quarantine — not be silently dropped by the
+    block join — and never reach the entity tables."""
+    sc = fx.state_change("agent", "k", [fx.make_agent()])
+    ev = fx.events_df(spark, [[fx.state_delta_event([sc])]])
+    blocks = T.parse_blocks(ev)
+    changes = T.changes_at_blocks(T.with_address_space(T.parse_state_deltas(ev)), blocks)
+    q = T.invalid_changes(changes).collect()
+    assert len(q) == 1 and q[0]["address"] == sc["address"] and q[0]["block_num"] is None
+    assert T.entity_entries(changes, "agent").count() == 0
+
+
+def test_non_assertion_delete_with_payload_processed(spark):
+    """parse_operation has no change-type match outside the assertion arm
+    (event_handler.rs:141-175): a DELETE in the agent space with a non-empty
+    payload is unpacked and processed like a SET, not dropped."""
+    sc = fx.state_change("agent", "k", [fx.make_agent()], change_type="DELETE")
+    ev = fx.events_df(spark, [fx.delivery(1, "b1", [sc])])
+    blocks = T.parse_blocks(ev)
+    changes = T.changes_at_blocks(T.with_address_space(T.parse_state_deltas(ev)), blocks)
+    rows = _data_rows(T.to_agents(T.entity_entries(changes, "agent")))
+    assert rows == [("test_public_key", "test_org", "test", 1, 1, MAX)]
+    # and an empty-value DELETE (the normal wire shape) contributes no entries
+    sc2 = fx.state_change("agent", "k", None, change_type="DELETE")
+    ev2 = fx.events_df(spark, [fx.delivery(1, "b1", [sc2])])
+    changes2 = T.changes_at_blocks(T.with_address_space(T.parse_state_deltas(ev2)), T.parse_blocks(ev2))
+    assert T.entity_entries(changes2, "agent").count() == 0
+
+
 def test_heartbeat_empty_delivery(spark):
     """F1: empty EventList -> no block row, no deltas (event_handler.rs:43-52)."""
     ev = fx.events_df(spark, [[]])
