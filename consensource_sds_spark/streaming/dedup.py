@@ -31,12 +31,20 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """Keep the first arrival per key; forget keys once the watermark passes
     them. On a stream this is state-bounded exact dedup (at-least-once
-    source -> effectively-once downstream); on a batch frame the watermark
-    is a no-op and the semantics degrade to plain ``dropDuplicates``."""
-    out = df.withWatermark(ts_col, watermark)
+    source -> effectively-once downstream). On a batch frame "first
+    arrival" has no meaning, so the deterministic stand-in is the
+    EARLIEST-``ts_col`` row per key (full-row tiebreak) — a plain
+    ``dropDuplicates`` would keep an arbitrary, partition-order-dependent
+    row, letting a backfill disagree with the stream on identical input."""
     if df.isStreaming:
-        return out.dropDuplicatesWithinWatermark(list(keys))
-    return out.dropDuplicates(list(keys))
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    rest = [c for c in df.columns if c not in keys and c != ts_col]
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in rest])
+    return (
+        df.groupBy(*keys)
+        .agg(F.min_by(F.struct(*df.columns), order).alias("_r"))
+        .select("_r.*")
+    )
 
 
 def attribute_within(

@@ -82,46 +82,45 @@ _SPLIT_SCHEMA = StructType(
 )
 
 
-def ingest_media_batch(
-    spark: SparkSession, batch_df: DataFrame, batch_id: int, out_dir: str
-) -> None:
+def ingest_media_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     """One microbatch: decode+featurize once, split into the features and
     quarantine lanes, idempotent batch_id-partitioned writes."""
-    spark = batch_df.sparkSession
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for _i, r in pdf.iterrows():
                 payload = r["payload"]
+                if payload is None:
+                    # nothing to decode: quarantine, never the features
+                    # lane (a decoded=True row with NULL features would
+                    # poison downstream feature consumers)
+                    rows.append((r["media_id"], r["modality"], None, None, False, None))
+                    continue
                 # the quarantine catch wraps DECODE ONLY — a featurizer bug
                 # on a successfully-decoded payload must fail the task
                 # loudly, not silently quarantine the whole corpus
                 try:
-                    decoded = (
-                        _decode_one(bytes(payload)) if payload is not None else None
-                    )
+                    decoded = _decode_one(bytes(payload))
                 except _MALFORMED_PAYLOAD_ERRORS:
                     rows.append(
                         (
                             r["media_id"],
                             r["modality"],
-                            len(payload) if payload is not None else None,
+                            len(payload),
                             None,
                             False,
-                            bytes(payload) if payload is not None else None,
+                            bytes(payload),
                         )
                     )
                     continue
-                feats = None
-                if decoded is not None:
-                    kind, data = decoded
-                    feats = _audio_features(data) if kind == "audio" else _image_features(data)
+                kind, data = decoded
+                feats = _audio_features(data) if kind == "audio" else _image_features(data)
                 rows.append(
                     (
                         r["media_id"],
                         r["modality"],
-                        len(payload) if payload is not None else None,
+                        len(payload),
                         feats,
                         True,
                         None,
@@ -168,7 +167,7 @@ def run_media_stream(
     stream = spark.readStream.schema(MEDIA_STREAM_SCHEMA).parquet(source_dir)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_media_batch(spark, batch_df, batch_id, out_dir)
+        ingest_media_batch(batch_df, batch_id, out_dir)
 
     writer = stream.writeStream.foreachBatch(body).option("checkpointLocation", checkpoint_dir)
     if available_now:

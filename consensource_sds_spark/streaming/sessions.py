@@ -72,34 +72,43 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            start_us, last_us, n, cents = state.get
-        else:
-            start_us = None
-
         closed: list[tuple[int, int, int, int, float]] = []
         if state.hasTimedOut:
             # idle session: watermark passed last_ts + gap
+            start_us, last_us, n, cents = state.get
             closed.append((user_id, start_us, last_us, n, cents / 100.0))
             state.remove()
         else:
-            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            dfs = list(pdfs)  # the iterator object itself is always truthy
+            rows = pd.concat(dfs) if dfs else pd.DataFrame()
+            # fold the stored session INTERVAL and the batch's events into
+            # gap-merged sessions, in interval order: a late-but-in-watermark
+            # event older than the stored start must extend the session's
+            # start downward (or form its own earlier session when separated
+            # by more than gap) — folding events only against last_ts would
+            # silently absorb it with session_start_us left too high
+            items: list[tuple[int, int, int, int]] = []  # (start, end, n, cents)
+            if state.exists:
+                items.append(tuple(state.get))
             if len(rows):
                 rows = rows.sort_values("ts")
                 for ts, value in zip(rows["ts"], rows["value"]):
                     ts_us = int(ts.value // 1_000)  # pandas ns -> us
-                    c = int(round(value * 100))
-                    if start_us is None:
-                        start_us, last_us, n, cents = ts_us, ts_us, 1, c
-                    elif ts_us - last_us > gap_us:
-                        closed.append((user_id, start_us, last_us, n, cents / 100.0))
-                        start_us, last_us, n, cents = ts_us, ts_us, 1, c
+                    items.append((ts_us, ts_us, 1, int(round(value * 100))))
+            if items:
+                items.sort(key=lambda it: (it[0], it[1]))
+                cur = list(items[0])
+                for s, e, n, c in items[1:]:
+                    if s - cur[1] > gap_us:
+                        closed.append((user_id, cur[0], cur[1], cur[2], cur[3] / 100.0))
+                        cur = [s, e, n, c]
                     else:
-                        last_us, n, cents = max(last_us, ts_us), n + 1, cents + c
-            if start_us is not None:
-                state.update((start_us, last_us, n, cents))
+                        cur[1] = max(cur[1], e)
+                        cur[2] += n
+                        cur[3] += c
+                state.update(tuple(cur))
                 # close when the watermark passes the inactivity horizon
-                state.setTimeoutTimestamp(last_us // 1_000 + gap_sec * 1_000)
+                state.setTimeoutTimestamp(cur[1] // 1_000 + gap_sec * 1_000)
         if closed:
             yield pd.DataFrame(
                 closed,

@@ -39,27 +39,30 @@ def api_available() -> bool:
         return False
     return True
 
-_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+_STATE_SCHEMA = "n BIGINT, cents BIGINT"
 
 
 class RunningTotalsProcessor(StatefulProcessor):
     """Per-user event count + value sum, emitted after every batch that
-    touches the key (update mode)."""
+    touches the key (update mode). Money accumulates in integer cents in
+    the checkpointed state (the package's decimal discipline, as in
+    streaming/sessions.py) — a DOUBLE accumulator would compound binary
+    rounding drift across thousands of batches."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._totals = handle.getValueState("totals", _STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        n, total = 0, 0.0
+        n, cents = 0, 0
         if self._totals.exists():
             prev = self._totals.get()
-            n, total = int(prev[0]), float(prev[1])
+            n, cents = int(prev[0]), int(prev[1])
         for pdf in rows:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        self._totals.update((n, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        self._totals.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     def close(self) -> None:

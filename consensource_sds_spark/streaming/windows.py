@@ -106,24 +106,30 @@ def run_trending_stream(
     schema,
     window: str = "10 seconds",
     watermark: str = "30 seconds",
-    k: int = 3,
 ):
-    """Streaming top-k "trending" — windowed counts ranked to the k busiest
-    event types per window. Window functions can't run on an unbounded
-    stream (rank needs the whole partition), so the rank step runs per
-    MICROBATCH over that batch's updated windows via foreachBatch: the
-    stream maintains the windowed counts (update mode, watermark-bounded
-    state), each batch re-ranks only the windows it touched, and the sink
-    append holds one top-k snapshot per (batch, window) stamped with
-    ``batch_id`` — readers materialize "latest wins" as the max-batch_id
-    snapshot per window (see :func:`latest_trending`). The standard
-    streaming-rank pattern; at scale the rank is per-window (tiny)
-    regardless of stream volume."""
+    """Streaming "trending" feed — the stream maintains the windowed counts
+    (update mode, watermark-bounded state) and each microbatch lands its
+    UPDATED (window, event_type) count rows stamped with ``batch_id``,
+    partitioned by batch_id with dynamic overwrite so a crash-replayed
+    batch overwrites its own output instead of appending duplicates (the
+    same idempotence-by-layout contract as the media/corpus ingest lanes).
+
+    Ranking happens at READ time (:func:`latest_trending`), not in the
+    sink: an update-mode microbatch carries only the rows it touched, so
+    ranking inside foreachBatch would rank a window over the types updated
+    that batch and silently drop a quieter type's earlier (larger) count
+    from the snapshot. The sink stores counts; the reader resolves each
+    (window, type) to its latest count, then ranks — always over the full
+    set of types ever seen per window."""
 
     def emit(batch_df, batch_id: int):
-        topk_per_window(batch_df, k=k).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_dir)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     agg = windowed_event_stats(stream, window=window, watermark=watermark)
@@ -136,15 +142,16 @@ def run_trending_stream(
     )
 
 
-def latest_trending(snapshots: DataFrame) -> DataFrame:
-    """Resolve :func:`run_trending_stream` output to the latest snapshot per
-    window: keep only rows from each window's max ``batch_id``. One window
-    function over a (window, batch) partition count's worth of rows."""
+def latest_trending(snapshots: DataFrame, k: int = 3) -> DataFrame:
+    """Resolve :func:`run_trending_stream` output to the current top-k per
+    window: latest count per (window, event_type) — max ``batch_id`` wins —
+    then rank. Two window functions over count-of-updates-sized data."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("window_start")
-    return (
+    w = W.partitionBy("window_start", "event_type")
+    latest = (
         snapshots.withColumn("_maxb", F.max("batch_id").over(w))
         .filter(F.col("batch_id") == F.col("_maxb"))
         .drop("_maxb", "batch_id")
     )
+    return topk_per_window(latest, k=k)

@@ -52,9 +52,27 @@ def test_media_stream_features_and_quarantine(spark, tmp_path):
     assert bytes(q[0]["payload"]) == b"\x00\x00ftyp-foreign-container"
 
     # replaying the SAME batch_id overwrites its own partitions (no dup)
-    ingest_media_batch(spark, _media_rows(spark), 0, out)
+    ingest_media_batch(_media_rows(spark), 0, out)
     assert read_media_features(spark, out).count() == 3
     assert spark.read.parquet(out + "_quarantine").count() == 1
+
+
+def test_null_payload_quarantined_not_featured(spark, tmp_path):
+    """Regression: a NULL payload has nothing to decode — it must land in
+    the quarantine lane, not in features as a decoded=True row with NULL
+    features (which would poison downstream feature consumers)."""
+    out = str(tmp_path / "media")
+    rows = [(1, "image", None, "image/png", 8, 8, None)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    ingest_media_batch(df, 0, out)
+    import glob
+    import os
+
+    # nothing reaches the features lane (at most an empty dir materializes)
+    feat_files = glob.glob(os.path.join(out, "features", "**", "*.parquet"), recursive=True)
+    assert feat_files == []
+    q = spark.read.parquet(out + "_quarantine").collect()
+    assert len(q) == 1 and q[0]["media_id"] == 1 and q[0]["payload"] is None
 
 
 def _malformed_rows(spark):

@@ -68,3 +68,44 @@ def test_sessionize_gap_close_and_state_across_runs(spark, tmp_path):
     assert (2, _us(5), _us(5), 1, 4.0) in got
     # user 1's new session at t=100 is still open (not emitted)
     assert all(not (u == 1 and s == _us(100)) for u, s, *_ in got)
+
+
+def test_late_event_extends_session_start_or_forms_earlier_session(spark, tmp_path):
+    """Regression: a late-but-within-watermark event OLDER than the stored
+    session start must lower session_start_us (within gap) or close as its
+    own earlier session (beyond gap) — folding only against last_ts
+    silently absorbed it with the start left too high."""
+    from consensource_sds_spark.streaming.sessions import sessionize
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            sessionize(stream, gap_sec=10, watermark="60 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: session [100,105]; watermark advances to 105-60=45
+    spark.createDataFrame([(1, _t(100), 1.0), (1, _t(105), 1.0)], SCHEMA).coalesce(
+        1
+    ).write.parquet(src)
+    run()
+    # run 2: t=70 (>gap before start -> own earlier session), t=95 (within
+    # gap of start -> extends it downward), t=300 (closes everything)
+    spark.createDataFrame(
+        [(1, _t(70), 1.0), (1, _t(95), 1.0), (1, _t(300), 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = sorted(
+        (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (_us(70), _us(70), 1) in got
+    assert (_us(95), _us(105), 3) in got

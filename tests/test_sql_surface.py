@@ -105,7 +105,7 @@ def test_media_and_ann_views(spark, tmp_path):
         MM.MEDIA_SCHEMA,
     )
     mdir = str(tmp_path / "media")
-    ingest_media_batch(spark, media, 0, mdir)
+    ingest_media_batch(media, 0, mdir)
     assert set(SQL.register_media_views(spark, mdir)) == {"media_features", "media_quarantine"}
     assert SQL.sql(spark, "SELECT COUNT(*) n FROM media_features").first()["n"] == 1
     assert SQL.sql(spark, "SELECT media_id FROM media_quarantine").first()["media_id"] == 2

@@ -87,4 +87,5 @@ def test_processor_logic_with_fake_state_handle():
     assert out1[0].iloc[0].tolist() == [1, 2, 15.0]
     out2 = list(proc.handleInputRows((1,), iter([pd.DataFrame({"value": [2.5]})]), None))
     assert out2[0].iloc[0].tolist() == [1, 3, 17.5]
-    assert handle.state.get() == (3, 17.5)
+    # checkpointed state holds integer cents (decimal discipline)
+    assert handle.state.get() == (3, 1750)

@@ -63,6 +63,18 @@ def test_batch_parity_dedup(spark):
     ) == [1, 2]
 
 
+def test_batch_dedup_keeps_earliest_deterministically(spark):
+    """Regression: plain dropDuplicates keeps an arbitrary
+    partition-order-dependent row; the batch path must keep the
+    EARLIEST-ts row per key so a backfill is reproducible."""
+    rows = [(7, 10, "resend", _t(30)), (7, 10, "original", _t(5)), (7, 10, "resend2", _t(60))]
+    # spread the duplicates across partitions to surface order dependence
+    df = spark.createDataFrame(rows, SCHEMA).repartition(8)
+    out = dedup_within_watermark(df, keys=("event_id",)).collect()
+    assert len(out) == 1
+    assert out[0]["event_type"] == "original" and out[0]["ts"] == _t(5)
+
+
 def test_stream_stream_attribution_join(spark, tmp_path):
     csrc, vsrc = str(tmp_path / "clicks"), str(tmp_path / "views")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -100,7 +101,7 @@ def test_append_mode_emits_finalized_windows_and_drops_late(spark, tmp_path):
 
 
 def test_trending_topk_per_window(spark, tmp_path):
-    from consensource_sds_spark.streaming.windows import run_trending_stream
+    from consensource_sds_spark.streaming.windows import latest_trending, run_trending_stream
 
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "outk"), str(tmp_path / "ckptk")
     rows = (
@@ -111,14 +112,46 @@ def test_trending_topk_per_window(spark, tmp_path):
         + [(99, "view", 1.0, _t(120))]  # advances the watermark
     )
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
-    q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds", k=3)
+    q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds")
     q.awaitTermination(120)
-    got = spark.read.parquet(out)
-    first_window = got.filter("n_events >= 1").orderBy("window_start", "rk").collect()
-    ranked = [(r["event_type"], r["n_events"], r["rk"]) for r in first_window if r["n_events"] > 1 or r["rk"] <= 3][:3]
-    assert ranked[0] == ("view", 5, 1), ranked
-    assert ranked[1] == ("click", 3, 2)
-    assert ranked[2] == ("scroll", 2, 3)
+    trending = latest_trending(spark.read.parquet(out), k=3)
+    first_window = [
+        (r["event_type"], r["n_events"], r["rk"])
+        for r in trending.filter(F.col("window_start") == _t(0)).orderBy("rk").collect()
+    ]
+    assert first_window == [("view", 5, 1), ("click", 3, 2), ("scroll", 2, 3)]
     # k bound respected per window
-    per_win = got.groupBy("window_start").count().collect()
+    per_win = trending.groupBy("window_start").count().collect()
     assert all(r["count"] <= 3 for r in per_win)
+
+
+def test_trending_update_batch_does_not_drop_untouched_types(spark, tmp_path):
+    """Regression: an update-mode microbatch carries only the (window, type)
+    rows it touched. Ranking the batch alone made a 1-event newcomer the
+    window's #1 and dropped the established 100-event type from the latest
+    snapshot; ranking at read time over latest-per-(window, type) must keep
+    the true leader."""
+    from consensource_sds_spark.streaming.windows import latest_trending, run_trending_stream
+
+    src, out, ckpt = str(tmp_path / "src2"), str(tmp_path / "outk2"), str(tmp_path / "ckptk2")
+    # run 1: window [0,10) gets view x5
+    spark.createDataFrame(
+        [(i, "view", 1.0, _t(1)) for i in range(5)], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds")
+    q.awaitTermination(120)
+    # run 2 (same checkpoint): ONE click lands in the same window — the
+    # microbatch updates only (window, click)
+    spark.createDataFrame([(50, "click", 1.0, _t(2))], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds")
+    q2.awaitTermination(120)
+    got = [
+        (r["event_type"], r["n_events"], r["rk"])
+        for r in latest_trending(spark.read.parquet(out), k=3)
+        .filter(F.col("window_start") == _t(0))
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == [("view", 5, 1), ("click", 1, 2)]
