@@ -54,6 +54,13 @@ def salted_aggregate(
         fn = expr.split("(", 1)[0].strip().lower()
         if fn not in merge_fn:
             raise ValueError(f"{fn} is not re-aggregable; salting would change its value")
+        if "distinct" in expr.lower():
+            # count(distinct x) per salt bucket then summed counts a value
+            # once PER BUCKET it lands in — silently inflated, the exact
+            # class of corruption this guard exists to reject
+            raise ValueError(
+                f"{expr!r}: DISTINCT aggregates are not re-aggregable across salt buckets"
+            )
         p1_cols.append(F.expr(f"{expr} AS {out}"))
         p2_cols.append(F.expr(f"{merge_fn[fn]}({out}) AS {out}"))
     return phase1.agg(*p1_cols).groupBy(*keys).agg(*p2_cols)
@@ -77,7 +84,17 @@ def salted_join(
 
     Only ``inner``/``left`` (skewed-side-preserving) joins are supported:
     with ``right``/``full``, an unmatched replicated-side row would surface
-    once per salt bucket (buckets-fold duplication of null-extended rows)."""
+    once per salt bucket (buckets-fold duplication of null-extended rows).
+
+    LIMITATION: the salt is a content hash, so FULL-ROW DUPLICATES on the
+    skewed side all land in one bucket — _row_salt's duplicate-rows-share-
+    a-salt rationale holds for aggregation (map-side combine collapses
+    them) but not for joins. If the hot key's rows are mostly identical
+    (e.g. the frame was projected down to the key plus low-cardinality
+    columns), keep a high-cardinality column (an id, an offset) in the
+    frame so the hash can spread them; a nondeterministic rand() salt
+    would spread anything but breaks the repo's retry/replay determinism
+    rule."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left', got {how!r}: outer "

@@ -88,14 +88,17 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Stopword-hit argmax with fixed precedence en > fr > es > de
-    (deterministic ties)."""
+    (deterministic ties); NULL text -> NULL (without the guard, NULL scores
+    fail every comparison and fall through to the otherwise branch,
+    deterministically mislabeling malformed rows as 'de')."""
     s = lang_scores(text)
-    return (
+    ranked = (
         F.when((s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["de"]), "en")
         .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]), "fr")
         .when(s["es"] >= s["de"], "es")
         .otherwise("de")
     )
+    return F.when(text.isNotNull(), ranked)
 
 
 def fingerprint(text: Column) -> Column:

@@ -25,7 +25,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an error) when either vector has zero norm: under Spark 4's
+    default ANSI mode an unguarded division would abort the whole job with
+    DIVIDE_BY_ZERO on the first all-zero embedding."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def unit(a: Column) -> Column:

@@ -72,15 +72,19 @@ def register_store_views(
 
 def register_corpus_views(spark: SparkSession, out_dir: str) -> list[str]:
     """Register a streaming-ingested corpus (streaming/corpus_ingest.py)
-    and its standing indexes as SQL views: ``corpus`` (the sharded
-    documents, partition columns included), ``corpus_digest_index`` and —
-    when near-dedup ran — ``corpus_band_index``."""
+    and its sidecars as SQL views: ``corpus`` (the sharded documents,
+    partition columns included), ``corpus_digest_index``, and — when the
+    corresponding stage ran — ``corpus_band_index``, ``corpus_fp_index``
+    (containment postings) and ``corpus_quarantine`` (the dead-letter
+    lane; on by default for non-parquet sources — a monitoring query door
+    that can't see the quarantine hides exactly the rows an operator
+    audits)."""
     import os
 
     names = []
     spark.read.parquet(out_dir).createOrReplaceTempView("corpus")
     names.append("corpus")
-    for suffix in ("_digest_index", "_band_index"):
+    for suffix in ("_digest_index", "_band_index", "_fp_index", "_quarantine"):
         d = out_dir.rstrip("/") + suffix
         if os.path.isdir(d):
             spark.read.parquet(d).createOrReplaceTempView("corpus" + suffix)

@@ -39,6 +39,16 @@ def test_salted_aggregate_rejects_non_reaggregable(skewed_df):
         salted_aggregate(skewed_df, ["k"], {"a": "avg(v)"})
 
 
+def test_salted_aggregate_rejects_distinct(skewed_df):
+    """Regression: count(distinct x) per salt bucket then summed counts a
+    value once per bucket — silently inflated; the guard must reject the
+    DISTINCT modifier, not just non-re-aggregable function names."""
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_aggregate(skewed_df, ["k"], {"d": "count(distinct v)"})
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_aggregate(skewed_df, ["k"], {"d": "sum(DISTINCT v)"})
+
+
 def test_salted_join_matches_plain(spark, skewed_df):
     dim = spark.range(25).selectExpr("id AS k", "concat('name', id) AS name")
     plain = sorted(

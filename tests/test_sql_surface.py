@@ -73,8 +73,19 @@ def test_corpus_views(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     ingest_batch(spark, batch, 0, out, out + "_digest_index", 4, out + "_band_index")
+    # a quarantine lane (malformed rows dead-lettered by run_corpus_stream)
+    # must also surface through the query door
+    spark.createDataFrame(
+        [(99, None, "raw-malformed-line")], "doc_id long, text string, raw string"
+    ).write.parquet(out + "_quarantine")
     names = register_corpus_views(spark, out)
-    assert set(names) == {"corpus", "corpus_digest_index", "corpus_band_index"}
+    assert set(names) == {
+        "corpus",
+        "corpus_digest_index",
+        "corpus_band_index",
+        "corpus_quarantine",
+    }
+    assert spark.sql("SELECT COUNT(*) AS n FROM corpus_quarantine").first()["n"] == 1
     assert spark.sql("SELECT COUNT(*) AS n FROM corpus").first()["n"] == 1
     assert spark.sql(
         "SELECT COUNT(*) AS n FROM corpus c JOIN corpus_digest_index i ON c.doc_id = i.keep_doc_id"

@@ -145,3 +145,19 @@ def test_x92_continuation_pairs_nonvacuous(spark, tmp_path):
     want = {(a, b) for a, b, _h in con.execute(REGISTRY["x92_continuation_pairs"].oracle).fetchall()}
     con.close()
     assert want == {(1, 2)}
+
+
+def test_lang_id_null_text_is_null(spark):
+    """Regression: NULL text made every stopword comparison NULL, so the
+    CASE chain fell through to the otherwise branch and deterministically
+    labeled malformed rows 'de'; NULL text must yield NULL."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat is back"), (2, None), (3, "der hund und die katze zu haus")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: None, 3: "de"}

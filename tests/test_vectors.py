@@ -12,6 +12,19 @@ from pyspark.sql import functions as F
 from consensource_sds_spark.functions import vectors as V
 
 
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """Regression: under Spark 4's default ANSI mode an unguarded division
+    threw DIVIDE_BY_ZERO on the first all-zero embedding, aborting the whole
+    job; cosine must yield NULL for a zero-norm side instead."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.5, 0.5]), (2, [0.0, 0.0], [0.5, 0.5]), (3, [1.0, 0.0], [0.0, 0.0])],
+        "id long, a array<float>, b array<float>",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", V.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert math.isclose(out[1], math.sqrt(0.5), rel_tol=1e-6)
+    assert out[2] is None and out[3] is None
+
+
 def test_unit_normalizes_and_passes_zero_through(spark):
     df = spark.createDataFrame(
         [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.0, 0.0])],
