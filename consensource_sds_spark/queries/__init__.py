@@ -111,7 +111,10 @@ def _relayout(spark: SparkSession, sf_dir: str, name: str, raw: DataFrame, path:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     with _LAYOUT_LOCK:
         laid = _LAYOUT.get(key)
-        if laid is None:
+        # re-validate the memoized copy: another process re-laying a CHANGED
+        # input rmtree's stale versions, so a cached address can point at a
+        # deleted directory — re-address instead of failing the read
+        if laid is None or (laid != path and not os.path.isdir(laid)):
             laid = _relayout_locked(spark, name, raw, path, size)
             _LAYOUT[key] = laid
     if laid == path:
@@ -154,10 +157,22 @@ def _relayout_locked(spark: SparkSession, name: str, raw: DataFrame, path: str, 
             shutil.rmtree(stage, ignore_errors=True)
         # reclaim stale versions of the SAME input file (it was replaced:
         # new mtime -> new version hash); live sessions on the old copy
-        # finish in-flight scans from open handles, new reads re-address
+        # finish in-flight scans from open handles, new reads re-address.
+        # Stage dirs are skipped while their writer pid is alive; a crashed
+        # writer's orphan (full-table-sized, otherwise never reclaimed) is
+        # removed once its pid is gone.
         prefix = f"{name}-{fam}-"
         for d in os.listdir(base):
-            if d.startswith(prefix) and d != f"{name}-{fam}-{ver}" and ".stage-" not in d:
+            if not d.startswith(prefix):
+                continue
+            if ".stage-" in d:
+                try:
+                    os.kill(int(d.split(".stage-", 1)[1].split("-", 1)[0]), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                except (ValueError, PermissionError, OSError):
+                    pass  # unparsable or alive-under-another-user: keep
+            elif d != f"{name}-{fam}-{ver}":
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return final
 
@@ -184,41 +199,65 @@ def local_hint(df: DataFrame) -> DataFrame:
     return F.broadcast(df) if profile() == "local" else df
 
 
-_CONFIGURED: set[str] = set()
+_CONFIGURED = __import__("weakref").WeakSet()
 
 
 def _ensure_session_conf(spark: SparkSession) -> None:
     # parquet naive timestamps read as TIMESTAMP_NTZ; pinning the session tz
     # to UTC makes NTZ->TZ casts identity so epoch projections match the
     # DuckDB oracle no matter what tz the host session was created with.
-    # Once per session: conf.set is a client->JVM round trip and load() is
-    # called several times per query build.
-    app_id = spark.sparkContext.applicationId
-    if app_id not in _CONFIGURED:
+    # Once per SESSION object (not applicationId: spark.newSession() shares
+    # the context but has its own SQLConf, and an appId-keyed guard would
+    # leave the second session on its ambient timezone, shifting every
+    # epoch projection); conf.set is a client->JVM round trip and load()
+    # is called several times per query build.
+    if spark not in _CONFIGURED:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _CONFIGURED.add(app_id)
+        _CONFIGURED.add(spark)
+
+
+def _input_size(path: str) -> int:
+    """Bytes of parquet at ``path``: the file's size, or the SUMMED file
+    sizes under a directory input (os.path.getsize on a local directory
+    succeeds with the ~4 KiB inode size, which would silently defeat the
+    _POOL_FILE_CAP streaming policy for multi-file tables). Unreadable or
+    empty -> the cap (stream it)."""
+    if os.path.isdir(path):
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            return _POOL_FILE_CAP
+        return total or _POOL_FILE_CAP
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return _POOL_FILE_CAP  # remote input: stream it
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
-    raw = load_events(spark, sf_dir) if name == "events" else None
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        size = os.path.getsize(path)
-    except OSError:
-        size = _POOL_FILE_CAP  # directory-or-remote input: stream it
+    size = _input_size(path)
+
+    def _read() -> DataFrame:
+        # built lazily: a pooled hit must not pay the parquet footer read +
+        # schema analysis of a plan it immediately discards
+        return load_events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
+
     if not _pool_enabled() or size >= _POOL_FILE_CAP:
-        if raw is None:
-            raw = spark.read.parquet(path)
+        raw = _read()
         if _relayout_enabled():
             return _relayout(spark, sf_dir, name, raw, path, size)
         return raw
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _POOL.get(key)
     if df is None:
-        if raw is None:
-            raw = spark.read.parquet(path)
+        raw = _read()
         # chunk to core count (not shuffle.partitions — reduce-side sizing is
         # a different knob): map-side work over pooled tables should be able
         # to use every core

@@ -982,7 +982,8 @@ def x21_quality_score(spark, sf_dir):
         len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ein','zu'))) AS s_de
       FROM documents)
     SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+           CASE WHEN s_en IS NULL THEN NULL
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
                 WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
                 WHEN s_es >= s_de THEN 'es'
                 ELSE 'de' END AS predicted_lang
@@ -991,7 +992,9 @@ def x21_quality_score(spark, sf_dir):
 )
 def x22_lang_id(spark, sf_dir):
     """Language-ID heuristic: per-language function-word hit argmax with
-    fixed precedence (no model; deterministic)."""
+    fixed precedence (no model; deterministic). NULL text -> NULL on both
+    engines (the scores are NULL, which would otherwise fall through the
+    CASE to 'de')."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.col("lang").alias("labeled_lang"), TXT.lang_id(F.col("text")).alias("predicted_lang")

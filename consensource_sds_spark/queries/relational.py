@@ -870,7 +870,14 @@ def q45_distinct_agg(spark, sf_dir):
            c.event_id     AS click_id,
            epoch_us(c.ts) AS click_ts_us
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      -- one click per (user, ts), max event_id: ASOF picks an ARBITRARY row
+      -- among equal-ts matches, while the Spark plan's ascending last()
+      -- deterministically carries the max event_id — collapse ties so both
+      -- engines agree when two clicks share a timestamp
+      SELECT user_id, ts, MAX(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -1039,14 +1046,14 @@ def q50_array_map_funcs(spark, sf_dir):
     "q51_sessionize_batch",
     oracle="""
     WITH marked AS (
-      SELECT user_id, epoch_us(ts) AS ts_us, value,
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sessions AS (
       SELECT user_id, ts_us, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM marked
     )
@@ -1067,11 +1074,19 @@ def q51_sessionize_batch(spark, sf_dir):
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
+    # event_id tiebreak on BOTH windows: with ts-only ordering, two events
+    # of one user at the same timestamp make the running sum's row order —
+    # and therefore their session assignment — engine/run dependent
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(Window.unboundedPreceding, 0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     marked = e.select(
         "user_id",
         "ts_us",
+        "event_id",
         "value",
         F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0).alias("new_session"),
     )
@@ -1616,10 +1631,13 @@ def q62_gap_fill(spark, sf_dir):
     needs; SQL engines use generate_series, Spark uses sequence+explode).
 
     Plan/scale: the day spine is sequence() over the 1-row min/max
-    aggregate — rows = span x types, generated, never scanned; the spine
-    side is broadcast into the left join against the per-day counts, so
-    the fact table shuffles once for its own aggregation and never
-    again."""
+    aggregate — rows = span x types, generated, never scanned; the
+    aggregated per-(day, type) counts (bounded by the same span x types,
+    tiny) are broadcast back onto the spine. The hint must sit on the
+    counts side: a LEFT OUTER BroadcastHashJoin can only build its RIGHT
+    side, so hinting the preserved spine is silently ignored and both
+    sides would shuffle. The fact table shuffles once for its own
+    aggregation and never again."""
     e = load(spark, sf_dir, "events").select(
         F.expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000 AS dnum"), "event_type"
     )
@@ -1630,8 +1648,7 @@ def q62_gap_fill(spark, sf_dir):
     grid = days.crossJoin(F.broadcast(types))
     counts = e.groupBy("dnum", "event_type").agg(F.count("*").alias("n"))
     return (
-        F.broadcast(grid)
-        .join(counts, ["dnum", "event_type"], "left")
+        grid.join(F.broadcast(counts), ["dnum", "event_type"], "left")
         .select(
             F.expr("dnum * 86400000000 AS day_start_us"),
             "event_type",
@@ -1995,14 +2012,14 @@ def q76_map_funcs(spark, sf_dir):
     "q77_session_window_fn",
     oracle="""
     WITH marked AS (
-      SELECT user_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sessions AS (
       SELECT user_id, ts_us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM marked)
     SELECT user_id,
@@ -2067,9 +2084,7 @@ def q78_dormant_accounts(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double"), 2
-            ).alias("total_bal"),
+            dsum("c_acctbal").alias("total_bal"),
         )
     )
 
@@ -2960,16 +2975,7 @@ def q96_small_quantity_revenue(spark, sf_dir):
     part-cardinality-sized and the join keys on l_partkey co-partition
     both sides in one shuffle wave."""
     li = load(spark, sf_dir, "lineitem")
-    pa = (
-        li.groupBy(F.col("l_partkey").alias("pk"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_qty")
-        )
-    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(davg("l_quantity").alias("avg_qty"))
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     return (
         li.select("l_partkey", "l_quantity", "l_extendedprice")
@@ -3008,7 +3014,7 @@ def q97_large_volume_orders(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     oq = (
         li.groupBy(F.col("l_orderkey").alias("lk"))
-        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double"), 2).alias("total_qty"))
+        .agg(dsum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 200)
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
@@ -3088,16 +3094,7 @@ def q99_dormant_rich_by_nation(spark, sf_dir):
     date-filtered orders (the filter pushes below the join, so the anti
     probe is small); one final nation-keyed aggregate."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    ab = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("ab")
-        )
-    )
+    ab = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab"))
     recent = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
@@ -3110,7 +3107,7 @@ def q99_dormant_rich_by_nation(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double"), 2).alias("total_bal"),
+            dsum("c_acctbal").alias("total_bal"),
         )
     )
 
@@ -3206,7 +3203,13 @@ def q102_customer_order_distribution(spark, sf_dir):
     zero-order customers — the left-join-then-double-aggregate pattern
     (COUNT(col) counting only matched rows is the null-semantics crux).
     First aggregate keys on the customer (the join's own key — one
-    shuffle wave serves both), second on the tiny count domain."""
+    shuffle wave serves both), second on the tiny count domain.
+
+    NOTE: exercises the same operator path as q54_customer_distribution
+    (both are the Q13 shape; this one landed with the r7 classic-TPC-H
+    sweep before the overlap was noticed). Kept because removing a
+    registry entry breaks the driver's accumulated-coverage history; any
+    change to the Q13 pattern must be mirrored in q54."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
     per_cust = (
