@@ -71,11 +71,16 @@ def mean_token_len(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite heuristic quality in [0,1]: favors mid-length docs with
     diverse vocabulary and a sane stopword rate (the usual pretraining-corpus
-    filter features: length / stopword ratio / repetition)."""
+    filter features: length / stopword ratio / repetition).
+
+    The stopword term multiplies BEFORE dividing ((s*5)/n, matching the
+    oracle's 5.0*s/n): (s/n)*5 differs in the last ulp for some s/n, and a
+    doc landing adjacent to a .00005 rounding boundary would then hash
+    differently across engines."""
     n = token_count(text)
-    stop_ratio = stopword_count(text) / n
     length_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    return F.round((length_term + unique_token_ratio(text) + F.least(stop_ratio * 5, F.lit(1.0))) / 3, 4)
+    stop_term = F.least(stopword_count(text) * 5 / n, F.lit(1.0))
+    return F.round((length_term + unique_token_ratio(text) + stop_term) / 3, 4)
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -102,5 +107,9 @@ def lang_id(text: Column) -> Column:
 
 
 def fingerprint(text: Column) -> Column:
-    """Document fingerprint: md5 of whitespace-collapsed lowercase text."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+    """Document fingerprint: md5 of whitespace-collapsed lowercase text.
+
+    The whitespace class is spelled explicitly: Java's ``\\s`` includes
+    vertical tab (\\x0B), RE2's (DuckDB oracle) does not — the shared
+    subset keeps fingerprints engine-identical on un-normalized text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, "[ \t\n\f\r]+", " "))))

@@ -149,13 +149,11 @@ def x02_minhash_signatures(spark, sf_dir):
 def x03_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates: 4 bands x 2 rows; docs sharing a
     band value are candidates. Scale: the join key is (band, band_val) — a
-    bucket join, never doc x doc; hot buckets = actual near-dup clusters."""
-    sig = x02_minhash_signatures(spark, sf_dir)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash")).alias("band_val"))
-    )
+    bucket join, never doc x doc; hot buckets = actual near-dup clusters.
+    Banding comes from :func:`minhash_band_values` — the SAME helper the
+    standing streaming band index probes with, so the batch LSH family and
+    the incremental index can never desynchronize."""
+    bands = minhash_band_values(load(spark, sf_dir, "documents"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -291,18 +289,16 @@ def x04_ngram_jaccard_pairs(spark, sf_dir):
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("both").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("both"))
+    # sizes is CORPUS-sized (one row per doc), not a dimension: a static
+    # broadcast would OOM executors at the scale this query advertises —
+    # local_hint broadcasts only in the local profile and leaves the
+    # strategy to AQE's runtime sizing on a cluster
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(local_hint(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(local_hint(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
-
-
-#: bit-spread multiplier: nibble bit m lands in 16-bit lane m
-#: (1 | 1<<15 | 1<<30 | 1<<45), masked to lane bottoms
-_SPREAD_MUL = (1) | (1 << 15) | (1 << 30) | (1 << 45)
-_LANE_MASK = 0x0001000100010001
 
 
 @register(
@@ -330,16 +326,19 @@ def x05_simhash(spark, sf_dir):
     (duplicates count); sign -> bit.
 
     Scale/plan: no bit-position explode, and the 32 per-bit counters are
-    PACKED 4-per-long into 16-bit lanes, so the hash aggregate is 8 long
+    PACKED 2-per-long into 32-BIT lanes, so the hash aggregate is 16 long
     SUMs + COUNT instead of 32 SUMs (narrow agg buffer, short codegen).
     Per token: parse the md5 prefix to ONE long (conv base 16), then each
-    group g extracts hex nibble g and spreads its 4 bits into lanes 0/16/
-    32/48 with one multiply+mask (SWAR). After the agg, lane count c_j and
-    token count n give the signed weight sign via 2*c_j > n; no unpack
-    shuffle. Lane width bounds docs at 65,535 tokens — enforce an input
-    cap (standard for pretraining docs) or widen to 2 lanes/long beyond.
-    Partial agg collapses map-side, so the shuffle carries ~one 9-long row
-    per doc per partition."""
+    group g extracts hex nibble g and packs its bit pairs at offsets 0/32.
+    After the agg, lane count c_j and token count n give the signed weight
+    sign via 2*c_j > n; no unpack shuffle. The 32-bit lanes are safe at
+    any real doc length: lane carry needs >= 2^32 tokens and the signed
+    packed sum overflows at >= 2^30 tokens. (The previous 4x16-bit SWAR
+    packing's lane-3 partial sum crossed 2^63 at 32,768 worst-case tokens
+    — an ANSI ARITHMETIC_OVERFLOW job abort — while its docstring claimed
+    a 65,535 bound and no cap was enforced.) Partial agg collapses
+    map-side, so the shuffle carries ~one 17-long row per doc per
+    partition."""
     # Expressions are built as SQL strings (one parse call each) rather than
     # stacked Column operators: the wide bit-twiddling tree costs hundreds of
     # client->JVM round trips as Columns (~0.6 s per plan build, measured)
@@ -351,14 +350,18 @@ def x05_simhash(spark, sf_dir):
     aggs = [F.expr("count(1) AS n_tok")]
     for g in range(8):  # hex digit g (most significant nibble first) -> bits 4g..4g+3
         sh = 4 * (7 - g)
-        aggs.append(
-            F.expr(f"sum(((shiftright(n, {sh}) & 15) * {_SPREAD_MUL}) & {_LANE_MASK}) AS p{g}")
-        )
+        nib = f"(shiftright(n, {sh}) & 15)"
+        # bits (0,1) of the nibble -> 32-bit lanes of p{g}a; bits (2,3) -> p{g}b
+        aggs.append(F.expr(f"sum(({nib} & 1) + shiftleft(shiftright({nib}, 1) & 1, 32)) AS p{g}a"))
+        aggs.append(F.expr(f"sum((shiftright({nib}, 2) & 1) + shiftleft(shiftright({nib}, 3) & 1, 32)) AS p{g}b"))
     weights = tok.groupBy("doc_id").agg(*aggs)
-    terms = " + ".join(
-        f"IF(((shiftright(p{j // 4}, {16 * (j % 4)}) & 65535) * 2) > n_tok, {1 << j}L, 0L)"
-        for j in range(32)
-    )
+
+    def _lane(j: int) -> str:
+        g, m = j // 4, j % 4
+        col = f"p{g}a" if m < 2 else f"p{g}b"
+        return f"(shiftright({col}, {32 * (m % 2)}) & 4294967295)"
+
+    terms = " + ".join(f"IF(({_lane(j)} * 2) > n_tok, {1 << j}L, 0L)" for j in range(32))
     return weights.select("doc_id", F.expr(f"cast({terms} AS bigint) AS simhash"))
 
 
@@ -551,6 +554,15 @@ def connected_components(pairs, a_col="doc_a", b_col="doc_b"):
         if cur == prev or cur[0] == 0:
             break
         prev = cur
+    else:
+        # the label extraction below assumes the fixpoint (every non-root
+        # points at its component minimum); returning labels from an
+        # unconverged graph would silently mislabel clusters — fail loudly
+        raise RuntimeError(
+            "connected_components did not converge within 25 rounds "
+            f"(fingerprint still moving: {cur}); the input pair graph is "
+            "adversarially deep — raise the round cap"
+        )
     # fixpoint is stars: every non-root points at its component minimum
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
@@ -1004,7 +1016,7 @@ def x22_lang_id(spark, sf_dir):
 @register(
     "x23_fingerprint",
     oracle="""
-    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp
     FROM documents
     """,
 )
@@ -1048,17 +1060,36 @@ def x27_sequence_packing(spark, sf_dir):
     """Deterministic sequence packing for training batches: documents are
     packed in stable doc_id order into ~2048-token bins by bucketing the
     running token total (bin = (cumsum-1) div budget). Contiguous-cumsum
-    packing is the streaming-friendly packer: one window pass, fully
-    deterministic, and at scale the prefix sum distributes as per-partition
-    subtotals + a tiny driver-side offset broadcast (vs. first-fit bin
-    packing, which is inherently sequential)."""
+    packing is the streaming-friendly packer (vs. first-fit bin packing,
+    which is inherently sequential), and the prefix sum is DISTRIBUTED —
+    not a global Window.orderBy, which funnels the whole corpus through
+    one window task: range-partition by doc_id, running sum WITHIN each
+    partition (parallel), then add each partition's starting offset (a
+    second cumsum over the n_partitions-row totals frame, broadcast
+    back). The checkpoint pins the partition ids so the in-partition sums
+    and the offsets frame can never disagree on boundaries; results are
+    identical for ANY boundary choice, so the range sampling doesn't
+    affect determinism."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr("cast(size(split(text, ' ')) AS bigint) AS n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    binned = toks.withColumn("bin_id", F.expr("-1") + F.sum("n_tokens").over(w)).withColumn(
-        "bin_id", (F.col("bin_id") / 2048).cast("long")
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        toks.repartitionByRange(n_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_in = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    run = ranged.withColumn("_run", F.sum("n_tokens").over(w_in))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .select("_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"))
+    )
+    binned = run.join(F.broadcast(offs), "_pid").withColumn(
+        "bin_id", ((F.col("_run") + F.col("_off") - 1) / 2048).cast("long")
     )
     wb = Window.partitionBy("bin_id")
     return binned.select(
@@ -1848,7 +1879,7 @@ def x46_unigram_lm_score(spark, sf_dir):
 #: signed-random-projection signature: bit b = sign of <embedding, w_b>,
 #: where hyperplane weights w_b[i] derive from md5(b || '_' || i) — the
 #: engines share the hash, so the planes are identical everywhere with no
-#: shipped weight table. 12 bits over dim 64.
+#: shipped weight table. 8 bits over dim 64 (sequence(0,7) / range(0,8)).
 _SRP_SPARK = (
     "array_join(transform(sequence(0, 7), b -> IF("
     "aggregate(zip_with(embedding, transform(sequence(1, 64), i -> "

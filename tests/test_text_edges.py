@@ -161,3 +161,33 @@ def test_lang_id_null_text_is_null(spark):
     )
     got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
     assert got == {1: "en", 2: None, 3: "de"}
+
+
+def test_simhash_long_document_no_overflow(spark, tmp_path):
+    """Regression: the previous 4x16-bit SWAR packing's lane-3 partial sum
+    crossed 2^63 at 32,768 worst-case tokens — an ANSI ARITHMETIC_OVERFLOW
+    job abort on one long document. The 32-bit-lane packing must survive a
+    40k-token doc AND still match the per-bit oracle definition."""
+    import duckdb
+
+    from consensource_sds_spark.queries import REGISTRY
+    from consensource_sds_spark.queries.extensions import x05_simhash
+
+    # one token repeated 40k times: every set bit of its md5 prefix drives
+    # its lane to 40_000 (the old packing overflowed at 32_768)
+    rows = [
+        (1, " ".join(["spark"] * 40_000), "en", "s", 0),
+        (2, "a small control document", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r["simhash"] for r in x05_simhash(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}/*.parquet'"
+    )
+    want = dict(con.execute(REGISTRY["x05_simhash"].oracle).fetchall())
+    con.close()
+    assert got == want
