@@ -44,7 +44,10 @@ identical either way.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -126,6 +129,34 @@ def _fast_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_MEDIA_FAST", "1") != "0"
 
 
+#: every exception shape a malformed-but-recognized payload can throw out
+#: of the pure decoders (truncated GIF descriptors / out-of-range PNG
+#: palette indexes raise IndexError; bad lengths ValueError; corrupt
+#: DEFLATE zlib.error; short fixed-layout headers struct.error). The ONE
+#: taxonomy both the ingest quarantine (streaming/media_ingest) and the
+#: transform passes (resize_images) classify on; NotImplementedError
+#: (genuinely foreign format) is deliberately separate.
+MALFORMED_MEDIA_ERRORS = (ValueError, IndexError, KeyError, OverflowError, struct.error, zlib.error)
+
+
+def _pure_container(b: bytes) -> bool:
+    """True when the payload's magic belongs to a container the PURE
+    decoders handle (BMP/PNG/GIF/JPEG/WAV/FLAC). The PIL/soundfile fast
+    path is gated on this so installing a library can only ACCELERATE
+    decoding, never silently expand coverage — otherwise the same corpus
+    would split into features-vs-quarantine lanes differently depending on
+    which libraries happen to exist on the executors (WebP/OGG decodable
+    here, quarantined there)."""
+    return (
+        b[:2] == b"BM"
+        or b[:8] == b"\x89PNG\r\n\x1a\n"
+        or b[:6] in (b"GIF87a", b"GIF89a")
+        or b[:3] == b"\xff\xd8\xff"
+        or b[:4] == b"fLaC"
+        or (b[:4] == b"RIFF" and b[8:12] == b"WAVE")
+    )
+
+
 def fast_decode_pixels(payload: bytes):
     """PIL-backed image decode (PNG/GIF/BMP bit-identical to the pure
     decoders; JPEG within IDCT rounding) -> uint8 RGB (h, w, 3) ndarray,
@@ -187,6 +218,19 @@ def decode_wav_samples(payload: bytes | None):
         return None
     raw = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], dtype="<i2")
     return (raw.reshape(-1, ch).astype("float32")) / 32768.0
+
+
+def _wav_sample_rate(b: bytes, default: int = 44100) -> int:
+    """Sample rate off the fmt chunk of a RIFF/WAVE payload (bytes 4-8 of
+    the chunk body); ``default`` when absent/unparsable."""
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 16 <= len(b):
+            return int.from_bytes(b[pos + 12 : pos + 16], "little") or default
+        pos += 8 + clen + (clen & 1)
+    return default
 
 
 # ---------------------------------------------------------------------------
@@ -489,6 +533,11 @@ def encode_flac_samples(
     if s.ndim == 1:
         s = s[:, None]
     n, nch = s.shape
+    if not 1 <= nch <= 8:
+        # STREAMINFO's channel field is 3 bits and frame ch_codes 8-10 are
+        # stereo-decorrelation modes: >8 channels would silently alias into
+        # a 1-channel header + garbage stereo decode
+        raise ValueError(f"FLAC supports 1-8 channels, got {nch}")
     bs = 4096
 
     out = bytearray(b"fLaC")
@@ -574,20 +623,22 @@ def encode_flac_samples(
         w.bits(ch_code, 4)
         w.bits(4, 3)  # 16 bps
         w.bits(0, 1)
-        # UTF-8 frame number (encoder only emits < 2^31 frames; multi-byte form)
+        # UTF-8 frame number. The lead byte of an n-byte sequence is n ones
+        # then a zero, leaving 7-n payload bits (total capacity 5n+1 bits
+        # with 6 per continuation byte) — an off-by-one in the lead's ones
+        # count, or letting the remainder exceed the lead's payload width,
+        # corrupts every frame >= 128 (12 s of 44.1 kHz audio): the decoder
+        # miscounts the ones, eats the blocksize byte, and CRC-8 fails.
         fn = frame_no
         if fn < 0x80:
             w.bits(fn, 8)
         else:
-            seq = []
-            while fn >= 0x40:
-                seq.append(0x80 | (fn & 0x3F))
-                fn >>= 6
-            nbytes = len(seq) + 1
-            lead = (0xFF << (8 - nbytes - 1)) & 0xFF | fn
-            w.bits(lead, 8)
-            for byte in reversed(seq):
-                w.bits(byte, 8)
+            nbytes = 2
+            while fn >= (1 << (5 * nbytes + 1)):
+                nbytes += 1
+            w.bits(((0xFF << (8 - nbytes)) & 0xFF) | (fn >> (6 * (nbytes - 1))), 8)
+            for i in range(nbytes - 2, -1, -1):
+                w.bits(0x80 | ((fn >> (6 * i)) & 0x3F), 8)
         w.bits(blocksize - 1, 16)
         w.align()
         hdr = bytes(w.out)
@@ -942,11 +993,13 @@ def decode_gif_pixels(payload: bytes | None):
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=1)
 def _zigzag_order():
     """The standard 8x8 zigzag as (row, col) pairs, generated from the
     diagonal-walk rule instead of a hardcoded table: diagonal s holds
     cells i + j = s; odd diagonals walk down-left (i ascending), even
-    ones up-right (i descending)."""
+    ones up-right (i descending). Cached: the table is constant and the
+    codec rebuilds it per payload in a mapInPandas hot path otherwise."""
     order = []
     for s in range(15):
         rng = range(max(0, s - 7), min(7, s) + 1)
@@ -955,14 +1008,17 @@ def _zigzag_order():
     return order
 
 
+@lru_cache(maxsize=1)
 def _dct_basis():
+    import math
+
     import numpy as np
 
     c = np.zeros((8, 8))
     for u in range(8):
         a = (1 / 8) ** 0.5 if u == 0 else (2 / 8) ** 0.5
         for x in range(8):
-            c[u, x] = a * __import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16)
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
     return c
 
 
@@ -1450,13 +1506,19 @@ def _decode_one(b: bytes):
     ingest) catch around THIS step only, so a featurizer regression still
     fails the task instead of silently quarantining a whole corpus."""
     # native-codec fast path when the libraries exist (pure decoders stay
-    # the fallback AND the oracle; see the fast-path block above)
-    samples = fast_decode_samples(b)
-    if samples is not None:
-        return "audio", samples
-    px = fast_decode_pixels(b)
-    if px is not None:
-        return "image", px
+    # the fallback AND the oracle), gated to the pure decoders' CONTAINER
+    # set so the lane split is environment-independent — see _pure_container.
+    # Residual caveat: a variant the pure decoder rejects inside a
+    # recognized container (progressive JPEG, 24-bit WAV) still decodes
+    # only on the fast path; pin SPARK_GRAFT_MEDIA_FAST=0 for strict
+    # cross-cluster reproducibility.
+    if _pure_container(b):
+        samples = fast_decode_samples(b)
+        if samples is not None:
+            return "audio", samples
+        px = fast_decode_pixels(b)
+        if px is not None:
+            return "image", px
     samples = decode_wav_samples(b)
     if samples is None:
         samples = decode_flac_samples(b)
@@ -1547,27 +1609,34 @@ def resize_images(
         if payload is None:
             return (None, None, None)
         b = bytes(payload)
-        px = decode_bmp_pixels(b)
-        if px is not None:
-            small = resize_image_pixels(px, out_w, out_h)
-            return (out_w, out_h, encode_bmp_pixels(small))
-        px = decode_png_pixels(b)
-        if px is not None:
-            # PNG in -> PNG out: the resampled thumbnail re-encodes in its
-            # own (stdlib-zlib) format, so downstream decode round-trips
-            small = resize_image_pixels(px, out_w, out_h)
-            return (out_w, out_h, encode_png_pixels(small))
-        px = decode_gif_pixels(b)
-        if px is not None:
-            # GIF thumbnails re-encode as PNG (lossless truecolor beats
-            # re-quantizing to a palette; this repo carries no GIF writer)
-            small = resize_image_pixels(px, out_w, out_h)
-            return (out_w, out_h, encode_png_pixels(small))
-        px = decode_jpeg_pixels(b)
-        if px is not None:
-            # JPEG in -> JPEG out (4:2:0, the thumbnail-standard layout)
-            small = resize_image_pixels(px, out_w, out_h)
-            return (out_w, out_h, encode_jpeg_pixels(small, subsample=True, quant=4))
+        try:
+            px = decode_bmp_pixels(b)
+            if px is not None:
+                small = resize_image_pixels(px, out_w, out_h)
+                return (out_w, out_h, encode_bmp_pixels(small))
+            px = decode_png_pixels(b)
+            if px is not None:
+                # PNG in -> PNG out: the resampled thumbnail re-encodes in its
+                # own (stdlib-zlib) format, so downstream decode round-trips
+                small = resize_image_pixels(px, out_w, out_h)
+                return (out_w, out_h, encode_png_pixels(small))
+            px = decode_gif_pixels(b)
+            if px is not None:
+                # GIF thumbnails re-encode as PNG (lossless truecolor beats
+                # re-quantizing to a palette; this repo carries no GIF writer)
+                small = resize_image_pixels(px, out_w, out_h)
+                return (out_w, out_h, encode_png_pixels(small))
+            px = decode_jpeg_pixels(b)
+            if px is not None:
+                # JPEG in -> JPEG out (4:2:0, the thumbnail-standard layout)
+                small = resize_image_pixels(px, out_w, out_h)
+                return (out_w, out_h, encode_jpeg_pixels(small, subsample=True, quant=4))
+        except MALFORMED_MEDIA_ERRORS:
+            # malformed-but-recognized bytes raise deterministically, so
+            # letting the exception escape would fail the task identically
+            # on every retry and wedge the whole thumbnail pass on ONE
+            # corrupt file — emit an all-NULL row (the quarantine taxonomy)
+            return (None, None, None)
         if deterministic_fake:
             return (None, None, bytes(payload))
         raise NotImplementedError(
@@ -1757,7 +1826,12 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000, overlap_ms: int =
     chunks with 1 s overlap by default); the per-chunk decode would hang
     off the exploded rows via :func:`extract_features`."""
     step = chunk_ms - overlap_ms
-    auds = media.filter(F.col("modality") == "audio")
+    # unknown (NULL) or zero duration -> no chunks: without the filter,
+    # greatest(NULL - 1, 0) = 0 fabricates a phantom first window for audio
+    # of unknown length (frame_sample_plan applies the same rule)
+    auds = media.filter(
+        (F.col("modality") == "audio") & F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+    )
     return auds.select(
         "media_id",
         F.explode(
@@ -1774,7 +1848,11 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video row into frame
     timestamps JVM-side (sequence+explode); the per-frame decode would hang
     off the exploded rows via :func:`extract_features`."""
-    vids = media.filter(F.col("modality") == "video")
+    # duration 0 would make sequence(0, -1, step) THROW and abort the whole
+    # job on one degenerate metadata row; NULL duration -> no frames
+    vids = media.filter(
+        (F.col("modality") == "video") & F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+    )
     return vids.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))).alias("frame_ts_ms"),
@@ -1810,7 +1888,10 @@ def transcode_wav_to_flac(media: DataFrame) -> DataFrame:
         if samples is None:
             return (b, len(b), len(b))
         ints = np.rint(samples * 32768.0).astype(np.int64).clip(-32768, 32767)
-        out = encode_flac_samples(ints, strategy="fixed")
+        # carry the SOURCE rate into STREAMINFO: defaulting to 44100 would
+        # permanently mislabel a 8/16 kHz speech corpus (wrong duration
+        # metadata, wrong playback pitch) even though samples are bit-exact
+        out = encode_flac_samples(ints, sample_rate=_wav_sample_rate(b), strategy="fixed")
         return (out, len(b), len(out))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

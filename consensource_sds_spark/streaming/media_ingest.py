@@ -24,8 +24,6 @@ decode exactly once per microbatch.
 from __future__ import annotations
 
 import os
-import struct
-import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -42,27 +40,19 @@ from pyspark.sql.types import (
 )
 
 from consensource_sds_spark.operators.multimodal import (
+    MALFORMED_MEDIA_ERRORS,
     _audio_features,
     _decode_one,
     _image_features,
 )
 
-#: every shape a malformed-but-sniffer-recognized payload can throw out of
-#: the pure decoders (truncated GIF descriptors and out-of-range PNG palette
-#: indexes raise IndexError; bad lengths ValueError; corrupt DEFLATE streams
-#: zlib.error; short fixed-layout headers struct.error).  A deterministic
-#: replay of the same bytes fails identically, so letting any of these
-#: escape the kernel wedges the stream permanently — they are quarantine
-#: rows, not task failures.
-_MALFORMED_PAYLOAD_ERRORS = (
-    NotImplementedError,
-    ValueError,
-    IndexError,
-    KeyError,
-    OverflowError,
-    struct.error,
-    zlib.error,
-)
+#: a deterministic replay of malformed bytes fails identically, so letting
+#: a decoder exception escape the kernel wedges the stream permanently —
+#: they are quarantine rows, not task failures. The malformed taxonomy
+#: itself lives with the decoders (multimodal.MALFORMED_MEDIA_ERRORS) so
+#: transform passes and this ingest can never disagree on it; foreign
+#: formats (NotImplementedError) quarantine here too.
+_MALFORMED_PAYLOAD_ERRORS = (NotImplementedError, *MALFORMED_MEDIA_ERRORS)
 
 #: file-stream schema for media drops (MEDIA_SCHEMA as DDL)
 MEDIA_STREAM_SCHEMA = (

@@ -904,3 +904,112 @@ class TestFastPathEquivalence:
         assert MM.fast_decode_samples(payload) is None
         feats = MM._features_one(payload, deterministic_fake=False)
         assert len(feats) == MM.FEATURE_DIM
+
+
+def _wav_pcm16(wave, rate=44100, ch=1):
+    pcm = wave.astype("<i2").tobytes()
+    return (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2 * ch).to_bytes(4, "little")
+        + (2 * ch).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+
+
+def test_flac_long_stream_multibyte_frame_numbers():
+    """Regression: the UTF-8 frame-number lead byte carried one extra
+    leading 1 bit, so every stream with frame_no >= 128 (12 s of 44.1 kHz
+    audio) was structurally corrupt — the decoder miscounted the ones,
+    consumed the blocksize byte, and CRC-8 failed (decode returned None,
+    silent archival data loss)."""
+    import numpy as np
+
+    n = 130 * 4096  # 130 frames: crosses the 1-byte (128) boundary
+    wave = ((np.arange(n) * 2654435761) % 4096 - 2048).astype(np.int64)[:, None]
+    enc = MM.encode_flac_samples(wave, strategy="fixed")
+    dec = MM.decode_flac_samples(enc)
+    assert dec is not None, "multi-byte frame numbers must decode"
+    assert np.array_equal(np.rint(dec * 32768.0).astype(np.int64), wave)
+
+
+def test_transcode_preserves_source_sample_rate():
+    """Regression: transcode hardcoded 44100 into STREAMINFO — a 16 kHz
+    speech WAV was archived with wrong rate and wrong duration metadata."""
+    import numpy as np
+
+    wave = (3000 * np.sin(np.arange(16_000) / 25)).astype(np.int64)[:, None]
+    wav = _wav_pcm16(wave, rate=16_000)
+    rate = MM._wav_sample_rate(wav)
+    assert rate == 16_000
+    enc = MM.encode_flac_samples(wave, sample_rate=rate)
+    fmt, ch, sr, bits, dur = MM.sniff_audio_meta(enc)
+    assert (fmt, sr) == ("flac", 16_000)
+    assert abs(dur - 1000) <= 1  # 16k samples at 16 kHz = 1000 ms
+
+
+def test_flac_encoder_rejects_more_than_8_channels():
+    """Regression: >8 channels silently aliased into a 1-channel header and
+    a garbage stereo decode (ch_code collided with decorrelation modes)."""
+    import numpy as np
+
+    import pytest
+
+    nine = np.zeros((100, 9), dtype=np.int64)
+    with pytest.raises(ValueError, match="1-8 channels"):
+        MM.encode_flac_samples(nine)
+
+
+def test_plans_skip_null_and_zero_duration(spark):
+    """Regression: duration_ms=0 made frame_sample_plan's sequence(0,-1)
+    throw (aborting the job on one degenerate row), and a NULL duration
+    fabricated a phantom first audio chunk via greatest(NULL-1, 0)=0."""
+    media = spark.createDataFrame(
+        [
+            (1, "video", None, "video/mp4", None, None, 0),
+            (2, "video", None, "video/mp4", None, None, None),
+            (3, "video", None, "video/mp4", None, None, 2500),
+            (4, "audio", None, "audio/wav", None, None, None),
+            (5, "audio", None, "audio/wav", None, None, 1000),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    frames = MM.frame_sample_plan(media, every_ms=1000).collect()
+    assert {r["media_id"] for r in frames} == {3}
+    chunks = MM.audio_chunk_plan(media).collect()
+    assert {r["media_id"] for r in chunks} == {5}
+
+
+def test_resize_quarantines_malformed_instead_of_failing(spark):
+    """Regression: a recognized-but-corrupt payload (PNG palette index past
+    the PLTE) raised out of resize's kernel — a deterministic task failure
+    wedging the whole pass; it must yield an all-NULL row instead."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00\x05\x05" + b"\x00\x05\x05"  # indexes past the 1-entry PLTE
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\xff\x00\x00")
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = __import__("numpy").arange(8 * 8 * 3, dtype="uint8").reshape(8, 8, 3)
+    good = MM.encode_png_pixels(px)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bad_png, "image/png", 2, 2, None),
+            (2, "image", good, "image/png", 8, 8, None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in MM.resize_images(media, 4, 4).collect()}
+    assert out[1]["payload"] is None and out[1]["width"] is None
+    assert out[2]["width"] == 4 and out[2]["payload"] is not None
