@@ -1910,7 +1910,9 @@ _SRP_DUCK = """
              / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
               * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) AS cosine
     FROM sig x JOIN sig y ON x.srp = y.srp AND x.vec_id < y.vec_id
-    WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+    WHERE sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+        * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v))) > 0
+      AND list_sum(list_transform(range(1, len(x.embedding) + 1),
                                   i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
           / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
            * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) > 0.2
@@ -1949,14 +1951,25 @@ def x47_srp_neardup(spark, sf_dir):
     )
 
 
-def winnow_fingerprint_hashes(d):
-    """x48's winnowing over ANY (doc_id, text) frame, reduced to the
-    distinct (doc_id, fp_hash) set — the postings the fingerprint INDEX
-    stores and the containment probes join on. Shared by the x48/x73
-    registry entries and the streaming ingest's standing fingerprint
-    index, so a streamed document fingerprints identically to its batch
-    twin."""
-    sh = d.select("doc_id", F.posexplode(TXT.shingles(F.col("text"), 3)).alias("pos0", "g"))
+def _winnow_selections(d):
+    """The ONE winnowing construction every consumer derives from — the
+    x48/x49/x73 registry entries and the streaming fingerprint index all
+    fingerprint through here, so a streamed document can never diverge
+    from its batch twin. Output: (doc_id, pos, sel) where sel packs
+    (hash * 2^20 + (2^20-1 - pos0)) so a window MIN implements min-hash
+    with rightmost tie-break in one pass.
+
+    Shingles are CAPPED at 2^20-1 per document IN-PLAN: past that the
+    packed position field (2^20-1 - pos0) goes negative and the borrow
+    silently corrupts fp_hash (hash-1) — a ~1M-token document would take
+    wrong fingerprints into the standing index and containment probes
+    would silently miss it. Chunk longer docs (x41) before
+    fingerprinting; the cap makes an unchunked giant safe, not fully
+    fingerprinted (tail beyond 2^20 shingles uncovered)."""
+    sh = d.select(
+        "doc_id",
+        F.posexplode(F.slice(TXT.shingles(F.col("text"), 3), 1, 1048575)).alias("pos0", "g"),
+    )
     enc = sh.select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
@@ -1966,9 +1979,15 @@ def winnow_fingerprint_hashes(d):
         ).alias("e"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    return enc.select("doc_id", "pos", F.min("e").over(w).alias("sel")).filter(F.col("pos") >= 4)
+
+
+def winnow_fingerprint_hashes(d):
+    """:func:`_winnow_selections` reduced to the distinct (doc_id, fp_hash)
+    set — the postings the fingerprint INDEX stores and the containment
+    probes join on."""
     return (
-        enc.select("doc_id", "pos", F.min("e").over(w).alias("sel"))
-        .filter(F.col("pos") >= 4)
+        _winnow_selections(d)
         .select("doc_id", (F.col("sel") / 1048576).cast("long").alias("fp_hash"))
         .distinct()
     )
@@ -1989,7 +2008,7 @@ def winnow_fingerprint_hashes(d):
       SELECT doc_id, pos,
              ('0x' || substr(md5(g), 1, 8))::BIGINT * 1048576
                + (1048575 - pos) AS e
-      FROM sh),
+      FROM sh WHERE pos <= 1048575),
     win AS (
       SELECT doc_id, pos,
              MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
@@ -2014,24 +2033,11 @@ def x48_winnowing(spark, sf_dir):
     rightmost tie-break in one window pass — no argmin self-join), one
     window over (doc_id, pos), one distinct. Scale: everything partitions
     by doc_id (the explode never shuffles across documents); the 2^52
-    encode bound caps docs at 2^20 shingles — chunk longer docs (x41's
-    chunker) before fingerprinting."""
-    d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.posexplode(TXT.shingles(F.col("text"), 3)).alias("pos0", "g")
-    )
-    enc = sh.select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        (
-            F.expr("cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint)") * 1048576
-            + (F.lit(1048575) - F.col("pos0") - 1)
-        ).alias("e"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    win = enc.select("doc_id", "pos", F.min("e").over(w).alias("sel"))
+    encode bound caps docs at 2^20-1 shingles, ENFORCED in-plan by
+    :func:`_winnow_selections` (the shared construction) — chunk longer
+    docs (x41's chunker) before fingerprinting."""
     return (
-        win.filter(F.col("pos") >= 4)
+        _winnow_selections(load(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             (F.lit(1048575) - F.col("sel") % 1048576).alias("fp_pos"),
@@ -2055,7 +2061,7 @@ def x48_winnowing(spark, sf_dir):
       SELECT doc_id, pos,
              ('0x' || substr(md5(g), 1, 8))::BIGINT * 1048576
                + (1048575 - pos) AS e
-      FROM sh),
+      FROM sh WHERE pos <= 1048575),
     win AS (
       SELECT doc_id, pos,
              MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
@@ -2094,7 +2100,7 @@ def x49_fingerprint_matches(spark, sf_dir):
     # x48 keys fingerprints by (doc_id, pos, hash); the index wants the
     # distinct hash SET per doc (a hash winnowed at two positions is one
     # posting, else shared counts double)
-    fps = x48_winnowing(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    fps = winnow_fingerprint_hashes(load(spark, sf_dir, "documents"))
     sized = fps.withColumn(
         "n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
@@ -2389,7 +2395,7 @@ def x53_pagerank(spark, sf_dir):
     WITH long AS (
       SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
       UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
-      UNION ALL SELECT 'l_shipmode', l_returnflag FROM lineitem),
+      UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem),
     counted AS (
       SELECT col, val, COUNT(*) AS n,
              ROW_NUMBER() OVER (PARTITION BY col ORDER BY COUNT(*) DESC, val) AS rk
@@ -2411,7 +2417,7 @@ def x54_column_profile(spark, sf_dir):
     long = (
         o.selectExpr("'o_orderstatus' AS col", "o_orderstatus AS val")
         .unionByName(o.selectExpr("'o_orderpriority' AS col", "o_orderpriority AS val"))
-        .unionByName(li.selectExpr("'l_shipmode' AS col", "l_returnflag AS val"))
+        .unionByName(li.selectExpr("'l_returnflag' AS col", "l_returnflag AS val"))
     )
     counted = long.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("col").orderBy(F.col("n").desc(), "val")
@@ -2820,12 +2826,12 @@ def x63_source_vocab_overlap(spark, sf_dir):
         .select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    sk = v.groupBy("source").agg(
-        F.expr("theta_sketch_agg(tok)").alias("sk"),
-        F.count_distinct("tok").alias("n"),
-    )
-    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"), F.col("n").alias("n_a"))
-    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"), F.col("n").alias("n_b"))
+    # NO count_distinct alongside the sketch: an exact distinct aggregate
+    # forces an Expand + shuffle of every distinct (source, tok) row — the
+    # exact pass the sketch exists to avoid — and its output was never used
+    sk = v.groupBy("source").agg(F.expr("theta_sketch_agg(tok)").alias("sk"))
+    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"))
     pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
     inter = F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").cast("long")
     union = F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").cast("long")
@@ -2972,6 +2978,8 @@ _X65_MAX_CLUSTER_ROWS = 20_000
            NOT EXISTS (
              SELECT 1 FROM e b
              WHERE b.label = a.label AND b.vec_id < a.vec_id
+               AND sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))) > 0
                AND list_sum(list_transform(range(1, len(a.embedding)+1),
                                            i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
                    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
@@ -3067,7 +3075,15 @@ def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3, max_cluster_rows: 
             & (F.col("sa") == F.col("sb"))
             & (F.col("vb") < F.col("va")),
         )
-        .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
+        .filter(
+            # when() evaluates the division only on a positive denominator:
+            # one all-zero embedding (empty doc) would otherwise abort the
+            # whole pass with ANSI DIVIDE_BY_ZERO; zero-norm is never near
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                dot / (F.col("na") * F.col("nb")) >= threshold,
+            ).otherwise(F.lit(False))
+        )
         .select(F.col("va").alias("vec_id"))
         .distinct()
     )
@@ -3120,20 +3136,12 @@ def x66_incremental_neardup_probe(spark, sf_dir):
     the band key the corpus side is shuffle-free, and candidate volume is
     bounded by the batch's bucket occupancy, never corpus x corpus. The
     exact-verify step is x04/x44 on the emitted pairs."""
-    sig = x02_minhash_signatures(spark, sf_dir)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))).getField("minhash"),
-            ).alias("band_val")
-        )
-        .withColumn(
-            "snap",
-            F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2"),
-        )
+    # banding via the ONE shared helper the standing streaming band index
+    # probes with (an inline copy here could silently drift from the index's
+    # bucket-key wire format)
+    bands = minhash_band_values(load(spark, sf_dir, "documents")).withColumn(
+        "snap",
+        F.expr("conv(substring(md5(CAST(doc_id AS string)), 1, 4), 16, 10) % 2"),
     )
     new = bands.filter(F.col("snap") == 1).select(
         F.col("doc_id").alias("new_doc_id"), "band", "band_val"
@@ -3306,12 +3314,21 @@ def x69_bloom_digest_probe(spark, sf_dir):
     # ~8 bits/doc (pow2-rounded): a deliberately TIGHT sizing so a few
     # false positives reach the clearing join at every scale factor — the
     # gate then proves FP-clearing, not just the all-miss fast path
+    # sizing count: in a real pipeline the standing digest index KNOWS its
+    # cardinality (table metadata); this demo's corpus is a derived split,
+    # so one count pays for the bitmap sizing
     n = corpus.count()
     bits = build_bits(corpus.select("digest"), "digest", m_bits=1 << max(11, (8 * max(n, 1)).bit_length()))
     hit = might_contain_col(spark, bits)
     # bloom misses are is_dup=false with NO join work; only candidates
-    # (true dups + FPs) reach the exact semi-join that settles them
-    screened = batch.withColumn("_hit", hit("digest"))
+    # (true dups + FPs) reach the exact semi-join that settles them.
+    # localCheckpoint materializes the screen ONCE: as a lazy plan the
+    # Arrow membership UDF would re-hash every batch digest a second time
+    # when the final left join re-evaluates this branch — and it lets the
+    # bitmap broadcast release NOW instead of pinning m/8 bytes on the
+    # executors until driver GC (the leak bloom.py warns about)
+    screened = batch.withColumn("_hit", hit("digest")).localCheckpoint()
+    hit.bloom_broadcast.unpersist()
     confirmed = (
         screened.filter(F.col("_hit"))
         .join(corpus.select("digest").distinct(), "digest", "left_semi")
