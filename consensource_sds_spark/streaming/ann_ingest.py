@@ -187,8 +187,24 @@ def _residual_expr(emb_col, cent_col):
     """x − c as array<double> — the by_residual frame (Jegou 2011 §IV.B;
     FAISS IndexIVFPQ's default). One expression shared by codebook
     training, ingest-time encode, and the probe's query-residual stage so
-    all three see the identical residual geometry."""
-    return F.zip_with(emb_col, cent_col, lambda x, y: x.cast("double") - y.cast("double"))
+    all three see the identical residual geometry.
+
+    Width-guarded per row: zip_with NULL-pads the shorter array, so an
+    under-width embedding (wrong encoder version) would come out exactly
+    centroid-width with a NULL-poisoned tail — downstream width checks
+    pass, the L2 folds go NULL, and max_by's tiebreaker writes garbage
+    code 0 for the whole batch with no error. Mismatches raise instead."""
+    res = F.zip_with(emb_col, cent_col, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.when(F.size(emb_col) == F.size(cent_col), res).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding width "),
+                F.size(emb_col).cast("string"),
+                F.lit(" does not match centroid width "),
+                F.size(cent_col).cast("string"),
+            )
+        )
+    )
 
 
 def _residuals(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -235,14 +251,16 @@ def train_pq_codebook(
     (m x k) codebook, one argmin max_by per (vec, s), one (s, code, dim)
     mean agg — linear in n, codebook-sized state only; the residual
     variant adds one broadcast centroid join in front."""
-    # dim from the RAW frame (residuals preserve width), and the residual
-    # frame checkpointed once — otherwise the k-way assignment cross-join
-    # re-executes for the seed build and every Lloyd iteration's asg/means
+    # dim from the RAW frame (residuals preserve width) and the m check
+    # BEFORE the residual build — a misconfigured m must not burn a full
+    # assignment cross-join pass just to produce an argument error. The
+    # residual frame is checkpointed once, otherwise the k-way assignment
+    # re-executes for the seed build and every Lloyd iteration's asg/means.
     dim = len(emb.select("embedding").first()["embedding"])
-    if centroids is not None:
-        emb = _residuals(emb, centroids).select("vec_id", "embedding").localCheckpoint()
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if centroids is not None:
+        emb = _residuals(emb, centroids).select("vec_id", "embedding").localCheckpoint()
     d = dim // m
     spaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
     sub = emb.select("vec_id", spaces, "embedding").select(
@@ -258,14 +276,7 @@ def train_pq_codebook(
     )
     cb = seeds.localCheckpoint()
     for _ in range(iters):
-        asg = (
-            sub.join(F.broadcast(cb), "s")
-            .withColumn("_d2", _l2(F.col("sv"), F.col("cw")))
-            .groupBy("vec_id", "s")
-            .agg(
-                F.max_by("code", F.struct((-F.col("_d2")).alias("_n"), (-F.col("code")).alias("_c"))).alias("code"),
-            )
-        )
+        asg = _nearest_code(sub, cb)
         means = (
             sub.join(asg, ["vec_id", "s"])
             .select("s", "code", F.posexplode("sv").alias("dim", "val"))
@@ -321,31 +332,48 @@ def load_pq_codebook(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(_pq_path(index_dir))
 
 
+def _nearest_code(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """argmin_code L2(sv, cw) per (vec_id, s), ties to the LOWER code —
+    the ONE assignment rule Lloyd training and encode share (codes
+    written under one tie rule and scored under another are garbage, the
+    geometry-mismatch class this module guards against everywhere)."""
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .withColumn("_d2", _l2(F.col("sv"), F.col("cw")))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.max_by("code", F.struct((-F.col("_d2")).alias("_n"), (-F.col("code")).alias("_c"))).alias("code"),
+        )
+    )
+
+
 def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, codes ARRAY<INT> in subspace order): nearest codeword per
     subspace by L2, ties to the lower code — x84's encode as a reusable
     frame function. One explode + broadcast join + argmin, linear."""
     first = codebook.select(F.max(F.size("cw")).alias("d"), F.max("s").alias("ms")).first()
     d, m = int(first["d"]), int(first["ms"]) + 1
-    # fail fast on geometry mismatch: element_at past the end is NULL
-    # (non-ANSI), which would fold to NULL distances and write silently
-    # GARBAGE codes — a whole mis-sized batch corrupted, not an error
-    head = emb.select(F.size("embedding").alias("w")).first()
-    if head is not None and int(head["w"]) != m * d:
-        raise ValueError(
-            f"embedding width {head['w']} does not match the codebook's m*d = {m}*{d}"
+    # geometry guard PER ROW, in-plan: under ANSI (this repo's Spark 4
+    # default) an unguarded element_at past a short row's end raises a
+    # bare INVALID_ARRAY_INDEX mid-write, an over-wide row would silently
+    # encode from its prefix, and the previous eager first()-row probe
+    # both missed every row after the first AND re-executed the upstream
+    # assignment lineage once per microbatch just to read one width
+    guarded = F.when(F.size("embedding") == m * d, F.col("embedding")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding width "),
+                F.size("embedding").cast("string"),
+                F.lit(f" does not match the codebook's m*d = {m}*{d}"),
+            )
         )
-    spaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
-    sub = emb.select("vec_id", spaces, "embedding").select(
-        "vec_id", "s", _subvec(F.col("embedding"), F.col("s"), d).alias("sv")
     )
-    asg = (
-        sub.join(F.broadcast(codebook.select("s", "code", F.expr("transform(cw, x -> CAST(x AS DOUBLE))").alias("cw"))), "s")
-        .withColumn("_d2", _l2(F.col("sv"), F.col("cw")))
-        .groupBy("vec_id", "s")
-        .agg(
-            F.max_by("code", F.struct((-F.col("_d2")).alias("_n"), (-F.col("code")).alias("_c"))).alias("code"),
-        )
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    sub = emb.select("vec_id", guarded.alias("embedding")).select(
+        "vec_id", spaces, "embedding"
+    ).select("vec_id", "s", _subvec(F.col("embedding"), F.col("s"), d).alias("sv"))
+    asg = _nearest_code(
+        sub, codebook.select("s", "code", F.expr("transform(cw, x -> CAST(x AS DOUBLE))").alias("cw"))
     )
     return asg.groupBy("vec_id").agg(
         F.array_sort(F.collect_list(F.struct("s", "code"))).getField("code").alias("codes")
@@ -562,7 +590,19 @@ def ingest_embedding_batch(
 
 def ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The standing index as a frame (cell/batch_id partition columns
-    included; ``_centroids`` is invisible to the scan)."""
+    included; ``_centroids`` is invisible to the scan).
+
+    A freshly initialized generation holds only underscore-prefixed
+    artifacts (``_centroids``, ``_GEN_DONE``, maybe ``_pq_codebook``) —
+    invisible to the parquet scan, so an unguarded read raises
+    UNABLE_TO_INFER_SCHEMA and every probe-family entry point would crash
+    before the first batch lands (describe_ann_index already guards this
+    exact state); return an empty, correctly-shaped frame instead."""
+    if not any(x.startswith("batch_id=") for x in os.listdir(index_dir)):
+        ddl = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, cell INT, batch_id INT"
+        if has_pq(index_dir):
+            ddl += ", codes ARRAY<INT>"
+        return spark.createDataFrame([], ddl)
     return spark.read.parquet(index_dir)
 
 

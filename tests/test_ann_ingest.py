@@ -973,3 +973,44 @@ def test_residual_retrain_stays_residual(spark, tmp_path):
     q = e.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
     rows_out = ann_probe_adc(spark, new_gen, q, k=5, nprobe=16).collect()
     assert len(rows_out) == 15
+
+
+def test_probe_on_empty_generation_returns_empty(spark, tmp_path):
+    """Regression: a freshly initialized generation holds only
+    underscore-prefixed artifacts, so every probe crashed with
+    UNABLE_TO_INFER_SCHEMA before the first batch landed; probes must
+    return empty results instead."""
+    d = str(tmp_path / "fresh")
+    e = _emb(spark)
+    init_ann_index(spark, d, train_centroids(spark, e, k=K_CELLS, iters=1))
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
+    assert ann_probe(spark, d, q, k=5, nprobe=2).count() == 0
+    assert ann_index(spark, d).count() == 0
+
+
+def test_mis_sized_embeddings_raise_not_corrupt(spark, tmp_path):
+    """Regression: (a) pq_encode checked only the FIRST row's width, so a
+    later mis-sized row silently encoded from its prefix or raised a bare
+    INVALID_ARRAY_INDEX; (b) in residual mode, zip_with NULL-padding made
+    an under-width embedding come out centroid-width with a NULL tail —
+    the width guard passed and the whole batch ingested garbage code 0.
+    Both must now raise a classifiable width error."""
+    from consensource_sds_spark.streaming.ann_ingest import init_pq, pq_encode, train_pq_codebook
+
+    e = _emb(spark)
+    # (a) plain PQ: good first row, short second row
+    cb = train_pq_codebook(spark, e, m=8, k=16, iters=0)
+    good = e.limit(1).select("vec_id", "embedding")
+    short = e.limit(2).filter("vec_id != %d" % good.first()["vec_id"]).select(
+        "vec_id", F.slice("embedding", 1, 60).alias("embedding")
+    )
+    with pytest.raises(Exception, match="embedding width"):
+        pq_encode(good.unionByName(short), cb).collect()
+    # (b) residual lane end-to-end: under-width batch into a residual index
+    d = str(tmp_path / "res_idx")
+    cent = train_centroids(spark, e, k=K_CELLS, iters=1)
+    init_ann_index(spark, d, cent)
+    init_pq(spark, d, train_pq_codebook(spark, e, m=8, k=16, iters=0, centroids=cent), by_residual=True)
+    bad_batch = e.limit(4).select("vec_id", F.slice("embedding", 1, 60).alias("embedding"), "label")
+    with pytest.raises(Exception, match="width"):
+        ingest_embedding_batch(spark, bad_batch, 0, d)
