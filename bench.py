@@ -70,7 +70,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # sf is informational: directory names that contain 'sf' without a
+    # trailing float (sf0.1-fixed, /mnt/sfdata/...) must fall back to the
+    # -1.0 sentinel, not kill the bench at startup
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0
+    try:
+        n_cpus = int(cpus)
+    except ValueError:
+        n_cpus = os.cpu_count() or 8  # '*' and friends are valid local[] specs
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -82,7 +92,7 @@ def main() -> None:
         # on single-digit-MB stats. The cluster profile is the opposite
         # (shuffle.partitions sized to data/128MB, AQE on for skew + runtime
         # broadcast) — see tests/conftest.py and the package docs.
-        .config("spark.sql.shuffle.partitions", str(max(4, int(cpus) // 4)))
+        .config("spark.sql.shuffle.partitions", str(max(4, n_cpus // 4)))
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.locality.wait", "0")
         # the generated-class cache defaults to 100 entries; 18 queries x
@@ -288,8 +298,12 @@ def _media_bench() -> dict:
     for fmt, (payload, pure_dec, fast_dec, backend) in cases.items():
         dec = pure_dec if backend == "pure" else fast_dec
         t0 = time.perf_counter()
-        assert dec(payload) is not None
+        # NOT inside an assert: python -O would strip the priming decode,
+        # making once~0 and reps explode to ~200k slow iterations
+        primed = dec(payload)
         once = time.perf_counter() - t0
+        if primed is None:
+            raise RuntimeError(f"{fmt}: bench payload failed to decode")
         reps = max(1, int(0.2 / max(once, 1e-6)))
         t0 = time.perf_counter()
         for _ in range(reps):

@@ -16,8 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import HEADLINE
 from consensource_sds_spark.queries import REGISTRY, all_queries
-
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+from consensource_sds_spark.sql import INPUT_TABLES as TABLES
 
 
 def main() -> None:

@@ -20,22 +20,21 @@ from __future__ import annotations
 
 import hashlib
 import importlib.util
-import json
 import sys
 import time
 from pathlib import Path
 
 import duckdb
-import numpy as np
 import pandas as pd
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from consensource_sds_spark.sql import INPUT_TABLES as TABLES  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
 
 
-def canon_hash(df: pd.DataFrame) -> tuple[str, int, str]:
+def _canon_rows(df: pd.DataFrame) -> tuple[list[str], str]:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -46,9 +45,14 @@ def canon_hash(df: pd.DataFrame) -> tuple[str, int, str]:
         else:
             df[c] = s.astype(str)
     rows = sorted(df.to_csv(index=False, header=False).splitlines())
-    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
     schema = ",".join(f"{c}:{df[c].dtype}" for c in df.columns)
-    return h, len(df), schema
+    return rows, schema
+
+
+def canon_hash(df: pd.DataFrame) -> tuple[str, int, str]:
+    rows, schema = _canon_rows(df)
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return h, len(rows), schema
 
 
 def main() -> int:
@@ -80,6 +84,12 @@ def main() -> int:
     print(f"entry(): OK ({n} rows)")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would print a false
+        # 'PASS: 0 failures' without running anything
+        print("ERROR: unknown query name(s):", ", ".join(sorted(unknown)))
+        return 2
     failures, t_all = [], time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
@@ -113,8 +123,11 @@ def main() -> int:
             print(f"  spark: rows={sn} schema={ss}")
             print(f"  duck : rows={dn} schema={ds}")
             if sn == dn and sn > 0:
-                a = sorted(spark_pdf[sorted(spark_pdf.columns)].astype(str).to_csv(index=False, header=False).splitlines())
-                b = sorted(duck_pdf[sorted(duck_pdf.columns)].astype(str).to_csv(index=False, header=False).splitlines())
+                # diff the SAME canonicalized rows the hash is built from:
+                # raw astype(str) frames flag float-repr artifacts
+                # (0.30000000000000004 vs 0.3) as the first diff row
+                a, _ = _canon_rows(spark_pdf)
+                b, _ = _canon_rows(duck_pdf)
                 for i, (x, y) in enumerate(zip(a, b)):
                     if x != y:
                         print(f"  first diff row {i}:\n    spark: {x[:200]}\n    duck : {y[:200]}")

@@ -15,9 +15,9 @@ import pandas as pd
 import pytest
 
 from consensource_sds_spark.queries import REGISTRY, all_queries
+from consensource_sds_spark.sql import INPUT_TABLES as TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 all_queries()  # populate REGISTRY
 
