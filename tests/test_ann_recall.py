@@ -237,3 +237,52 @@ def test_residual_ivfpq_above_chance(spark):
     got = {(r["qid"], r["did"]) for r in x86_ivfpq_residual_topk(spark, SF).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.04, f"residual IVFPQ recall@5 {recall:.2f} at chance level"
+
+
+def test_zero_norm_embeddings_never_abort_and_engines_agree(spark, tmp_path):
+    """Crafted-corpus differential pin for the zero-norm guards: an
+    all-zero embedding (an empty document is common in production) used
+    to abort x65/x47 with ANSI DIVIDE_BY_ZERO on the Spark side while
+    DuckDB yielded NaN — and NaN >= t is TRUE there, so the engines also
+    disagreed on the pair set. Both guards now say zero-norm is never
+    near, on both engines."""
+    import duckdb
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from consensource_sds_spark.queries import REGISTRY, all_queries
+    from consensource_sds_spark.queries.extensions import x47_srp_neardup, x65_semantic_dedup
+
+    all_queries()
+    # dim 64 like the real embeddings table: the SRP weight expressions
+    # project exactly 64 dimensions, so a shorter crafted vector would
+    # diverge between engines for reasons unrelated to this pin
+    zero = [0.0] * 64
+    e0 = [1.0] + [0.0] * 63
+    near = [0.9, 0.1] + [0.0] * 62
+    rows = [
+        (1, e0, 0),
+        (2, near, 0),  # near vec 1, same label
+        (3, zero, 0),  # zero-norm, same label as 1/2
+        (4, zero, 1),  # two zero vectors share any SRP bucket
+        (5, zero, 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    keep = {r["vec_id"]: r["keep"] for r in x65_semantic_dedup(spark, str(tmp_path)).collect()}
+    # vec 2 drops (near vec 1); the zero vectors are never near anything
+    assert keep == {1: True, 2: False, 3: True, 4: True, 5: True}
+    srp = x47_srp_neardup(spark, str(tmp_path)).collect()
+    assert all(r["vec_a"] not in (3, 4, 5) and r["vec_b"] not in (3, 4, 5) for r in srp)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'embeddings.parquet'}/*.parquet'"
+    )
+    want_keep = dict(
+        (vid, k) for vid, _lbl, k in con.execute(REGISTRY["x65_semantic_dedup"].oracle).fetchall()
+    )
+    assert want_keep == keep
+    want_srp = {(a, b) for a, b, _c in con.execute(REGISTRY["x47_srp_neardup"].oracle).fetchall()}
+    assert want_srp == {(r["vec_a"], r["vec_b"]) for r in srp}
+    con.close()
