@@ -99,3 +99,96 @@ def test_epoch_day_floor_division_pre_1970(spark, ddb):
     )
     for r in got:
         assert r["d"] == want[r["ts_us"]] == duck[r["ts_us"]], r
+
+
+def _events_view(spark, tmp_path, rows):
+    """Write a crafted events.parquet (testdata schema) and a DuckDB view
+    over it; returns the duckdb connection (caller closes)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}/*.parquet'"
+    )
+    return con
+
+
+def test_asof_tied_clicks_deterministic_on_both_engines(spark, tmp_path):
+    """Crafted-events pin for q48's tie rule: two clicks by one user at the
+    IDENTICAL timestamp before a purchase. DuckDB's bare ASOF JOIN picks an
+    arbitrary equal-ts row, so the oracle collapses ties to MAX(event_id)
+    — which is exactly what the Spark plan's ascending last() carries; the
+    testdata has no tied (user_id, ts) pairs, so only a crafted corpus
+    exercises this."""
+    from datetime import datetime, timezone
+
+    from consensource_sds_spark.queries.relational import q48_asof_join
+
+    def t(s):
+        return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        (1, t(10), 7, "click", 1.0, None),
+        (2, t(10), 7, "click", 1.0, None),  # tied with event 1
+        (3, t(20), 7, "purchase", 5.0, None),
+        (4, t(5), 8, "click", 1.0, None),   # control user
+        (5, t(6), 8, "purchase", 2.0, None),
+    ]
+    con = _events_view(spark, tmp_path, rows)
+    got = {
+        r["purchase_id"]: r["click_id"] for r in q48_asof_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {3: 2, 5: 4}  # the tied pair resolves to MAX event_id
+    want = {a: b for a, _u, _pt, b, _ct in con.execute(REGISTRY["q48_asof_join"].oracle).fetchall()}
+    con.close()
+    assert want == got
+
+
+def test_session_ties_split_identically_on_both_engines(spark, tmp_path):
+    """Crafted-events pin for q51/q77's running-sum tiebreak: a user with
+    two events at one timestamp where the FIRST tied row opens a new
+    session. Without the event_id tiebreak the tied rows could land in
+    different sessions depending on engine/run order."""
+    from datetime import datetime, timezone
+
+    from consensource_sds_spark.queries.relational import q51_sessionize_batch
+
+    def t(s):
+        return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        (1, t(0), 7, "click", 1.0, None),
+        # 40 min gap -> new session opens at the TIED pair
+        (2, t(2400), 7, "click", 1.0, None),
+        (3, t(2400), 7, "view", 2.0, None),
+        (4, t(2500), 7, "click", 1.0, None),
+    ]
+    con = _events_view(spark, tmp_path, rows)
+    got = sorted(
+        (r["session_idx"], r["n_events"]) for r in q51_sessionize_batch(spark, str(tmp_path)).collect()
+    )
+    assert got == [(0, 1), (1, 3)]  # both tied rows in the SAME new session
+    want = sorted(
+        (idx, n)
+        for _u, idx, _s, _e, n, _v in con.execute(REGISTRY["q51_sessionize_batch"].oracle).fetchall()
+    )
+    con.close()
+    assert want == got
