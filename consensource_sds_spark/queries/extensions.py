@@ -3885,6 +3885,23 @@ def _bpe_apply_oracle(n_merges: int = _BPE_N_MERGES) -> str:
     GROUP BY doc_id"""
 
 
+def _bpe_token_count_per_word(words, merges):
+    """(w, tok) over the DISTINCT words of ``words``: apply the learned
+    merge table (compiled to a nested JVM replace over the doubled-sentinel
+    segmentation) and count non-empty tokens — the ONE apply-side
+    construction x75 and x81 share, so the merge-pattern wire format
+    ('\\x01' + lhs + SEP + rhs + '\\x01') lives in a single place."""
+    seg = _bpe_seg_expr("w")
+    for _rank, lhs, rhs, _cnt in merges:
+        seg = F.replace(
+            seg,
+            F.lit("\x01" + lhs + _BPE_SEP + rhs + "\x01"),
+            F.lit("\x01" + lhs + rhs + "\x01"),
+        )
+    tok = F.size(F.filter(F.split(seg, _BPE_SEP), lambda x: x != F.lit("")))
+    return words.select("w").distinct().select("w", tok.alias("tok"))
+
+
 @register("x75_bpe_tokenize", oracle=_bpe_apply_oracle())
 def x75_bpe_tokenize(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     """BPE APPLY — the other half of the tokenizer lifecycle: train the
@@ -3904,15 +3921,7 @@ def x75_bpe_tokenize(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     d = load(spark, sf_dir, "documents")
     merges = _bpe_train_merges(spark, d, n_merges)
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    seg = _bpe_seg_expr("w")
-    for _rank, lhs, rhs, _cnt in merges:
-        seg = F.replace(
-            seg,
-            F.lit("\x01" + lhs + _BPE_SEP + rhs + "\x01"),
-            F.lit("\x01" + lhs + rhs + "\x01"),
-        )
-    tok = F.size(F.filter(F.split(seg, _BPE_SEP), lambda x: x != F.lit("")))
-    wt = words.select("w").distinct().select("w", tok.alias("tok"))
+    wt = _bpe_token_count_per_word(words, merges)
     return (
         words.join(wt, "w")
         .groupBy("doc_id")
@@ -4092,7 +4101,8 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
     WITH mm AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
     b AS (
       SELECT source,
-             CAST(LEAST(63, ((n_chars - mn) * 64) // (mx - mn + 1)) AS INT) AS bin
+             CAST(LEAST(63, ((CAST(n_chars AS BIGINT) - mn) * 64)
+                            // (CAST(mx AS BIGINT) - mn + 1)) AS INT) AS bin
       FROM documents, mm),
     c AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY source, bin),
     merged AS (SELECT 'ALL' AS source, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM c GROUP BY bin),
@@ -4133,7 +4143,9 @@ def x78_histogram_quantile_rollup(spark, sf_dir):
         "source",
         F.least(
             F.lit(63).cast("long"),
-            F.expr("((n_chars - mn) * 64) DIV (mx - mn + 1)"),
+            # bigint arithmetic: n_chars is int32, and (n_chars - mn) * 64
+            # overflows (ANSI abort) past ~33.5M-char documents
+            F.expr("((CAST(n_chars AS BIGINT) - mn) * 64) DIV (CAST(mx AS BIGINT) - mn + 1)"),
         )
         .cast("int")
         .alias("bin"),
@@ -4187,8 +4199,10 @@ def x78_histogram_quantile_rollup(spark, sf_dir):
              SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
       FROM terms GROUP BY source)
     SELECT source, n_terms,
-           ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE)
-                 / CAST(n_terms * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+           CASE WHEN n_terms >= 2 THEN
+             ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                   / NULLIF(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0), 4)
+           END AS zipf_slope
     FROM s
     """,
 )
@@ -4232,10 +4246,19 @@ def x79_zipf_fit(spark, sf_dir):
     return s.select(
         "source",
         "n_terms",
-        F.round(
-            (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
-            4,
+        # a slope needs >= 2 ranked terms: one distinct token per source
+        # (pure template spam — the pathology x79 exists to flag) zeroed
+        # the denominator and ABORTED the query under ANSI; NULL instead
+        F.when(
+            F.col("n_terms") >= 2,
+            F.round(
+                (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.nullif(
+                    (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ),
         ).alias("zipf_slope"),
     )
 
@@ -4414,15 +4437,7 @@ def x81_token_fertility_by_lang(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     d = load(spark, sf_dir, "documents")
     merges = _bpe_train_merges(spark, d, n_merges)
     words = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
-    seg = _bpe_seg_expr("w")
-    for _rank, lhs, rhs, _cnt in merges:
-        seg = F.replace(
-            seg,
-            F.lit("\x01" + lhs + _BPE_SEP + rhs + "\x01"),
-            F.lit("\x01" + lhs + rhs + "\x01"),
-        )
-    tok = F.size(F.filter(F.split(seg, _BPE_SEP), lambda x: x != F.lit("")))
-    wt = words.select("w").distinct().select("w", tok.alias("tok"))
+    wt = _bpe_token_count_per_word(words, merges)
     return (
         words.join(wt, "w")
         .groupBy("lang")
@@ -4455,8 +4470,9 @@ def x81_token_fertility_by_lang(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
              sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
       FROM embeddings e JOIN cent USING (label)),
     r AS (
-      SELECT vec_id, label, dot / (en * cn) AS c,
-             ROW_NUMBER() OVER (PARTITION BY label ORDER BY dot / (en * cn) ASC, vec_id) AS rn,
+      SELECT vec_id, label, dot / NULLIF(en * cn, 0) AS c,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dot / NULLIF(en * cn, 0) ASC NULLS FIRST, vec_id) AS rn,
              COUNT(*) OVER (PARTITION BY label) AS n
       FROM sc)
     SELECT vec_id, label, ROUND(c, 6) AS centroid_cos,
@@ -4512,8 +4528,14 @@ def x82_centroid_outlier_prune(spark, sf_dir):
         "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS double) * x)) AS en",
         "sqrt(aggregate(ce, 0D, (acc, x) -> acc + x * x)) AS cn",
     )
-    c = F.col("dot") / (F.col("en") * F.col("cn"))
-    w = Window.partitionBy("label").orderBy(c.asc(), F.asc("vec_id"))
+    # zero-norm guard (the x65/x47 rule): an all-zero embedding has no
+    # direction — cosine is NULL, never an ANSI DIVIDE_BY_ZERO abort; it
+    # ranks FIRST (most outlier), pinned by an explicit NULLS FIRST on
+    # both engines (Spark asc defaults nulls-first, DuckDB nulls-LAST)
+    c = F.when(
+        (F.col("en") > 0) & (F.col("cn") > 0), F.col("dot") / (F.col("en") * F.col("cn"))
+    )
+    w = Window.partitionBy("label").orderBy(c.asc_nulls_first(), F.asc("vec_id"))
     wn = Window.partitionBy("label")
     return (
         sc.withColumn("rn", F.row_number().over(w))
@@ -4653,7 +4675,11 @@ def _pq_adc_rank(enc, qd, cand=None, k: int = 5):
     first (x85's cell pruning)."""
     adc = enc.join(F.broadcast(qd), ["s", "code"])
     if cand is not None:
-        adc = adc.join(F.broadcast(cand), ["qid", "did"], "left_semi")
+        # NO broadcast hint: cand is IVF-candidate-sized (~nprobe/ncells of
+        # the database per query) — database-scale at the deployment size
+        # this family advertises, so hinting it hard-codes an executor OOM;
+        # a plain left_semi lets the planner size the build at runtime
+        adc = adc.join(cand, ["qid", "did"], "left_semi")
     adc = adc.groupBy("qid", "did").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("s", "d2"))),
@@ -5244,8 +5270,10 @@ def x89_bigram_lm_score(spark, sf_dir):
              SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
       FROM pts GROUP BY source)
     SELECT source, n_points,
-           ROUND(CAST(n_points * sxy - sx * sy AS DOUBLE)
-                 / CAST(n_points * sxx - sx * sx AS DOUBLE), 4) AS heaps_beta
+           CASE WHEN n_points >= 2 THEN
+             ROUND(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                   / NULLIF(CAST(n_points * sxx - sx * sx AS DOUBLE), 0), 4)
+           END AS heaps_beta
     FROM s
     """,
 )
@@ -5299,10 +5327,21 @@ def x90_heaps_vocab_growth(spark, sf_dir):
     return s.select(
         "source",
         "n_points",
-        F.round(
-            (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
-            4,
+        # a slope needs >= 2 points: a single-document source (stuck
+        # crawler — exactly what this diagnostic targets) previously
+        # ABORTED under ANSI (double 0/0), and with only decimal-truncation
+        # noise in the denominator the two engines disagree on the
+        # meaningless 1-point value — NULL by construction on both
+        F.when(
+            F.col("n_points") >= 2,
+            F.round(
+                (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.nullif(
+                    (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ),
         ).alias("heaps_beta"),
     )
 

@@ -285,4 +285,23 @@ def test_zero_norm_embeddings_never_abort_and_engines_agree(spark, tmp_path):
     assert want_keep == keep
     want_srp = {(a, b) for a, b, _c in con.execute(REGISTRY["x47_srp_neardup"].oracle).fetchall()}
     assert want_srp == {(r["vec_a"], r["vec_b"]) for r in srp}
+
+    # x82: zero-norm vectors get NULL centroid_cos and rank FIRST (most
+    # outlier) identically on both engines (Spark nulls-first asc is the
+    # default; the oracle pins NULLS FIRST explicitly — DuckDB's default
+    # is nulls-last)
+    from consensource_sds_spark.queries.extensions import x82_centroid_outlier_prune
+
+    got82 = {
+        r["vec_id"]: (r["centroid_cos"], r["pruned"])
+        for r in x82_centroid_outlier_prune(spark, str(tmp_path)).collect()
+    }
+    assert got82[3][0] is None and got82[3][1] is True  # zero vector = top outlier
+    want82 = {
+        vid: (c, p)
+        for vid, _lbl, c, p in con.execute(
+            REGISTRY["x82_centroid_outlier_prune"].oracle
+        ).fetchall()
+    }
+    assert {k: (v[0], v[1]) for k, v in want82.items()} == got82
     con.close()

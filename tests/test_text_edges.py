@@ -191,3 +191,52 @@ def test_simhash_long_document_no_overflow(spark, tmp_path):
     want = dict(con.execute(REGISTRY["x05_simhash"].oracle).fetchall())
     con.close()
     assert got == want
+
+
+def test_degenerate_regression_sources_yield_null_not_abort(spark, tmp_path):
+    """Crafted-corpus pin for the x79/x90 slope guards: a source with one
+    distinct token (pure template spam) and a source with one document (a
+    stuck crawler) zero the least-squares denominator — previously an ANSI
+    DIVIDE_BY_ZERO abort of the whole query on Spark and a NaN on DuckDB
+    (engines disagreeing); both now yield NULL on both engines."""
+    import math
+
+    import duckdb
+
+    from consensource_sds_spark.queries import REGISTRY, all_queries
+    from consensource_sds_spark.queries.extensions import x79_zipf_fit, x90_heaps_vocab_growth
+
+    all_queries()
+    rows = [
+        # 'spam': every doc repeats ONE token -> 1 distinct term, x79 denom 0
+        (1, "buy buy buy buy", "en", "spam", 0),
+        (2, "buy buy", "en", "spam", 0),
+        # 'stuck': a single document -> 1 regression point, x90 denom 0
+        (3, "only one page was ever crawled here", "en", "stuck", 0),
+        # 'ok': healthy control source
+        (4, "alpha beta gamma delta epsilon zeta", "en", "ok", 0),
+        (5, "alpha beta alpha gamma alpha delta", "en", "ok", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}/*.parquet'"
+    )
+
+    def canon(v):
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else round(v, 4)
+
+    got79 = {r["source"]: canon(r["zipf_slope"]) for r in x79_zipf_fit(spark, str(tmp_path)).collect()}
+    want79 = {s: canon(v) for s, _n, v in con.execute(REGISTRY["x79_zipf_fit"].oracle).fetchall()}
+    assert got79["spam"] is None and got79["ok"] is not None
+    assert got79 == want79
+    got90 = {
+        r["source"]: canon(r["heaps_beta"]) for r in x90_heaps_vocab_growth(spark, str(tmp_path)).collect()
+    }
+    want90 = {s: canon(v) for s, _n, v in con.execute(REGISTRY["x90_heaps_vocab_growth"].oracle).fetchall()}
+    con.close()
+    assert got90["stuck"] is None and got90["ok"] is not None
+    assert got90 == want90
