@@ -53,6 +53,15 @@ EVENT = _s(
 #: event_handler.rs:105-110). change_type in {'SET','DELETE','TYPE_UNSET'}.
 STATE_CHANGE = _s(_f("address", S), _f("value", B), _f("change_type", S))
 
+
+def event_envelope_schema() -> StructType:
+    """EVENT + ``delivery_id`` — the microbatch/stream envelope shape
+    produced by fixtures.events_df, the validator source, and consumed by
+    the streaming runner. Built FRESH per call (StructType.add mutates in
+    place, so a shared module-level instance is a mutation hazard);
+    defined once so the three consumers cannot drift."""
+    return StructType(EVENT.fields + [_f("delivery_id", L, False)])
+
 # ---------------------------------------------------------------------------
 # Decoded entity structs (field lists: event_handler.rs:209-437)
 # Proto enums arrive as their wire *numbers* (LongType); the JVM-side
@@ -138,8 +147,9 @@ ENTITY_SCHEMAS = {
 
 # ---------------------------------------------------------------------------
 # Output: reporting tables (database::models::*, event_handler.rs:209-437;
-# column lists per /root/repo/FIXTURES.md §3). Every table carries the SCD2
-# pair (start_block_num, end_block_num).
+# column lists per /root/repo/FIXTURES.md §3). Every SINK_TABLES entry
+# carries the SCD2 pair (start_block_num, end_block_num); BLOCKS_TABLE is
+# deliberately a plain block log (no versioning) and is not in SINK_TABLES.
 # ---------------------------------------------------------------------------
 
 _SCD2 = (_f("start_block_num", L, False), _f("end_block_num", L, False))

@@ -11,7 +11,7 @@ rows matching schemas.EVENT, the same wire shape the ZMQ subscriber receives
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StructField, StructType
+
 
 from consensource_sds_spark import schemas
 from consensource_sds_spark.addressing import make_address
@@ -175,6 +175,4 @@ def events_df(spark: SparkSession, deliveries: list[list[dict]]) -> DataFrame:
             rows.append(
                 (e["event_type"], [(a["key"], a["value"]) for a in e["attributes"]], e["data"], e["batch_ord"], did)
             )
-    # StructType.add mutates in place — build a fresh copy each call.
-    schema = StructType(schemas.EVENT.fields + [StructField("delivery_id", LongType(), False)])
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schemas.event_envelope_schema())

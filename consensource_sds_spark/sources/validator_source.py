@@ -47,10 +47,10 @@ from consensource_sds_spark.codec import decode_message
 FORMAT_NAME = "sds_validator"
 ENVELOPE_EXT = ".evl"
 
-#: EVENT envelope + delivery_id, the shape fixtures.events_df produces
-STREAM_SCHEMA = StructType(
-    schemas.EVENT.fields + [StructField("delivery_id", LongType(), False)]
-)
+#: EVENT envelope + delivery_id, the shape fixtures.events_df produces —
+#: one shared definition (schemas.event_envelope_schema) so the source,
+#: the fixtures, and the streaming runner cannot drift
+STREAM_SCHEMA = schemas.event_envelope_schema()
 
 
 def spool_path(directory: str, seq: int, block_num: int) -> str:

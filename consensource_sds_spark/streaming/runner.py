@@ -100,12 +100,7 @@ def run_file_stream(
             store.maybe_compact()
 
     reader = (
-        spark.readStream.schema(
-            schemas.StructType(
-                schemas.EVENT.fields
-                + [schemas.StructField("delivery_id", schemas.LongType(), False)]
-            )
-        )
+        spark.readStream.schema(schemas.event_envelope_schema())
         .option("maxFilesPerTrigger", "16")
         .parquet(source_dir)
     )

@@ -214,3 +214,69 @@ def test_files_per_shard_raises_write_parallelism(spark, tmp_path):
     train0 = os.path.join(many, "split=train", "shard_id=0")
     files = [f for f in os.listdir(train0) if f.endswith(".parquet")]
     assert len(files) > 1
+
+
+def test_duplicated_content_keeps_one_copy(spark, tmp_path):
+    """Regression: with the scrub BEFORE exact dedup, byte-exact duplicate
+    docs shared every chunk, so the boilerplate scrub emptied ALL copies
+    and the corpus kept ZERO copies of that content (C4 keeps one). Exact
+    dedup now runs first on the raw text: exactly one full copy survives."""
+    body = " ".join(f"unique{i}" for i in range(40))
+    other = " ".join(f"filler{i}" for i in range(40))
+    rows = [
+        (1, body, "en", "a", len(body)),
+        (2, body, "en", "a", len(body)),   # byte-exact duplicate
+        (3, body, "en", "b", len(body)),   # and a third copy
+        (4, other, "en", "b", len(other)), # unrelated control
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    stats = build_training_corpus(spark, sf, out, domain_cap=50, n_shards=2)
+    surv = spark.read.parquet(out)
+    kept = {r["doc_id"]: r["text"] for r in surv.collect()}
+    # one copy of the duplicated content survives, with its text INTACT
+    assert 1 in kept and kept[1] == body
+    assert 2 not in kept and 3 not in kept
+    assert 4 in kept and kept[4] == other
+    dropped = {(r["stage"], r["reason"]): r["n_dropped"] for r in stats.collect()}
+    assert dropped[("exact_dedup", "exact_dedup")] == 2
+    assert len(kept) + sum(dropped.values()) == 4
+
+
+def test_null_text_doc_attributed_malformed_not_lost(spark, tmp_path):
+    """Regression: a NULL-text doc produced no scrub row and the inner
+    join deleted it BEFORE the filter could stamp 'malformed' — the audit
+    conservation (kept + dropped == total) silently broke. It must now be
+    attributed, and conservation must hold."""
+    good = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, good, "en", "a", len(good)),
+        (2, None, "en", "a", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "corpus")
+    stats = build_training_corpus(spark, sf, out, domain_cap=50, n_shards=2)
+    dropped = {(r["stage"], r["reason"]): r["n_dropped"] for r in stats.collect()}
+    n_kept = spark.read.parquet(out).count()
+    assert n_kept + sum(dropped.values()) == 2
+    assert dropped.get(("filter", "malformed")) == 1
+
+
+def test_gopher_rules_without_gate_raises(spark, tmp_path):
+    """Regression: gopher_rules with gopher_gate=False was silently
+    ignored — the corpus shipped ungated while the caller believed the
+    rules applied."""
+    import pytest
+
+    with pytest.raises(ValueError, match="gopher_gate"):
+        build_training_corpus(
+            spark, SF, str(tmp_path / "c"), gopher_rules=("word_count",)
+        )
