@@ -298,62 +298,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks a 50-slot window of the registry in
 # iteration order, rotating across rounds. This tuple is the FULL registry
 # ordered by staleness of driver signal (oldest CORRECTNESS round first,
-# that round's file order within): r8's window = the pipeline demo (leads
-# via __spark_entry__.queries()) + the 27 r4-stale entries (q65-q79 band,
-# x01-x08 dedup family, x25/x26/x44/x60) + the 22 stalest r5 rows —
-# disjoint from r7's window. Regenerate per round from the
-# CORRECTNESS_r0*.json files (staleness = latest round whose file contains
-# the entry; never-checked entries would lead).
+# that round's file order within): r9's window = the pipeline demo (leads
+# via __spark_entry__.queries()) + the 28 r5-stale entries (the x24-x56
+# analysis band) + the 21 stalest r6 rows (BPE pair counts, inverted
+# index, bloom probe, ANN topk, q92/q93 analytics, x71-x73, and the head
+# of the q01-q23 relational block) — disjoint from r8's window except the
+# demo. Regenerate per round from the CORRECTNESS_r0*.json files
+# (staleness = latest round whose file contains the entry; never-checked
+# entries would lead).
 _GATE_PRIORITY: tuple[str, ...] = (
-    'q65_multiset_ops',
-    'q66_string_agg',
-    'q67_conditional_agg',
-    'q68_lateral_topn',
-    'q69_histogram',
-    'q70_bool_bit_aggs',
-    'q71_range_frame',
-    'q72_grouping_id',
-    'q73_regression_aggs',
-    'q74_fuzzy_join',
-    'q75_unpivot',
-    'q76_map_funcs',
-    'q77_session_window_fn',
-    'q78_dormant_accounts',
-    'q79_forward_fill',
-    'x60_rendezvous_resharding',
-    'x01_dedup_exact',
-    'x02_minhash_signatures',
-    'x03_minhash_lsh_pairs',
-    'x44_minhash_jaccard_estimate',
-    'x04_ngram_jaccard_pairs',
-    'x05_simhash',
-    'x07_simhash_neardup',
-    'x25_dataset_split',
-    'x26_stratified_sample',
-    'x06_dedup_clusters',
-    'x08_dedup_apply',
-    'q90_cohort_retention',
-    'q91_funnel_conversion',
-    'x66_incremental_neardup_probe',
-    'x64_boilerplate_scrub',
-    'x65_semantic_dedup',
-    'q82_returned_items',
-    'q83_volume_shipping',
-    'q84_market_share',
-    'q85_product_profit',
-    'q86_value_concentration',
-    'q87_parts_supplier_count',
-    'q88_waiting_suppliers',
-    'q89_potential_promotion',
-    'x10_cosine_topk',
-    'x11_ivf_assign',
-    'x12_embedding_neardup',
-    'x13_ivf_neardup',
-    'x14_multiprobe_ivf',
-    'x20_token_stats',
-    'x21_quality_score',
-    'x22_lang_id',
-    'x23_fingerprint',
     'x24_source_lang_profile',
     'x27_sequence_packing',
     'x28_top_bigrams',
@@ -481,6 +434,55 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'q62_gap_fill',
     'q63_stat_aggs',
     'q64_posexplode_ordinality',
+    'q65_multiset_ops',
+    'q66_string_agg',
+    'q67_conditional_agg',
+    'q68_lateral_topn',
+    'q69_histogram',
+    'q70_bool_bit_aggs',
+    'q71_range_frame',
+    'q72_grouping_id',
+    'q73_regression_aggs',
+    'q74_fuzzy_join',
+    'q75_unpivot',
+    'q76_map_funcs',
+    'q77_session_window_fn',
+    'q78_dormant_accounts',
+    'q79_forward_fill',
+    'x60_rendezvous_resharding',
+    'x01_dedup_exact',
+    'x02_minhash_signatures',
+    'x03_minhash_lsh_pairs',
+    'x44_minhash_jaccard_estimate',
+    'x04_ngram_jaccard_pairs',
+    'x05_simhash',
+    'x07_simhash_neardup',
+    'x25_dataset_split',
+    'x26_stratified_sample',
+    'x06_dedup_clusters',
+    'x08_dedup_apply',
+    'q90_cohort_retention',
+    'q91_funnel_conversion',
+    'x66_incremental_neardup_probe',
+    'x64_boilerplate_scrub',
+    'x65_semantic_dedup',
+    'q82_returned_items',
+    'q83_volume_shipping',
+    'q84_market_share',
+    'q85_product_profit',
+    'q86_value_concentration',
+    'q87_parts_supplier_count',
+    'q88_waiting_suppliers',
+    'q89_potential_promotion',
+    'x10_cosine_topk',
+    'x11_ivf_assign',
+    'x12_embedding_neardup',
+    'x13_ivf_neardup',
+    'x14_multiprobe_ivf',
+    'x20_token_stats',
+    'x21_quality_score',
+    'x22_lang_id',
+    'x23_fingerprint',
 )
 
 
