@@ -177,7 +177,7 @@ def _headline_line(detail: dict, timings: dict, cold: dict, sf, total: float) ->
     this guards against). Pinned by tests/test_bench_headline.py."""
     scaling = detail["scaling"]
     # the deep-scale sub-block's key follows the configured factor
-    # (SPARK_GRAFT_SCALING_SUBSTRING, default 30) — match it dynamically so
+    # (SPARK_GRAFT_SCALING_DEEP, default 30) — match it dynamically so
     # a non-default run still lands its ratio in the headline
     sub_key = (
         next((k for k in scaling if k.startswith("factor") and k != "factor"), None)
@@ -200,8 +200,8 @@ def _headline_line(detail: dict, timings: dict, cold: dict, sf, total: float) ->
         "scaling_max_ratio": (
             max(s["ratio"] for s in scaling["stages"].values()) if scaling else None
         ),
-        "substring_deep_factor": scaling[sub_key]["factor"] if sub_key else None,
-        "substring_deep_max_ratio": (
+        "deep_scale_factor": scaling[sub_key]["factor"] if sub_key else None,
+        "deep_scale_max_ratio": (
             max(s["ratio"] for s in scaling[sub_key]["stages"].values()) if sub_key else None
         ),
         "detail_file": "BENCH_DETAIL.json",
@@ -332,13 +332,14 @@ def _scaling_bench(spark) -> dict | None:
     from consensource_sds_spark.scaling import measure_scaling
 
     factor = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "10"))
-    # the substring family gets a second, deeper scale point (default 30x,
-    # SPARK_GRAFT_SCALING_SUBSTRING=0 disables) — the heaviest stages are
-    # the ones most likely to curve past the first decade
-    sub = int(os.environ.get("SPARK_GRAFT_SCALING_SUBSTRING", "30"))
+    # the steepest stages (substring family, SimHash banding, batched BPE
+    # trainer) get a second, deeper scale point (default 30x,
+    # SPARK_GRAFT_SCALING_DEEP=0 disables) — they are the ones most
+    # likely to curve past the first decade
+    sub = int(os.environ.get("SPARK_GRAFT_SCALING_DEEP", "30"))
     return measure_scaling(
         spark, base_docs=5_000, base_vectors=2_000, factor=factor,
-        substring_factor=sub or None,
+        deep_factor=sub or None,
     )
 
 

@@ -69,13 +69,19 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-#: the substring family — the two heaviest scaling stages (stride-1
-#: window relations are the honest linear cost of EXACT matching, r7's
-#: worst ratio at 9.0x/10x) and therefore the most likely to CURVE past
-#: the first measured decade; they alone get a second, deeper scale point.
-SUBSTRING_QUERIES = (
+#: the deep-scale set — the stages whose measured 10x exponent runs
+#: closest to linear-in-pairs rather than linear-in-bytes, and therefore
+#: the most likely to CURVE past the first measured decade: the substring
+#: family (stride-1 window relations, the honest linear cost of EXACT
+#: matching — r7's worst 10x ratio at 9.0), and SimHash banding (r8's
+#: heaviest 10x stage at 7.75 — candidate-pair join whose pair count
+#: tracks band-bucket occupancy). They get a second, deeper scale point;
+#: the batched BPE trainer (second-steepest at 6.01, driver-looped by
+#: design) rides along in the same deep block as a custom stage.
+DEEP_SCALE_QUERIES = (
     "x76_exact_substring_matches",
     "x77_exact_substring_scrub",
+    "x07_simhash_neardup",
 )
 
 
@@ -87,18 +93,21 @@ def measure_scaling(
     queries: tuple[str, ...] = SCALING_QUERIES,
     runs: int = 2,
     stream_batches: int = 3,
-    substring_factor: int | None = 30,
+    deep_factor: int | None = 30,
 ) -> dict:
     """Run every scaling stage at 1x and ``factor``x; return
     ``{"factor": f, "base_docs": n, "stages": {name: {"t1_sec", "tN_sec",
     "ratio"}}}``. Stage timings are min-of-``runs``.
 
-    ``substring_factor`` adds one more decade of evidence for the
-    substring family ONLY (``SUBSTRING_QUERIES``): a
-    ``factor{substring_factor}`` sub-block with ratios against the same
-    1x timings — superlinear candidate-pair terms that hide inside a 10x
-    ratio's overhead damping show up at 30x. ``None`` (or a value equal
-    to ``factor``) disables it."""
+    ``deep_factor`` adds one more decade of evidence for the steepest
+    stages (``DEEP_SCALE_QUERIES`` — the substring family + SimHash
+    banding — plus the batched BPE trainer): a ``factor{deep_factor}``
+    sub-block with adjacent-t1-paired ratios — superlinear
+    candidate-pair terms that hide inside a 10x ratio's overhead damping
+    show up at 30x. ``None`` (or a value equal to ``factor``) disables
+    it; it is also skipped when ``queries`` was narrowed past every
+    deep-eligible query (the BPE deep stage rides with the block, not
+    alone)."""
     from consensource_sds_spark.corpus import build_training_corpus
     from consensource_sds_spark.queries import REGISTRY, all_queries
     from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
@@ -238,15 +247,15 @@ def measure_scaling(
                 "ratio": round(annN[part] / ann1[part], 2) if ann1[part] > 0 else None,
             }
 
-        sub_out: dict[str, dict] | None = None
-        sub_queries = tuple(q for q in SUBSTRING_QUERIES if q in queries)
-        if substring_factor and substring_factor != factor and sub_queries:
-            # documents-only corpus: the substring stages never read
+        deep_out: dict[str, dict] | None = None
+        deep_queries = tuple(q for q in DEEP_SCALE_QUERIES if q in queries)
+        if deep_factor and deep_factor != factor and deep_queries:
+            # documents-only corpus: the deep-scale stages never read
             # embeddings, so the deep-scale dir keeps vectors at base size
-            dir_sub = write_corpus(
+            dir_deep = write_corpus(
                 spark,
-                os.path.join(work, f"scale{substring_factor}"),
-                base_docs * substring_factor,
+                os.path.join(work, f"scale{deep_factor}"),
+                base_docs * deep_factor,
                 base_vectors,
             )
             # this pass runs LAST, after corpus/stream/ANN stages have
@@ -260,16 +269,28 @@ def measure_scaling(
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-            sub_out = {}
-            for q in sub_queries:
+            deep_out = {}
+            for q in deep_queries:
                 fn = REGISTRY[q].fn
                 t1 = _timed(lambda fn=fn: _noop_write(fn(spark, dirs[1])), runs)
-                tN = _timed(lambda fn=fn: _noop_write(fn(spark, dir_sub)), runs)
-                sub_out[q] = {
+                tN = _timed(lambda fn=fn: _noop_write(fn(spark, dir_deep)), runs)
+                deep_out[q] = {
                     "t1_sec": round(t1, 3),
-                    f"t{substring_factor}_sec": round(tN, 3),
+                    f"t{deep_factor}_sec": round(tN, 3),
                     "ratio": round(tN / t1, 2) if t1 > 0 else None,
                 }
+            # the batched BPE trainer's deep point: same adjacent-t1
+            # pairing (its own 1x re-run, not the start-of-session one).
+            # Merge count and batch size stay FIXED across scales, so the
+            # ratio isolates the per-round pair-count job's corpus
+            # dependence at a 30x distinct-word load.
+            bpe_t1 = _timed(lambda: bpe_train(1), runs)
+            bpe_tN = _timed(lambda: bpe_train(deep_factor), runs)
+            deep_out["bpe_train_batched"] = {
+                "t1_sec": round(bpe_t1, 3),
+                f"t{deep_factor}_sec": round(bpe_tN, 3),
+                "ratio": round(bpe_tN / bpe_t1, 2) if bpe_t1 > 0 else None,
+            }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     result = {
@@ -278,12 +299,12 @@ def measure_scaling(
         "base_vectors": base_vectors,
         "stages": out,
     }
-    if sub_out is not None:
-        result[f"factor{substring_factor}"] = {
-            "factor": substring_factor,
-            "stages": sub_out,
+    if deep_out is not None:
+        result[f"factor{deep_factor}"] = {
+            "factor": deep_factor,
+            "stages": deep_out,
         }
     return result
 
 
-__all__ = ["measure_scaling", "SCALING_QUERIES", "SUBSTRING_QUERIES"]
+__all__ = ["measure_scaling", "SCALING_QUERIES", "DEEP_SCALE_QUERIES"]

@@ -49,20 +49,20 @@ def test_headline_fits_tail_capture_with_full_query_set():
     assert d["metric"] == "total_wallclock_sec" and d["value"] == 3.813
     assert d["queries"] == TIMINGS
     assert d["scaling_max_ratio"] == 7.0
-    assert d["substring_deep_factor"] == 30
-    assert d["substring_deep_max_ratio"] == 17.0
+    assert d["deep_scale_factor"] == 30
+    assert d["deep_scale_max_ratio"] == 17.0
 
 
-def test_headline_key_follows_configured_substring_factor():
-    """A non-default SPARK_GRAFT_SCALING_SUBSTRING run must still land
+def test_headline_key_follows_configured_deep_factor():
+    """A non-default SPARK_GRAFT_SCALING_DEEP run must still land
     its deep-scale ratio — the key is matched dynamically, not hardcoded
     to factor30."""
     detail = json.loads(json.dumps(DETAIL))
     detail["scaling"]["factor20"] = detail["scaling"].pop("factor30")
     detail["scaling"]["factor20"]["factor"] = 20
     d = json.loads(_headline_line(detail, TIMINGS, COLD, 0.1, 1.0))
-    assert d["substring_deep_factor"] == 20
-    assert d["substring_deep_max_ratio"] == 17.0
+    assert d["deep_scale_factor"] == 20
+    assert d["deep_scale_max_ratio"] == 17.0
 
 
 def test_headline_scaling_disabled():
@@ -71,7 +71,7 @@ def test_headline_scaling_disabled():
     detail = dict(DETAIL, scaling=None)
     d = json.loads(_headline_line(detail, TIMINGS, COLD, 0.01, 1.0))
     assert d["scaling_max_ratio"] is None
-    assert d["substring_deep_factor"] is None and d["substring_deep_max_ratio"] is None
+    assert d["deep_scale_factor"] is None and d["deep_scale_max_ratio"] is None
 
 
 def test_oversized_headline_sheds_queries_not_the_contract():
@@ -85,4 +85,4 @@ def test_oversized_headline_sheds_queries_not_the_contract():
     d = json.loads(line)
     assert "queries" not in d
     assert "queries_dropped" in d
-    assert d["value"] == 9.9 and d["substring_deep_max_ratio"] == 17.0
+    assert d["value"] == 9.9 and d["deep_scale_max_ratio"] == 17.0

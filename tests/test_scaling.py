@@ -19,11 +19,12 @@ FACTOR = 10
 #: the data ratio at test scale; 1.5x headroom absorbs host CPU steal.
 #: A quadratic stage would land at ~FACTOR^2 x overhead-damping — far over.
 RATIO_BOUND = FACTOR * 1.5
-#: the substring family's deeper scale point (x76/x77, the heaviest
-#: stages): same 1.5x headroom at 30x. A quadratic term that hid inside
-#: the 10x ratio's overhead damping lands near 900x here — unmissable.
-SUBSTRING_FACTOR = 30
-SUBSTRING_RATIO_BOUND = SUBSTRING_FACTOR * 1.5
+#: the deep-scale point for the steepest stages (x76/x77 substring,
+#: x07 SimHash banding, batched BPE training): same 1.5x headroom at
+#: 30x. A quadratic term that hid inside the 10x ratio's overhead
+#: damping lands near 900x here — unmissable.
+DEEP_FACTOR = 30
+DEEP_RATIO_BOUND = DEEP_FACTOR * 1.5
 
 
 def test_generator_structure(spark):
@@ -74,7 +75,7 @@ def test_scaling_ratios_stay_sub_linear(spark):
         base_docs=2_000,
         base_vectors=1_000,
         factor=FACTOR,
-        substring_factor=SUBSTRING_FACTOR,
+        deep_factor=DEEP_FACTOR,
     )
     assert result["factor"] == FACTOR
     bad = {
@@ -87,28 +88,32 @@ def test_scaling_ratios_stay_sub_linear(spark):
     assert len(result["stages"]) >= 12
     for st in result["stages"].values():
         assert st["t1_sec"] > 0 and st[f"t{FACTOR}_sec"] > 0
-    # the substring family's 30x sub-block: one more decade of evidence
-    # for the two heaviest stages
-    sub = result[f"factor{SUBSTRING_FACTOR}"]
-    assert sub["factor"] == SUBSTRING_FACTOR
+    # the 30x deep-scale sub-block: one more decade of evidence for the
+    # steepest measured stages (substring family, SimHash banding, and
+    # the batched BPE trainer riding along as a custom stage)
+    sub = result[f"factor{DEEP_FACTOR}"]
+    assert sub["factor"] == DEEP_FACTOR
     assert set(sub["stages"]) == {
         "x76_exact_substring_matches",
         "x77_exact_substring_scrub",
+        "x07_simhash_neardup",
+        "bpe_train_batched",
     }
     bad30 = {
         name: st
         for name, st in sub["stages"].items()
-        if st["ratio"] is None or st["ratio"] > SUBSTRING_RATIO_BOUND
+        if st["ratio"] is None or st["ratio"] > DEEP_RATIO_BOUND
     }
-    assert not bad30, f"superlinear substring stages (bound {SUBSTRING_RATIO_BOUND}): {bad30}"
+    assert not bad30, f"superlinear deep-scale stages (bound {DEEP_RATIO_BOUND}): {bad30}"
     for st in sub["stages"].values():
-        assert st["t1_sec"] > 0 and st[f"t{SUBSTRING_FACTOR}_sec"] > 0
+        assert st["t1_sec"] > 0 and st[f"t{DEEP_FACTOR}_sec"] > 0
 
 
-def test_narrowed_query_set_skips_substring_sub_block(spark):
-    """A caller narrowing ``queries`` past the substring family must not
-    lose the whole measurement to a KeyError in the deep-scale sub-block
-    — the sub-block only runs for substring queries actually measured."""
+def test_narrowed_query_set_skips_deep_sub_block(spark):
+    """A caller narrowing ``queries`` past every deep-eligible query must
+    not lose the whole measurement to a KeyError in the deep-scale
+    sub-block — the sub-block (including its BPE rider) only runs for
+    deep queries actually measured."""
     result = measure_scaling(
         spark,
         base_docs=400,
@@ -117,7 +122,7 @@ def test_narrowed_query_set_skips_substring_sub_block(spark):
         queries=("x01_dedup_exact",),
         runs=1,
         stream_batches=2,
-        substring_factor=30,
+        deep_factor=30,
     )
     assert "x01_dedup_exact" in result["stages"]
     assert "factor30" not in result
