@@ -43,6 +43,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from consensource_sds_spark.functions import vectors as V
 
@@ -411,91 +412,133 @@ def ann_probe_adc(
     """Top-k per query by PQ asymmetric distance over the standing index —
     the probe that never reads a database embedding: the scan projects
     (vec_id, cell, codes) only (column pruning drops the float payload),
-    partition-prunes to the queries' nprobe cells, and ranks candidates by
-    summing each query's per-subspace distance TABLE (a (queries x m x k)
-    broadcast built from the codebook — KBs). Returns (qid, vec_id,
-    adc_dist, rank), rank 1 = nearest. Approximate by construction; the
-    exact-rerank pattern runs :func:`ann_probe` on this result's ids.
+    partition-prunes to the queries' nprobe cells, and scores each
+    candidate with an in-row fold over its code array against a broadcast
+    flat distance table (one m x k double array per (query, probed cell)
+    — KBs; the classic ADC lookup). The tables are built DRIVER-side in
+    numpy — the FAISS deployment shape: queries are a driver-bounded
+    probe set by this function's contract (a corpus-scale left side goes
+    through x84-x86's in-plan rank instead), the build is
+    O(queries x nprobe x m x k x dsub) flops (microseconds per query),
+    and the result is exactly the broadcast the plan needs — so the probe
+    plan is scan -> single broadcast hash join -> fold -> top-k window,
+    with no per-code explode and no scoring shuffle. Returns (qid,
+    vec_id, adc_dist, rank), rank 1 = nearest. Approximate by
+    construction; the exact-rerank pattern runs :func:`ann_probe` on
+    this result's ids.
 
-    Compaction-duplicate tolerance: candidate rows dedup on vec_id BEFORE
-    the code explode (codes are identical for a vec_id within a
-    generation, so dropping either copy is exact).
+    Compaction-duplicate tolerance: candidate rows dedup on vec_id before
+    scoring (codes are identical for a vec_id within a generation, so
+    dropping either copy is exact).
 
     ``cells`` is the pre-computed ``_probe_cells`` pair for these same
     (queries, nprobe) — pass it when a caller (the rerank stage) already
     derived the probed-cell set, so the centroid scoring + driver collect
     run once per probe, not once per stage."""
-    cb = load_pq_codebook(spark, index_dir)
+    import numpy as np
+
+    cb_rows = load_pq_codebook(spark, index_dir).collect()
+    m = max(r["s"] for r in cb_rows) + 1
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    dsub = len(cb_rows[0]["cw"])
+    cw = np.zeros((m, n_codes, dsub))
+    for r in cb_rows:
+        cw[r["s"], r["code"]] = r["cw"]
+    dim = m * dsub
+    residual = pq_is_residual(index_dir)
+    cent_df = load_centroids(spark, index_dir).select("cell", "centroid")
+    cent = {
+        r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in cent_df.collect()
+    }
+
     if cells is not None:
-        # caller-supplied cell set: qs is only needed (uncheckpointed, used
-        # exactly once) for the non-residual distance table — the residual
-        # branch reads qe out of q_cells, so building/materializing qs here
-        # would be a dead eager job on every rerank probe
-        qs = None
         q_cells, needed = cells
+        pairs = [
+            (r["qid"], np.asarray(r["qe"], dtype=np.float64), r["cell"])
+            for r in q_cells.select("qid", "qe", "cell").collect()
+        ]
+        qid_type = q_cells.schema["qid"].dataType
     else:
-        qs = queries.select("qid", F.col("embedding").alias("qe")).localCheckpoint()
-        q_cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
-    first = cb.select(F.size("cw").alias("d")).first()
-    d = int(first["d"])
-    cbd = F.broadcast(
-        cb.select("s", "code", F.expr("transform(cw, x -> CAST(x AS DOUBLE))").alias("cw"))
+        # same selection rule as _probe_cells: per query the top-nprobe
+        # cells by centroid cosine, ties toward the lower cell id; a NULL
+        # cosine (zero norm on either side) sorts after every number
+        pairs = []
+        needed_set: set = set()
+        for r in queries.select("qid", F.col("embedding").alias("qe")).collect():
+            qe = np.asarray(r["qe"], dtype=np.float64)
+            qn = float(np.sqrt((qe * qe).sum()))
+            scored = []
+            for c, ce in cent.items():
+                denom = qn * float(np.sqrt((ce * ce).sum()))
+                cos = float(qe @ ce) / denom if denom > 0 else None
+                scored.append((0 if cos is not None else 1, -(cos or 0.0), c))
+            scored.sort()
+            for _, _, c in scored[:nprobe]:
+                pairs.append((r["qid"], qe, c))
+                needed_set.add(c)
+        needed = sorted(needed_set)
+        qid_type = queries.schema["qid"].dataType
+
+    lut_rows = []
+    for qid, qe, c in pairs:
+        if len(qe) != dim:
+            # same contract as _residual_expr's in-plan guard: a wrong
+            # encoder version must raise, never NULL-poison the fold
+            raise ValueError(
+                f"query embedding width {len(qe)} does not match index dim {dim}"
+            )
+        base = qe - cent[c] if residual else qe
+        diff = base.reshape(m, 1, dsub) - cw
+        lut = (diff * diff).sum(axis=2).ravel()
+        lut_rows.append((qid, c, [float(x) for x in lut]))
+    qlut = spark.createDataFrame(
+        lut_rows,
+        T.StructType(
+            [
+                T.StructField("qid", qid_type),
+                T.StructField("cell", cent_df.schema["cell"].dataType),
+                T.StructField("lut", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
-    if pq_is_residual(index_dir):
-        # by_residual: codes describe (vector − cell centroid), so the
-        # distance table is PER PROBED CELL — the query's residual differs
-        # per cell. Still tiny: queries x nprobe x m x k rows.
-        cent = load_centroids(spark, index_dir)
-        rq = q_cells.join(F.broadcast(cent.select("cell", "centroid")), "cell").select(
-            "qid", "cell", _residual_expr(F.col("qe"), F.col("centroid")).alias("qe")
-        )
-        qd = (
-            rq.crossJoin(cbd)
-            .select(
-                "qid", "cell", "s", "code",
-                _l2(_subvec(F.col("qe"), F.col("s"), d), F.col("cw")).alias("d2"),
-            )
-            .localCheckpoint()
-        )
-        qd_keys = ["qid", "cell", "s", "code"]
-    else:
-        if qs is None:
-            qs = queries.select("qid", F.col("embedding").alias("qe"))
-        qd = (
-            qs.crossJoin(cbd)
-            .select(
-                "qid", "s", "code",
-                _l2(_subvec(F.col("qe"), F.col("s"), d), F.col("cw")).alias("d2"),
-            )
-            .localCheckpoint()  # the distance table: queries x m x k rows
-        )
-        qd_keys = ["qid", "s", "code"]
+
     idx = ann_index(spark, index_dir).select("vec_id", "cell", "codes")
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
+    # the per-candidate score is a pure in-row fold over the code array —
+    # s-ascending (the fixed-order-fold determinism rule) — m table
+    # lookups per candidate: no per-code explode, no scoring shuffle.
+    # asc_nulls_last: an out-of-range code (corrupt row) must sink, not
+    # claim rank 1.
     cand = (
         idx.dropDuplicates(["vec_id"])
-        .join(F.broadcast(q_cells), "cell")
-        .select("qid", "vec_id", "cell", F.posexplode("codes").alias("s", "code"))
-        .join(F.broadcast(qd), qd_keys)
-        .groupBy("qid", "vec_id")
-        # s-sorted sequential fold (same as _pq_adc_rank, x84/x85): a plain
-        # sum's partial-agg order is partition-dependent and could flip
-        # near-tie ranks — the repo's fixed-order-fold determinism rule
-        .agg(
+        .join(F.broadcast(qlut), "cell")
+        .select(
+            "qid",
+            "vec_id",
             F.aggregate(
-                F.array_sort(F.collect_list(F.struct("s", "d2"))),
+                F.sequence(F.lit(0), F.size("codes") - 1),
                 F.lit(0.0),
-                lambda acc, x: acc + x["d2"],
-            ).alias("adc_dist")
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("lut"),
+                    (
+                        s * n_codes
+                        + F.element_at(F.col("codes"), (s + 1).cast("int"))
+                        + 1
+                    ).cast("int"),
+                ),
+            ).alias("adc_dist"),
         )
     )
-    wk = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    wk = Window.partitionBy("qid").orderBy(F.asc_nulls_last("adc_dist"), F.asc("vec_id"))
     return (
         cand.withColumn("_rn", F.row_number().over(wk))
         .filter(F.col("_rn") <= k)
         .select("qid", "vec_id", "adc_dist", F.col("_rn").alias("rank"))
     )
+
 
 
 def ann_probe_adc_rerank(
