@@ -23,3 +23,10 @@ def spark():
 def rows_set(df):
     """Order-insensitive row multiset for equality asserts."""
     return sorted(tuple(r) for r in df.collect())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-horizon soak tests (minutes); deselect with -m 'not slow'",
+    )

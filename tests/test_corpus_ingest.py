@@ -840,3 +840,91 @@ def test_containment_probe_agnostic_to_duplicated_postings(spark, dirs, tmp_path
     }
     assert after == before
     assert all(c <= 1.0 for (_d, _s, c) in after)
+
+
+@pytest.mark.slow
+def test_hundred_batch_soak_bounds_hold(spark, dirs):
+    """Long-horizon standing-index soak: ~100 microbatches of synth docs
+    through the full surface (gates, bloom-probed exact dedup, band
+    near-dedup, fingerprint postings) with the maintenance policies on
+    their production cadence. Every per-batch claim in this module is
+    pinned per batch; this test pins the UNBOUNDED-HORIZON behavior no
+    single-batch test can see:
+
+    (a) segment bounds — live batch-partition count per index and total
+        index file count stay bounded under ``maybe_compact_indexes``
+        (without the policy they grow linearly, one segment per batch);
+    (b) per-batch wall-clock does not drift upward — the late-run median
+        stays within 2x of the early-run median (an O(corpus) term in
+        the probe path would compound ~10x over the run);
+    (c) the bloom sidecar's fill-fraction policy FIRES: a deliberately
+        tiny initial bitmap crosses max_fill mid-run and
+        ``maybe_rebuild_bloom`` rebuilds it at growth x the bits.
+
+    Ends with the standing-state invariants: retained digests unique and
+    a full-corpus replay admits nothing."""
+    import statistics
+    import time
+
+    from consensource_sds_spark.functions.bloom import BloomSidecar
+    from consensource_sds_spark.sources.synth import generate_documents
+    from consensource_sds_spark.streaming.corpus_ingest import (
+        _live_batch_dirs,
+        digest_index,
+        maybe_compact_indexes,
+        maybe_rebuild_bloom,
+    )
+
+    n_batches, per_batch = 100, 10
+    docs = generate_documents(spark, n_batches * per_batch).localCheckpoint()
+    band = dirs["out"] + "_band_index"
+    fp = dirs["out"] + "_fp_index"
+    times, rebuilds = [], 0
+    for b in range(n_batches):
+        lo, hi = b * per_batch, (b + 1) * per_batch
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        t0 = time.perf_counter()
+        ingest_batch(
+            spark, batch, b, dirs["out"], dirs["idx"], n_shards=4,
+            band_dir=band, fingerprint_dir=fp, bloom_bits=1 << 12,
+        )
+        maybe_compact_indexes(spark, dirs["out"], max_live_batches=8)
+        rebuilds += bool(maybe_rebuild_bloom(spark, dirs["out"]))
+        times.append(time.perf_counter() - t0)
+
+    # (a) compaction held every index to its live-segment bound
+    for d in (dirs["idx"], band, fp):
+        assert len(_live_batch_dirs(d)) <= 8, d
+    n_files = sum(
+        1 for r, _, fs in os.walk(dirs["idx"]) for f in fs if f.endswith(".parquet")
+    )
+    # <= (8 live + 1 consolidated + 1 in-flight) partitions x 4 buckets,
+    # plus slack; without compaction this is ~100 partitions x 4
+    assert n_files <= 60, n_files
+
+    # (b) no upward wall-clock drift: compare noise-robust window medians
+    # (each window spans several compaction cycles, so the cadence cost
+    # lands in both)
+    early = statistics.median(times[10:30])
+    late = statistics.median(times[-20:])
+    print(
+        f"soak: {n_batches} batches, early median {early:.3f}s, "
+        f"late median {late:.3f}s, drift {late / early:.2f}x, "
+        f"bloom rebuilds {rebuilds}"
+    )
+    assert late <= 2.0 * early, f"per-batch drift: early {early:.2f}s -> late {late:.2f}s"
+
+    # (c) the fill-fraction policy fired and grew the bitmap
+    assert rebuilds >= 1
+    hdr = BloomSidecar.read_header(os.path.join(os.path.abspath(dirs["idx"]), "_bloom"))
+    assert hdr["m"] > (1 << 12)
+
+    # standing-state invariants after 100 batches
+    idx_df = digest_index(spark, dirs["idx"])
+    assert idx_df.count() == idx_df.select("digest").distinct().count()
+    before = read_corpus(spark, dirs["out"]).count()
+    ingest_batch(
+        spark, docs, 999, dirs["out"], dirs["idx"], n_shards=4,
+        band_dir=band, fingerprint_dir=fp, bloom_bits=1 << 12,
+    )
+    assert read_corpus(spark, dirs["out"]).count() == before
