@@ -422,10 +422,13 @@ def ann_probe_adc(
     O(queries x nprobe x m x k x dsub) flops (microseconds per query),
     and the result is exactly the broadcast the plan needs — so the probe
     plan is scan -> single broadcast hash join -> fold -> top-k window,
-    with no per-code explode and no scoring shuffle. Returns (qid,
-    vec_id, adc_dist, rank), rank 1 = nearest. Approximate by
-    construction; the exact-rerank pattern runs :func:`ann_probe` on
-    this result's ids.
+    with no per-code explode and no scoring shuffle. The broadcast is
+    queries x nprobe x m x k doubles (one row per (query, probed cell),
+    including the non-residual case where the per-cell copies are
+    identical — simplicity of the single-join plan over nprobe-fold
+    dedup of a KB-scale table). Returns (qid, vec_id, adc_dist, rank),
+    rank 1 = nearest. Approximate by construction; the exact-rerank
+    pattern runs :func:`ann_probe` on this result's ids.
 
     Compaction-duplicate tolerance: candidate rows dedup on vec_id before
     scoring (codes are identical for a vec_id within a generation, so
@@ -508,9 +511,11 @@ def ann_probe_adc(
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
     # the per-candidate score is a pure in-row fold over the code array —
     # s-ascending (the fixed-order-fold determinism rule) — m table
-    # lookups per candidate: no per-code explode, no scoring shuffle.
-    # asc_nulls_last: an out-of-range code (corrupt row) must sink, not
-    # claim rank 1.
+    # lookups per candidate: no per-code explode, no scoring shuffle. A
+    # corrupt code value indexes past the table and ABORTS under ANSI
+    # (fail-fast, the posture every corrupt-index path here takes); a
+    # NULL codes array folds to NULL and sinks via asc_nulls_last instead
+    # of claiming rank 1.
     cand = (
         idx.dropDuplicates(["vec_id"])
         .join(F.broadcast(qlut), "cell")
