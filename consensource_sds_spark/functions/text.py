@@ -24,6 +24,15 @@ EN_STOPWORDS = LANG_STOPWORDS["en"]
 
 
 def tokens(text: Column) -> Column:
+    """Raw single-space split — deliberately NO lowercasing and NO
+    whitespace normalization: this is the cheapest JVM-side tokenizer,
+    and every consumer's DuckDB oracle applies the IDENTICAL split, so
+    the cross-engine contract is exact. Operators whose semantics need
+    case-folded or whitespace-collapsed tokens normalize EXPLICITLY on
+    both sides first (e.g. x28's lower() before splitting); feeding
+    un-normalized text to case-sensitive consumers (stopword counts,
+    lang_id) undercounts by design — the registry documents each
+    operator's normalization posture rather than hiding one here."""
     return F.split(text, " ")
 
 

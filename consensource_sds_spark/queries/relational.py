@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from consensource_sds_spark.functions.money import cents_total, to_cents
 from consensource_sds_spark.queries import load, local_hint, register
 
 # Order-insensitive floating aggregates
@@ -312,7 +313,7 @@ def q11_window_running_sum(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    cents = F.expr("cast(round(value * 100) AS bigint)")
+    cents = to_cents(F.col("value"))
     return e.select(
         "user_id",
         "event_id",
@@ -1095,7 +1096,7 @@ def q51_sessionize_batch(spark, sf_dir):
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.expr("cast(round(value * 100) AS bigint)")) / 100.0, 2).alias("total_value"),
+        cents_total(F.col("value")).alias("total_value"),
     )
 
 

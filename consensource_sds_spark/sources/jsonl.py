@@ -55,7 +55,18 @@ class JsonlRead:
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> JsonlRead:
     """Read JSONL at ``path`` against a pinned ``schema``; return a
     :class:`JsonlRead` whose ``good`` carries exactly the schema's columns
-    and ``quarantine`` the raw offending line for replay/repair."""
+    and ``quarantine`` the raw offending line for replay/repair.
+
+    ``_corrupt_record`` is a reserved name here: a caller schema that
+    already contains it (e.g. a quarantine-replay schema built from a
+    previous read's output) would otherwise produce a duplicate field and
+    an ambiguous reference on the split filters — rejected up front with
+    a clear error instead."""
+    if any(f.name == CORRUPT_COL for f in schema.fields):
+        raise ValueError(
+            f"schema must not contain the reserved column {CORRUPT_COL!r}; "
+            "rename it (it is this reader's quarantine routing column)"
+        )
     with_corrupt = StructType(
         [*schema.fields, StructField(CORRUPT_COL, StringType(), True)]
     )

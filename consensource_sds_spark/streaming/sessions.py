@@ -10,30 +10,42 @@ hand-rolled per-key state store.
 
 Semantics:
 
-- state per user: (session_start, last_ts, n_events, value_cents);
-- an incoming event whose gap from ``last_ts`` exceeds ``gap_sec`` CLOSES
-  the running session (emit) and starts a new one;
-- an idle session closes via event-time timeout once the watermark passes
-  ``last_ts + gap_sec`` — so state is bounded by the number of ACTIVE
-  users, the streaming equivalent of the SCD2 store's O(live) working set;
-- output rows are final (append semantics): a session is emitted exactly
-  once, when it closes.
+- state per user: the user's OPEN session intervals (parallel arrays of
+  start/end/n/cents) — plural, because an interval separated from its
+  neighbor by more than ``gap`` is still not FINAL until the watermark
+  proves no admissible event can bridge or extend it;
+- a session is emitted exactly once, when the watermark passes
+  ``session_end + gap`` — never merely because a later same-batch event
+  crossed the gap (an above-watermark event in a LATER batch may legally
+  land between two in-batch events and merge them; eager emission would
+  then produce overlapping sessions in the append sink);
+- idle sessions close via event-time timeout once the watermark passes
+  the earliest pending ``end + gap`` horizon — state is bounded by the
+  number of ACTIVE users times their not-yet-final intervals inside the
+  watermark horizon, the streaming equivalent of the SCD2 store's
+  O(live) working set.
 
 Scale: state lives in the executor state store keyed by user_id — one
 shuffle on the grouping key; Arrow moves each group's batch to Python
 vectorized, not row-at-a-time. Money is accumulated in integer cents
-(exact), mirroring the engine's decimal discipline.
+(exact), HALF_UP like SQL ``round`` — the q51 batch twin
+(``queries/relational.py``) and :mod:`streaming.windows` use
+``cast(round(value * 100) AS bigint)``, and stream/batch parity holds on
+exact-half cents only if this module rounds the same way (Python's
+builtin ``round`` is banker's HALF_EVEN: 12.5 -> 12, where SQL gives 13).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -52,12 +64,19 @@ SESSION_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("session_start_us", LongType(), False),
-        StructField("last_ts_us", LongType(), False),
-        StructField("n_events", LongType(), False),
-        StructField("value_cents", LongType(), False),
+        StructField("starts_us", ArrayType(LongType()), False),
+        StructField("ends_us", ArrayType(LongType()), False),
+        StructField("n_events", ArrayType(LongType()), False),
+        StructField("value_cents", ArrayType(LongType()), False),
     ]
 )
+
+
+def _cents(value: float) -> int:
+    """SQL-``round`` (HALF_UP on the double's shortest decimal repr, the
+    BigDecimal.valueOf path Spark's round takes) — NOT Python ``round``
+    (HALF_EVEN), so the stream's cents match the q51 batch twin's."""
+    return int(Decimal(repr(value * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
 
 def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 seconds") -> DataFrame:
@@ -68,50 +87,55 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
     plan (see tests for the parity check)."""
     gap_us = gap_sec * 1_000_000
 
+    def horizon_ms(end_us: int) -> int:
+        # first watermark (ms) at which NO admissible event (ts >= wm) can
+        # still merge with an interval ending at end_us: merge needs
+        # ts_us <= end_us + gap_us, so final iff wm_ms > (end+gap)//1000
+        return (end_us + gap_us) // 1_000 + 1
+
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        closed: list[tuple[int, int, int, int, float]] = []
-        if state.hasTimedOut:
-            # idle session: watermark passed last_ts + gap
-            start_us, last_us, n, cents = state.get
-            closed.append((user_id, start_us, last_us, n, cents / 100.0))
-            state.remove()
-        else:
+        wm_ms = state.getCurrentWatermarkMs()
+        # fold the stored intervals and the batch's events into gap-merged
+        # intervals, in interval order: a late-but-in-watermark event older
+        # than a stored start must extend that session's start downward (or
+        # form its own earlier session when separated by more than gap)
+        items: list[list[int]] = []  # [start_us, end_us, n, cents]
+        if state.exists:
+            starts, ends, ns, cents = state.get
+            items += [list(t) for t in zip(starts, ends, ns, cents)]
+        if not state.hasTimedOut:
             dfs = list(pdfs)  # the iterator object itself is always truthy
             rows = pd.concat(dfs) if dfs else pd.DataFrame()
-            # fold the stored session INTERVAL and the batch's events into
-            # gap-merged sessions, in interval order: a late-but-in-watermark
-            # event older than the stored start must extend the session's
-            # start downward (or form its own earlier session when separated
-            # by more than gap) — folding events only against last_ts would
-            # silently absorb it with session_start_us left too high
-            items: list[tuple[int, int, int, int]] = []  # (start, end, n, cents)
-            if state.exists:
-                items.append(tuple(state.get))
             if len(rows):
-                rows = rows.sort_values("ts")
                 for ts, value in zip(rows["ts"], rows["value"]):
                     ts_us = int(ts.value // 1_000)  # pandas ns -> us
-                    items.append((ts_us, ts_us, 1, int(round(value * 100))))
-            if items:
-                items.sort(key=lambda it: (it[0], it[1]))
-                cur = list(items[0])
-                for s, e, n, c in items[1:]:
-                    if s - cur[1] > gap_us:
-                        closed.append((user_id, cur[0], cur[1], cur[2], cur[3] / 100.0))
-                        cur = [s, e, n, c]
-                    else:
-                        cur[1] = max(cur[1], e)
-                        cur[2] += n
-                        cur[3] += c
-                state.update(tuple(cur))
-                # close when the watermark passes the inactivity horizon
-                state.setTimeoutTimestamp(cur[1] // 1_000 + gap_sec * 1_000)
-        if closed:
+                    items.append([ts_us, ts_us, 1, _cents(value)])
+        merged: list[list[int]] = []
+        for it in sorted(items, key=lambda it: (it[0], it[1])):
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], it[1])
+                merged[-1][2] += it[2]
+                merged[-1][3] += it[3]
+            else:
+                merged.append(it)
+        # emit ONLY watermark-final intervals; gap-separated-but-reachable
+        # ones stay in state (a later batch's above-watermark event may
+        # still bridge them)
+        final = [iv for iv in merged if horizon_ms(iv[1]) <= wm_ms]
+        pending = [iv for iv in merged if horizon_ms(iv[1]) > wm_ms]
+        if pending:
+            state.update(tuple([iv[i] for iv in pending] for i in range(4)))
+            # wake at the earliest pending horizon (strictly after the
+            # current watermark, as the state API requires)
+            state.setTimeoutTimestamp(max(min(horizon_ms(iv[1]) for iv in pending), wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if final:
             yield pd.DataFrame(
-                closed,
+                [(user_id, s, e, n, c / 100.0) for s, e, n, c in final],
                 columns=["user_id", "session_start_us", "session_end_us", "n_events", "total_value"],
             )
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from consensource_sds_spark.functions.money import cents_total
+
 
 def windowed_event_stats(
     events: DataFrame,
@@ -43,9 +45,7 @@ def windowed_event_stats(
         .groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.expr("cast(round(value * 100) AS bigint)")) / 100.0, 2).alias(
-                "total_value"
-            ),
+            cents_total(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -120,16 +120,22 @@ def run_trending_stream(
     that batch and silently drop a quieter type's earlier (larger) count
     from the snapshot. The sink stores counts; the reader resolves each
     (window, type) to its latest count, then ranks — always over the full
-    set of types ever seen per window."""
+    set of types ever seen per window.
+
+    Batch 0 truncates the sink: batch_id 0 only ever runs as the FIRST
+    batch of a fresh (or rebuilt) checkpoint, so any partitions already in
+    ``out_dir`` belong to a PREVIOUS run whose batch_ids restart from 0 —
+    left in place, the old run's higher batch_ids would win every
+    max-batch_id resolution and serve its stale counts forever. One
+    partition accrues per microbatch; fold the tail with
+    :func:`compact_trending` on whatever maintenance cadence the sink's
+    file count warrants."""
 
     def emit(batch_df, batch_id: int):
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(out_dir)
-        )
+        w = batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
+        if batch_id > 0:  # own-partition overwrite: crash-replay idempotent
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("batch_id").parquet(out_dir)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     agg = windowed_event_stats(stream, window=window, watermark=watermark)
@@ -146,12 +152,69 @@ def latest_trending(snapshots: DataFrame, k: int = 3) -> DataFrame:
     """Resolve :func:`run_trending_stream` output to the current top-k per
     window: latest count per (window, event_type) — max ``batch_id`` wins —
     then rank. Two window functions over count-of-updates-sized data."""
+    return topk_per_window(latest_trending_counts(snapshots), k=k)
+
+
+#: consolidated partition id for compacted trending snapshots — below
+#: every real batch_id, so live batches always win max-batch_id
+#: resolution against folded history (same convention as the corpus
+#: index's consolidated segment).
+COMPACTED_BATCH_ID = -1
+
+
+def compact_trending(spark, out_dir: str, keep_batches: int = 8) -> bool:
+    """Fold all but the newest ``keep_batches`` batch partitions of a
+    :func:`run_trending_stream` sink into the ``batch_id=-1`` consolidated
+    partition — the maintenance policy that bounds a long-lived stream's
+    one-partition-per-microbatch growth (the trending analog of the corpus
+    index's ``compact_indexes``).
+
+    Crash-safe by the reader's own semantics, in the repo's
+    consolidated-first order: the resolved-latest rows are written into
+    the consolidated partition FIRST (dynamic overwrite of that partition
+    only); a crash before the old partitions are removed leaves duplicates
+    that ``latest_trending`` resolves identically (the surviving original
+    carries the higher batch_id and the same count). Returns True when a
+    fold ran."""
+    import os
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return False
+    parts = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(out_dir)
+        if name.startswith("batch_id=")
+        and int(name.split("=", 1)[1]) != COMPACTED_BATCH_ID
+    )
+    fold = parts[:-keep_batches] if keep_batches > 0 else parts
+    if not fold:
+        return False
+    snaps = spark.read.parquet(out_dir)
+    resolved = latest_trending_counts(
+        snaps.filter(F.col("batch_id").isin(fold + [COMPACTED_BATCH_ID]))
+    )
+    (
+        resolved.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_dir)
+    )
+    for b in fold:
+        shutil.rmtree(os.path.join(out_dir, f"batch_id={b}"), ignore_errors=True)
+    return True
+
+
+def latest_trending_counts(snapshots: DataFrame) -> DataFrame:
+    """The resolved latest count per (window, event_type) — the shared
+    max-batch_id-wins rule, without the ranking stage (compaction folds
+    counts, not ranks)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("window_start", "event_type")
-    latest = (
+    return (
         snapshots.withColumn("_maxb", F.max("batch_id").over(w))
         .filter(F.col("batch_id") == F.col("_maxb"))
         .drop("_maxb", "batch_id")
     )
-    return topk_per_window(latest, k=k)

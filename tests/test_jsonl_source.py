@@ -40,3 +40,23 @@ def test_type_mismatch_quarantined_not_coerced(spark, tmp_path):
     good, quarantine = read_jsonl(spark, str(p), SCHEMA)
     assert [r["doc_id"] for r in good.collect()] == [7]
     assert quarantine.count() == 1
+
+
+def test_reserved_corrupt_column_rejected(spark):
+    """A schema already containing _corrupt_record (e.g. built from a
+    prior read's quarantine output) must be rejected up front with a
+    clear error — silently doubling the field produces an ambiguous
+    reference on the split filters."""
+    import pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from consensource_sds_spark.sources.jsonl import read_jsonl
+
+    bad = StructType(
+        [
+            StructField("doc_id", StringType(), True),
+            StructField("_corrupt_record", StringType(), True),
+        ]
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        read_jsonl(spark, "/nonexistent", bad)

@@ -109,3 +109,76 @@ def test_late_event_extends_session_start_or_forms_earlier_session(spark, tmp_pa
     )
     assert (_us(70), _us(70), 1) in got
     assert (_us(95), _us(105), 3) in got
+
+
+def test_gap_separated_sessions_wait_for_watermark_before_emitting(spark, tmp_path):
+    """Regression (r9 review): two same-batch events more than ``gap``
+    apart must NOT be emitted as closed sessions while the watermark
+    still admits an event between them — a later batch's above-watermark
+    event may legally bridge the gap, and an eagerly-emitted session
+    would then overlap the merged one in the append sink."""
+    from consensource_sds_spark.streaming.sessions import sessionize
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            sessionize(stream, gap_sec=30, watermark="30 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def sessions():
+        return sorted(
+            (r["session_start_us"], r["session_end_us"], r["n_events"], r["total_value"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # batch 1: t=0 and t=40 — 40 s apart (> gap) but the watermark only
+    # reaches 10, so an event at t in [10, 30] could still bridge them
+    spark.createDataFrame([(1, _t(0), 1.0), (1, _t(40), 1.0)], SCHEMA).coalesce(
+        1
+    ).write.parquet(src)
+    run()
+    assert sessions() == []
+    # batch 2: the bridge arrives at t=20 (above the watermark) — ONE
+    # session [0,40] forms; watermark still 10, nothing final yet
+    spark.createDataFrame([(1, _t(20), 1.0)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert sessions() == []
+    # batch 3: t=120 pushes the watermark to 90 > 40+30 — [0,40] is now
+    # provably final and emits exactly once, with the bridged count
+    spark.createDataFrame([(1, _t(120), 1.0)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert sessions() == [(_us(0), _us(40), 3, 3.0)]
+
+
+def test_cents_round_half_up_matches_sql_round(spark):
+    """The stream's cents rounding must equal the q51 batch twin's SQL
+    ``cast(round(value * 100) AS bigint)`` (HALF_UP over the double's
+    shortest decimal repr) — Python's builtin ``round`` is banker's
+    HALF_EVEN and diverges on exact halves (0.125 -> 12, SQL: 13).
+    Differential pin over the half-cent / repr-edge values."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.streaming.sessions import _cents
+
+    assert _cents(0.125) == 13  # banker's would give 12
+    assert _cents(0.105) == 11  # banker's would give 10
+    vals = [0.125, 0.115, 0.105, 1.0, 2.675, 0.005, 123.455, 0.0, 7.77]
+    got = spark.createDataFrame([(v,) for v in vals], "value double").select(
+        "value", F.expr("cast(round(value * 100) AS bigint)").alias("c")
+    ).collect()
+    assert all(r["c"] == _cents(r["value"]) for r in got), [
+        (r["value"], r["c"], _cents(r["value"])) for r in got
+    ]

@@ -155,3 +155,86 @@ def test_trending_update_batch_does_not_drop_untouched_types(spark, tmp_path):
         .collect()
     ]
     assert got == [("view", 5, 1), ("click", 1, 2)]
+
+
+def test_trending_checkpoint_rebuild_truncates_stale_run(spark, tmp_path):
+    """Regression (r9 review): a rebuilt checkpoint restarts batch_id at
+    0; a previous run's partitions left in out_dir carry HIGHER batch_ids
+    and would win every max-batch_id resolution — serving the old run's
+    counts forever. Batch 0 of a fresh checkpoint must truncate the
+    sink."""
+    import shutil
+
+    from consensource_sds_spark.streaming.windows import latest_trending, run_trending_stream
+
+    src, out, ckpt = str(tmp_path / "src3"), str(tmp_path / "outk3"), str(tmp_path / "ckptk3")
+    # run 1 over two microbatch-producing appends: view x5
+    spark.createDataFrame(
+        [(i, "view", 1.0, _t(1)) for i in range(5)], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds")
+    q.awaitTermination(120)
+    spark.createDataFrame([(9, "view", 1.0, _t(2))], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds")
+    q.awaitTermination(120)
+    # operator reprocesses from scratch: checkpoint AND source replaced,
+    # out_dir kept — the new world has click x2 only
+    shutil.rmtree(ckpt)
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [(50, "click", 1.0, _t(1)), (51, "click", 1.0, _t(2))], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds")
+    q.awaitTermination(120)
+    got = [
+        (r["event_type"], r["n_events"])
+        for r in latest_trending(spark.read.parquet(out), k=3)
+        .filter(F.col("window_start") == _t(0))
+        .collect()
+    ]
+    # the old run's view counts are gone, not resurrected by stale batches
+    assert got == [("click", 2)]
+
+
+def test_compact_trending_folds_history_without_changing_reads(spark, tmp_path):
+    """The trending sink's maintenance policy: folding all but the newest
+    partitions into batch_id=-1 must leave latest_trending's answer
+    bit-identical (the consolidated partition loses every max-batch_id
+    tie to live batches by construction) while the partition count drops
+    to keep + 1."""
+    import os
+
+    from consensource_sds_spark.streaming.windows import (
+        compact_trending,
+        latest_trending,
+        run_trending_stream,
+    )
+
+    src, out, ckpt = str(tmp_path / "src4"), str(tmp_path / "outk4"), str(tmp_path / "ckptk4")
+    batches = [
+        [(i, "view", 1.0, _t(1)) for i in range(3)],
+        [(10, "click", 1.0, _t(2))],
+        [(11, "click", 1.0, _t(3))],
+        [(12, "scroll", 1.0, _t(12))],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q = run_trending_stream(spark, src, out, ckpt, SCHEMA, window="10 seconds")
+        q.awaitTermination(120)
+
+    def snapshot():
+        return sorted(
+            (str(r["window_start"]), r["event_type"], r["n_events"], r["rk"])
+            for r in latest_trending(spark.read.parquet(out), k=3).collect()
+        )
+
+    before = snapshot()
+    assert compact_trending(spark, out, keep_batches=1) is True
+    parts = [p for p in os.listdir(out) if p.startswith("batch_id=")]
+    assert len(parts) == 2  # newest live batch + the consolidated partition
+    assert "batch_id=-1" in parts
+    assert snapshot() == before
+    # under threshold: no-op
+    assert compact_trending(spark, out, keep_batches=8) is False
