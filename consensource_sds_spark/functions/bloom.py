@@ -55,7 +55,22 @@ def _halves(digests) -> tuple[np.ndarray, np.ndarray]:
     """(h1, h2) uint64 arrays from an iterable of 32-char md5 hex strings.
 
     Vectorized: one ''.join + bytes.fromhex for the whole batch, then a
-    zero-copy big-endian view — no per-row int() parsing."""
+    zero-copy big-endian view — no per-row int() parsing. Input is
+    validated first: the batch-concat trick means a single NULL or
+    wrong-length digest would otherwise either crash with an opaque
+    TypeError or — worse — silently MISALIGN every later digest's hash
+    halves (bits set at wrong positions build a filter with false
+    negatives, breaking the superset contract)."""
+    digests = digests if isinstance(digests, list) else list(digests)
+    try:
+        ok = all(len(d) == 32 for d in digests)
+    except TypeError:
+        ok = False
+    if not ok:
+        bad = [d for d in digests if not isinstance(d, str) or len(d) != 32][:3]
+        raise ValueError(
+            f"bloom digests must be 32-char md5 hex strings; got {bad!r}"
+        )
     joined = "".join(digests)
     if not joined:
         e = np.empty(0, dtype=np.uint64)
@@ -162,9 +177,11 @@ class BloomSidecar:
 
     MAGIC = b"BLOOMSC1"
 
-    def __init__(self, path: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K):
+    def __init__(
+        self, path: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K, fresh: bool = False
+    ):
         self.path = path
-        if os.path.exists(path):
+        if not fresh and os.path.exists(path):
             with open(path, "rb") as f:
                 magic = f.read(8)
                 if magic != self.MAGIC:
@@ -173,6 +190,14 @@ class BloomSidecar:
                 hdr = json.loads(f.read(128))
                 self.m_bits, self.k, self.n_added = hdr["m"], hdr["k"], hdr["n"]
                 self.bits = np.frombuffer(f.read(self.m_bits // 8), dtype=np.uint8).copy()
+                if self.bits.size != self.m_bits // 8:
+                    # a short read loads a SMALLER modulus than the build
+                    # used -> false negatives; refuse, never limp
+                    raise ValueError(
+                        f"{path}: truncated sidecar bitmap ({self.bits.size} bytes, "
+                        f"header declares {self.m_bits // 8}) — rebuild from the "
+                        "standing index"
+                    )
         else:
             self.m_bits, self.k, self.n_added = m_bits, k, 0
             self.bits = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -247,9 +272,11 @@ def rebuild(spark, index_df, path: str, m_bits: int, digest_col: str = "digest",
     """Offline resize: distributed re-build from the standing index (the
     source of truth) at a larger m, then atomically replace the sidecar."""
     bits = build_bits(index_df, digest_col, m_bits, k)
-    if os.path.exists(path):
-        os.remove(path)
-    sc = BloomSidecar(path, m_bits=m_bits, k=k)
+    # fresh=True: skip loading the old generation (its m_bits would win)
+    # WITHOUT deleting it first — save()'s tmp + os.replace swap keeps a
+    # valid sidecar on disk at every instant (a crash mid-rebuild must
+    # never leave the "missing file next to a non-empty index" state)
+    sc = BloomSidecar(path, m_bits=m_bits, k=k, fresh=True)
     sc.bits = bits
     sc.n_added = index_df.count()
     sc.save()

@@ -68,17 +68,23 @@ def write_training_shards(
     at 1 the whole write funnels through <= 3 x n_shards tasks — with 16
     shards at the 100 TB posture that is ~TBs through ONE task. Raising
     it salts the repartition (deterministic key hash) so each directory
-    gets ``files_per_shard`` co-located files; loaders glob the shard
+    gets UP TO ``files_per_shard`` co-located files — hash placement can
+    land two salt groups of one directory on the same task (they then
+    merge into one file), so the count is approximate; the shuffle is
+    overprovisioned 8x so such collisions are rare rather than the ~1/e
+    norm an exact-count repartition would give. Loaders glob the shard
     directory either way, and the row-group bound below keeps scan
     parallelism independent of file count regardless."""
     sharded = with_shard_columns(df, key=key, n_shards=n_shards)
     if files_per_shard > 1:
         # explicit partition count: AQE would otherwise coalesce the salted
         # shuffle back into few partitions on small inputs, collapsing the
-        # parallelism (and the per-dir file count) the salt exists to buy
+        # parallelism (and the per-dir file count) the salt exists to buy.
+        # 8x the group count: empty partitions are free at write time,
+        # collided salt groups are not (they halve a directory's files)
         salt = F.pmod(F.xxhash64(F.col(key)), F.lit(files_per_shard))
         sharded = sharded.repartition(
-            3 * n_shards * files_per_shard, F.col("split"), F.col("shard_id"), salt
+            8 * 3 * n_shards * files_per_shard, F.col("split"), F.col("shard_id"), salt
         )
     else:
         sharded = sharded.repartition("split", "shard_id")

@@ -15,10 +15,12 @@ consumers run works verbatim via ``spark.sql(...)``:
   ``<t>_asof`` (time travel: versions live at that block — the
   reference reconstructs this by replay; here it is one predicate).
 
-Views are lazy: registration is metadata-only, each SQL query plans
-against the CURRENT store manifest state at execution time (current()
-re-reads the manifest per call, so re-register after apply() to pick up
-a new generation — noted in the function docs).
+Views are lazy plans, but store views PIN the manifest generation they
+were registered against (``current()`` lists that generation's concrete
+bucket directories into the plan): re-register after ``apply()`` — and
+before a compaction prunes superseded directories — to see a newer
+generation. The input-table views have no such pinning (their paths are
+stable).
 
 Scale: a view is just a named plan — predicates SQL users write are
 pushed into the store's parquet scans by Catalyst exactly as the
@@ -33,6 +35,17 @@ from consensource_sds_spark import schemas
 from consensource_sds_spark.operators.scd2 import ScdParquetStore
 from consensource_sds_spark.queries import load
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence through the Hadoop FileSystem of ``path`` — an
+    ``os.path.isdir`` here is always False for s3a://, hdfs:// etc. and
+    would silently hide exactly the quarantine/sidecar views these
+    registrars exist to surface."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 #: the driver testdata tables (TESTDATA.md)
 INPUT_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -44,7 +57,7 @@ def register_input_tables(spark: SparkSession, sf_dir: str, tables: list[str] | 
     tables; returns the registered names. ``events`` gains the ``ts_us``
     column exactly as ``queries.load`` exposes it."""
     names = []
-    for t in tables or INPUT_TABLES:
+    for t in (INPUT_TABLES if tables is None else tables):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
         names.append(t)
     return names
@@ -79,14 +92,12 @@ def register_corpus_views(spark: SparkSession, out_dir: str) -> list[str]:
     lane; on by default for non-parquet sources — a monitoring query door
     that can't see the quarantine hides exactly the rows an operator
     audits)."""
-    import os
-
     names = []
     spark.read.parquet(out_dir).createOrReplaceTempView("corpus")
     names.append("corpus")
     for suffix in ("_digest_index", "_band_index", "_fp_index", "_quarantine"):
         d = out_dir.rstrip("/") + suffix
-        if os.path.isdir(d):
+        if _dir_exists(spark, d):
             spark.read.parquet(d).createOrReplaceTempView("corpus" + suffix)
             names.append("corpus" + suffix)
     return names
@@ -98,15 +109,13 @@ def register_media_views(spark: SparkSession, out_dir: str) -> list[str]:
     undecodable — ``media_quarantine``. The consumers' workflow is the
     same as the document corpus: query the continuously-maintained
     mirror with plain spark.sql."""
-    import os
-
     names = []
-    f = os.path.join(out_dir, "features")
-    if os.path.isdir(f):
+    f = out_dir.rstrip("/") + "/features"
+    if _dir_exists(spark, f):
         spark.read.parquet(f).createOrReplaceTempView("media_features")
         names.append("media_features")
     q = out_dir.rstrip("/") + "_quarantine"
-    if os.path.isdir(q):
+    if _dir_exists(spark, q):
         spark.read.parquet(q).createOrReplaceTempView("media_quarantine")
         names.append("media_quarantine")
     return names
@@ -117,14 +126,12 @@ def register_ann_views(spark: SparkSession, index_dir: str) -> list[str]:
     views: ``ann_index`` (vectors with their cell/batch partition
     columns) and ``ann_centroids`` — the inspection surface for cell
     balance / drift queries."""
-    import os
-
     names = []
-    if os.path.isdir(index_dir):
+    if _dir_exists(spark, index_dir):
         spark.read.parquet(index_dir).createOrReplaceTempView("ann_index")
         names.append("ann_index")
-        c = os.path.join(index_dir, "_centroids")
-        if os.path.isdir(c):
+        c = index_dir.rstrip("/") + "/_centroids"
+        if _dir_exists(spark, c):
             spark.read.parquet(c).createOrReplaceTempView("ann_centroids")
             names.append("ann_centroids")
     return names

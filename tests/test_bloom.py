@@ -146,3 +146,65 @@ def test_header_carries_fill_fraction_for_header_only_reads(tmp_path):
     exact = float(np.unpackbits(sc.bits).mean())
     assert abs(sc.fill_fraction() - exact) < 1e-12
     assert abs(hdr["f"] - exact) < 1e-8  # header rounds to 8 places
+
+
+def test_truncated_sidecar_refuses_to_load(tmp_path):
+    """Regression (r9 review): a short bitmap read must raise, never load
+    a smaller bits array — the probe would then use a different modulus
+    than the build and return false negatives (silent re-admission)."""
+    import pytest
+
+    from consensource_sds_spark.functions.bloom import BloomSidecar
+
+    path = str(tmp_path / "_bloom")
+    sc = BloomSidecar(path, m_bits=1 << 12)
+    sc.add_digests(["a" * 32])
+    # truncate the file mid-bitmap (partial copy / non-atomic sync)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) - 100])
+    with pytest.raises(ValueError, match="truncated"):
+        BloomSidecar(path)
+
+
+def test_malformed_digests_raise_instead_of_misaligning(tmp_path):
+    """Regression (r9 review): NULL or wrong-length digests must raise a
+    clear error — the batch-concat vectorization would otherwise
+    misalign every later digest's hash halves (silent false negatives)
+    or die with an opaque TypeError."""
+    import pytest
+
+    from consensource_sds_spark.functions.bloom import BloomSidecar
+
+    sc = BloomSidecar(str(tmp_path / "_bloom"), m_bits=1 << 12)
+    with pytest.raises(ValueError, match="32-char"):
+        sc.add_digests(["a" * 32, None])
+    with pytest.raises(ValueError, match="32-char"):
+        sc.add_digests(["a" * 24, "b" * 40])  # concat stays 16-byte aligned
+    sc.add_digests(["c" * 32])  # valid input still works
+    assert sc.candidates(["c" * 32]) == ["c" * 32]
+
+
+def test_rebuild_keeps_a_valid_sidecar_on_disk_at_every_instant(spark, tmp_path, monkeypatch):
+    """Regression (r9 review): rebuild() must not delete the old sidecar
+    before the new one is in place — a crash mid-rebuild previously left
+    the one unsafe state (missing file next to a non-empty index)."""
+    from consensource_sds_spark.functions import bloom as B
+
+    path = str(tmp_path / "_bloom")
+    sc = B.BloomSidecar(path, m_bits=1 << 12)
+    sc.add_digests(["d" * 32])
+    idx = spark.createDataFrame([("d" * 32,)], "digest string")
+    # crash injected at the atomic swap: the OLD sidecar must survive
+    monkeypatch.setattr(B.os, "replace", lambda *a: (_ for _ in ()).throw(OSError("crash")))
+    try:
+        B.rebuild(spark, idx, path, m_bits=1 << 14)
+    except OSError:
+        pass
+    monkeypatch.undo()
+    survivor = B.BloomSidecar(path)
+    assert survivor.m_bits == 1 << 12  # the old generation, intact
+    assert survivor.candidates(["d" * 32]) == ["d" * 32]
+    # and an uninterrupted rebuild swaps generations atomically
+    out = B.rebuild(spark, idx, path, m_bits=1 << 14)
+    assert out.m_bits == 1 << 14
+    assert B.BloomSidecar(path).candidates(["d" * 32]) == ["d" * 32]
