@@ -8,7 +8,7 @@ streaming (see :mod:`consensource_sds_spark.streaming.runner`).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from consensource_sds_spark.operators import transforms as T
@@ -112,8 +112,6 @@ def transform_events(
     entries_by_group: dict[str, DataFrame] = {}
     touched_buckets: dict[str, list[int]] | None = None
     if materialize:
-        from pyspark.sql import Observation
-
         from consensource_sds_spark.operators.scd2 import ScdParquetStore
 
         # the group-pruning distinct rides the checkpoint's own job as an
@@ -155,10 +153,9 @@ def transform_events(
                 entries_by_group = dict(zip(groups, pool.map(_ckpt, groups)))
         if n_buckets is not None:
             touched_buckets = {g: set(bucket_obs[g].get["b"]) for g in groups}
-            if "assertion" in _GROUPS:
-                dels = set(got.get("del_buckets") or [])
-                if dels:
-                    touched_buckets["assertion"] = touched_buckets.get("assertion", set()) | dels
+            dels = set(got.get("del_buckets") or [])
+            if dels:
+                touched_buckets["assertion"] = touched_buckets.get("assertion", set()) | dels
             touched_buckets = {g: sorted(b) for g, b in touched_buckets.items() if b}
 
     tables: dict[str, DataFrame] = {}

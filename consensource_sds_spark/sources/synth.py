@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 #: the token universe — small-English-ish words like the testdata's, so
 #: generated docs pass the same filter rules real docs do (letters only,
-#: plausible token/char ratios). 64 words; bigram space 64^2 = 4096.
+#: plausible token/char ratios). 63 words; bigram space 63^2 = 3969.
 _VOCAB = (
     "key agg row scan slow fast table value part hash merge batch spark line "
     "sort window query plan join shuffle filter push prune broadcast stage "

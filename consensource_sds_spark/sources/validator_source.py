@@ -39,7 +39,7 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import StructType
 
 from consensource_sds_spark import schemas
 from consensource_sds_spark.codec import decode_message
@@ -73,10 +73,16 @@ def _parse_name(name: str) -> tuple[int, int] | None:
     if not name.endswith(ENVELOPE_EXT):
         return None
     stem = name[: -len(ENVELOPE_EXT)]
-    if "-" in stem:
-        s, b = stem.split("-", 1)
-        return int(s), int(b)
-    return int(stem), int(stem)
+    try:
+        if "-" in stem:
+            s, b = stem.split("-", 1)
+            return int(s), int(b)
+        return int(stem), int(stem)
+    except ValueError:
+        # a foreign *.evl file (backup.evl, editor droppings) is not a
+        # spool entry — returning None skips it; raising here would fail
+        # EVERY microbatch until someone hand-deletes the file
+        return None
 
 
 def next_seq(directory: str) -> int:
@@ -157,14 +163,21 @@ class _SpoolStreamReader(SimpleDataSourceStreamReader):
         self.max_blocks = int(options.get("max_blocks_per_batch", self.DEFAULT_MAX_BLOCKS))
 
     def initialOffset(self) -> dict:
-        # skip the contiguous PREFIX of history at or below start_block
-        # (the S3 handshake); entries beyond the prefix — e.g. a spooled
-        # fork replay of a lower height — still flow, and the store's
-        # same-id re-delivery skip makes benign overlap a no-op
+        # skip the contiguous STRICTLY-INCREASING prefix of history at or
+        # below start_block (the S3 handshake). Both conditions matter: a
+        # fork REPLACEMENT re-delivers a height <= the previous spooled
+        # height, so its block is <= the store head that seeds start_block
+        # — a height-only skip would silently drop a spooled-but-
+        # unprocessed replacement on a fresh-checkpoint start and W4 fork
+        # repair would never run. Stopping at the first non-increase is
+        # conservative: an already-PROCESSED fork tail re-flows, and the
+        # store's same-id re-delivery skip makes that overlap a no-op.
         last = -1
+        prev = -1
         for seq, block in _spooled_entries(self.directory):
-            if block <= self.start_block:
+            if block <= self.start_block and block > prev:
                 last = seq
+                prev = block
             else:
                 break
         return {"last_seq": last}

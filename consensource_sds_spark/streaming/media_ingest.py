@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 
 from consensource_sds_spark.operators.multimodal import (
     MALFORMED_MEDIA_ERRORS,
+    MEDIA_SCHEMA,
     _audio_features,
     _decode_one,
     _image_features,
@@ -54,11 +55,10 @@ from consensource_sds_spark.operators.multimodal import (
 #: formats (NotImplementedError) quarantine here too.
 _MALFORMED_PAYLOAD_ERRORS = (NotImplementedError, *MALFORMED_MEDIA_ERRORS)
 
-#: file-stream schema for media drops (MEDIA_SCHEMA as DDL)
-MEDIA_STREAM_SCHEMA = (
-    "media_id BIGINT, modality STRING, payload BINARY, mime_type STRING, "
-    "width BIGINT, height BIGINT, duration_ms BIGINT"
-)
+#: file-stream schema for media drops — THE canonical record schema
+#: (one definition, the repo's no-drift schema rule; a hand-written DDL
+#: twin here had already drifted in nullability)
+MEDIA_STREAM_SCHEMA = MEDIA_SCHEMA
 
 _SPLIT_SCHEMA = StructType(
     [

@@ -149,3 +149,49 @@ def test_fork_replay_flows_through_appendonly_spool(spark, tmp_path):
     }
     cur = {r["public_key"] for r in store.current("agents").collect()}
     assert cur == {"pk1", "pk_fork"}  # pk2 (orphaned chain) rewound out
+
+
+def test_initial_offset_stops_at_fork_replacement(tmp_path):
+    """Regression (r9 review): a spooled-but-unprocessed fork REPLACEMENT
+    has height <= the store head that seeds start_block, so a height-only
+    prefix skip would drop it on a fresh-checkpoint start and W4 repair
+    would never run. The skip must stop at the first non-increasing
+    height."""
+    from consensource_sds_spark.sources.validator_source import (
+        _SpoolStreamReader,
+        write_envelope,
+    )
+
+    d = str(tmp_path / "spool")
+    for seq, block in ((0, 1), (1, 2), (2, 2)):  # seq2 = replacement for height 2
+        write_envelope(d, block, b"evl", seq=seq)
+    r = _SpoolStreamReader({"path": d, "start_block": "2"})
+    # the processed strictly-increasing prefix (b1, b2) is skipped; the
+    # same-height replacement at seq 2 still flows
+    assert r.initialOffset() == {"last_seq": 1}
+    # plain catch-up is unchanged: heights beyond start_block stop the skip
+    d2 = str(tmp_path / "spool2")
+    for seq, block in ((0, 1), (1, 2), (2, 3)):
+        write_envelope(d2, block, b"evl", seq=seq)
+    r2 = _SpoolStreamReader({"path": d2, "start_block": "2"})
+    assert r2.initialOffset() == {"last_seq": 1}
+
+
+def test_foreign_evl_files_are_skipped_not_fatal(tmp_path):
+    """Regression (r9 review): a stray *.evl file whose name is not a
+    spool entry (backup.evl, '1-2-3.evl') must be ignored — raising from
+    the name parser failed every microbatch until someone hand-deleted
+    the file."""
+    from consensource_sds_spark.sources.validator_source import (
+        _parse_name,
+        _spooled_entries,
+        write_envelope,
+    )
+
+    d = str(tmp_path / "spool")
+    write_envelope(d, 5, b"evl", seq=0)
+    open(f"{d}/backup.evl", "wb").write(b"junk")
+    open(f"{d}/1-2-3.evl", "wb").write(b"junk")
+    assert _parse_name("backup.evl") is None
+    assert _parse_name("1-2-3.evl") is None
+    assert _spooled_entries(d) == [(0, 5)]
