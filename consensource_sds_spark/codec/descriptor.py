@@ -30,7 +30,7 @@ from functools import lru_cache
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, StructType
 
 from consensource_sds_spark import schemas
 from consensource_sds_spark.codec import wire
@@ -38,17 +38,20 @@ from consensource_sds_spark.codec.messages import ENUMS, MESSAGES
 
 PACKAGE = "consensource_sds"
 
-#: each enum nests inside the single message that uses it (value-name scope)
-_ENUM_OWNER = {
-    "OrganizationType": "Organization",
-    "Role": "OrgAuthorization",
-    "RequestStatus": "Request",
-    "AssertionType": "Assertion",
-    "StateChangeType": "StateChange",
-    "FilterType": "EventFilter",
-    "SubscribeStatus": "ClientEventsSubscribeResponse",
-    "UnsubscribeStatus": "ClientEventsUnsubscribeResponse",
-}
+def _derive_enum_owners() -> dict[str, str]:
+    """Each enum nests inside the FIRST message declaring a field of its
+    kind (value-name scope). Derived from MESSAGES — a hand-maintained
+    twin table here would only surface its drift on the skip-gated JVM
+    path, i.e. first on a real cluster (r9 review)."""
+    owners: dict[str, str] = {}
+    for msg, fields in MESSAGES.items():
+        for _fname, kind in fields.values():
+            if kind.startswith("enum:"):
+                owners.setdefault(kind[5:], msg)
+    return owners
+
+
+_ENUM_OWNER = _derive_enum_owners()
 
 # FieldDescriptorProto.Type / .Label numbers (public descriptor.proto)
 _T_UINT64, _T_STRING, _T_MESSAGE, _T_BYTES, _T_ENUM = 4, 9, 11, 12, 14
@@ -122,7 +125,13 @@ def file_descriptor_set() -> bytes:
 _JVM_CLASS = "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
 
 
+@lru_cache(maxsize=8)
 def jvm_available(spark: SparkSession) -> bool:
+    # memoized per session: the classpath is fixed for the JVM's lifetime,
+    # and decode_backend runs ~7x per microbatch on the foreachBatch hot
+    # path — an uncached py4j Class.forName round-trip every time (r9
+    # review). lru_cache keys on session identity; a new session probes
+    # fresh.
     try:
         spark._jvm.java.lang.Class.forName(_JVM_CLASS)  # type: ignore[union-attr]
         return True
@@ -202,13 +211,18 @@ def state_changes_col(data: Column) -> Column:
             F.element_at(F.array(*[F.lit(n) for n in names]), ct.cast("int") + 1),
         ).otherwise(F.lit(names[0]))
 
-    return F.transform(
-        parsed["state_changes"],
-        lambda c: F.struct(
-            c["address"].alias("address"),
-            c["value"].alias("value"),
-            _name(c["change_type"]).alias("change_type"),
+    # NULL binary -> [] like the Python UDF (from_protobuf propagates
+    # NULL; uncoalesced, size()/posexplode_outer would diverge per backend)
+    return F.coalesce(
+        F.transform(
+            parsed["state_changes"],
+            lambda c: F.struct(
+                c["address"].alias("address"),
+                c["value"].alias("value"),
+                _name(c["change_type"]).alias("change_type"),
+            ),
         ),
+        F.array().cast(ArrayType(schemas.STATE_CHANGE)),
     )
 
 
@@ -230,8 +244,11 @@ def container_entries_col(space: str, value: Column) -> Column:
     )
     entries = parsed["entries"]
     target: StructType = schemas.ENTITY_SCHEMAS[space]
+    empty = F.array().cast(ArrayType(target))  # NULL binary -> [], python-UDF parity
     if space != "organization":
-        return F.transform(entries, lambda e: _shape(entity_msg, e, target))
+        return F.coalesce(
+            F.transform(entries, lambda e: _shape(entity_msg, e, target)), empty
+        )
 
     # organization flattens the oneof-style detail messages (P8): pull
     # accreditations/factory_address out of their wrappers, null when the
@@ -262,4 +279,4 @@ def container_entries_col(space: str, value: Column) -> Column:
         ]
         return F.struct(*cols)
 
-    return F.transform(entries, shape_org)
+    return F.coalesce(F.transform(entries, shape_org), empty)

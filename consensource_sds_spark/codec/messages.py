@@ -163,6 +163,12 @@ def encode_message(name: str, obj: dict) -> bytes:
                 out += wire.encode_varint_field(fnum, v)
         elif kind.startswith("enum:"):
             num = val if isinstance(val, int) else ENUMS[kind[5:]].index(val)
+            # the decode side wraps hostile enum values to signed int32;
+            # protobuf encodes a negative enum as its 64-bit
+            # two's-complement (10-byte) varint — wrap back like the
+            # uint64 branch so decode->encode round-trips
+            if num < 0:
+                num += 0x10000000000000000
             if num != 0:
                 out += wire.encode_varint_field(fnum, num)
         elif kind.startswith("msg:"):
@@ -235,18 +241,26 @@ def decode_message(name: str, buf: bytes, enums_as_number: bool = False) -> dict
         obj[fname] = []
     if not isinstance(buf, bytes):
         buf = bytes(buf)
+    # singular sub-message chunks accumulate and decode ONCE after the
+    # scan: a legally re-emitted singular message field MERGES per the
+    # proto spec (protobuf-java parses later chunks into the same
+    # builder), and parsing the concatenated chunk bytes is exactly that
+    # merge — last-wins dict replacement dropped the first chunk's
+    # repeated entries (backend divergence, r9 review)
+    msg_chunks: dict = {}
     for fnum, wt, raw in wire.iter_fields(buf):
         f = fields.get(fnum)
         if f is None:
             continue  # unknown-field tolerance
         fname, ktag, extra, expect_wt, kind = f
-        # wire-type/kind agreement: a varint payload for a declared string
-        # (or vice versa) is a malformed message and must fail with the
-        # codec's classifiable ValueError, not an AttributeError downstream
+        # wire-type/kind disagreement: protobuf-java (the JVM backend) and
+        # the reference's rust codegen both file such tags under UNKNOWN
+        # fields and keep parsing — raising here would make the same bytes
+        # crash one backend and decode on the other. The value was already
+        # length-validated by iter_fields, so skipping is safe; truly
+        # unparseable buffers (bad varints, truncation) still raise there.
         if wt != expect_wt:
-            raise ValueError(
-                f"wire type {wt} for field {fname} ({kind}): expected {expect_wt}"
-            )
+            continue
         if ktag == _K_STRING:
             obj[fname] = raw.decode("utf-8")
         elif ktag == _K_REP:
@@ -269,9 +283,12 @@ def decode_message(name: str, buf: bytes, enums_as_number: bool = False) -> dict
             else:
                 obj[fname] = extra[v] if 0 <= v < len(extra) else extra[0]
         elif ktag == _K_MSG:
-            obj[fname] = decode_message(extra, raw, enums_as_number)
+            prev = msg_chunks.get(fname)
+            msg_chunks[fname] = (extra, bytes(raw) if prev is None else prev[1] + bytes(raw))
         elif ktag == _K_REPSTR:
             obj[fname].append(raw.decode("utf-8"))
         else:  # _K_BYTES
             obj[fname] = raw
+    for fname, (extra, chunks) in msg_chunks.items():
+        obj[fname] = decode_message(extra, chunks, enums_as_number)
     return obj

@@ -14,6 +14,8 @@ output StructTypes match :mod:`consensource_sds_spark.schemas`.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType
@@ -54,8 +56,17 @@ def _shape_organization(entry: dict) -> dict:
 _SHAPERS = {"organization": _shape_organization}
 
 
+# factory results are cached: transforms rebuild these plans per microbatch
+# per entity space under foreachBatch, and re-wrapping the identical
+# closure re-serializes the UDF command for shipment every time (inputs
+# are static module-level tables — once per process is enough)
+@functools.lru_cache(maxsize=None)
 def decode_state_changes():
-    """BINARY (encoded StateChangeList) -> ARRAY<STATE_CHANGE> (P7 + U1 prep)."""
+    """BINARY (encoded StateChangeList) -> ARRAY<STATE_CHANGE> (P7 + U1 prep).
+
+    NULL input decodes to [] — matching the JVM builders, whose
+    ``from_protobuf(NULL)`` is NULL coalesced back to array() so both
+    backends agree on ``size()``/``posexplode_outer`` over the column."""
 
     @pandas_udf(ArrayType(schemas.STATE_CHANGE))
     def _decode(data: pd.Series) -> pd.Series:
@@ -73,11 +84,13 @@ def decode_state_changes():
     return _decode
 
 
+@functools.lru_cache(maxsize=None)
 def decode_container(space: str):
     """BINARY (encoded <Entity>Container) -> ARRAY<entity struct> (P7 + U2 prep).
 
     Containers exist because multiple entities can hash-collide into one
-    address (transformer.rs:3-7) — state at an address is a list."""
+    address (transformer.rs:3-7) — state at an address is a list. NULL
+    input decodes to [] (JVM-builder parity, see decode_state_changes)."""
     schema = ArrayType(schemas.ENTITY_SCHEMAS[space])
     msg_name = _CONTAINER_MSG[space]
     shaper = _SHAPERS.get(space)

@@ -177,3 +177,50 @@ def test_mutated_valid_message_never_escapes_value_error(data):
             assert isinstance(out, dict)
         except ValueError:
             pass
+
+
+def test_duplicated_singular_message_field_merges_like_protobuf():
+    """Regression (r9 review): a legal wire encoding may emit a singular
+    sub-message field in multiple chunks; the spec (and protobuf-java,
+    the JVM backend) MERGES them — parsing the concatenated chunk bytes.
+    Last-wins replacement dropped the first chunk's repeated entries."""
+    from consensource_sds_spark.codec.wire import encode_len_delimited
+
+    a = encode_message("Accreditation", {"standard_id": "a"})
+    b = encode_message("Accreditation", {"standard_id": "b"})
+    # Organization field 6 = certifying_body_details (CertifyingBody,
+    # whose field 1 is repeated accreditations); emit it twice
+    chunk1 = encode_len_delimited(6, encode_len_delimited(1, a))
+    chunk2 = encode_len_delimited(6, encode_len_delimited(1, b))
+    decoded = decode_message("Organization", bytes(chunk1 + chunk2))
+    accs = decoded["certifying_body_details"]["accreditations"]
+    assert [x["standard_id"] for x in accs] == ["a", "b"]
+
+
+def test_wire_type_mismatch_skips_like_unknown_field():
+    """Regression (r9 review): protobuf-java (the JVM backend) and the
+    reference's rust codegen both file a known field number carrying the
+    WRONG wire type under unknown fields and keep parsing. Raising made
+    the same bytes crash one backend and decode on the other."""
+    from consensource_sds_spark.codec.wire import encode_varint_field
+
+    # Agent field 1 (public_key) is LEN; send it as a varint, followed by
+    # a well-formed name field — the name must still decode
+    buf = encode_varint_field(1, 7) + encode_message("Agent", {"name": "n"})
+    decoded = decode_message("Agent", bytes(buf))
+    assert decoded["public_key"] == ""  # skipped -> proto3 default
+    assert decoded["name"] == "n"
+
+
+def test_negative_enum_roundtrips_through_encode():
+    """Regression (r9 review): the decoder deliberately wraps hostile
+    enum wire values to signed int32; re-encoding that decoded dict
+    (fixture regeneration, quarantine replay) must produce the 64-bit
+    two's-complement varint protobuf uses, not raise."""
+    from consensource_sds_spark.codec.wire import encode_varint_field
+
+    hostile = encode_varint_field(3, 0xFFFFFFFFFFFFFFFF)  # change_type = -1
+    decoded = decode_message("StateChange", bytes(hostile), enums_as_number=True)
+    assert decoded["change_type"] == -1
+    re_encoded = encode_message("StateChange", decoded)
+    assert decode_message("StateChange", re_encoded, enums_as_number=True)["change_type"] == -1
