@@ -403,9 +403,31 @@ class ScdParquetStore:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- reads ------------------------------------------------------------
+    def quarantine(self) -> DataFrame | None:
+        """The persisted W5 dead-letter lane (every ``batch.quarantine``
+        frame apply() ever received, partitioned by (_app, _batch_id)), or
+        None before any batch carried one."""
+        p = os.path.join(self.path, "quarantine")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
     def _read_dirs(self, rel_paths: list[str], schema) -> DataFrame:
         paths = [os.path.join(self.path, p) for p in rel_paths if p]
-        paths = [p for p in paths if os.path.isdir(p)]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            # a manifest-referenced directory that is gone (manual delete,
+            # partial restore) is store corruption: silently skipping it
+            # would return partial data, and the NEXT apply() would merge
+            # against the truncated open state and commit the loss
+            # permanently (r9 review) — the manifest doctrine is loud
+            # failure, same as CorruptManifestError on an unreadable file
+            raise CorruptManifestError(
+                f"manifest references missing director{'ies' if len(missing) > 1 else 'y'} "
+                f"{missing[:3]!r} — the store is inconsistent (partial restore "
+                "or out-of-band deletion); restore the directories or rebuild "
+                "the store from the stream"
+            )
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
@@ -577,6 +599,23 @@ class ScdParquetStore:
             if batch_id <= last:
                 return  # replayed microbatch after restart — already committed
 
+        if batch.quarantine is not None:
+            # W5: dead letters are data to audit, never rows to drop — the
+            # transform routes them here "instead of an inner join silently
+            # discarding them", so the sink must actually LAND them.
+            # Idempotent by layout: each (app, batch) owns its partition
+            # and a replayed batch overwrites its own output.
+            q_app = txn_app_id or "global"
+            q_bid = batch_id if batch_id is not None else man["gen"] + 1
+            (
+                batch.quarantine.withColumn("_app", F.lit(q_app))
+                .withColumn("_batch_id", F.lit(q_bid).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy("_app", "_batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(os.path.join(self.path, "quarantine"))
+            )
+
         from concurrent.futures import ThreadPoolExecutor
 
         n = man.get("n_buckets") or self._default_n_buckets
@@ -619,6 +658,7 @@ class ScdParquetStore:
                 unioned = unioned.localCheckpoint()
             blocks_new = blocks_fut.result() if blocks_fut is not None else []
 
+        dedupe_idless = False
         if blocks_new:
             # -- intra-batch resolution first (serial-delivery semantics:
             # the reference applies deliveries one at a time). Processing
@@ -642,19 +682,26 @@ class ScdParquetStore:
                 if cur is not None and cur["block_id"] == r["block_id"]:
                     in_batch_dropped.append(r)  # duplicate re-delivery
                     continue
-                if cur is not None:
-                    if not has_did:
-                        raise ValueError(
-                            f"batch carries conflicting block ids at height {h} "
-                            f"({cur['block_id']!r} then {r['block_id']!r}) but its "
-                            "block frame has no delivery_id column, so the "
-                            "superseded delivery's emissions cannot be rewound "
-                            "out. Produce the batch via transform_events (which "
-                            "passes delivery_id through) or split the deliveries "
-                            "across batches."
-                        )
+                if has_did:
+                    # serial-delivery semantics: a (non-duplicate) delivery
+                    # at height h supersedes EVERY already-accepted delivery
+                    # at or above h — including accepted HIGHER heights with
+                    # no same-height conflict (the validator replaying from
+                    # a lower common ancestor implies the chain above it is
+                    # abandoned; keeping an earlier in-batch block 6 after a
+                    # fork delivery at 5 would mix two chains, r9 review)
                     for hh in [x for x in list(surviving) if x >= h]:
                         in_batch_dropped.append(surviving.pop(hh))
+                elif cur is not None:
+                    raise ValueError(
+                        f"batch carries conflicting block ids at height {h} "
+                        f"({cur['block_id']!r} then {r['block_id']!r}) but its "
+                        "block frame has no delivery_id column, so the "
+                        "superseded delivery's emissions cannot be rewound "
+                        "out. Produce the batch via transform_events (which "
+                        "passes delivery_id through) or split the deliveries "
+                        "across batches."
+                    )
                 surviving[h] = r
             blocks_new = [surviving[h] for h in sorted(surviving)]
 
@@ -692,10 +739,7 @@ class ScdParquetStore:
                 drop = F.lit(False)
                 if has_did and in_batch_dropped:
                     # exact: the superseded deliveries' emissions carry the
-                    # same delivery_id. (Id-less duplicate re-deliveries
-                    # keep their emissions — same block id → same content;
-                    # the merge's same-block sequencing turns the extra
-                    # SETs into zero-width versions.)
+                    # same delivery_id.
                     drop = drop | F.col("delivery_id").isin(
                         [r["delivery_id"] for r in in_batch_dropped]
                     )
@@ -704,6 +748,21 @@ class ScdParquetStore:
                     # belongs to the re-delivered block
                     drop = drop | (F.col("block_num") == F.lit(h))
                 unioned = unioned.filter(~drop)
+            dedupe_idless = not has_did
+            if unioned is not None and not has_did:
+                # id-less frames: a duplicated delivery duplicates its
+                # emission rows byte-identically (same ordinals, same
+                # payload — the ordinals uniquely place an operation within
+                # the one stamped delivery, so full-row duplicates are
+                # replay artifacts by construction). They must be DEDUPED,
+                # not kept: the emission<->new-row insert join is
+                # many-to-many on identical order keys, so 2 copies became
+                # 2x2 = 4 inserted rows with TWO open [h, MAX) versions per
+                # entity (r9 review, repro-confirmed) — not the zero-width
+                # versions the old comment assumed. Id-full frames never
+                # take this shuffle (duplicates are dropped exactly by
+                # delivery_id above).
+                unioned = unioned.dropDuplicates()
 
         touched_by_group: dict[str, list[int]] = {}
         if batch.touched_buckets is not None and batch.buckets_n == n:
@@ -763,6 +822,12 @@ class ScdParquetStore:
                 new_rows = batch.tables.get(table)
                 if new_rows is None:
                     new_rows = _empty_new_rows(self.spark, schema)
+                elif dedupe_idless:
+                    # same rationale as the emission dedupe above: an
+                    # id-less duplicated delivery duplicates its new-row
+                    # frames byte-identically, and each copy would join
+                    # every matching emission copy in the insert join
+                    new_rows = new_rows.dropDuplicates()
                 # only the TOUCHED open buckets participate; untouched
                 # buckets carry over by pointer and closed history is
                 # immutable and never rescanned during apply

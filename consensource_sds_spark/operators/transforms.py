@@ -31,6 +31,11 @@ STATE_DELTA = "sawtooth/state-delta"
 # codec's authoritative tables (wire number = list position) so encoder,
 # descriptor set and this decode layer cannot drift apart.
 ORG_TYPE_ENUM = dict(enumerate(ENUMS["OrganizationType"]))
+#: wire numbers for the P8 conditional fan-outs — derived, never literal,
+#: so a reordered/extended enum table cannot silently strand the filters
+#: on stale numbers while decode_enum follows the table (r9 review)
+_ORG_CERTIFYING_BODY = ENUMS["OrganizationType"].index("CERTIFYING_BODY")
+_ORG_FACTORY = ENUMS["OrganizationType"].index("FACTORY")
 ROLE_ENUM = dict(enumerate(ENUMS["Role"]))
 REQUEST_STATUS_ENUM = dict(enumerate(ENUMS["RequestStatus"]))
 ASSERTION_TYPE_ENUM = dict(enumerate(ENUMS["AssertionType"]))
@@ -96,8 +101,9 @@ def parse_blocks(events: DataFrame) -> DataFrame:
     reference: a missing attribute raises via :func:`_attr` (it panics on
     any block-commit event, last or not — map(..).last() drains the
     iterator), and ANSI mode makes a malformed block_num cast raise."""
+    stamped = "delivery_id" not in events.columns
     events = _ensure_delivery(events)
-    return (
+    agg = (
         events.filter(F.col("event_type") == BLOCK_COMMIT)
         .select(
             "delivery_id",
@@ -106,9 +112,35 @@ def parse_blocks(events: DataFrame) -> DataFrame:
             _attr("block_id").alias("block_id"),
         )
         .groupBy("delivery_id")
-        .agg(F.max_by(F.struct("block_num", "block_id"), "batch_ord").alias("b"))
-        .select("delivery_id", "b.block_num", "b.block_id")
+        .agg(
+            F.max_by(F.struct("block_num", "block_id"), "batch_ord").alias("b"),
+            F.countDistinct("block_num").alias("_nb"),
+        )
     )
+    if stamped:
+        # an id-less frame was stamped as ONE delivery; if it actually
+        # carries several distinct block-commit heights, last-wins would
+        # keep only the highest and misattribute every other block's
+        # changes to it (silent corruption) — fail loud instead. Frames
+        # WITH delivery_id keep the reference's legal last-wins per
+        # delivery (Iterator::last over one EventList).
+        agg = agg.select(
+            "delivery_id",
+            F.when(
+                F.col("_nb") > 1,
+                F.raise_error(
+                    F.lit(
+                        "events frame has no delivery_id but carries multiple "
+                        "distinct block-commit heights; deliveries are not "
+                        "separable — produce the frame with a delivery_id "
+                        "column (transform_events passes it through)"
+                    )
+                ),
+            )
+            .otherwise(F.col("b"))
+            .alias("b"),
+        )
+    return agg.select("delivery_id", "b.block_num", "b.block_id")
 
 
 def parse_state_deltas(events: DataFrame) -> DataFrame:
@@ -245,7 +277,7 @@ def to_organizations(entries: DataFrame) -> DataFrame:
 
 def to_accreditations(entries: DataFrame) -> DataFrame:
     """U3 child fan-out, CERTIFYING_BODY only (P8; event_handler.rs:236-257)."""
-    certifying = entries.filter(F.col("e.organization_type") == 1)
+    certifying = entries.filter(F.col("e.organization_type") == _ORG_CERTIFYING_BODY)
     acc = certifying.select(
         *_ORDER_COLS,
         "block_num",
@@ -309,7 +341,7 @@ def to_addresses(entries: DataFrame) -> DataFrame:
     """U3 0..1 child, FACTORY only (P8; event_handler.rs:289-318), with the
     empty-string->NULL normalization on the three optional lines (P4)."""
     factory = entries.filter(
-        (F.col("e.organization_type") == 3) & F.col("e.factory_address").isNotNull()
+        (F.col("e.organization_type") == _ORG_FACTORY) & F.col("e.factory_address").isNotNull()
     )
     return _proj(
         factory,

@@ -600,3 +600,99 @@ def test_tables_without_emissions_raise(spark, store):
     rows = spark.createDataFrame([], SINK_TABLES["agents"])
     with pytest.raises(ValueError, match="emissions"):
         store.apply(PipelineBatch(tables={"agents": rows}))
+
+
+def test_intra_batch_fork_below_unconflicted_higher_block(spark, store):
+    """Regression (r9 review, repro-confirmed): the fork delivery's height
+    need not itself recur in the batch for supersession — an old-chain
+    delivery at a HIGHER height earlier in the same batch is abandoned
+    the moment a delivery at or below it arrives, else the store mixes
+    two chains (blocks 5B and 6A coexisting)."""
+    _apply(
+        spark, store,
+        [fx.delivery(5, "b5a", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="chainA5")])])],
+    )
+    _apply(
+        spark, store,
+        [
+            fx.delivery(6, "b6a", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="chainA6")])]),
+            fx.delivery(5, "b5b", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="chainB5")])]),
+        ],
+    )
+    assert _agent_versions(store) == [("test_public_key", "chainB5", 5, MAX)]
+    assert {(r["block_num"], r["block_id"]) for r in store.blocks().collect()} == {(5, "b5b")}
+
+
+def test_idless_duplicated_delivery_yields_single_open_version(spark, store):
+    """Regression (r9 review, repro-confirmed): an id-less batch carrying
+    the same delivery TWICE (duplicated block/emission/new-row frames,
+    byte-identical) must not double-insert — the emission<->new-row
+    insert join is many-to-many on identical order keys, so 2x2 copies
+    previously produced TWO open [5, MAX) versions of one entity."""
+    from consensource_sds_spark.operators.scd2 import PipelineBatch
+
+    b = transform_events(
+        fx.events_df(
+            spark,
+            [fx.delivery(5, "b5", [fx.state_change("agent", fx.PUBLIC_KEY, [dict(fx.make_agent(), name="v5")])])],
+        ),
+        materialize=False,
+    )
+
+    def strip_dup(df):
+        d = df.drop("delivery_id") if "delivery_id" in df.columns else df
+        return d.unionAll(d)
+
+    dup = PipelineBatch(
+        block=strip_dup(b.block),
+        tables={t: strip_dup(df) for t, df in b.tables.items()},
+        emissions={g: strip_dup(df) for g, df in b.emissions.items()},
+    )
+    store.apply(dup)
+    assert _agent_versions(store) == [("test_public_key", "v5", 5, MAX)]
+
+
+def test_quarantine_frames_are_persisted(spark, store):
+    """Regression (r9 review): W5 dead letters routed into
+    PipelineBatch.quarantine must actually LAND — apply() previously
+    ignored the field, so the production path silently dropped them."""
+    q_rows = spark.createDataFrame([("badaddr", "unknown_infix")], "address string, reason string")
+    b = transform_events(
+        fx.events_df(
+            spark,
+            [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])],
+        )
+    )
+    b.quarantine = q_rows
+    store.apply(b, batch_id=0, txn_app_id="app")
+    got = store.quarantine()
+    assert got is not None
+    assert [(r["address"], r["reason"]) for r in got.collect()] == [("badaddr", "unknown_infix")]
+    # replayed batch id: the guard returns early, nothing duplicates
+    b2 = transform_events(
+        fx.events_df(
+            spark,
+            [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])],
+        )
+    )
+    b2.quarantine = q_rows
+    store.apply(b2, batch_id=0, txn_app_id="app")
+    assert store.quarantine().count() == 1
+
+
+def test_missing_referenced_directory_fails_loudly(spark, store):
+    """Regression (r9 review): a manifest-referenced directory missing on
+    disk (partial restore, out-of-band delete) must raise — silently
+    skipping it returned partial data that the next apply() would merge
+    against and commit, making the loss permanent."""
+    import os
+    import shutil
+
+    from consensource_sds_spark.operators.scd2 import CorruptManifestError
+
+    _apply(spark, store, [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])])
+    man = store._manifest()
+    rel = next(iter(man["tables"]["agents"]["open_buckets"].values()))
+    shutil.rmtree(os.path.join(store.path, rel))
+    with pytest.raises(CorruptManifestError, match="missing"):
+        store.read("agents")

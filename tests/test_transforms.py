@@ -195,3 +195,30 @@ def test_assertion_delete_tombstone(spark):
     deltas = T.with_address_space(T.parse_state_deltas(ev))
     rows = T.assertion_deletes(T.changes_at_blocks(deltas, blocks)).collect()
     assert [(r["state_address"], r["block_num"]) for r in rows] == [(sc["address"], 3)]
+
+
+def test_idless_multiblock_frame_fails_loudly(spark):
+    """Regression (r9 review): an events frame WITHOUT delivery_id gets
+    stamped as one delivery; if it actually carries several distinct
+    block-commit heights, last-wins would keep only the highest and
+    misattribute every other block's changes to it. Fail loud instead.
+    A single-height id-less frame stays legal (the stamped path)."""
+    import pytest
+
+    from consensource_sds_spark.operators.transforms import parse_blocks
+    from consensource_sds_spark.sources import fixtures as fx
+
+    two = fx.events_df(
+        spark,
+        [
+            fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])]),
+            fx.delivery(2, "b2", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])]),
+        ],
+    ).drop("delivery_id")
+    with pytest.raises(Exception, match="delivery_id"):
+        parse_blocks(two).collect()
+    one = fx.events_df(
+        spark,
+        [fx.delivery(1, "b1", [fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])])],
+    ).drop("delivery_id")
+    assert [(r["block_num"], r["block_id"]) for r in parse_blocks(one).collect()] == [(1, "b1")]
