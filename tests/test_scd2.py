@@ -696,3 +696,25 @@ def test_missing_referenced_directory_fails_loudly(spark, store):
     shutil.rmtree(os.path.join(store.path, rel))
     with pytest.raises(CorruptManifestError, match="missing"):
         store.read("agents")
+
+
+def test_streaming_quarantine_lands_end_to_end(spark, store, tmp_path):
+    """W5 through the PRODUCTION path: an unknown-infix change streamed via
+    run_file_stream must land in the store's persisted quarantine lane
+    alongside the good row's normal merge — previously the runner's
+    apply() dropped the dead letters with no record (r9 review)."""
+    from consensource_sds_spark.addressing import NAMESPACE
+    from consensource_sds_spark.streaming.runner import run_file_stream
+
+    src = str(tmp_path / "events_src_q")
+    ckpt = str(tmp_path / "ckpt_q")
+    good = fx.state_change("agent", fx.PUBLIC_KEY, [fx.make_agent()])
+    unknown = fx.state_change("agent", "k", [fx.make_agent()], address=NAMESPACE + "99" + "a" * 62)
+    fx.events_df(spark, [fx.delivery(1, "b1", [good, unknown])]).write.parquet(src)
+    q = run_file_stream(spark, src, store, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert _agent_versions(store) == [("test_public_key", "test", 1, MAX)]
+    dead = store.quarantine()
+    assert dead is not None
+    rows = dead.collect()
+    assert len(rows) == 1 and rows[0]["address"] == unknown["address"]
