@@ -27,20 +27,30 @@ from consensource_sds_spark.queries import load, local_hint, register
 # SUM/AVG over doubles depends on partitioning (summation order), so a
 # ROUND(SUM(..), 2) that lands near a half-cent boundary can hash-differ
 # from the oracle run-to-run. Accumulating in DECIMAL is exact and
-# order-free; both engines then round the *same* double. The oracle-side
-# twin is ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE), s).
+# order-free — and the FINAL rounding must also happen in DECIMAL:
+# rounding the cast-back double instead diverges between engines when the
+# exact sum lands on a half boundary (Spark rounds the double's shortest
+# decimal repr, DuckDB the binary value — r9 review, verified live on a
+# sum of exactly 74721.5250000000). The oracle-side twins:
+#   sums: CAST(ROUND(SUM(CAST(x AS DECIMAL(30,10))), s) AS DOUBLE)
+#   avgs: CAST(ROUND(CAST(<sum-as-double> / COUNT(*) AS DECIMAL(30,10)), s)
+#         AS DOUBLE) — the division is IEEE-identical on both engines
+#         given identical inputs, and the double->DECIMAL(30,10) cast
+#         agrees across engines (verified on the half-boundary products),
+#         so the HALF_UP round sees one value.
 # (At 100 TB this is also the right engine choice: decimal partial
 # aggregates are deterministic under any AQE re-partitioning.)
 
 
 def dsum(c, scale: int = 2):
     c = F.col(c) if isinstance(c, str) else c
-    return F.round(F.sum(c.cast("decimal(30,10)")).cast("double"), scale)
+    return F.round(F.sum(c.cast("decimal(30,10)")), scale).cast("double")
 
 
 def davg(c, scale: int = 4):
     c = F.col(c) if isinstance(c, str) else c
-    return F.round(F.sum(c.cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), scale)
+    q = F.sum(c.cast("decimal(30,10)")).cast("double") / F.count(F.lit(1))
+    return F.round(q.cast("decimal(30,10)"), scale).cast("double")
 
 # --------------------------------------------------------------------------
 # Aggregation (A-family) + filter pushdown (F-family)
@@ -51,13 +61,13 @@ def davg(c, scale: int = 4):
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2)      AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE)
                                                                                   AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4)      AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4)      AS avg_disc,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE)      AS avg_qty,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_price,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE)      AS avg_disc,
            COUNT(*)                                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -86,14 +96,19 @@ def q01_pricing_summary(spark, sf_dir):
 @register(
     "q02_filter_pushdown",
     oracle="""
-    SELECT l_orderkey, l_partkey, ROUND(l_extendedprice * (1 - l_discount), 2) AS net_price
+    SELECT l_orderkey, l_partkey,
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)), 2) AS DOUBLE) AS net_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
       AND l_discount > 0.05 AND l_quantity < 10
     """,
 )
 def q02_filter_pushdown(spark, sf_dir):
-    """F-family: conjunctive predicates + narrow projection, all pushed to scan."""
+    """F-family: conjunctive predicates + narrow projection, all pushed to
+    scan. The per-row money rounding goes through DECIMAL on both sides:
+    ROUND on the raw double diverges between engines for products landing
+    on a half-cent (116 of 60k sf0.01 lineitem rows — r9 review; the old
+    form passed only because the predicate happened to select none)."""
     li = load(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -103,7 +118,11 @@ def q02_filter_pushdown(spark, sf_dir):
     ).select(
         "l_orderkey",
         "l_partkey",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)"), 2
+        )
+        .cast("double")
+        .alias("net_price"),
     )
 
 
@@ -111,7 +130,7 @@ def q02_filter_pushdown(spark, sf_dir):
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
            epoch_us(o_orderdate)                             AS odate_us,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -173,7 +192,7 @@ def q03_shipping_priority(spark, sf_dir):
 @register(
     "q05_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+    SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -221,7 +240,7 @@ def q05_local_supplier_volume(spark, sf_dir):
 @register(
     "q06_broadcast_dim_join",
     oracle="""
-    SELECT r_name, n_name, COUNT(*) AS n_suppliers, ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_bal
+    SELECT r_name, n_name, COUNT(*) AS n_suppliers, CAST(ROUND(CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_bal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
@@ -243,7 +262,7 @@ def q06_broadcast_dim_join(spark, sf_dir):
     "q07_star_join_parts",
     oracle="""
     SELECT p_brand, COUNT(*) AS line_count,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS gross,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS gross,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 15
@@ -368,7 +387,7 @@ def q13_dense_rank_suppliers(spark, sf_dir):
     "q15_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty, COUNT(*) AS n
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -383,7 +402,7 @@ def q15_rollup(spark, sf_dir):
     "q16_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+           COUNT(*) AS n, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -570,7 +589,7 @@ def q27_left_join_nulls(spark, sf_dir):
     "q28_scalar_subquery",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_premium,
-           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+           CAST(ROUND(CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_price
     FROM part
     WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) FROM part)
     GROUP BY p_brand
@@ -583,7 +602,7 @@ def q28_scalar_subquery(spark, sf_dir):
         p,
         """
         SELECT p_brand, COUNT(*) AS n_premium,
-               ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+               CAST(ROUND(CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_price
         FROM sq_part
         WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) FROM sq_part)
         GROUP BY p_brand
@@ -644,7 +663,7 @@ def q30_string_funcs(spark, sf_dir):
     oracle="""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)  AS oyear,
            CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS omonth,
-           COUNT(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+           COUNT(*) AS n, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -732,7 +751,7 @@ def q34_nullif_coalesce(spark, sf_dir):
 @register(
     "q40_explode_unnest",
     oracle="""
-    SELECT label, COUNT(*) AS n_components, ROUND(CAST(SUM(CAST(comp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_comp
+    SELECT label, COUNT(*) AS n_components, CAST(ROUND(CAST(CAST(SUM(CAST(comp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_comp
     FROM (SELECT label, UNNEST(embedding) AS comp FROM embeddings)
     GROUP BY label
     """,
@@ -828,19 +847,26 @@ def q43_scd2_versions(spark, sf_dir):
 @register(
     "q44_time_travel_asof",
     oracle="""
-    SELECT user_id, event_type AS type_asof, ROUND(value, 2) AS value_asof
-    FROM events WHERE epoch_us(ts) <= 1709251200000000
+    SELECT user_id, event_type AS type_asof,
+           CAST(ROUND(CAST(value AS DECIMAL(30,10)), 2) AS DOUBLE) AS value_asof
+    FROM events WHERE epoch_us(ts) <= 1705276800000000
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
     """,
 )
 def q44_time_travel_asof(spark, sf_dir):
     """Time-travel read over the q43 version model: state as of a cutoff =
     latest version whose start <= cutoff (SURVEY §1.2). Cutoff constant =
-    2024-03-01 UTC in epoch micros."""
-    e = load(spark, sf_dir, "events").filter(F.col("ts_us") <= 1709251200000000)
+    2024-01-15 UTC in epoch micros — INSIDE the fixture's event range
+    (2024-01-01..2024-01-30), so the predicate actually excludes rows and
+    the gate exercises the as-of semantics (the old 2024-03-01 cutoff
+    filtered nothing and the check degenerated to plain last-wins —
+    r9 review)."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts_us") <= 1705276800000000)
     return e.groupBy("user_id").agg(
         F.max_by("event_type", F.struct("ts_us", "event_id")).alias("type_asof"),
-        F.round(F.max_by("value", F.struct("ts_us", "event_id")), 2).alias("value_asof"),
+        F.round(F.max_by("value", F.struct("ts_us", "event_id")).cast("decimal(30,10)"), 2)
+        .cast("double")
+        .alias("value_asof"),
     )
 
 
@@ -1118,19 +1144,25 @@ def q46_json_extract(spark, sf_dir):
 @register(
     "q52_bm25_rank",
     oracle="""
-    WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-    st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM lens),
-    p AS (
-      SELECT doc_id, tok, COUNT(*) AS tf FROM (
-        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
-      WHERE tok IN ('hash', 'join', 'window') GROUP BY doc_id, tok
-    ),
-    idf AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok)
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), t -> t = 'hash'))   AS tf0,
+             len(list_filter(string_split(text, ' '), t -> t = 'join'))   AS tf1,
+             len(list_filter(string_split(text, ' '), t -> t = 'window')) AS tf2
+      FROM documents),
+    st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n,
+                  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           FROM sig)
     SELECT doc_id,
-           ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1)
-                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
-    FROM p JOIN idf USING (tok) JOIN lens USING (doc_id) CROSS JOIN st
-    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50
+           ROUND(  ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+    FROM sig CROSS JOIN st
+    WHERE tf0 + tf1 + tf2 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 50
     """,
 )
 def q52_bm25_rank(spark, sf_dir):
@@ -1142,8 +1174,13 @@ def q52_bm25_rank(spark, sf_dir):
     lands inside the scan projection); df is a per-term count over the
     postings (3 rows, broadcast back); avgdl/N is a 1-row aggregate
     broadcast into the scoring join; one doc_id shuffle scores and sums;
-    top-50 is TakeOrderedAndProject. avgdl is exact (integer sum / count),
-    so the score is cross-engine deterministic."""
+    top-50 is TakeOrderedAndProject. avgdl is exact (integer sum / count)
+    and the oracle mirrors the SAME fixed term-order fold (tf0+tf1+tf2),
+    so summation order cannot split the engines (r9 review — the old
+    per-term-row SUM accumulated in scan order). Residual risk, q73's
+    documented class: the engines' ``ln`` may differ in the last ulp, so
+    a score landing within ~1 ulp of a 0.00005 boundary could still round
+    apart — accepted, same as q73."""
     # Small fixed query-term sets admit a SHUFFLE-FREE scoring plan: per-row
     # higher-order term counts (no explode, no postings shuffle), one 1-row
     # corpus-stats aggregate broadcast back, score as a pure projection,
@@ -1327,7 +1364,7 @@ def q56_large_orders(spark, sf_dir):
     "q57_small_qty_revenue",
     oracle="""
     SELECT p_brand,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2)
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0 AS DECIMAL(30,10)), 2) AS DOUBLE)
              AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
@@ -1347,7 +1384,7 @@ def q57_small_qty_revenue(spark, sf_dir):
     return spark.sql(
         """
         SELECT p_brand,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2)
+               CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0 AS DECIMAL(30,10)), 2) AS DOUBLE)
                  AS avg_yearly
         FROM q57_lineitem JOIN q57_part ON p_partkey = l_partkey
         WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
@@ -1362,8 +1399,7 @@ def q57_small_qty_revenue(spark, sf_dir):
     "q58_disjunctive_pred",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_lines,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
-                 AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
@@ -1553,8 +1589,7 @@ def q64_posexplode_ordinality(spark, sf_dir):
            ROUND(quantile_cont(l_quantity, 0.25), 4)          AS q1_qty,
            quantile_disc(l_quantity, 0.9)                     AS p90_disc,
            ROUND(stddev_samp(l_quantity), 4)                  AS sd_qty,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4)                               AS mean_qty,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE)                               AS mean_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1581,10 +1616,12 @@ def q63_stat_aggs(spark, sf_dir):
     "q61_hopping_windows",
     oracle="""
     WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+    f AS (SELECT event_type, us,
+                 ((us - ((us % 300000000 + 300000000) % 300000000)) // 300000000) AS fd
+          FROM e),
     s AS (SELECT event_type, us,
-                 UNNEST([(us // 300000000) * 300000000,
-                         ((us // 300000000) - 1) * 300000000]) AS ws
-          FROM e)
+                 UNNEST([fd * 300000000, (fd - 1) * 300000000]) AS ws
+          FROM f)
     SELECT ws AS window_start_us, ws + 600000000 AS window_end_us, event_type,
            COUNT(*) AS n_events
     FROM s WHERE us >= ws AND us < ws + 600000000
@@ -1597,7 +1634,11 @@ def q61_hopping_windows(spark, sf_dir):
     windowed aggregation (streaming/windows.py), same ``F.window`` call.
     Each event lands in width/slide = 2 windows; Spark expands them
     map-side (no self-join), then one (window, type) hash agg. Epoch-µs
-    projection keeps the hash timezone-proof."""
+    projection keeps the hash timezone-proof. The oracle's slide index is
+    a FLOOR division (the q62/q90 pmod idiom): DuckDB's ``//`` truncates
+    toward zero, which diverges from ``F.window``'s floor alignment for
+    pre-1970 (negative-µs) events (r9 review; latent on this fixture,
+    pinned by the crafted-negative differential below)."""
     e = load(spark, sf_dir, "events")
     win = F.window(F.timestamp_micros(F.col("ts_us")), "10 minutes", "5 minutes")
     return (
@@ -2059,9 +2100,10 @@ def q77_session_window_fn(spark, sf_dir):
     oracle="""
     SELECT c_nationkey,
            COUNT(*) AS n_cust,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_bal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_bal
     FROM customer c
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT CAST(ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE)
+                       FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     GROUP BY c_nationkey
@@ -2073,10 +2115,14 @@ def q78_dormant_accounts(spark, sf_dir):
     correlated NOT EXISTS combination. Catalyst decorrelates the EXISTS
     into a LEFT ANTI join on c_custkey (the orders side pre-filtered on
     totalprice BEFORE the join, so the anti probe is small) and the AVG
-    into a 1-row broadcast — no per-row subquery execution anywhere."""
+    into a 1-row broadcast — no per-row subquery execution anywhere. The
+    threshold average is computed in DECIMAL and rounded before the
+    comparison (q99's rule): a raw double AVG is partition-order
+    dependent in the last ULPs, and a boundary customer could flip sides
+    between engines or between AQE re-plans (r9 review)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab"))
     big_orders = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -2288,7 +2334,7 @@ def q82_returned_items(spark, sf_dir):
     "q83_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE),2) AS revenue
+           CAST(ROUND(SUM(CAST(volume AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS BIGINT) AS l_year,
                  l_extendedprice*(1-l_discount) AS volume
@@ -2347,9 +2393,8 @@ def q83_volume_shipping(spark, sf_dir):
     "q84_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(CAST(SUM(CAST(CASE WHEN nation='NATION_3' THEN volume ELSE 0 END
-                               AS DECIMAL(30,10))) AS DOUBLE)
-               / CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE), 6) AS mkt_share
+           CAST(ROUND(CAST(CAST(SUM(CAST(CASE WHEN nation='NATION_3' THEN volume ELSE 0 END
+                               AS DECIMAL(30,10))) AS DOUBLE) / CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE) AS DECIMAL(30,10)), 6) AS DOUBLE) AS mkt_share
     FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                  l_extendedprice*(1-l_discount) AS volume, n2.n_name AS nation
           FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
@@ -2421,7 +2466,7 @@ def q84_market_share(spark, sf_dir):
     "q85_product_profit",
     oracle="""
     SELECT nation, o_year,
-           ROUND(CAST(SUM(CAST(amount AS DECIMAL(30,10))) AS DOUBLE),2) AS sum_profit
+           CAST(ROUND(SUM(CAST(amount AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_profit
     FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                  l_extendedprice*(1-l_discount) - 0.6*p_retailprice*l_quantity AS amount
           FROM part, supplier, lineitem, orders, nation
@@ -2905,7 +2950,7 @@ def q94_late_shipment_priority(spark, sf_dir):
         ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
                             ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE), 2) AS promo_revenue,
-        ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_revenue
+        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01')
     SELECT promo_revenue, total_revenue,
@@ -2957,9 +3002,9 @@ def q95_promo_revenue(spark, sf_dir):
     oracle="""
     WITH pa AS (
       SELECT l_partkey AS pk,
-             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+             CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_qty
       FROM lineitem GROUP BY l_partkey)
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    SELECT CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0 AS DECIMAL(30,10)), 2) AS DOUBLE) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
                   JOIN pa ON pa.pk = l_partkey
     WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
@@ -2996,9 +3041,9 @@ def q96_small_quantity_revenue(spark, sf_dir):
     oracle="""
     WITH oq AS (
       SELECT l_orderkey AS lk,
-             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_qty
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) > 200)
+      HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) > 200)
     SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us, o_totalprice, total_qty
     FROM orders JOIN oq ON o_orderkey = lk
                 JOIN customer ON c_custkey = o_custkey
@@ -3037,7 +3082,7 @@ def q97_large_volume_orders(spark, sf_dir):
     "q98_disjunctive_predicate_revenue",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1'  AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
        OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -3072,11 +3117,11 @@ def q98_disjunctive_predicate_revenue(spark, sf_dir):
     "q99_dormant_rich_by_nation",
     oracle="""
     WITH avg_bal AS (
-      SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS ab
+      SELECT CAST(ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS ab
       FROM customer WHERE c_acctbal > 0)
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_bal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -3157,7 +3202,7 @@ def q100_order_priority_check(spark, sf_dir):
 @register(
     "q101_forecast_revenue_change",
     oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE), 2)
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))), 2) AS DOUBLE)
              AS potential_revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -3226,7 +3271,7 @@ def q102_customer_order_distribution(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2)
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'

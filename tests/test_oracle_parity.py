@@ -192,3 +192,35 @@ def test_session_ties_split_identically_on_both_engines(spark, tmp_path):
     )
     con.close()
     assert want == got
+
+
+def test_hopping_windows_pre_1970_align_identically(spark, tmp_path):
+    """Crafted-events pin for q61: ``F.window`` floor-aligns slide indexes,
+    so a pre-1970 (negative-µs) event belongs to windows starting at
+    floor multiples of the slide. The oracle's old truncating ``//``
+    assigned such events one slide HIGH (and could even drop one of the
+    two covering windows); the floor-division rewrite must agree
+    exactly. The shipped fixture is all-2024, so only a crafted corpus
+    exercises this (r9 review)."""
+    from datetime import datetime, timezone
+
+    from consensource_sds_spark.queries.relational import q61_hopping_windows
+
+    def t(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        (1, t(-601), 7, "click", 1.0, None),  # < -2 slides
+        (2, t(-300), 7, "click", 1.0, None),  # exactly -1 slide boundary
+        (3, t(-1), 7, "click", 1.0, None),    # just before the epoch
+        (4, t(0), 7, "click", 1.0, None),     # the epoch itself
+        (5, t(299), 7, "view", 1.0, None),    # first positive slide
+    ]
+    con = _events_view(spark, tmp_path, rows)
+    got = _normalize(q61_hopping_windows(spark, str(tmp_path)).toPandas())
+    want = _normalize(con.execute(REGISTRY["q61_hopping_windows"].oracle).df())
+    con.close()
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every event covered by exactly width/slide = 2 windows on both sides
+    assert int(got["n_events"].sum()) == 2 * len(rows)
