@@ -84,6 +84,24 @@ def run_file_stream(
     accumulated closed/block segments fold in their own committed
     generation (a maintenance commit between batches, never inside one)."""
 
+    reader = (
+        spark.readStream.schema(schemas.event_envelope_schema())
+        .option("maxFilesPerTrigger", "16")
+        .parquet(source_dir)
+    )
+    return _start_pipeline_stream(
+        reader, store, checkpoint_dir, trigger_once, processing_time, auto_compact
+    )
+
+
+def _start_pipeline_stream(
+    reader, store, checkpoint_dir, trigger_once, processing_time, auto_compact
+):
+    """Shared writer scaffolding for every envelope source (file spool,
+    validator DataSource, future Kafka): one place for the apply/identity/
+    trigger wiring so batch-application changes cannot land in one runner
+    and silently miss the other (the auto_compact knob had already
+    drifted that way — r9 review)."""
     resolve_qid, publish_qid = _stream_identity()
 
     def apply_batch(batch_df, batch_id: int):
@@ -99,12 +117,9 @@ def run_file_stream(
         if auto_compact:
             store.maybe_compact()
 
-    reader = (
-        spark.readStream.schema(schemas.event_envelope_schema())
-        .option("maxFilesPerTrigger", "16")
-        .parquet(source_dir)
+    writer = reader.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
-    writer = reader.writeStream.foreachBatch(apply_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     else:
@@ -121,6 +136,7 @@ def run_validator_stream(
     checkpoint_dir: str,
     trigger_once: bool = True,
     processing_time: str = "1 second",
+    auto_compact: bool = False,
 ):
     """Stream wire envelopes from the validator spool source
     (``sources/validator_source.py``) through the pipeline into the store —
@@ -139,31 +155,15 @@ def run_validator_stream(
     head = store.blocks().agg(F.max("block_num").alias("m")).collect()[0]["m"]
     start_block = head if head is not None else -1
 
-    resolve_qid, publish_qid = _stream_identity()
-
-    def apply_batch(batch_df, batch_id: int):
-        store.apply(
-            transform_events(batch_df, materialize=True, n_buckets=store._n_buckets()),
-            batch_id=batch_id,
-            txn_app_id=resolve_qid(),
-        )
-
     reader = (
         spark.readStream.format(vs.FORMAT_NAME)
         .option("path", spool_dir)
         .option("start_block", str(start_block))
         .load()
     )
-    writer = reader.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return _start_pipeline_stream(
+        reader, store, checkpoint_dir, trigger_once, processing_time, auto_compact
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    q = writer.start()
-    publish_qid(q)
-    return q
 
 
 def stop_stream(query, timeout_sec: int = 60) -> None:

@@ -162,10 +162,13 @@ class EventSubscription:
         """Negotiate (S3), then poll until ``request_stop`` (S4). The
         acknowledged unsubscribe runs even when the handler raises
         (try/finally), and a ``request_stop`` issued DURING negotiation
-        is honored — a separate latch, because negotiation can take many
-        seconds of walk-back round trips and a flag the loop-entry
-        overwrites would lose the request and poll forever."""
-        self._stop_requested = False  # fresh latch per start
+        is honored — the latch is ONE-SHOT and never reset here: a
+        request_stop racing the start thread (operator aborts right after
+        launching the bridge) must win no matter which line runs first
+        (r9 review; construct a fresh subscription to subscribe again).
+        A transport failure mid-poll still attempts the unsubscribe, but
+        a secondary failure THERE (the socket is usually dead too) must
+        not mask the root cause nor re-raise over it."""
         negotiate_subscription(self.transport.subscribe, known_block_ids)
         self._active = True
         try:
@@ -173,7 +176,13 @@ class EventSubscription:
                 msg = self.transport.recv(self.poll_timeout_sec)
                 if msg is not None:
                     self.handler(msg)
-        finally:
+        except BaseException:
+            try:
+                self.stop()
+            except Exception:
+                pass  # dead transport; the original error is the story
+            raise
+        else:
             self.stop()
 
     def request_stop(self) -> None:

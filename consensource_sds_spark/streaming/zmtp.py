@@ -49,10 +49,6 @@ _TYPE_BY_NAME = {
     "CLIENT_EVENTS_SUBSCRIBE_REQUEST": MSG_CLIENT_EVENTS_SUBSCRIBE_REQUEST,
     "CLIENT_EVENTS_UNSUBSCRIBE_REQUEST": MSG_CLIENT_EVENTS_UNSUBSCRIBE_REQUEST,
 }
-_REPLY_OF = {
-    MSG_CLIENT_EVENTS_SUBSCRIBE_REQUEST: MSG_CLIENT_EVENTS_SUBSCRIBE_RESPONSE,
-    MSG_CLIENT_EVENTS_UNSUBSCRIBE_REQUEST: MSG_CLIENT_EVENTS_UNSUBSCRIBE_RESPONSE,
-}
 
 
 def encode_validator_message(message_type: int, correlation_id: str, content: bytes) -> bytes:
@@ -133,6 +129,10 @@ def _ready_command(socket_type: str) -> bytes:
 
 
 def _parse_ready(body: bytes) -> dict[str, bytes]:
+    if not body:
+        # a desynced/malformed peer; must be the module's documented
+        # ConnectionError, not an IndexError escaping the handshake
+        raise ConnectionError("empty command frame where READY was expected")
     nlen = body[0]
     cmd = body[1 : 1 + nlen]
     if cmd != b"READY":
@@ -161,6 +161,10 @@ class ZmtpSocket:
     def __init__(self, sock: socket.socket, socket_type: str = "DEALER"):
         self.sock = sock
         self.socket_type = socket_type
+        # ALL outbound frames serialize here — including the PONG the
+        # reader thread emits from inside recv_message: two concurrent
+        # sendall() calls interleave bytes and desync the peer's framing
+        self._send_lock = threading.Lock()
 
     def handshake(self) -> dict[str, bytes]:
         """Exchange greeting + READY; returns the peer's READY metadata."""
@@ -178,7 +182,8 @@ class ZmtpSocket:
         return _parse_ready(body)
 
     def send_message(self, payload: bytes) -> None:
-        _send_frame(self.sock, payload)
+        with self._send_lock:
+            _send_frame(self.sock, payload)
 
     def _handle_command(self, body: bytes) -> None:
         """ZMTP command dispatch: answer PING with a PONG echoing the ping
@@ -191,7 +196,8 @@ class ZmtpSocket:
         if name == b"PING":
             # PING body after the name: 2-byte TTL then opaque context
             context = body[1 + nlen + 2 :]
-            _send_frame(self.sock, bytes((4,)) + b"PONG" + context, command=True)
+            with self._send_lock:
+                _send_frame(self.sock, bytes((4,)) + b"PONG" + context, command=True)
 
     def recv_message(self, timeout_sec: float | None = None) -> bytes | None:
         """One complete message (multipart concatenated); None on timeout.
@@ -199,12 +205,26 @@ class ZmtpSocket:
         Timeouts are only honored at a frame boundary with no message
         parts pending — a timeout mid-multipart means the peer stalled
         inside a message, which is unrecoverable framing-wise, so it
-        raises ConnectionError instead of silently desyncing."""
+        raises ConnectionError instead of silently desyncing.
+
+        ``timeout_sec`` is one DEADLINE for the whole call, not a
+        per-frame budget: command traffic (heartbeat PINGs) arriving more
+        often than the timeout must not postpone it forever — a shutdown
+        poll that never times out never re-checks its stop flag."""
+        deadline = None if timeout_sec is None else time.monotonic() + timeout_sec
         parts: list[bytes] = []
         while True:
+            if deadline is None:
+                remaining = None
+            else:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    if parts:
+                        raise ConnectionError("peer stalled mid-multipart message")
+                    return None
             try:
-                body, is_cmd, more = _recv_frame(self.sock, first_byte_timeout=timeout_sec)
-            except (socket.timeout, TimeoutError):
+                body, is_cmd, more = _recv_frame(self.sock, first_byte_timeout=remaining)
+            except (socket.timeout, TimeoutError, BlockingIOError):
                 if parts:
                     raise ConnectionError("peer stalled mid-multipart message")
                 return None
@@ -222,9 +242,21 @@ class ZmtpSocket:
             pass
 
 
-def connect(host: str, port: int, socket_type: str = "DEALER") -> ZmtpSocket:
-    z = ZmtpSocket(socket.create_connection((host, port)), socket_type)
-    z.handshake()
+def connect(
+    host: str, port: int, socket_type: str = "DEALER", timeout_sec: float = 30.0
+) -> ZmtpSocket:
+    """TCP connect + ZMTP handshake, BOUNDED: a peer that accepts the
+    connection but never greets (wedged validator, non-ZMTP service on
+    the port) must not hang the caller forever, and a failed handshake
+    must not leak the socket."""
+    sock = socket.create_connection((host, port), timeout=timeout_sec)
+    z = ZmtpSocket(sock, socket_type)
+    try:
+        z.handshake()
+    except BaseException:
+        z.close()
+        raise
+    sock.settimeout(None)  # steady state: recv_message manages timeouts
     return z
 
 
@@ -238,14 +270,19 @@ class ValidatorChannel:
         self.zsock = zsock
         self._events: list[bytes] = []
         self._replies: dict[str, bytes] = {}
+        #: correlation ids someone is still waiting on — a reply landing
+        #: after its request timed out would otherwise be stored under a
+        #: key nothing ever pops (unbounded growth on a long-running
+        #: channel against an intermittently slow validator)
+        self._pending: set[str] = set()
         self._lock = threading.Lock()
-        # serialize frame READS and WRITES separately: two threads inside
+        # serialize frame READS separately: two threads inside
         # recv_message would interleave multipart frame reads (corrupted
         # messages / spurious mid-multipart errors); reads must not hold
-        # the dict lock (they block up to the poll timeout), and sends are
-        # an independent socket direction
+        # the dict lock (they block up to the poll timeout). Outbound
+        # frames serialize in ZmtpSocket._send_lock, which also covers
+        # the PONG the reader thread emits.
         self._read_lock = threading.Lock()
-        self._send_lock = threading.Lock()
 
     def _pump(self, timeout_sec: float) -> bool:
         with self._read_lock:
@@ -256,27 +293,33 @@ class ValidatorChannel:
         with self._lock:
             if mtype == MSG_CLIENT_EVENTS:
                 self._events.append(content)
-            else:
+            elif corr in self._pending:
                 self._replies[corr] = content
         return True
 
     def send_request(self, message_type: str, payload: bytes, timeout_sec: float = 10.0) -> bytes:
         mtype = _TYPE_BY_NAME[message_type]
         corr = uuid.uuid4().hex
-        with self._send_lock:
+        with self._lock:
+            self._pending.add(corr)
+        try:
             self.zsock.send_message(encode_validator_message(mtype, corr, payload))
-        deadline = time.monotonic() + timeout_sec
-        while time.monotonic() < deadline:
+            deadline = time.monotonic() + timeout_sec
+            while time.monotonic() < deadline:
+                with self._lock:
+                    if corr in self._replies:
+                        return self._replies.pop(corr)
+                self._pump(min(0.2, max(0.01, deadline - time.monotonic())))
+            # the final _pump may have stored the reply right AT the
+            # deadline — raising then would discard a reply we hold
             with self._lock:
                 if corr in self._replies:
                     return self._replies.pop(corr)
-            self._pump(min(0.2, max(0.01, deadline - time.monotonic())))
-        # the final _pump may have stored the reply right AT the deadline —
-        # raising then would discard a reply we hold (and leak its entry)
-        with self._lock:
-            if corr in self._replies:
-                return self._replies.pop(corr)
-        raise TimeoutError(f"no reply to {message_type} within {timeout_sec}s")
+            raise TimeoutError(f"no reply to {message_type} within {timeout_sec}s")
+        finally:
+            with self._lock:
+                self._pending.discard(corr)
+                self._replies.pop(corr, None)
 
     def recv_event(self, timeout_sec: float) -> bytes | None:
         with self._lock:

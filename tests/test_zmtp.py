@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import socket
 import threading
+
+import pytest
 import time
 
 from consensource_sds_spark.codec.messages import decode_message, encode_message
@@ -222,3 +224,116 @@ def test_truncated_ready_metadata_raises_connection_error():
     body = bytes((5,)) + b"READY" + bytes((200,)) + b"short"
     with pytest.raises(ConnectionError, match="truncated"):
         zmtp._parse_ready(body)
+
+
+def test_recv_timeout_is_a_deadline_not_per_frame():
+    """Regression (r9 review): heartbeat PINGs arriving more often than the
+    poll timeout must not postpone it forever — each handled command
+    previously restarted the FULL first-byte timeout, so a chatty peer
+    made recv_message never return None and the stop flag was never
+    re-checked."""
+    a, b = socket.socketpair()
+    try:
+        zs = zmtp.ZmtpSocket(a)
+        stop = threading.Event()
+
+        def ping_flood():
+            ping = bytes((4,)) + b"PING" + b"\x00\x00ctx"
+            while not stop.is_set():
+                # command frame: flags=0x04, short size
+                b.sendall(bytes((0x04, len(ping))) + ping)
+                time.sleep(0.1)
+
+        t = threading.Thread(target=ping_flood, daemon=True)
+        t.start()
+        t0 = time.monotonic()
+        out = zs.recv_message(timeout_sec=0.5)
+        took = time.monotonic() - t0
+        stop.set()
+        t.join(timeout=2)
+        assert out is None
+        assert took < 3.0, f"deadline did not fire under command traffic ({took:.1f}s)"
+    finally:
+        a.close()
+        b.close()
+
+
+def test_recv_timeout_zero_returns_immediately():
+    """timeout 0 must behave as an instant poll (None), not flip the
+    socket non-blocking and crash with BlockingIOError."""
+    a, b = socket.socketpair()
+    try:
+        assert zmtp.ZmtpSocket(a).recv_message(timeout_sec=0) is None
+    finally:
+        a.close()
+        b.close()
+
+
+def test_connect_bounded_against_silent_peer():
+    """Regression (r9 review): a peer that accepts TCP but never greets
+    must not hang connect() forever; the socket is closed on failure."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(OSError):
+            zmtp.connect("127.0.0.1", srv.getsockname()[1], timeout_sec=0.5)
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        srv.close()
+
+
+def test_late_reply_after_timeout_does_not_leak():
+    """Regression (r9 review): a reply landing after its request timed out
+    must not be stored under an abandoned correlation id — unbounded
+    growth on a long-running channel."""
+    a, b = socket.socketpair()
+    try:
+        ch = zmtp.ValidatorChannel(zmtp.ZmtpSocket(a))
+        with pytest.raises(TimeoutError):
+            ch.send_request("CLIENT_EVENTS_SUBSCRIBE_REQUEST", b"", timeout_sec=0.3)
+        # the peer answers late: read the request off the wire, reply with
+        # its correlation id, then pump the channel once
+        flags = b.recv(1)[0]
+        size = b.recv(1)[0] if not flags & 0x02 else int.from_bytes(b.recv(8), "big")
+        _mtype, corr, _ = zmtp.decode_validator_message(b.recv(size))
+        late = zmtp.encode_validator_message(
+            zmtp.MSG_CLIENT_EVENTS_SUBSCRIBE_RESPONSE, corr, b"late"
+        )
+        b.sendall(bytes((0, len(late))) + late)
+        assert ch.recv_event(timeout_sec=0.5) is None  # pumps the late reply
+        assert ch._replies == {} and ch._pending == set()
+    finally:
+        a.close()
+        b.close()
+
+
+def test_request_stop_before_start_wins():
+    """Regression (r9 review): a stop issued before the start thread runs
+    must not be erased by a latch reset inside start() — the latch is
+    one-shot."""
+    from consensource_sds_spark.streaming.subscriber import EventSubscription
+
+    class StubTransport:
+        def __init__(self):
+            self.unsubscribed = False
+
+        def subscribe(self, block_ids):
+            return "OK"
+
+        def unsubscribe(self):
+            self.unsubscribed = True
+            return "OK"
+
+        def recv(self, timeout_sec):
+            time.sleep(0.01)
+            return None
+
+    tr = StubTransport()
+    sub = EventSubscription(tr, handler=lambda m: None, poll_timeout_sec=0.05)
+    sub.request_stop()  # BEFORE start
+    t0 = time.monotonic()
+    sub.start(["k1"])   # must negotiate, skip the loop, unsubscribe, return
+    assert time.monotonic() - t0 < 5.0
+    assert tr.unsubscribed
