@@ -45,15 +45,38 @@ def salted_aggregate(
 
     ``aggs`` maps output column -> "fn(col)", e.g. {"n": "count(*)",
     "qty": "sum(l_quantity)"}."""
+    import re
+
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     phase1 = df.withColumn(SALT_COL, _row_salt(df, buckets)).groupBy(
         *keys, SALT_COL
     )
     p1_cols, p2_cols = [], []
     for out, expr in aggs.items():
-        fn = expr.split("(", 1)[0].strip().lower()
+        # the spec must be EXACTLY fn(args) — arithmetic wrapping like
+        # "sum(x)+1" parses its fn prefix fine but is NOT re-aggregable
+        # (phase 2 would merge the +1 once per occupied salt bucket:
+        # silent inflation, the corruption class these guards reject)
+        m = re.fullmatch(r"\s*(\w+)\s*\((.*)\)\s*", expr, re.S)
+        fn = m.group(1).lower() if m else None
+        if m is not None:
+            # the greedy capture accepts "min(x) + max(y" + the trailing
+            # ')' — require the argument text itself to be paren-balanced
+            # so compound expressions cannot masquerade as one call
+            depth = 0
+            for ch in m.group(2):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth < 0:
+                    fn = None
+                    break
+            if depth != 0:
+                fn = None
         if fn not in merge_fn:
-            raise ValueError(f"{fn} is not re-aggregable; salting would change its value")
+            raise ValueError(
+                f"{expr!r} is not a re-aggregable fn(col) spec "
+                f"(supported: {sorted(merge_fn)}); salting would change its value"
+            )
         if "distinct" in expr.lower():
             # count(distinct x) per salt bucket then summed counts a value
             # once PER BUCKET it lands in — silently inflated, the exact

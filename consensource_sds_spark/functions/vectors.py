@@ -36,6 +36,19 @@ def unit(a: Column) -> Column:
     """``a`` scaled to unit L2 norm (float, the storage dtype); zero
     vectors pass through unchanged. Normalizing embeddings at INGEST makes
     cosine and L2 orderings agree — which closes the PQ probe's
-    L2-shortlist-vs-cosine-rerank metric gap (see ann_probe_adc_rerank)."""
-    n = norm(a)
-    return F.when(n > 0, F.transform(a, lambda x: (x.cast("double") / n).cast("float"))).otherwise(a)
+    L2-shortlist-vs-cosine-rerank metric gap (see ann_probe_adc_rerank).
+
+    The norm is staged through a one-element array so it evaluates ONCE
+    per row: Catalyst does not hoist loop-invariant subexpressions out of
+    higher-order-function lambdas, so referencing ``norm(a)`` inside the
+    per-element division re-ran the O(d) fold for every element — O(d^2)
+    per row, ~d times slower at ingest (r9 review)."""
+    return F.element_at(
+        F.transform(
+            F.array(norm(a)),
+            lambda n: F.when(
+                n > 0, F.transform(a, lambda x: (x.cast("double") / n).cast("float"))
+            ).otherwise(a),
+        ),
+        1,
+    )

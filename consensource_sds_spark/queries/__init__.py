@@ -90,7 +90,20 @@ def _pool_enabled() -> bool:
 # a session-unique dir and atomically renamed into its address (losers of
 # the race delete their stage and adopt the winner's).
 _LAYOUT: dict[tuple[str, str, str], str] = {}
-_LAYOUT_LOCK = __import__("threading").Lock()
+_LAYOUT_LOCK = __import__("threading").Lock()  # guards the two dicts only
+#: per-input re-layout locks: holding ONE global lock across a full table
+#: rewrite would stall every concurrent load() of every other table for
+#: the duration of the write (r9 review)
+_LAYOUT_KEY_LOCKS: dict[tuple[str, str, str], object] = {}
+
+
+def _target_parts(name: str, size: int, n_cpus: int) -> int:
+    """The one chunking policy (CPU-density table + core cap) shared by
+    the pool's repartition and the re-layout's file count — two copies of
+    this formula drifting apart would silently desync the relaid files
+    from the pool's partitioning assumptions."""
+    chunk = _POOL_CHUNK.get(name, _POOL_CHUNK_DEFAULT)
+    return max(1, min(n_cpus, size // chunk))
 
 
 def _relayout_enabled() -> bool:
@@ -108,15 +121,21 @@ def _layout_base() -> str:
 
 
 def _relayout(spark: SparkSession, sf_dir: str, name: str, raw: DataFrame, path: str, size: int) -> DataFrame:
+    import threading
+
     key = (spark.sparkContext.applicationId, sf_dir, name)
     with _LAYOUT_LOCK:
-        laid = _LAYOUT.get(key)
+        lock = _LAYOUT_KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        with _LAYOUT_LOCK:
+            laid = _LAYOUT.get(key)
         # re-validate the memoized copy: another process re-laying a CHANGED
         # input rmtree's stale versions, so a cached address can point at a
         # deleted directory — re-address instead of failing the read
         if laid is None or (laid != path and not os.path.isdir(laid)):
             laid = _relayout_locked(spark, name, raw, path, size)
-            _LAYOUT[key] = laid
+            with _LAYOUT_LOCK:
+                _LAYOUT[key] = laid
     if laid == path:
         return raw
     return spark.read.parquet(laid)
@@ -131,21 +150,22 @@ def _relayout_locked(spark: SparkSession, name: str, raw: DataFrame, path: str, 
     except Exception:
         return path  # directory / remote / unreadable metadata: leave as-is
     n_cpus = spark.sparkContext.defaultParallelism
-    chunk = _POOL_CHUNK.get(name, _POOL_CHUNK_DEFAULT)
-    parts = max(1, min(n_cpus, size // chunk))
+    parts = _target_parts(name, size, n_cpus)
     if parts < 2 or size >= _POOL_FILE_CAP or n_groups >= parts:
         return path  # already splittable enough; remember that
     import hashlib
     import shutil
 
     # two-level address: the input FILE (abspath) names the family, its
-    # version (mtime+size) + layout params name the copy — so replacing an
-    # input invalidates only that input's stale copies, never a same-named
-    # table from another dataset directory
+    # VERSION (mtime+size alone) the generation, and the layout params a
+    # sibling suffix — so replacing an input invalidates only that input's
+    # stale copies, while two sessions with different core counts (hence
+    # different parts) build COEXISTING copies of one generation instead
+    # of rmtree-ing each other's live copy back and forth (r9 review)
     fam = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
-    ver = hashlib.sha256(f"{mtime_ns}|{size}|{parts}".encode()).hexdigest()[:12]
+    ver = hashlib.sha256(f"{mtime_ns}|{size}".encode()).hexdigest()[:12]
     base = _layout_base()
-    final = os.path.join(base, f"{name}-{fam}-{ver}")
+    final = os.path.join(base, f"{name}-{fam}-{ver}-p{parts}")
     if not os.path.isdir(final):
         stage = f"{final}.stage-{os.getpid()}-{spark.sparkContext.applicationId}"
         raw.repartition(parts).write.mode("overwrite").parquet(stage)
@@ -172,7 +192,9 @@ def _relayout_locked(spark: SparkSession, name: str, raw: DataFrame, path: str, 
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
                 except (ValueError, PermissionError, OSError):
                     pass  # unparsable or alive-under-another-user: keep
-            elif d != f"{name}-{fam}-{ver}":
+            elif not d.startswith(f"{name}-{fam}-{ver}"):
+                # a different INPUT generation (replaced file) — every
+                # layout of the CURRENT generation is kept
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return final
 
@@ -261,9 +283,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # chunk to core count (not shuffle.partitions — reduce-side sizing is
         # a different knob): map-side work over pooled tables should be able
         # to use every core
-        n_cpus = spark.sparkContext.defaultParallelism
-        chunk = _POOL_CHUNK.get(name, _POOL_CHUNK_DEFAULT)
-        parts = max(1, min(n_cpus, size // chunk))
+        parts = _target_parts(name, size, spark.sparkContext.defaultParallelism)
         df = (raw.repartition(parts) if parts > 1 else raw).cache()
         _POOL[key] = df
     return df

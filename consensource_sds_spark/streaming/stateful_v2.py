@@ -23,6 +23,8 @@ remains the tested stateful path here.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -53,13 +55,24 @@ class RunningTotalsProcessor(StatefulProcessor):
         self._totals = handle.getValueState("totals", _STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
+        from consensource_sds_spark.streaming.sessions import _cents
+
         n, cents = 0, 0
         if self._totals.exists():
             prev = self._totals.get()
             n, cents = int(prev[0]), int(prev[1])
         for pdf in rows:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # per-value SQL-round (HALF_UP) via the sessions helper — the
+            # pandas .round() this replaced was banker's (0.125 -> 12, SQL:
+            # 13), and its astype('int64') CRASHED the whole microbatch on
+            # one NULL/NaN value (IntCastingNaNError); non-finite values
+            # count the event but contribute 0 cents instead (r9 review)
+            cents += sum(
+                _cents(float(v))
+                for v in pdf["value"]
+                if pd.notna(v) and math.isfinite(float(v))
+            )
         self._totals.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}

@@ -148,3 +148,20 @@ def test_x65_sub_splits_mega_cluster(spark):
     )
     worst = banded.agg(F.max("grp")).collect()[0][0]
     assert worst <= 12, f"hash banding left a {worst}-row join key (label max {max_label})"
+
+
+def test_salted_aggregate_rejects_wrapped_expressions(skewed_df):
+    """Regression (r9 review): arithmetic-wrapped specs like 'sum(x)+1'
+    parsed their fn prefix fine and were silently corrupted by the
+    two-phase merge (+1 once per occupied salt bucket) — the guard must
+    reject anything that is not exactly one re-aggregable call."""
+    import pytest
+
+    from consensource_sds_spark.functions.skew import salted_aggregate
+
+    for bad in ("sum(v)+1", "sum(v)*2", "min(v) + max(v)", "1+sum(v)"):
+        with pytest.raises(ValueError, match="re-aggregable"):
+            salted_aggregate(skewed_df, ["k"], {"out": bad})
+    # exactly-one-call specs (including nested plain functions) still pass
+    got = salted_aggregate(skewed_df, ["k"], {"out": "sum(abs(v))"})
+    assert "out" in got.columns

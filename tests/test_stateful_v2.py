@@ -89,3 +89,47 @@ def test_processor_logic_with_fake_state_handle():
     assert out2[0].iloc[0].tolist() == [1, 3, 17.5]
     # checkpointed state holds integer cents (decimal discipline)
     assert handle.state.get() == (3, 1750)
+
+
+def test_processor_survives_nulls_and_rounds_half_up():
+    """Regression (r9 review): one NULL/NaN value previously crashed the
+    whole microbatch (IntCastingNaNError from astype), and pandas
+    .round() was banker's (0.125 -> 12 cents where SQL and the sessions
+    twin give 13). Non-finite values count the event, contribute 0."""
+    import math
+
+    import pandas as pd
+
+    class _FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = _FakeValueState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    from consensource_sds_spark.streaming.stateful_v2 import RunningTotalsProcessor
+
+    proc = RunningTotalsProcessor()
+    proc.init(_FakeHandle())
+    out = list(
+        proc.handleInputRows(
+            (1,),
+            iter([pd.DataFrame({"value": [0.125, None, math.inf, 1.0]})]),
+            None,
+        )
+    )
+    # 4 events; cents = 13 (HALF_UP, not banker's 12) + 0 + 0 + 100
+    assert out[0].iloc[0].tolist() == [1, 4, 1.13]
