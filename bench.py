@@ -452,11 +452,11 @@ def _ann_bench(spark, sf_dir: str) -> dict:
     top-10 probe at nprobe=2 (the deployed operating point). Build runs
     once (it is the amortized cost); the probe reports the MIN of 3 runs,
     same steal-resistant methodology as the headline. The PQ block builds
-    the code-carrying variant and times the ADC probe — at bench scale the
-    extra explode/join makes it SLOWER than the cosine probe (the win is
-    I/O: the ADC scan reads no embedding bytes, plan-pinned in
-    test_ann_ingest), so the number published here is plumbing cost, not
-    the at-scale story."""
+    the code-carrying variant and times the ADC probe — with the
+    generation artifacts memoized and the fused single-join distance
+    table it now beats the cosine probe at this batch size too (and the
+    at-scale win stands on its own: the ADC scan reads no embedding
+    bytes, plan-pinned in test_ann_ingest)."""
     import shutil
     import tempfile
 

@@ -57,6 +57,13 @@ _COMPACTED_BATCH_ID = -1
 #: partition pruning; cap the literal IN list like the bloom path does
 _MAX_PRUNE_CELLS = 4096
 
+#: ADC probe shape switch: below this many broadcast bytes of per-pair
+#: fused distance tables, one broadcast join beats three (measured ~0.5 s
+#: of local-mode stage latency at the bench's 100-query batch); above it,
+#: the decomposed per-query/per-cell tables bound broadcast traffic to
+#: (queries + cells) x m x k instead of queries x nprobe x m x k
+_ADC_FUSED_LUT_MAX_BYTES = 32 * 1024 * 1024
+
 
 def _centroids_path(index_dir: str) -> str:
     return os.path.join(os.path.abspath(index_dir), "_centroids")
@@ -381,11 +388,141 @@ def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+#: per-generation driver artifacts for the ADC probe (codebook tensor,
+#: centroid dict, residual flag), keyed by (realpath, artifact file
+#: stamps). Bounded LRU: a long-lived probe service touches a handful of
+#: live generations, never an unbounded set.
+_PROBE_ARTIFACT_MEMO: "OrderedDict[tuple, dict]" = None  # type: ignore[assignment]
+_PROBE_ARTIFACT_MEMO_MAX = 8
+
+
+def _dir_stamp(path: str) -> tuple:
+    """(name, mtime_ns, size) of every entry under an artifact directory —
+    the memo invalidation key. Artifacts are immutable per generation by
+    construction (init_* raise on overwrite), but a failed ``init_pq`` is
+    wiped-and-redone by contract, so trust the filesystem, not the path."""
+    return tuple(
+        (de.name, de.stat().st_mtime_ns, de.stat().st_size)
+        for de in sorted(os.scandir(path), key=lambda d: d.name)
+    )
+
+
+def _memoized(key: tuple, build):
+    """Stamped LRU for immutable per-generation artifacts."""
+    global _PROBE_ARTIFACT_MEMO
+    if _PROBE_ARTIFACT_MEMO is None:
+        from collections import OrderedDict
+
+        _PROBE_ARTIFACT_MEMO = OrderedDict()
+    art = _PROBE_ARTIFACT_MEMO.get(key)
+    if art is not None:
+        _PROBE_ARTIFACT_MEMO.move_to_end(key)
+        return art
+    art = build()
+    _PROBE_ARTIFACT_MEMO[key] = art
+    while len(_PROBE_ARTIFACT_MEMO) > _PROBE_ARTIFACT_MEMO_MAX:
+        _PROBE_ARTIFACT_MEMO.popitem(last=False)
+    return art
+
+
+def _cent_probe_artifacts(spark: SparkSession, index_dir: str) -> dict:
+    """Driver-side numpy copies of the generation's immutable coarse
+    centroids (+ norms + cell dtype) — the IVF cell-selection inputs
+    every probe shares — memoized per generation. The probes previously
+    re-collected (or re-scanned + checkpointed) the centroid table on
+    EVERY call: pure fixed overhead per query batch. Centroids are
+    written exactly once per generation (:func:`init_ann_index` raises
+    on overwrite), so a stamped cache is semantics-free; compaction and
+    new batches never touch the file, and a retrain lands in a fresh
+    generation directory (new realpath)."""
+    import numpy as np
+
+    key = ("cent", os.path.realpath(index_dir), _dir_stamp(_centroids_path(index_dir)))
+
+    def build() -> dict:
+        cent_df = load_centroids(spark, index_dir).select("cell", "centroid")
+        cent = {
+            r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
+            for r in cent_df.collect()
+        }
+        return {
+            "cent": cent,
+            "cent_norm": {c: float(np.sqrt((v * v).sum())) for c, v in cent.items()},
+            "cell_type": cent_df.schema["cell"].dataType,
+        }
+
+    return _memoized(key, build)
+
+
+def _pq_probe_artifacts(spark: SparkSession, index_dir: str) -> dict:
+    """:func:`_cent_probe_artifacts` plus the PQ lane's immutable inputs:
+    the codebook as an (m, k, dsub) tensor and the residual flag. Same
+    stamped-memo discipline (:func:`init_pq` raises on overwrite; a
+    failed init is wiped-and-redone, which the stamp catches)."""
+    import numpy as np
+
+    key = (
+        "pq",
+        os.path.realpath(index_dir),
+        _dir_stamp(_pq_path(index_dir)),
+        _dir_stamp(_centroids_path(index_dir)),
+        os.path.exists(_pq_residual_marker(index_dir)),
+    )
+
+    def build() -> dict:
+        cb_rows = load_pq_codebook(spark, index_dir).collect()
+        m = max(r["s"] for r in cb_rows) + 1
+        n_codes = max(r["code"] for r in cb_rows) + 1
+        dsub = len(cb_rows[0]["cw"])
+        cw = np.zeros((m, n_codes, dsub))
+        for r in cb_rows:
+            cw[r["s"], r["code"]] = r["cw"]
+        art = dict(_cent_probe_artifacts(spark, index_dir))
+        art.update(
+            m=m,
+            n_codes=n_codes,
+            dsub=dsub,
+            cw=cw,
+            residual=pq_is_residual(index_dir),
+        )
+        return art
+
+    return _memoized(key, build)
+
+
+def _select_cells_driver(art: dict, qvec: dict, nprobe: int):
+    """Per query the top-``nprobe`` cells by centroid cosine, computed
+    driver-side from the memoized centroids — the SAME selection rule as
+    :func:`_probe_cells` (ties toward the lower cell id; a NULL cosine —
+    zero norm on either side — sorts after every number). Returns
+    ((qid, cell) pairs, sorted union of needed cell ids)."""
+    import numpy as np
+
+    cent, cent_norm = art["cent"], art["cent_norm"]
+    pairs: list = []
+    needed_set: set = set()
+    for qid, qe in qvec.items():
+        qn = float(np.sqrt((qe * qe).sum()))
+        scored = []
+        for c, ce in cent.items():
+            denom = qn * cent_norm[c]
+            cos = float(qe @ ce) / denom if denom > 0 else None
+            scored.append((0 if cos is not None else 1, -(cos or 0.0), c))
+        scored.sort()
+        for _, _, c in scored[:nprobe]:
+            pairs.append((qid, c))
+            needed_set.add(c)
+    return pairs, sorted(needed_set)
+
+
 def _probe_cells(spark: SparkSession, index_dir: str, qs: DataFrame, nprobe: int):
     """Each query's top-``nprobe`` cells by centroid cosine + the union of
-    needed cell ids (the driver-bounded partition-pruning set). ``qs`` is
-    (qid, qe); shared by the ADC probe and its rerank stage so BOTH scans
-    prune to the same cells."""
+    needed cell ids (the driver-bounded partition-pruning set), derived
+    IN-PLAN. ``qs`` is (qid, qe); the rerank entry point uses this so its
+    shortlist and exact stages prune to the same cells from ONE
+    derivation (the direct probes select cells driver-side against the
+    memoized centroids instead — :func:`_select_cells_driver`, same
+    rule)."""
     cent = load_centroids(spark, index_dir)
     scored = qs.crossJoin(
         F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
@@ -413,22 +550,50 @@ def ann_probe_adc(
     the probe that never reads a database embedding: the scan projects
     (vec_id, cell, codes) only (column pruning drops the float payload),
     partition-prunes to the queries' nprobe cells, and scores each
-    candidate with an in-row fold over its code array against a broadcast
-    flat distance table (one m x k double array per (query, probed cell)
-    — KBs; the classic ADC lookup). The tables are built DRIVER-side in
-    numpy — the FAISS deployment shape: queries are a driver-bounded
-    probe set by this function's contract (a corpus-scale left side goes
-    through x84-x86's in-plan rank instead), the build is
-    O(queries x nprobe x m x k x dsub) flops (microseconds per query),
-    and the result is exactly the broadcast the plan needs — so the probe
-    plan is scan -> single broadcast hash join -> fold -> top-k window,
-    with no per-code explode and no scoring shuffle. The broadcast is
-    queries x nprobe x m x k doubles (one row per (query, probed cell),
-    including the non-residual case where the per-cell copies are
-    identical — simplicity of the single-join plan over nprobe-fold
-    dedup of a KB-scale table). Returns (qid, vec_id, adc_dist, rank),
-    rank 1 = nearest. Approximate by construction; the exact-rerank
-    pattern runs :func:`ann_probe` on this result's ids.
+    candidate with an in-row fold over broadcast flat distance tables
+    (the classic ADC lookup). The tables are built DRIVER-side in numpy —
+    the FAISS deployment shape: queries are a driver-bounded probe set by
+    this function's contract (a corpus-scale left side goes through
+    x84-x86's in-plan rank instead) — and SHARED across the query batch
+    via the exact decomposition
+
+        sum_s ||(q - cent_c)_s - cw[s, code_s]||^2
+          = sum_s (A_q[s, code_s] + B_c[s, code_s]) + gamma_qc
+
+        A_q[s, code]  = ||q_s - cw[s, code]||^2      (one table PER QUERY,
+                                                      probed-cell-independent)
+        B_c[s, code]  = 2*cent_c_s.cw[s, code]
+                        + ||cent_c_s||^2             (one table PER CELL,
+                                                      shared by every query
+                                                      probing that cell)
+        gamma_qc      = -2 * q . cent_c              (one scalar per pair)
+
+    Two physical shapes, chosen by broadcast size (both exact, same
+    values to fp rounding):
+
+    - **fused** (pairs x m x k <= ``_ADC_FUSED_LUT_MAX_BYTES``): one row
+      per (query, probed cell) carrying A+B pre-added driver-side plus
+      the gamma scalar — a SINGLE broadcast hash join and one table
+      lookup per subspace. Measured at the bench's 100-query batch the
+      extra broadcast-join stages of the decomposed shape cost ~0.5 s of
+      pure local-mode latency, so small probes take the one-join plan.
+    - **decomposed** (above the threshold): three bounded broadcasts —
+      A per query, B per probed cell, gamma per pair — so broadcast
+      bytes grow as (queries + cells) x m x k instead of
+      queries x nprobe x m x k: at a 10k-query x nprobe=32 operating
+      point that is ~30x less broadcast traffic, the at-scale shape.
+
+    Non-residual indexes have no centroid term (B = gamma = 0; A alone
+    IS the per-pair table). The plan stays scan -> broadcast hash
+    join(s) -> fold -> top-k window, with no per-code explode and no
+    scoring shuffle; the fold is UNROLLED over the m known-at-plan-time
+    subspaces (no per-row sequence allocation). The generation's
+    immutable codebook/centroid artifacts are memoized driver-side
+    (:func:`_pq_probe_artifacts`), so a warm probe pays ONE collect job
+    (the query set) before the scoring job. Returns
+    (qid, vec_id, adc_dist, rank), rank 1 = nearest. Approximate by
+    construction; the exact-rerank pattern runs :func:`ann_probe` on this
+    result's ids.
 
     Compaction-duplicate tolerance: candidate rows dedup on vec_id before
     scoring (codes are identical for a vec_id within a generation, so
@@ -440,103 +605,134 @@ def ann_probe_adc(
     run once per probe, not once per stage."""
     import numpy as np
 
-    cb_rows = load_pq_codebook(spark, index_dir).collect()
-    m = max(r["s"] for r in cb_rows) + 1
-    n_codes = max(r["code"] for r in cb_rows) + 1
-    dsub = len(cb_rows[0]["cw"])
-    cw = np.zeros((m, n_codes, dsub))
-    for r in cb_rows:
-        cw[r["s"], r["code"]] = r["cw"]
+    art = _pq_probe_artifacts(spark, index_dir)
+    m, n_codes, dsub = art["m"], art["n_codes"], art["dsub"]
+    cw, residual, cent = art["cw"], art["residual"], art["cent"]
     dim = m * dsub
-    residual = pq_is_residual(index_dir)
-    cent_df = load_centroids(spark, index_dir).select("cell", "centroid")
-    cent = {
-        r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
-        for r in cent_df.collect()
-    }
 
+    # qvec dedups qids (a qid appears once per probed cell in the cells
+    # frame); pairs stays (qid, cell)-unique by construction on both paths
+    qvec: dict = {}
     if cells is not None:
         q_cells, needed = cells
-        pairs = [
-            (r["qid"], np.asarray(r["qe"], dtype=np.float64), r["cell"])
-            for r in q_cells.select("qid", "qe", "cell").collect()
-        ]
+        pairs = []
+        for r in q_cells.select("qid", "qe", "cell").collect():
+            if r["qid"] not in qvec:
+                qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)
+            pairs.append((r["qid"], r["cell"]))
         qid_type = q_cells.schema["qid"].dataType
     else:
-        # same selection rule as _probe_cells: per query the top-nprobe
-        # cells by centroid cosine, ties toward the lower cell id; a NULL
-        # cosine (zero norm on either side) sorts after every number
-        pairs = []
-        needed_set: set = set()
         for r in queries.select("qid", F.col("embedding").alias("qe")).collect():
-            qe = np.asarray(r["qe"], dtype=np.float64)
-            qn = float(np.sqrt((qe * qe).sum()))
-            scored = []
-            for c, ce in cent.items():
-                denom = qn * float(np.sqrt((ce * ce).sum()))
-                cos = float(qe @ ce) / denom if denom > 0 else None
-                scored.append((0 if cos is not None else 1, -(cos or 0.0), c))
-            scored.sort()
-            for _, _, c in scored[:nprobe]:
-                pairs.append((r["qid"], qe, c))
-                needed_set.add(c)
-        needed = sorted(needed_set)
+            qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)
+        pairs, needed = _select_cells_driver(art, qvec, nprobe)
         qid_type = queries.schema["qid"].dataType
 
-    lut_rows = []
-    for qid, qe, c in pairs:
+    A = {}
+    for qid, qe in qvec.items():
         if len(qe) != dim:
             # same contract as _residual_expr's in-plan guard: a wrong
             # encoder version must raise, never NULL-poison the fold
             raise ValueError(
                 f"query embedding width {len(qe)} does not match index dim {dim}"
             )
-        base = qe - cent[c] if residual else qe
-        diff = base.reshape(m, 1, dsub) - cw
-        lut = (diff * diff).sum(axis=2).ravel()
-        lut_rows.append((qid, c, [float(x) for x in lut]))
-    qlut = spark.createDataFrame(
-        lut_rows,
-        T.StructType(
-            [
-                T.StructField("qid", qid_type),
-                T.StructField("cell", cent_df.schema["cell"].dataType),
-                T.StructField("lut", T.ArrayType(T.DoubleType())),
-            ]
-        ),
-    )
+        diff = qe.reshape(m, 1, dsub) - cw
+        A[qid] = (diff * diff).sum(axis=2)
+    if residual:
+        B = {}
+        for c in needed:
+            cs = cent[c].reshape(m, 1, dsub)
+            B[c] = 2.0 * (cs * cw).sum(axis=2) + (cs * cs).sum(axis=2)
+        gamma = {
+            (qid, c): float(-2.0 * (qvec[qid] @ cent[c])) for qid, c in pairs
+        }
+    lut_type = T.ArrayType(T.DoubleType())
 
     idx = ann_index(spark, index_dir).select("vec_id", "cell", "codes")
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
-    # the per-candidate score is a pure in-row fold over the code array —
-    # s-ascending (the fixed-order-fold determinism rule) — m table
-    # lookups per candidate: no per-code explode, no scoring shuffle. A
-    # corrupt code value indexes past the table and ABORTS under ANSI
-    # (fail-fast, the posture every corrupt-index path here takes); a
-    # NULL codes array folds to NULL and sinks via asc_nulls_last instead
-    # of claiming rank 1.
-    cand = (
-        idx.dropDuplicates(["vec_id"])
-        .join(F.broadcast(qlut), "cell")
-        .select(
-            "qid",
-            "vec_id",
-            F.aggregate(
-                F.sequence(F.lit(0), F.size("codes") - 1),
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.element_at(
-                    F.col("lut"),
-                    (
-                        s * n_codes
-                        + F.element_at(F.col("codes"), (s + 1).cast("int"))
-                        + 1
-                    ).cast("int"),
-                ),
-            ).alias("adc_dist"),
+    cand = idx.dropDuplicates(["vec_id"])
+
+    # the per-candidate score is a pure in-row fold over the code array,
+    # UNROLLED s-ascending over the m known-at-plan-time subspaces (the
+    # fixed-order-fold determinism rule; no per-row sequence allocation):
+    # one (fused) or two (decomposed) table lookups per subspace, no
+    # per-code explode, no scoring shuffle (every join side below is an
+    # explicit broadcast). A corrupt code value indexes past the table
+    # and ABORTS under ANSI (fail-fast, the posture every corrupt-index
+    # path here takes); a NULL codes array folds to NULL and sinks via
+    # asc_nulls_last instead of claiming rank 1.
+    def _pos(s: int):
+        return (F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1).cast(
+            "int"
         )
-    )
+
+    fused_bytes = len(pairs) * m * n_codes * 8
+    if fused_bytes <= _ADC_FUSED_LUT_MAX_BYTES:
+        # fused: one (qid, cell) row carries A+B pre-added + gamma —
+        # single broadcast join, single lookup per subspace
+        lut_rows = []
+        for qid, c in pairs:
+            t = A[qid] + B[c] if residual else A[qid]
+            g = gamma[(qid, c)] if residual else 0.0
+            lut_rows.append((qid, c, [float(x) for x in t.ravel()], g))
+        qlut = spark.createDataFrame(
+            lut_rows,
+            T.StructType(
+                [
+                    T.StructField("qid", qid_type),
+                    T.StructField("cell", art["cell_type"]),
+                    T.StructField("lut", lut_type),
+                    T.StructField("gamma", T.DoubleType()),
+                ]
+            ),
+        )
+        cand = cand.join(F.broadcast(qlut), "cell")
+        score = F.col("gamma")
+        for s in range(m):
+            score = score + F.element_at(F.col("lut"), _pos(s))
+    else:
+        # decomposed: A per query + B per cell + gamma per pair — three
+        # bounded broadcasts, (queries + cells) x m x k bytes total
+        qpairs = spark.createDataFrame(
+            [
+                (qid, c, gamma[(qid, c)] if residual else 0.0)
+                for qid, c in pairs
+            ],
+            T.StructType(
+                [
+                    T.StructField("qid", qid_type),
+                    T.StructField("cell", art["cell_type"]),
+                    T.StructField("gamma", T.DoubleType()),
+                ]
+            ),
+        )
+        qluta = spark.createDataFrame(
+            [(qid, [float(x) for x in t.ravel()]) for qid, t in A.items()],
+            T.StructType(
+                [T.StructField("qid", qid_type), T.StructField("lut", lut_type)]
+            ),
+        )
+        cand = cand.join(F.broadcast(qpairs), "cell").join(F.broadcast(qluta), "qid")
+        score = F.col("gamma")
+        if residual:
+            clutb = spark.createDataFrame(
+                [(c, [float(x) for x in t.ravel()]) for c, t in B.items()],
+                T.StructType(
+                    [
+                        T.StructField("cell", art["cell_type"]),
+                        T.StructField("lut_c", lut_type),
+                    ]
+                ),
+            )
+            cand = cand.join(F.broadcast(clutb), "cell")
+            for s in range(m):
+                score = score + F.element_at(F.col("lut"), _pos(s)) + F.element_at(
+                    F.col("lut_c"), _pos(s)
+                )
+        else:
+            for s in range(m):
+                score = score + F.element_at(F.col("lut"), _pos(s))
+    cand = cand.select("qid", "vec_id", score.alias("adc_dist"))
     wk = Window.partitionBy("qid").orderBy(F.asc_nulls_last("adc_dist"), F.asc("vec_id"))
     return (
         cand.withColumn("_rn", F.row_number().over(wk))
@@ -667,15 +863,38 @@ def ann_probe(
     ``queries`` is (qid BIGINT, embedding ARRAY<FLOAT>) and BOUNDED by
     contract (a probe set, not a corpus — corpus x corpus goes through
     x13/x14's cell-keyed join instead). Plan: (1) each query's top-nprobe
-    cells via the broadcast centroid table; (2) the union of needed cells
-    — at most queries x nprobe ids, a driver-bounded set — becomes a
+    cells, selected driver-side against the generation's MEMOIZED
+    centroids (:func:`_cent_probe_artifacts`; same rule as
+    :func:`_probe_cells`) — one collect job for the query set instead of
+    the former checkpoint-the-queries + checkpoint-the-cells +
+    collect-the-union trio; (2) the union of needed cells — at most
+    queries x nprobe ids, a driver-bounded set — becomes a
     partition-pruning IN filter on the index scan, so only those cell
-    directories are READ; (3) candidates join the broadcast query set,
-    cosine-score with the shared JVM vector ops, dedup on (qid, vec_id)
+    directories are READ; (3) candidates join the broadcast query set
+    (original float values round-tripped verbatim, so scores are
+    bit-identical to the former in-plan path), cosine-score with the
+    shared JVM vector ops, dedup on (qid, vec_id)
     (compaction-duplicate tolerance), one window takes top-k. Ties break
     toward the lower vec_id."""
-    qs = queries.select(F.col("qid"), F.col("embedding").alias("qe")).localCheckpoint()
-    q_cells, needed = _probe_cells(spark, index_dir, qs, nprobe)
+    import numpy as np
+
+    art = _cent_probe_artifacts(spark, index_dir)
+    qraw: dict = {}
+    qvec: dict = {}
+    for r in queries.select(F.col("qid"), F.col("embedding").alias("qe")).collect():
+        qraw[r["qid"]] = r["qe"]
+        qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)
+    pairs, needed = _select_cells_driver(art, qvec, nprobe)
+    q_cells = spark.createDataFrame(
+        [(qid, qraw[qid], c) for qid, c in pairs],
+        T.StructType(
+            [
+                T.StructField("qid", queries.schema["qid"].dataType),
+                T.StructField("qe", queries.schema["embedding"].dataType),
+                T.StructField("cell", art["cell_type"]),
+            ]
+        ),
+    )
     idx = ann_index(spark, index_dir)
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning

@@ -1014,3 +1014,39 @@ def test_mis_sized_embeddings_raise_not_corrupt(spark, tmp_path):
     bad_batch = e.limit(4).select("vec_id", F.slice("embedding", 1, 60).alias("embedding"), "label")
     with pytest.raises(Exception, match="width"):
         ingest_embedding_batch(spark, bad_batch, 0, d)
+
+
+def test_adc_probe_decomposed_shape_matches_fused(spark, pq_index, residual_pq_index, monkeypatch):
+    """The ADC probe picks its physical shape by broadcast size: fused
+    per-pair tables (one join) under ``_ADC_FUSED_LUT_MAX_BYTES``,
+    decomposed per-query/per-cell tables + gamma scalars (three bounded
+    broadcasts) above it. Both are the SAME exact arithmetic — forcing
+    the decomposed shape (threshold 0) must reproduce the fused answer
+    to fp rounding on BOTH index modes, and its scan must keep the
+    never-reads-embeddings / cell-pruned pins."""
+    from consensource_sds_spark.streaming import ann_ingest as AI
+
+    q = _emb(spark).filter("vec_id < 4").select(F.col("vec_id").alias("qid"), "embedding")
+    for idx_dir in (pq_index, residual_pq_index):
+        fused = {
+            (r["qid"], r["rank"]): (r["vec_id"], r["adc_dist"])
+            for r in AI.ann_probe_adc(spark, idx_dir, q, k=5, nprobe=2).collect()
+        }
+        monkeypatch.setattr(AI, "_ADC_FUSED_LUT_MAX_BYTES", 0)
+        probe = AI.ann_probe_adc(spark, idx_dir, q, k=5, nprobe=2)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "codes" in ln]
+        assert scans, "no index scan found in decomposed-shape plan"
+        for ln in scans:
+            assert "embedding" not in ln, ln
+            assert "PartitionFilters: [cell" in ln, ln
+        got = {
+            (r["qid"], r["rank"]): (r["vec_id"], r["adc_dist"])
+            for r in probe.collect()
+        }
+        monkeypatch.undo()
+        assert got.keys() == fused.keys()
+        for key, (vid, dist) in got.items():
+            f_vid, f_dist = fused[key]
+            assert vid == f_vid, (idx_dir, key)
+            assert abs(dist - f_dist) < 1e-9, (idx_dir, key)
