@@ -56,11 +56,14 @@ def _halves(digests) -> tuple[np.ndarray, np.ndarray]:
 
     Vectorized: one ''.join + bytes.fromhex for the whole batch, then a
     zero-copy big-endian view — no per-row int() parsing. Input is
-    validated first: the batch-concat trick means a single NULL or
-    wrong-length digest would otherwise either crash with an opaque
-    TypeError or — worse — silently MISALIGN every later digest's hash
-    halves (bits set at wrong positions build a filter with false
-    negatives, breaking the superset contract)."""
+    validated first: the batch-concat trick means a single wrong-length
+    digest would otherwise either crash with an opaque TypeError or —
+    worse — silently MISALIGN every later digest's hash halves (bits set
+    at wrong positions build a filter with false negatives, breaking the
+    superset contract). Callers strip NULLs BEFORE this point (a NULL
+    digest is "no key" — skipped on build, never-present on probe, the
+    SQL ``NULL = x`` semantics); a NULL reaching here is therefore a
+    caller bug and still raises."""
     digests = digests if isinstance(digests, list) else list(digests)
     try:
         ok = all(len(d) == 32 for d in digests)
@@ -125,7 +128,8 @@ def build_bits(df, digest_col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAU
 
     def part(rows):
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        _set_bits(bits, [r[0] for r in rows], k)
+        # NULL digest = no key (md5 of a NULL document): nothing to insert
+        _set_bits(bits, [r[0] for r in rows if r[0] is not None], k)
         yield bits
 
     rdd = df.select(digest_col).rdd.mapPartitions(part)
@@ -151,7 +155,13 @@ def might_contain_col(spark, bits: np.ndarray, k: int = DEFAULT_K):
     @pandas_udf("boolean")
     def _might_contain(s: pd.Series) -> pd.Series:
         b = np.frombuffer(bc.value, dtype=np.uint8)
-        return pd.Series(_test_bits(b, s.tolist(), k))
+        # NULL digest probes False: NULL never equals any stored key
+        # (SQL join semantics), so it cannot be "maybe present"
+        mask = s.notna().to_numpy()
+        out = np.zeros(len(s), dtype=bool)
+        if mask.any():
+            out[mask] = _test_bits(b, s[mask].tolist(), k)
+        return pd.Series(out)
 
     try:
         _might_contain.bloom_broadcast = bc
@@ -219,7 +229,8 @@ class BloomSidecar:
         os.replace(tmp, self.path)  # atomic on POSIX
 
     def add_digests(self, digests) -> None:
-        digests = list(digests)
+        # NULL digest = no key (md5 of a NULL document): nothing to insert
+        digests = [d for d in digests if d is not None]
         _set_bits(self.bits, digests, self.k)
         self.n_added += len(digests)
         self.save()
@@ -239,8 +250,9 @@ class BloomSidecar:
 
     def candidates(self, digests) -> list[str]:
         """The subset of ``digests`` the filter might contain — exact-probe
-        these; the rest are DEFINITELY new."""
-        digests = list(digests)
+        these; the rest are DEFINITELY new. NULLs are never candidates
+        (NULL equals no stored key)."""
+        digests = [d for d in digests if d is not None]
         if not digests:
             return []
         return [d for d, hit in zip(digests, _test_bits(self.bits, digests, self.k)) if hit]

@@ -716,8 +716,9 @@ _COSINE_ORACLE_CTE = """
     oracle=_COSINE_ORACLE_CTE
     + """
     SELECT qid, cid, cosine FROM (
-      SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
-             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rn
+      SELECT qid, cid, ROUND(dot / NULLIF(qn * cn, 0), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot / NULLIF(qn * cn, 0) DESC NULLS LAST, cid) AS rn
       FROM p)
     WHERE rn <= 5
     """,
@@ -731,7 +732,11 @@ def x10_cosine_topk(spark, sf_dir):
     Norms are precomputed per row BEFORE the pair join (O(n) instead of
     O(n*q) norm evaluations — the higher-order-function reduce is the
     expensive interpreted part of the plan); the per-pair work is the dot
-    product alone. Same doubles, same order of operations as the oracle."""
+    product alone. Same doubles, same order of operations as the oracle.
+
+    Zero-norm guard (the x65/x47 rule): an all-zero vector on either side
+    has no cosine — NULL, sinking below every scored candidate — instead
+    of an ANSI DIVIDE_BY_ZERO job abort on a legal input."""
     e = load(spark, sf_dir, "embeddings")
     norm = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS double) * x))"
     q = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS qid", "embedding AS qe", f"{norm} AS qn")
@@ -740,9 +745,9 @@ def x10_cosine_topk(spark, sf_dir):
         "qid",
         "cid",
         "aggregate(zip_with(qe, ce, (x, y) -> cast(x AS double) * y), 0D, (acc, x) -> acc + x)"
-        " / (qn * cn) AS raw_cos",
+        " / nullif(qn * cn, 0D) AS raw_cos",
     )
-    w = Window.partitionBy("qid").orderBy(F.col("raw_cos").desc(), "cid")
+    w = Window.partitionBy("qid").orderBy(F.col("raw_cos").desc_nulls_last(), "cid")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
@@ -1642,7 +1647,9 @@ def x43_filter_pipeline(spark, sf_dir):
     ), e AS (
       SELECT vec_id, s,
              list_transform(embedding,
-               x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127 / s) * s / 127)) AS err
+               x -> CASE WHEN s = 0 THEN 0.0 ELSE
+                 abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127 / s) * s / 127)
+               END) AS err
       FROM b
     )
     SELECT vec_id, ROUND(s, 6) AS scale,
@@ -1660,7 +1667,12 @@ def x39_int8_quantize(spark, sf_dir):
     representation-independent.
 
     Scale/plan: pure per-row higher-order-function math inside codegen — no
-    shuffle, no UDF; the same expressions feed the actual quantized writer."""
+    shuffle, no UDF; the same expressions feed the actual quantized writer.
+
+    Zero-vector guard: max|x| = 0 makes the scale divisor zero, but the
+    zero vector quantizes EXACTLY (every q = 0), so its per-component
+    error is 0 by definition — the CASE branch says so on both engines
+    instead of an ANSI DIVIDE_BY_ZERO job abort on a legal input."""
     e = load(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
@@ -1671,8 +1683,8 @@ def x39_int8_quantize(spark, sf_dir):
         "vec_id",
         "s",
         F.expr(
-            "transform(embedding, x -> abs(CAST(x AS DOUBLE)"
-            " - round(CAST(x AS DOUBLE) * 127 / s) * s / 127)) AS err"
+            "transform(embedding, x -> CASE WHEN s = 0D THEN 0D ELSE abs(CAST(x AS DOUBLE)"
+            " - round(CAST(x AS DOUBLE) * 127 / s) * s / 127) END) AS err"
         ),
     )
     return err.select(

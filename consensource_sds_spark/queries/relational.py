@@ -2810,11 +2810,11 @@ def q91_funnel_conversion(spark, sf_dir):
       SELECT user_id, value, epoch_us(ts) AS t, event_id,
              LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY epoch_us(ts), event_id) AS tn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            ROUND(CAST(SUM(CAST(value * (tn - t) AS DECIMAL(38, 6))) AS DOUBLE)
-                 / CAST(SUM(tn - t) AS DOUBLE), 6) AS twa,
+                 / NULLIF(CAST(SUM(tn - t) AS DOUBLE), 0), 6) AS twa,
            CAST(COUNT(*) AS BIGINT) AS n_intervals
     FROM o WHERE tn IS NOT NULL
     GROUP BY user_id
@@ -2835,12 +2835,25 @@ def q92_time_weighted_avg(spark, sf_dir):
     accumulation (x53's trick) is what makes the oracle hash stable; the
     single final division runs in IEEE double on both engines.
 
+    Zero-duration guard: a user whose every reading shares one
+    microsecond has sum(dt) = 0 — the time-weighted average is
+    UNDEFINED over a zero-length horizon, so NULL (nullif, both
+    engines) instead of an ANSI DIVIDE_BY_ZERO abort on a legal input.
+    NULL-timestamp readings have no position on the time axis and are
+    filtered BEFORE the lead window (both engines) — leaving them in
+    hands the interval chain to each engine's opposite NULL-ordering
+    default (Spark NULLS FIRST asc, DuckDB NULLS LAST).
+
     Scale: one user-keyed shuffle serves both the LEAD window and the
     aggregate (same partitioning — no second Exchange); state per row is
     one lead lookahead; nothing global."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events").select("user_id", "value", "ts_us", "event_id")
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "value", "ts_us", "event_id")
+        .filter(F.col("ts_us").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     o = e.withColumn("tn", F.lead("ts_us").over(w)).filter(F.col("tn").isNotNull())
     return (
@@ -2849,7 +2862,7 @@ def q92_time_weighted_avg(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.expr("CAST(value * dt AS DECIMAL(38, 6))")).cast("double")
-                / F.sum("dt").cast("double"),
+                / F.expr("nullif(CAST(sum(dt) AS DOUBLE), 0D)"),
                 6,
             ).alias("twa"),
             F.count(F.lit(1)).alias("n_intervals"),

@@ -14,12 +14,17 @@ query relying on ambient UTC fails here before it fails in the gate.
 
 Usage: python scripts/verify_gate.py [query_name ...]
   (no args = all queries; exits non-zero on any mismatch)
+
+``SPARK_GRAFT_GATE_SF`` overrides the table directory — point it at a
+hostile fixture (``sources/hostile.py``) to sweep the registry over the
+input domains the driver's testdata never exercises.
 """
 
 from __future__ import annotations
 
 import hashlib
 import importlib.util
+import os
 import sys
 import time
 from pathlib import Path
@@ -31,7 +36,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from consensource_sds_spark.sql import INPUT_TABLES as TABLES  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
 
 
 def _canon_rows(df: pd.DataFrame) -> tuple[list[str], str]:

@@ -166,20 +166,25 @@ def test_truncated_sidecar_refuses_to_load(tmp_path):
         BloomSidecar(path)
 
 
-def test_malformed_digests_raise_instead_of_misaligning(tmp_path):
-    """Regression (r9 review): NULL or wrong-length digests must raise a
-    clear error — the batch-concat vectorization would otherwise
+def test_malformed_digests_raise_and_nulls_are_no_keys(tmp_path):
+    """Regression (r9 review + hostile sweep): wrong-length digests must
+    raise a clear error — the batch-concat vectorization would otherwise
     misalign every later digest's hash halves (silent false negatives)
-    or die with an opaque TypeError."""
+    or die with an opaque TypeError. A NULL digest is different: it is
+    md5 of a NULL document, i.e. NO key — skipped on add, never a
+    candidate on probe (SQL ``NULL = x`` matches nothing), NOT a crash
+    (the hostile fixture's NULL-text doc aborted x69's whole job)."""
     import pytest
 
     from consensource_sds_spark.functions.bloom import BloomSidecar
 
     sc = BloomSidecar(str(tmp_path / "_bloom"), m_bits=1 << 12)
     with pytest.raises(ValueError, match="32-char"):
-        sc.add_digests(["a" * 32, None])
-    with pytest.raises(ValueError, match="32-char"):
         sc.add_digests(["a" * 24, "b" * 40])  # concat stays 16-byte aligned
+    sc.add_digests(["a" * 32, None])  # NULL skipped, not raised
+    assert sc.n_added == 1
+    assert sc.candidates(["a" * 32]) == ["a" * 32]
+    assert sc.candidates([None]) == []  # NULL probes as definitely-new
     sc.add_digests(["c" * 32])  # valid input still works
     assert sc.candidates(["c" * 32]) == ["c" * 32]
 

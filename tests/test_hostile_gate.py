@@ -1,0 +1,68 @@
+"""The hostile-fixture gate: every registry entry with an oracle must
+hash-match DuckDB on ``sources/hostile.py``'s adversarial tables.
+
+The driver gate at sf0.01 proves engine parity on well-behaved data; the
+r8 review sweep showed every latent defect lived in an input domain that
+data never reaches (NULL group keys, empty/unicode strings, pre-1970
+dates, zero-norm vectors, tied sort keys, byte-duplicate docs). This
+sweep makes that whole domain a standing regression: a future edit that
+mishandles any of it fails HERE, engine-vs-engine, not just in whichever
+crafted unit pin happens to cover the same line.
+
+Same canonicalization as the driver gate (sort columns, int64/float64
+round-9, stringify, sort rows, md5 of CSV) — imported from
+``scripts/verify_gate.py`` so the recipes cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load(path: Path, name: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_hostile_fixture_full_registry_sweep(spark, tmp_path):
+    import duckdb
+
+    from consensource_sds_spark.sources.hostile import write_hostile_sf
+    from consensource_sds_spark.sql import INPUT_TABLES
+
+    gate = _load(REPO / "scripts" / "verify_gate.py", "_verify_gate")
+    entry = _load(REPO / "__spark_entry__.py", "_spark_entry_hostile")
+
+    sf = write_hostile_sf(str(tmp_path / "hostile_sf"))
+    con = duckdb.connect()
+    for t in INPUT_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            spark_pdf = fn(spark, sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            continue  # rows-only entries: crash-freedom is the check here
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: oracle raised {type(e).__name__}: {e}")
+            continue
+        sh, sn, _ = gate.canon_hash(spark_pdf)
+        dh, dn, _ = gate.canon_hash(duck_pdf)
+        if sh != dh:
+            failures.append(f"{name}: hash mismatch (spark {sn} rows, duck {dn} rows)")
+    assert not failures, "hostile-fixture divergences:\n  " + "\n  ".join(failures)
