@@ -4287,29 +4287,42 @@ def x79_zipf_fit(spark, sf_dir):
     m AS (
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_words,
-             list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT))) AS sum_len,
+             -- list_sum([]) is NULL in DuckDB, but a 0-word doc has total
+             -- word length 0 (Spark's fold starts at 0); NULL text keeps
+             -- NULL (no words at all, not zero-length words)
+             CASE WHEN words IS NULL THEN NULL ELSE
+               COALESCE(list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT))), 0)
+             END AS sum_len,
              CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-             (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+             -- NULL text has NO stop-word count (CASE WHEN would silently
+             -- turn the NULL list_contains into 0 = "no stop words")
+             CASE WHEN words IS NULL THEN NULL ELSE
+               (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
               + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
-              + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS n_stop,
+              + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END)
+             END AS n_stop,
              n_hash, n_ellipsis
       FROM base)
+    -- COALESCE(flag, false): a NULL-text doc has no words and FAILS every
+    -- rule — non-NULL flags keep the audit columns boolean on both
+    -- engines (NULL booleans also render differently across pandas
+    -- bridges: None vs nan)
     SELECT doc_id, n_words,
-           n_words BETWEEN 50 AND 100000 AS word_count_ok,
-           CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3 AND 10 AS mean_word_len_ok,
-           CAST(n_hash + n_ellipsis AS DOUBLE) / GREATEST(n_words, 1) < 0.1 AS symbol_ratio_ok,
-           CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8 AS alpha_word_frac_ok,
-           n_stop >= 2 AS stopword_ok,
-           (n_words BETWEEN 50 AND 100000)
+           COALESCE(n_words BETWEEN 50 AND 100000, false) AS word_count_ok,
+           COALESCE(CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3 AND 10, false) AS mean_word_len_ok,
+           COALESCE(CAST(n_hash + n_ellipsis AS DOUBLE) / GREATEST(n_words, 1) < 0.1, false) AS symbol_ratio_ok,
+           COALESCE(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8, false) AS alpha_word_frac_ok,
+           COALESCE(n_stop >= 2, false) AS stopword_ok,
+           COALESCE((n_words BETWEEN 50 AND 100000)
              AND (CAST(sum_len AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3 AND 10)
              AND (CAST(n_hash + n_ellipsis AS DOUBLE) / GREATEST(n_words, 1) < 0.1)
              AND (CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8)
-             AND (n_stop >= 2) AS gopher_pass
+             AND (n_stop >= 2), false) AS gopher_pass
     FROM m
     """,
 )
@@ -4327,21 +4340,28 @@ def x80_gopher_quality_rules(spark, sf_dir):
     (counts / counts), so both engines compute bit-identical IEEE results;
     rule thresholds compare those. Scale: a single narrow projection pass
     over the corpus — per-doc higher-order functions, no shuffle at all
-    (the plan is scan -> project; Catalyst prunes to (doc_id, text))."""
+    (the plan is scan -> project; Catalyst prunes to (doc_id, text)).
+
+    NULL text fails every rule: the flags coalesce to False (both
+    engines) so the audit columns stay non-NULL booleans — a doc with no
+    words is not a Gopher pass, and NULL booleans render differently
+    across the two pandas bridges (hostile-fixture finding)."""
     d = load(spark, sf_dir, "documents")
     m = _gopher_metrics(d.select("doc_id", "text"))
     r = _gopher_rules()
+    fl = F.lit(False)
     return m.select(
         "doc_id",
         F.col("_g_n_words").alias("n_words"),
-        r["word_count"].alias("word_count_ok"),
-        r["mean_word_len"].alias("mean_word_len_ok"),
-        r["symbol_ratio"].alias("symbol_ratio_ok"),
-        r["alpha_word_frac"].alias("alpha_word_frac_ok"),
-        r["stopword"].alias("stopword_ok"),
-        (
+        F.coalesce(r["word_count"], fl).alias("word_count_ok"),
+        F.coalesce(r["mean_word_len"], fl).alias("mean_word_len_ok"),
+        F.coalesce(r["symbol_ratio"], fl).alias("symbol_ratio_ok"),
+        F.coalesce(r["alpha_word_frac"], fl).alias("alpha_word_frac_ok"),
+        F.coalesce(r["stopword"], fl).alias("stopword_ok"),
+        F.coalesce(
             r["word_count"] & r["mean_word_len"] & r["symbol_ratio"]
-            & r["alpha_word_frac"] & r["stopword"]
+            & r["alpha_word_frac"] & r["stopword"],
+            fl,
         ).alias("gopher_pass"),
     )
 

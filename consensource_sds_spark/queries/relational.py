@@ -314,7 +314,7 @@ def q10_window_topk_per_group(spark, sf_dir):
     "q11_window_running_sum",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS LAST, event_id
                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_value
     FROM events
     """,
@@ -327,11 +327,20 @@ def q11_window_running_sum(spark, sf_dir):
     integer window sums are ~3x cheaper than 128-bit decimal and /100.0
     yields the same correctly-rounded double as the oracle's decimal->double
     cast. (For free-precision inputs the decimal form in ``dsum`` stays the
-    right tool.)"""
+    right tool.)
+
+    NULL-timestamp rows order EXPLICITLY last (both engines): Spark's
+    ascending default is NULLS FIRST, DuckDB's is NULLS LAST — any window
+    ordered by a nullable key must pin the choice or the frame contents
+    silently differ (hostile-fixture finding)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc_nulls_last(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cents = to_cents(F.col("value"))
     return e.select(
         "user_id",
@@ -344,15 +353,17 @@ def q11_window_running_sum(spark, sf_dir):
     "q12_window_lag_delta",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 2) AS delta
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS LAST, event_id), 2) AS delta
     FROM events
     """,
 )
 def q12_window_lag_delta(spark, sf_dir):
+    """Lag delta per user over event time. NULL-timestamp rows order
+    explicitly last on both engines (see q11's note)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc_nulls_last(), "event_id")
     return e.select(
         "user_id", "event_id", F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta")
     )
@@ -506,12 +517,15 @@ def q23_except(spark, sf_dir):
 @register(
     "q24_union_all",
     oracle="""
-    SELECT 'high' AS tier, c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer WHERE c_acctbal >= 9000
+    SELECT 'high' AS tier, c_custkey, ROUND(c_acctbal, 2) + 0 AS bal FROM customer WHERE c_acctbal >= 9000
     UNION ALL
-    SELECT 'low'  AS tier, c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer WHERE c_acctbal < 1000
+    SELECT 'low'  AS tier, c_custkey, ROUND(c_acctbal, 2) + 0 AS bal FROM customer WHERE c_acctbal < 1000
     """,
 )
 def q24_union_all(spark, sf_dir):
+    """Tiered union. Oracle ROUND carries + 0 to normalize IEEE -0.0
+    (Spark's BigDecimal HALF_UP round has no signed zero, DuckDB keeps
+    it)."""
     c = load(spark, sf_dir, "customer")
     hi = c.filter(F.col("c_acctbal") >= 9000).select(
         F.lit("high").alias("tier"), "c_custkey", F.round("c_acctbal", 2).alias("bal")
@@ -770,15 +784,25 @@ def q40_explode_unnest(spark, sf_dir):
     "q41_maxby_lastwins",
     oracle="""
     SELECT user_id,
-           ARG_MAX(event_type, event_id) AS last_type,
-           ROUND(ARG_MAX(value, event_id), 2) AS last_value,
-           MAX(event_id) AS last_event_id
-    FROM events GROUP BY user_id
+           event_type AS last_type,
+           -- + 0 normalizes IEEE -0.0 to 0.0: Spark's HALF_UP round goes
+           -- through BigDecimal (no signed zero), DuckDB's ROUND keeps it
+           ROUND(value, 2) + 0 AS last_value,
+           event_id AS last_event_id
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
     """,
 )
 def q41_maxby_lastwins(spark, sf_dir):
     """A1 analog: last-wins per key via max_by over the arrival ordinal
-    (the reference's Iterator::last at event_handler.rs:88)."""
+    (the reference's Iterator::last at event_handler.rs:88).
+
+    The oracle is a ROW pick (QUALIFY row_number), not ARG_MAX: last-wins
+    takes the last row WHOLESALE, NULL fields included, while DuckDB's
+    arg_max skips NULL value arguments and would answer "last non-NULL
+    value" — a different operator (hostile-fixture finding). Spark's
+    max_by carries the last row's NULL faithfully, matching the row
+    pick."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.max_by("event_type", "event_id").alias("last_type"),
@@ -817,9 +841,10 @@ def q42_type_dispatch(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id,
            epoch_us(ts) AS start_us,
-           COALESCE(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+           COALESCE(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS LAST, event_id),
                     9223372036854775807) AS end_us,
-           ROUND(value, 2) AS value
+           -- + 0: -0.0 -> 0.0, matching Spark's BigDecimal HALF_UP round
+           ROUND(value, 2) + 0 AS value
     FROM events
     """,
 )
@@ -827,13 +852,14 @@ def q43_scd2_versions(spark, sf_dir):
     """W2 analog, oracle-checkable: build SCD2 half-open version intervals
     from a changelog — each event's validity ends at the key's next event
     (close-then-insert as one window plan; sentinel = i64::MAX like
-    MAX_BLOCK_NUM)."""
+    MAX_BLOCK_NUM). NULL-timestamp rows order explicitly last on both
+    engines (see q11's note)."""
     from pyspark.sql import Window
 
     from consensource_sds_spark.schemas import MAX_BLOCK_NUM
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc_nulls_last(), "event_id")
     start = F.col("ts_us")
     return e.select(
         "user_id",
@@ -2873,7 +2899,7 @@ def q92_time_weighted_avg(spark, sf_dir):
 @register(
     "q93_rolling_active_users",
     oracle="""
-    WITH p AS (SELECT DISTINCT user_id, ((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS day FROM events),
+    WITH p AS (SELECT DISTINCT user_id, ((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000) AS day FROM events WHERE ts IS NOT NULL),
          days AS (SELECT DISTINCT day FROM p)
     SELECT d.day,
            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM p
@@ -2897,9 +2923,16 @@ def q93_rolling_active_users(spark, sf_dir):
     expand to two-level partial aggregates, so no (day, user) group
     gathers unbounded state. The approximate/mergeable alternative at
     warehouse scale is x50's HLL-per-day union — this is its exact
-    yardstick."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id", F.expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000").alias("day")
+    yardstick.
+
+    NULL-timestamp events belong to NO day and are filtered on both
+    engines — left in, Spark's equi-join drops the NULL day while the
+    oracle's correlated subqueries keep a phantom zero-count row
+    (hostile-fixture finding)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts_us").isNotNull())
+        .select("user_id", F.expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000").alias("day"))
     )
     pairs = e.distinct()
     days = pairs.select("day").distinct()
