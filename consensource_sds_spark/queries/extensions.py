@@ -2860,8 +2860,16 @@ def scrub_boilerplate(d):
     """Frame-level core of the oracle-checked x64: remove passages
     repeated across >1 documents of ``d`` (doc_id, text) and reassemble
     each document's surviving passages in order; returns (doc_id,
-    clean_text, n_removed) for EVERY input document (all-boilerplate
-    docs come back with ''). See x64's docstring for the plan shape."""
+    clean_text, n_removed) for EVERY input document — all-boilerplate
+    docs come back with '', NULL-text docs come back with clean_text
+    NULL and n_removed 0 (the explode would otherwise silently DROP
+    them; '' would conflate 'no text' with 'all boilerplate scrubbed' —
+    hostile-fixture finding). See x64's docstring for the plan shape."""
+    null_docs = d.filter(F.col("text").isNull()).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
     toks = "split(text, ' ')"
     p = d.select(
         "doc_id",
@@ -2877,7 +2885,7 @@ def scrub_boilerplate(d):
         .select("passage", F.lit(True).alias("_rep"))
     )
     flagged = p.join(rep, "passage", "left")
-    return flagged.groupBy("doc_id").agg(
+    scrubbed = flagged.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -2893,6 +2901,7 @@ def scrub_boilerplate(d):
         .cast("long")
         .alias("n_removed"),
     )
+    return scrubbed.unionByName(null_docs)
 
 
 def near_dup_clusters(d):
@@ -2938,7 +2947,11 @@ def near_dup_clusters(d):
       SELECT doc_id, k, passage FROM p WHERE passage NOT IN (SELECT passage FROM rep)
     )
     SELECT d.doc_id,
-           COALESCE(string_agg(kept.passage, ' ' ORDER BY kept.k), '') AS clean_text,
+           -- NULL text stays NULL (no text is not 'all boilerplate');
+           -- otherwise all-scrubbed docs come back as ''
+           CASE WHEN MAX(d.text) IS NULL AND COUNT(p_all.k) = 0 THEN NULL
+                ELSE COALESCE(string_agg(kept.passage, ' ' ORDER BY kept.k), '')
+           END AS clean_text,
            CAST(COUNT(p_all.k) - COUNT(kept.k) AS BIGINT) AS n_removed
     FROM documents d
     LEFT JOIN p p_all ON p_all.doc_id = d.doc_id
@@ -3881,8 +3894,11 @@ def _bpe_wt_chain(n_merges: int = _BPE_N_MERGES) -> str:
     {merge_cte},
     aw AS (SELECT DISTINCT w FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)),
     aseg AS (
-      SELECT w, '{sep}' || array_to_string(list_transform(range(1, len(w)+1),
-                   i -> substr(w, CAST(i AS INT), 1)), '{sep}') || '{sep}' AS seg
+      -- COALESCE: DuckDB array_to_string([]) is NULL (Spark array_join
+      -- gives ''), so the EMPTY word must not poison its seg to NULL —
+      -- it segments to zero tokens
+      SELECT w, '{sep}' || COALESCE(array_to_string(list_transform(range(1, len(w)+1),
+                   i -> substr(w, CAST(i AS INT), 1)), '{sep}'), '') || '{sep}' AS seg
       FROM aw),
     applied AS (SELECT w, {applied_seg} AS seg FROM aseg, {froms}),
     wt AS (SELECT w, len(list_filter(string_split(seg, '{sep}'), x -> x <> '')) AS tok FROM applied)"""
@@ -4704,7 +4720,14 @@ def _pq_adc_rank(enc, qd, cand=None, k: int = 5):
     """ADC summation + per-query top-k over the encode/distance-table
     frames (the shared x84/x85 tail): s-sorted sequential fold, rank cut
     with did tie-break; ``cand`` (qid, did) semi-join-filters candidates
-    first (x85's cell pruning)."""
+    first (x85's cell pruning).
+
+    The emitted distance is the RAW double: the folds are fixed-order
+    and bit-identical across engines, while a decimal ROUND is NOT — at
+    1e9-magnitude distances (hostile fixture's 1e4 vector) a .5-boundary
+    digit resolves differently under Spark's BigDecimal HALF_UP vs
+    DuckDB's double-multiply rounding, and the DECIMAL detour the money
+    queries use is itself lossy at these magnitudes x scale 10."""
     adc = enc.join(F.broadcast(qd), ["s", "code"])
     if cand is not None:
         # NO broadcast hint: cand is IVF-candidate-sized (~nprobe/ncells of
@@ -4723,7 +4746,7 @@ def _pq_adc_rank(enc, qd, cand=None, k: int = 5):
     return (
         adc.withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= k)
-        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
+        .select("qid", "did", F.col("dist").alias("adc_dist"))
     )
 
 
@@ -4763,7 +4786,7 @@ def _pq_adc_rank(enc, qd, cand=None, k: int = 5):
     adc AS (
       SELECT qid, did, list_sum(list(d2 ORDER BY s)) AS dist
       FROM enc JOIN qd USING (s, code) GROUP BY qid, did)
-    SELECT qid, did, ROUND(dist, 6) AS adc_dist
+    SELECT qid, did, dist AS adc_dist  -- raw double: see _pq_adc_rank
     FROM adc
     QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
     """,
@@ -4847,7 +4870,7 @@ def x84_pq_adc_topk(spark, sf_dir):
       FROM enc JOIN qd USING (s, code)
       JOIN cand USING (qid, did)
       GROUP BY qid, did)
-    SELECT qid, did, ROUND(dist, 6) AS adc_dist
+    SELECT qid, did, dist AS adc_dist  -- raw double: see _pq_adc_rank
     FROM adc
     QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
     """,
@@ -4957,7 +4980,7 @@ def x85_ivfadc_topk(spark, sf_dir):
       JOIN qd ON qd.qid = cand.qid AND qd.cell = cand.cell
               AND qd.s = enc.s AND qd.code = enc.code
       GROUP BY cand.qid, cand.did)
-    SELECT qid, did, ROUND(dist, 6) AS adc_dist
+    SELECT qid, did, dist AS adc_dist  -- raw double: see _pq_adc_rank
     FROM adc
     QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
     """,
@@ -5064,7 +5087,8 @@ def x86_ivfpq_residual_topk(spark, sf_dir):
     return (
         adc.withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= 5)
-        .select("qid", "did", F.round("dist", 6).alias("adc_dist"))
+        # raw double, not ROUND: see _pq_adc_rank's precision note
+        .select("qid", "did", F.col("dist").alias("adc_dist"))
     )
 
 
@@ -5290,21 +5314,26 @@ def x89_bigram_lm_score(spark, sf_dir):
              SUM(COALESCE(nt.n_new, 0)) OVER (PARTITION BY p.source ORDER BY p.doc_id) AS v_cum
       FROM per_doc p LEFT JOIN new_terms nt
         ON nt.source = p.source AND nt.doc_id = p.doc_id),
+    -- pts quantize ln at DECIMAL(15,7): narrow enough that x*y is EXACT
+    -- at scale 14 inside BOTH engines' 38-digit decimals (a (30,10) point
+    -- forced each engine to round the cross term its own way, and a
+    -- near-degenerate source amplified that 1e-6 noise into the slope);
+    -- the exact sums then convert to double ONCE and combine in IEEE
     pts AS (
       SELECT source,
-             CAST(ln(n_cum) AS DECIMAL(30,10)) AS x,
-             CAST(ln(v_cum) AS DECIMAL(30,10)) AS y
+             CAST(ln(n_cum) AS DECIMAL(15,7)) AS x,
+             CAST(ln(v_cum) AS DECIMAL(15,7)) AS y
       FROM cum),
     s AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(CAST(x * y AS DECIMAL(30,10))) AS sxy,
-             SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
       FROM pts GROUP BY source)
     SELECT source, n_points,
            CASE WHEN n_points >= 2 THEN
-             ROUND(CAST(n_points * sxy - sx * sy AS DOUBLE)
-                   / NULLIF(CAST(n_points * sxx - sx * sx AS DOUBLE), 0), 4)
+             (n_points * sxy - sx * sy)
+               / NULLIF(n_points * sxx - sx * sx, 0)
            END AS heaps_beta
     FROM s
     """,
@@ -5325,7 +5354,17 @@ def x90_heaps_vocab_growth(spark, sf_dir):
     cumulative series is two running-sum windows over the per-DOC table
     (rows = documents, not tokens); the slope is x79's DECIMAL-summed
     least squares — every cross-row sum is exact (BIGINT running sums,
-    DECIMAL regression terms), so window/agg order cannot move a bit."""
+    DECIMAL regression terms), so window/agg order cannot move a bit.
+
+    Exactness (hostile-fixture finding): the ln points quantize at
+    DECIMAL(15,7) so the x*y / x*x cross terms are EXACT at scale 14 in
+    both engines — at (30,10) each engine rounded the too-wide cross
+    term its own way, and a source with nearly-degenerate ln-token
+    spread (one giant doc up front) amplified that 1e-6 noise into the
+    third decimal of the slope. The exact sums convert to double once,
+    the final combination runs in IEEE on identical inputs, and the
+    slope is emitted RAW (a final ROUND could still split a .5 boundary
+    across engines — the x84 lesson)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("source", "doc_id", F.explode(F.split("text", " ")).alias("w"))
     per_doc = toks.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -5345,16 +5384,16 @@ def x90_heaps_vocab_growth(spark, sf_dir):
             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(wrun).alias("v_cum"),
         )
     )
-    dec = lambda col: col.cast("decimal(30,10)")  # noqa: E731
+    dec = lambda col: col.cast("decimal(15,7)")  # noqa: E731
     pts = cum.select(
         "source", dec(F.log("n_cum")).alias("x"), dec(F.log("v_cum")).alias("y")
     )
     s = pts.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
     )
     return s.select(
         "source",
@@ -5366,13 +5405,10 @@ def x90_heaps_vocab_growth(spark, sf_dir):
         # meaningless 1-point value — NULL by construction on both
         F.when(
             F.col("n_points") >= 2,
-            F.round(
-                (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-                / F.nullif(
-                    (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
-                    F.lit(0.0),
-                ),
-                4,
+            (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
             ),
         ).alias("heaps_beta"),
     )

@@ -653,20 +653,29 @@ def q29_having(spark, sf_dir):
            UPPER(p_brand)                                   AS brand_upper,
            SUBSTR(p_name, 1, 8)                             AS name_prefix,
            LENGTH(p_name)                                   AS name_len,
-           CONCAT(p_brand, ':', p_type)                     AS brand_type,
+           CONCAT(COALESCE(p_brand, ''), ':', COALESCE(p_type, '')) AS brand_type,
            REPLACE(p_type, ' ', '_')                        AS type_snake,
            CAST(CONTAINS(p_name, 'red') AS BOOLEAN)         AS has_red
     FROM part WHERE p_partkey <= 500
     """,
 )
 def q30_string_funcs(spark, sf_dir):
+    """String-function family. brand_type spells its NULL rule out with
+    COALESCE on both engines: the two concat surfaces disagree silently
+    otherwise — Spark's concat_ws drops the SEPARATOR next to a NULL
+    ('Brand#1'), DuckDB's CONCAT skips only the NULL and keeps the colon
+    ('Brand#1:') — so the contract is NULL-as-empty, separator always
+    present (hostile-fixture finding)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    empty = F.lit("")
     return p.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.length("p_name").cast("long").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.concat(
+            F.coalesce(F.col("p_brand"), empty), F.lit(":"), F.coalesce(F.col("p_type"), empty)
+        ).alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.col("p_name").contains("red").alias("has_red"),
     )
@@ -943,19 +952,35 @@ def q48_asof_join(spark, sf_dir):
     range explosion. (An inequality join would be O(clicks x purchases)
     per user; a backend with native asof, e.g. DuckDB here, is the
     oracle.) Ties (click exactly at purchase ts) match, clicks ordered
-    before purchases at equal timestamps."""
+    before purchases at equal timestamps.
+
+    NULL-key semantics follow the JOIN, not the window: a click with a
+    NULL user_id or NULL ts can never satisfy ``p.user_id = c.user_id
+    AND p.ts >= c.ts``, so such clicks are dropped BEFORE the union —
+    the window plan would otherwise group NULL users together and carry
+    a click no join would produce. NULL-ts purchases order explicitly
+    FIRST (before every click) so they carry nothing, matching the
+    never-true inequality (hostile-fixture finding)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    both = e.filter(F.col("event_type").isin("purchase", "click")).select(
+    is_purchase = F.col("event_type") == "purchase"
+    both = e.filter(
+        is_purchase
+        | (
+            (F.col("event_type") == "click")
+            & F.col("user_id").isNotNull()
+            & F.col("ts_us").isNotNull()
+        )
+    ).select(
         "user_id",
         "ts_us",
         "event_id",
-        (F.col("event_type") == "purchase").cast("int").alias("kind"),  # clicks first on ties
+        is_purchase.cast("int").alias("kind"),  # clicks first on ties
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "kind", "event_id")
+        .orderBy(F.col("ts_us").asc_nulls_first(), "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     is_click = F.col("kind") == 0
@@ -1102,7 +1127,7 @@ def q50_array_map_funcs(spark, sf_dir):
       SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sessions AS (
       SELECT user_id, ts_us, value,
@@ -1123,10 +1148,15 @@ def q51_sessionize_batch(spark, sf_dir):
     backfill twin of streaming/sessions.py's applyInPandasWithState
     operator — same session semantics, expressed as two windows + one
     aggregation so historical corpus re-runs don't need streaming state.
-    One shuffle on user_id serves both windows and the final group."""
+    One shuffle on user_id serves both windows and the final group.
+
+    NULL-timestamp events cannot be placed in a session (no position on
+    the time axis) and are filtered on both engines — left in, each
+    engine's opposite NULL-ordering default hands them to a different
+    session (hostile-fixture finding)."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts_us").isNotNull())
     # event_id tiebreak on BOTH windows: with ts-only ordering, two events
     # of one user at the same timestamp make the running sum's row order —
     # and therefore their session assignment — engine/run dependent
@@ -1766,7 +1796,8 @@ def q67_conditional_agg(spark, sf_dir):
 @register(
     "q68_lateral_topn",
     oracle="""
-    SELECT n_name, s_name, ROUND(s_acctbal, 2) AS acctbal
+    -- + 0: -0.0 -> 0.0, matching Spark's BigDecimal HALF_UP round
+    SELECT n_name, s_name, ROUND(s_acctbal, 2) + 0 AS acctbal
     FROM nation, LATERAL (
       SELECT s_name, s_acctbal
       FROM supplier
@@ -1780,7 +1811,8 @@ def q68_lateral_topn(spark, sf_dir):
     The lateral formulation is the API surface under test (Spark supports
     LATERAL joins with correlated LIMIT subqueries); Catalyst rewrites it
     into the same rank-then-filter window plan as q10 — one shuffle on the
-    correlation key, no nested-loop per outer row."""
+    correlation key, no nested-loop per outer row. Oracle ROUND carries
+    + 0 for -0.0 parity (q24's rule)."""
     load(spark, sf_dir, "nation").createOrReplaceTempView("q68_nation")
     load(spark, sf_dir, "supplier").createOrReplaceTempView("q68_supplier")
     return spark.sql(
@@ -2039,7 +2071,8 @@ def q75_unpivot(spark, sf_dir):
     oracle="""
     WITH counts AS (
       SELECT user_id, event_type, COUNT(*) AS n
-      FROM events GROUP BY user_id, event_type)
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type)
     SELECT user_id,
            COUNT(*)                                             AS n_types,
            MAX(CASE WHEN event_type = 'click' THEN n END)       AS n_clicks,
@@ -2057,8 +2090,13 @@ def q76_map_funcs(spark, sf_dir):
     gate compares the SCALAR projections; the oracle states the same
     values relationally. Scale: the map per user is bounded by the
     event-type cardinality (small by design — maps are for bounded keys;
-    unbounded keys stay as rows)."""
-    e = load(spark, sf_dir, "events")
+    unbounded keys stay as rows).
+
+    The histogram covers TYPED events: a NULL event_type cannot be a map
+    key (Spark raises NULL_MAP_KEY, rightly), so untyped rows are
+    filtered on both engines instead of aborting the job
+    (hostile-fixture finding)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     m = counts.groupBy("user_id").agg(
         F.map_from_entries(
@@ -2083,7 +2121,7 @@ def q76_map_funcs(spark, sf_dir):
       SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sessions AS (
       SELECT user_id, ts_us,
@@ -2104,8 +2142,9 @@ def q77_session_window_fn(spark, sf_dir):
     boundary (a gap of EXACTLY 30 min starts a new session), which the
     lag-cumsum oracle mirrors with >=. Same one-shuffle-on-user plan as
     q51; this form is also directly streamable (session_window works on
-    streams with a watermark, merging state server-side)."""
-    e = load(spark, sf_dir, "events")
+    streams with a watermark, merging state server-side). NULL-timestamp
+    events filter on both engines (q51's rule)."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts_us").isNotNull())
     return (
         e.groupBy(
             F.session_window(F.timestamp_micros(F.col("ts_us")), "30 minutes").alias("w"),
@@ -2167,7 +2206,7 @@ def q78_dormant_accounts(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            ROUND(LAST_VALUE(CASE WHEN value >= 10 THEN value END IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS LAST, event_id
                        ROWS UNBOUNDED PRECEDING), 2) AS filled_value
     FROM events
     """,
@@ -2179,13 +2218,14 @@ def q79_forward_fill(spark, sf_dir):
     IGNORE NULLS window surface (and the standard time-series repair
     before any resampling/join). Rows before a user's first valid reading
     stay NULL (no peeking forward). One shuffle on user_id; at scale this
-    is the same plan as the q11/q27 running windows."""
+    is the same plan as the q11/q27 running windows. NULL-timestamp rows
+    order explicitly last on both engines (see q11's note)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
+        .orderBy(F.col("ts_us").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.when(F.col("value") >= 10, F.col("value"))
