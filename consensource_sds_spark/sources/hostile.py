@@ -114,6 +114,14 @@ def _doc_texts() -> list[str | None]:
         "comma,separated,values,in,one,token and, spaced , commas",
         "Line one\nLine two\nLine three\n",
         "word " + "word " * 2 + "unique_tail_marker",
+        # a 3-doc continuation CHAIN (x92): doc k's last 6 tokens = doc
+        # k+1's first 6 — the one structure the driver's testdata never
+        # contains, so x92's engine-vs-engine row is vacuous everywhere
+        # but here (2 real pairs, including the chain's middle doc
+        # playing both tail and head)
+        "one two three alpha bravo charlie delta echo foxtrot",
+        "alpha bravo charlie delta echo foxtrot middle words golf hotel india juliet kilo lima",
+        "golf hotel india juliet kilo lima and the story concludes here",
     ]
 
 
