@@ -5314,26 +5314,30 @@ def x89_bigram_lm_score(spark, sf_dir):
              SUM(COALESCE(nt.n_new, 0)) OVER (PARTITION BY p.source ORDER BY p.doc_id) AS v_cum
       FROM per_doc p LEFT JOIN new_terms nt
         ON nt.source = p.source AND nt.doc_id = p.doc_id),
-    -- pts quantize ln at DECIMAL(15,7): narrow enough that x*y is EXACT
-    -- at scale 14 inside BOTH engines' 38-digit decimals (a (30,10) point
-    -- forced each engine to round the cross term its own way, and a
-    -- near-degenerate source amplified that 1e-6 noise into the slope);
-    -- the exact sums then convert to double ONCE and combine in IEEE
+    -- pts quantize ln at 1e-7 and UNSCALE to exact integers: every
+    -- regression term then lives in integer/decimal space (bit-identical
+    -- across engines), and only the final scale-0 numerator/denominator
+    -- convert to double — a SINGLE correctly-rounded conversion on both
+    -- engines. Casting a scale-14 decimal sum to double instead is
+    -- DOUBLE-rounded in DuckDB (int128 -> double -> /1e14) and differs
+    -- from Spark's BigDecimal conversion in the last ulp. Width bounds
+    -- (documented): |xi| <= ~4.4e8 (ln of a u64 token count), so the
+    -- DECIMAL(18/27,0) casts hold to ~2e9 points per source.
     pts AS (
       SELECT source,
-             CAST(ln(n_cum) AS DECIMAL(15,7)) AS x,
-             CAST(ln(v_cum) AS DECIMAL(15,7)) AS y
+             CAST(CAST(ln(n_cum) AS DECIMAL(15,7)) * 10000000 AS BIGINT) AS xi,
+             CAST(CAST(ln(v_cum) AS DECIMAL(15,7)) * 10000000 AS BIGINT) AS yi
       FROM cum),
     s AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
-             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x * y) AS DOUBLE) AS sxy,
-             CAST(SUM(x * x) AS DOUBLE) AS sxx
+             CAST(SUM(xi) AS DECIMAL(19,0)) AS sx, CAST(SUM(yi) AS DECIMAL(19,0)) AS sy,
+             CAST(SUM(CAST(xi * yi AS DECIMAL(27,0))) AS DECIMAL(27,0)) AS sxy,
+             CAST(SUM(CAST(xi * xi AS DECIMAL(27,0))) AS DECIMAL(27,0)) AS sxx
       FROM pts GROUP BY source)
     SELECT source, n_points,
            CASE WHEN n_points >= 2 THEN
-             (n_points * sxy - sx * sy)
-               / NULLIF(n_points * sxx - sx * sx, 0)
+             CAST(CAST(n_points AS DECIMAL(10,0)) * sxy - sx * sy AS DOUBLE)
+               / NULLIF(CAST(CAST(n_points AS DECIMAL(10,0)) * sxx - sx * sx AS DOUBLE), 0)
            END AS heaps_beta
     FROM s
     """,
@@ -5356,15 +5360,21 @@ def x90_heaps_vocab_growth(spark, sf_dir):
     least squares — every cross-row sum is exact (BIGINT running sums,
     DECIMAL regression terms), so window/agg order cannot move a bit.
 
-    Exactness (hostile-fixture finding): the ln points quantize at
-    DECIMAL(15,7) so the x*y / x*x cross terms are EXACT at scale 14 in
-    both engines — at (30,10) each engine rounded the too-wide cross
-    term its own way, and a source with nearly-degenerate ln-token
-    spread (one giant doc up front) amplified that 1e-6 noise into the
-    third decimal of the slope. The exact sums convert to double once,
-    the final combination runs in IEEE on identical inputs, and the
-    slope is emitted RAW (a final ROUND could still split a .5 boundary
-    across engines — the x84 lesson)."""
+    Exactness (hostile-fixture finding, two layers): the ln points
+    quantize at 1e-7 and UNSCALE to exact BIGINTs, so every regression
+    term — cross products, sums, the n*sxy - sx*sy combination — is
+    computed in integer/decimal space, bit-identical across engines; at
+    (30,10) each engine rounded the too-wide cross term its own way,
+    and a source with nearly-degenerate ln-token spread (one giant doc
+    up front) amplified that 1e-6 noise into the slope's third decimal.
+    Only the final SCALE-0 numerator/denominator convert to double (a
+    single correctly-rounded conversion on both engines — casting a
+    scale-14 decimal sum instead is DOUBLE-rounded in DuckDB:
+    int128 -> double -> /1e14, off Spark's BigDecimal conversion by an
+    ulp), and the slope is emitted RAW (a final ROUND could still split
+    a .5 boundary across engines — the x84 lesson). Width bounds: |xi|
+    <= ~4.4e8 (ln of a u64 token count) keeps the DECIMAL(19/27,0)
+    terms exact to ~2e9 documents per source."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("source", "doc_id", F.explode(F.split("text", " ")).alias("w"))
     per_doc = toks.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -5384,17 +5394,16 @@ def x90_heaps_vocab_growth(spark, sf_dir):
             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(wrun).alias("v_cum"),
         )
     )
-    dec = lambda col: col.cast("decimal(15,7)")  # noqa: E731
-    pts = cum.select(
-        "source", dec(F.log("n_cum")).alias("x"), dec(F.log("v_cum")).alias("y")
-    )
+    qi = lambda col: F.expr(f"CAST(CAST({col} AS DECIMAL(15,7)) * 10000000 AS BIGINT)")  # noqa: E731
+    pts = cum.select("source", qi("ln(n_cum)").alias("xi"), qi("ln(v_cum)").alias("yi"))
     s = pts.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("xi").cast("decimal(19,0)").alias("sx"),
+        F.sum("yi").cast("decimal(19,0)").alias("sy"),
+        F.sum(F.expr("CAST(xi * yi AS DECIMAL(27,0))")).cast("decimal(27,0)").alias("sxy"),
+        F.sum(F.expr("CAST(xi * xi AS DECIMAL(27,0))")).cast("decimal(27,0)").alias("sxx"),
     )
+    npd = F.col("n_points").cast("decimal(10,0)")
     return s.select(
         "source",
         "n_points",
@@ -5405,9 +5414,9 @@ def x90_heaps_vocab_growth(spark, sf_dir):
         # meaningless 1-point value — NULL by construction on both
         F.when(
             F.col("n_points") >= 2,
-            (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            (npd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / F.nullif(
-                F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                (npd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
                 F.lit(0.0),
             ),
         ).alias("heaps_beta"),
