@@ -33,6 +33,12 @@ def _load(path: Path, name: str):
 
 @pytest.mark.slow
 def test_hostile_fixture_full_registry_sweep(spark, tmp_path):
+    """One sweep per seed in ``SPARK_GRAFT_HOSTILE_SEEDS`` (comma-separated,
+    default just the canonical 94 — the crafted rows are seed-independent,
+    only the filler varies, and the round-9 seed-7 sweep was clean; extra
+    seeds are an exploration knob, not a CI tax)."""
+    import os
+
     import duckdb
 
     from consensource_sds_spark.sources.hostile import write_hostile_sf
@@ -41,7 +47,13 @@ def test_hostile_fixture_full_registry_sweep(spark, tmp_path):
     gate = _load(REPO / "scripts" / "verify_gate.py", "_verify_gate")
     entry = _load(REPO / "__spark_entry__.py", "_spark_entry_hostile")
 
-    sf = write_hostile_sf(str(tmp_path / "hostile_sf"))
+    seeds = [int(s) for s in os.environ.get("SPARK_GRAFT_HOSTILE_SEEDS", "94").split(",")]
+    for seed in seeds:
+        _sweep_one(spark, tmp_path, gate, entry, duckdb, INPUT_TABLES, write_hostile_sf, seed)
+
+
+def _sweep_one(spark, tmp_path, gate, entry, duckdb, INPUT_TABLES, write_hostile_sf, seed):
+    sf = write_hostile_sf(str(tmp_path / f"hostile_sf_{seed}"), seed=seed)
     con = duckdb.connect()
     for t in INPUT_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -65,4 +77,6 @@ def test_hostile_fixture_full_registry_sweep(spark, tmp_path):
         dh, dn, _ = gate.canon_hash(duck_pdf)
         if sh != dh:
             failures.append(f"{name}: hash mismatch (spark {sn} rows, duck {dn} rows)")
-    assert not failures, "hostile-fixture divergences:\n  " + "\n  ".join(failures)
+    assert not failures, (
+        f"hostile-fixture divergences (seed {seed}):\n  " + "\n  ".join(failures)
+    )
