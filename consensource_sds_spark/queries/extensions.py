@@ -14,6 +14,8 @@ bounded query set makes the cross join broadcast-sized).
 
 from __future__ import annotations
 
+import itertools as _it
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -307,127 +309,224 @@ def x04_ngram_jaccard_pairs(spark, sf_dir):
     WITH tok AS (
       SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
     ), n AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS n FROM tok
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS n0,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS n1
+      FROM tok
     ), bits AS (
-      SELECT doc_id, bitpos,
-             SUM(((n >> CAST(4 * (7 - bitpos // 4) + bitpos % 4 AS BIGINT)) & 1) * 2 - 1) AS weight
-      FROM n, (SELECT UNNEST(range(32)) AS bitpos)
-      GROUP BY doc_id, bitpos
+      SELECT doc_id, half, bitpos,
+             SUM((((CASE WHEN half = 0 THEN n0 ELSE n1 END)
+                   >> CAST(4 * (7 - bitpos // 4) + bitpos % 4 AS BIGINT)) & 1) * 2 - 1) AS weight
+      FROM n, (SELECT UNNEST(range(2)) AS half), (SELECT UNNEST(range(32)) AS bitpos)
+      GROUP BY doc_id, half, bitpos
     )
     SELECT doc_id,
-           CAST(SUM(CASE WHEN weight > 0
-                         THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash
+           CAST(SUM(CASE WHEN half = 0 AND weight > 0
+                         THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash_lo,
+           CAST(SUM(CASE WHEN half = 1 AND weight > 0
+                         THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash_hi
     FROM bits GROUP BY doc_id
     """,
 )
 def x05_simhash(spark, sf_dir):
-    """32-bit SimHash: per token, the first 8 md5 hex digits give 32 bits
-    (digit k -> bits 4k..4k+3); per bit position sum +1/-1 weights
-    (duplicates count); sign -> bit.
+    """64-bit SimHash as two 32-bit halves (simhash_lo from md5 hex chars
+    1-8, simhash_hi from chars 9-16): per token, each half's 8 hex digits
+    give 32 bits (digit k -> bits 4k..4k+3); per bit position sum +1/-1
+    weights (duplicates count); sign -> bit.
 
-    Scale/plan: no bit-position explode, and the 32 per-bit counters are
-    PACKED 2-per-long into 32-BIT lanes, so the hash aggregate is 16 long
-    SUMs + COUNT instead of 32 SUMs (narrow agg buffer, short codegen).
-    Per token: parse the md5 prefix to ONE long (conv base 16), then each
-    group g extracts hex nibble g and packs its bit pairs at offsets 0/32.
-    After the agg, lane count c_j and token count n give the signed weight
-    sign via 2*c_j > n; no unpack shuffle. The 32-bit lanes are safe at
-    any real doc length: lane carry needs >= 2^32 tokens and the signed
-    packed sum overflows at >= 2^30 tokens. (The previous 4x16-bit SWAR
-    packing's lane-3 partial sum crossed 2^63 at 32,768 worst-case tokens
-    — an ANSI ARITHMETIC_OVERFLOW job abort — while its docstring claimed
-    a 65,535 bound and no cap was enforced.) Partial agg collapses
-    map-side, so the shuffle carries ~one 17-long row per doc per
-    partition."""
+    64 bits, not 32 (r9 deep-scale finding): the banding join downstream
+    (x07) keys on signature fragments, and fragment width is what bounds
+    RANDOM bucket collisions — a 32-bit signature caps fragments at 8
+    bits for hamming<=3, whose 256 bucket values saturate at any real
+    corpus size (measured: candidate pairs grew 919x for 30x docs,
+    n^2/128). Two BIGINT halves rather than one 64-bit value keeps every
+    bit op in non-negative i64 range on BOTH engines (a u64-wide value
+    would sign-wrap in Spark and overflow DuckDB's BIGINT parse).
+
+    Scale/plan: no bit-position explode, and the 64 per-bit counters are
+    PACKED 2-per-long into 32-BIT lanes, so the hash aggregate is 32 long
+    SUMs + COUNT instead of 64 SUMs (narrow agg buffer, short codegen).
+    Per token: parse each md5 8-hex-char half to ONE long (conv base 16),
+    then each group g extracts hex nibble g and packs its bit pairs at
+    offsets 0/32. After the agg, lane count c_j and token count n give
+    the signed weight sign via 2*c_j > n; no unpack shuffle. The 32-bit
+    lanes are safe at any real doc length: lane carry needs >= 2^32
+    tokens and the signed packed sum overflows at >= 2^30 tokens. Partial
+    agg collapses map-side, so the shuffle carries ~one 33-long row per
+    doc per partition."""
     # Expressions are built as SQL strings (one parse call each) rather than
     # stacked Column operators: the wide bit-twiddling tree costs hundreds of
     # client->JVM round trips as Columns (~0.6 s per plan build, measured)
     # and one parse as a string. Identical logical plan either way.
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.expr("explode(split(text, ' ')) AS tok")).select(
-        "doc_id", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) AS n")
+        "doc_id",
+        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) AS n0"),
+        F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) AS bigint) AS n1"),
     )
     aggs = [F.expr("count(1) AS n_tok")]
-    for g in range(8):  # hex digit g (most significant nibble first) -> bits 4g..4g+3
-        sh = 4 * (7 - g)
-        nib = f"(shiftright(n, {sh}) & 15)"
-        # bits (0,1) of the nibble -> 32-bit lanes of p{g}a; bits (2,3) -> p{g}b
-        aggs.append(F.expr(f"sum(({nib} & 1) + shiftleft(shiftright({nib}, 1) & 1, 32)) AS p{g}a"))
-        aggs.append(F.expr(f"sum((shiftright({nib}, 2) & 1) + shiftleft(shiftright({nib}, 3) & 1, 32)) AS p{g}b"))
+    for h in range(2):
+        for g in range(8):  # hex digit g (most significant first) -> bits 4g..4g+3
+            sh = 4 * (7 - g)
+            nib = f"(shiftright(n{h}, {sh}) & 15)"
+            # bits (0,1) of the nibble -> 32-bit lanes of h{h}g{g}a; (2,3) -> ...b
+            aggs.append(
+                F.expr(f"sum(({nib} & 1) + shiftleft(shiftright({nib}, 1) & 1, 32)) AS h{h}g{g}a")
+            )
+            aggs.append(
+                F.expr(
+                    f"sum((shiftright({nib}, 2) & 1) + shiftleft(shiftright({nib}, 3) & 1, 32)) AS h{h}g{g}b"
+                )
+            )
     weights = tok.groupBy("doc_id").agg(*aggs)
 
-    def _lane(j: int) -> str:
+    def _lane(h: int, j: int) -> str:
         g, m = j // 4, j % 4
-        col = f"p{g}a" if m < 2 else f"p{g}b"
+        col = f"h{h}g{g}a" if m < 2 else f"h{h}g{g}b"
         return f"(shiftright({col}, {32 * (m % 2)}) & 4294967295)"
 
-    terms = " + ".join(f"IF(({_lane(j)} * 2) > n_tok, {1 << j}L, 0L)" for j in range(32))
-    return weights.select("doc_id", F.expr(f"cast({terms} AS bigint) AS simhash"))
+    def _half(h: int) -> str:
+        terms = " + ".join(f"IF(({_lane(h, j)} * 2) > n_tok, {1 << j}L, 0L)" for j in range(32))
+        return f"cast({terms} AS bigint)"
+
+    return weights.select(
+        "doc_id",
+        F.expr(f"{_half(0)} AS simhash_lo"),
+        F.expr(f"{_half(1)} AS simhash_hi"),
+    )
 
 
 _SIMHASH_ORACLE_CTE = """
     WITH tok AS (
       SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
     ), n AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS n FROM tok
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS n0,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS n1
+      FROM tok
     ), bits AS (
-      SELECT doc_id, bitpos,
-             SUM(((n >> CAST(4 * (7 - bitpos // 4) + bitpos % 4 AS BIGINT)) & 1) * 2 - 1) AS weight
-      FROM n, (SELECT UNNEST(range(32)) AS bitpos)
-      GROUP BY doc_id, bitpos
+      SELECT doc_id, half, bitpos,
+             SUM((((CASE WHEN half = 0 THEN n0 ELSE n1 END)
+                   >> CAST(4 * (7 - bitpos // 4) + bitpos % 4 AS BIGINT)) & 1) * 2 - 1) AS weight
+      FROM n, (SELECT UNNEST(range(2)) AS half), (SELECT UNNEST(range(32)) AS bitpos)
+      GROUP BY doc_id, half, bitpos
     ), sim AS (
       SELECT doc_id,
-             CAST(SUM(CASE WHEN weight > 0
-                           THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS simhash
+             CAST(SUM(CASE WHEN half = 0 AND weight > 0
+                           THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN half = 1 AND weight > 0
+                           THEN CAST(1 AS BIGINT) * (1 << bitpos) ELSE 0 END) AS BIGINT) AS hi
       FROM bits GROUP BY doc_id
     )
 """
 
 
-@register(
-    "x07_simhash_neardup",
-    oracle=_SIMHASH_ORACLE_CTE
-    + """
-    , bands AS (
-      SELECT doc_id, simhash, k, (simhash >> CAST(8 * k AS BIGINT)) & 255 AS byte
-      FROM sim, (SELECT UNNEST(range(4)) AS k)
+#: the 64-bit signature's block layout for x07's banding: (half, shift,
+#: mask) — 11+11+10 bits per half, 6 blocks covering all 64 bits
+_SIMHASH_BLOCKS = (
+    (0, 0, 2047), (0, 11, 2047), (0, 22, 1023),
+    (1, 0, 2047), (1, 11, 2047), (1, 22, 1023),
+)
+
+#: every 3-of-6 block combination (20): hamming <= 3 touches at most 3
+#: blocks, so at least one combination's 3 blocks are all intact
+_SIMHASH_COMBOS = tuple(_it.combinations(range(6), 3))
+
+
+def _simhash_key_exprs(lo: str, hi: str, shl: str, shr: str) -> list[str]:
+    """The 20 banding-key expressions over a (lo, hi) signature pair —
+    one per 3-block combination, the combination id packed into the low
+    5 bits so candidates join on ONE BIGINT. ``shl``/``shr`` are the
+    engine's shift spellings (Spark shiftleft(x, n) / DuckDB (x << n));
+    block packing uses 11 bits per block (the widest), so a key is
+    <= 2^38 — comfortably i64 on both engines."""
+    blocks = [
+        shr.format(x=(lo if h == 0 else hi), n=sh) + f" & {mask}"
+        for h, sh, mask in _SIMHASH_BLOCKS
+    ]
+    blocks = [f"({b})" for b in blocks]
+    keys = []
+    for cid, (i, j, k) in enumerate(_SIMHASH_COMBOS):
+        packed = shl.format(x=f"({shl.format(x=blocks[i], n=11)} | {blocks[j]})", n=11)
+        keys.append(f"(({packed} | {blocks[k]}) * 32 + {cid})")
+    return keys
+
+
+def _x07_oracle() -> str:
+    keys = _simhash_key_exprs("lo", "hi", "({x} << {n})", "({x} >> {n})")
+    return (
+        _SIMHASH_ORACLE_CTE
+        + f"""
+    , keys AS (
+      SELECT doc_id, lo, hi, UNNEST(list_value({", ".join(keys)})) AS bkey
+      FROM sim
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.simhash AS sa, b.simhash AS sb
-      FROM bands a JOIN bands b ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id
+                      a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+      FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-    """,
-)
-def x07_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs at scale: pigeonhole banding over the 32-bit
-    signature. Two signatures within hamming distance 3 must agree on at
-    least one of 4 bytes, so candidates = docs sharing any (band, byte)
-    bucket — a bucket equi-join on the signature table, never doc x doc —
-    then the exact hamming check (one xor + popcount) verifies.
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+    """
+    )
 
-    Scale: the signature table is ~12 bytes/doc; the band join shuffles 4
-    rows/doc on (k, byte); hot buckets are true near-dup clusters. This is
-    the standard production simhash dedup layout (Manku et al., WWW'07 —
-    public method)."""
+
+@register("x07_simhash_neardup", oracle=_x07_oracle())
+def x07_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs at scale, the Manku et al. (WWW'07, public
+    method) table layout: the 64-bit signature splits into 6 blocks
+    (11+11+10 bits per half); hamming distance <= 3 touches at most 3
+    blocks, so at least one of the 20 3-block combinations is fully
+    intact — candidates = docs sharing any combination's packed 33-bit
+    key (combination id in the low 5 bits, so the join key is ONE
+    BIGINT), then the exact hamming check (two xor + popcounts)
+    verifies.
+
+    Why 20 wide keys instead of 4 narrow bands (r9 deep-scale finding):
+    pigeonhole over 4 bands caps each band at signature_bits/4 wide, and
+    RANDOM bucket collisions grow as n^2 / 2^band_bits — with the old
+    32-bit signature's 8-bit bands the measured candidate set grew 919x
+    for 30x docs (n^2/128: every bucket saturated, 8.1e8 candidate pairs
+    at 150k docs). A 33-bit key pushes the random-collision knee to
+    n ~ 2^33/20 ≈ 4e8 docs, and hot keys that remain are TRUE near-dup
+    clusters.
+
+    Scale: the signature table is ~20 bytes/doc; the key join shuffles 20
+    rows/doc (the documented Manku tradeoff: more tables for
+    exponentially fewer false candidates); the verify is one xor +
+    popcount per half per candidate."""
     sim = x05_simhash(spark, sf_dir)
-    bands = sim.selectExpr("doc_id", "simhash", "explode(array(0, 1, 2, 3)) AS k").selectExpr(
-        "doc_id", "simhash", "k", "shiftright(simhash, cast(8 * k AS int)) & 255 AS byte"
+    keys = _simhash_key_exprs(
+        "simhash_lo", "simhash_hi", "shiftleft({x}, {n})", "shiftright({x}, {n})"
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "k", "byte"
+    banded = sim.selectExpr(
+        "doc_id",
+        "simhash_lo",
+        "simhash_hi",
+        f"explode(array({', '.join(keys)})) AS bkey",
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), F.col("k").alias("k2"), F.col("byte").alias("byte2")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_lo").alias("la"),
+        F.col("simhash_hi").alias("ha"),
+        "bkey",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_lo").alias("lb"),
+        F.col("simhash_hi").alias("hb"),
+        F.col("bkey").alias("bkey2"),
     )
     cand = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("byte") == F.col("byte2")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "sa", "sb")
+        a.join(b, (F.col("bkey") == F.col("bkey2")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "la", "ha", "lb", "hb")
         .distinct()
     )
     return cand.selectExpr(
-        "doc_a", "doc_b", "cast(bit_count(sa ^ sb) AS bigint) AS hamming"
+        "doc_a",
+        "doc_b",
+        "cast(bit_count(la ^ lb) + bit_count(ha ^ hb) AS bigint) AS hamming",
     ).filter(F.col("hamming") <= 3)
 
 

@@ -183,14 +183,20 @@ def test_simhash_long_document_no_overflow(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     df.write.parquet(str(tmp_path / "documents.parquet"))
-    got = {r["doc_id"]: r["simhash"] for r in x05_simhash(spark, str(tmp_path)).collect()}
+    got = {
+        r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+        for r in x05_simhash(spark, str(tmp_path)).collect()
+    }
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}/*.parquet'"
     )
-    want = dict(con.execute(REGISTRY["x05_simhash"].oracle).fetchall())
+    want = {d: (lo, hi) for d, lo, hi in con.execute(REGISTRY["x05_simhash"].oracle).fetchall()}
     con.close()
     assert got == want
+    # both halves must be real 32-bit values (a degenerate all-zero hi
+    # would silently halve the signature the banding relies on)
+    assert all(0 <= v < 2**32 for pair in got.values() for v in pair)
 
 
 def test_degenerate_regression_sources_yield_null_not_abort(spark, tmp_path):
