@@ -73,15 +73,19 @@ def _noop_write(df) -> None:
 #: closest to linear-in-pairs rather than linear-in-bytes, and therefore
 #: the most likely to CURVE past the first measured decade: the substring
 #: family (stride-1 window relations, the honest linear cost of EXACT
-#: matching — r7's worst 10x ratio at 9.0), and SimHash banding (r8's
-#: heaviest 10x stage at 7.75 — candidate-pair join whose pair count
-#: tracks band-bucket occupancy). They get a second, deeper scale point;
-#: the batched BPE trainer (second-steepest at 6.01, driver-looped by
-#: design) rides along in the same deep block as a custom stage.
+#: matching — r7's worst 10x ratio at 9.0), SimHash banding (whose r9
+#: 30x point CAUGHT the 32-bit signature's band saturation at ratio 45 —
+#: the rework to Manku 3-of-6 block keys measures 2.8; this pin is what
+#: keeps that fixed), and SemDeDup's label-keyed pair join (the steepest
+#: remaining 10x stage at ~6.5; 30x measures 6.1 — fixed-cost
+#: amortization, not a curve). They get a second, deeper scale point;
+#: the batched BPE trainer (driver-looped by design) rides along in the
+#: same deep block as a custom stage.
 DEEP_SCALE_QUERIES = (
     "x76_exact_substring_matches",
     "x77_exact_substring_scrub",
     "x07_simhash_neardup",
+    "x65_semantic_dedup",
 )
 
 

@@ -20,9 +20,11 @@ FACTOR = 10
 #: A quadratic stage would land at ~FACTOR^2 x overhead-damping — far over.
 RATIO_BOUND = FACTOR * 1.5
 #: the deep-scale point for the steepest stages (x76/x77 substring,
-#: x07 SimHash banding, batched BPE training): same 1.5x headroom at
-#: 30x. A quadratic term that hid inside the 10x ratio's overhead
-#: damping lands near 900x here — unmissable.
+#: x07 SimHash banding, x65 SemDeDup pairs, batched BPE training): same
+#: 1.5x headroom at 30x. A quadratic term that hid inside the 10x
+#: ratio's overhead damping lands near 900x here — unmissable (the r9
+#: x07 point measured 45.2 under the old 8-bit bands; 2.8 after the
+#: Manku-key rework).
 DEEP_FACTOR = 30
 DEEP_RATIO_BOUND = DEEP_FACTOR * 1.5
 
@@ -89,14 +91,16 @@ def test_scaling_ratios_stay_sub_linear(spark):
     for st in result["stages"].values():
         assert st["t1_sec"] > 0 and st[f"t{FACTOR}_sec"] > 0
     # the 30x deep-scale sub-block: one more decade of evidence for the
-    # steepest measured stages (substring family, SimHash banding, and
-    # the batched BPE trainer riding along as a custom stage)
+    # steepest measured stages (substring family, SimHash banding — whose
+    # r9 30x point caught the 32-bit band saturation — SemDeDup's pair
+    # join, and the batched BPE trainer riding along as a custom stage)
     sub = result[f"factor{DEEP_FACTOR}"]
     assert sub["factor"] == DEEP_FACTOR
     assert set(sub["stages"]) == {
         "x76_exact_substring_matches",
         "x77_exact_substring_scrub",
         "x07_simhash_neardup",
+        "x65_semantic_dedup",
         "bpe_train_batched",
     }
     bad30 = {
