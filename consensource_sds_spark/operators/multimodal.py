@@ -47,6 +47,7 @@ import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
+from bisect import bisect_left
 from functools import lru_cache
 
 import pandas as pd
@@ -238,53 +239,122 @@ def _wav_sample_rate(b: bytes, default: int = 44100) -> int:
 # ---------------------------------------------------------------------------
 
 
-class _MsbReader:
-    """Plain MSB-first bit reader (no byte stuffing — FLAC is raw)."""
+class _FlacBitIndex:
+    """Per-payload bit index shared by every frame's reader: the unpacked
+    bit array plus the positions of 1-bits (one ``np.unpackbits`` pass),
+    and per-rice-parameter next-terminator jump tables (one vectorized
+    ``searchsorted`` per distinct k, cached across frames/partitions).
+    Turns unary scans and whole rice partitions from per-bit python loops
+    into O(1) list hops + batched numpy gathers."""
 
-    def __init__(self, buf: bytes, pos: int = 0):
-        self.buf, self.pos, self.acc, self.n = buf, pos, 0, 0
+    def __init__(self, buf: bytes):
+        import numpy as np
+
+        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.ones_list = self.ones.tolist()
+        self._nxt: dict[int, list] = {}
+
+    def nxt_list(self, k: int) -> list:
+        """``nxt[j]`` = index (into ``ones``) of the first 1-bit after
+        consuming one rice value whose unary terminator is ``ones[j]``
+        (skip the terminator + k fixed bits)."""
+        jt = self._nxt.get(k)
+        if jt is None:
+            import numpy as np
+
+            jt = np.searchsorted(self.ones, self.ones + 1 + k).tolist()
+            self._nxt[k] = jt
+        return jt
+
+
+class _MsbReader:
+    """Plain MSB-first bit cursor (no byte stuffing — FLAC is raw).
+    Bit-position based: ``bits`` decodes straight from a byte slice, and
+    an optional shared :class:`_FlacBitIndex` makes ``unary`` a single
+    sorted lookup instead of a per-bit loop."""
+
+    def __init__(self, buf: bytes, pos: int = 0, index: _FlacBitIndex | None = None):
+        self.buf = buf
+        self.bitpos = pos * 8
+        self.nbits = len(buf) * 8
+        self.index = index
+
+    @property
+    def pos(self) -> int:
+        """Byte position (callers read it at byte-aligned points)."""
+        return (self.bitpos + 7) >> 3
 
     def bits(self, k: int) -> int:
-        while self.n < k:
-            if self.pos >= len(self.buf):
-                raise ValueError("truncated FLAC stream")
-            self.acc = (self.acc << 8) | self.buf[self.pos]
-            self.pos += 1
-            self.n += 8
-        self.n -= k
-        v = (self.acc >> self.n) & ((1 << k) - 1)
-        self.acc &= (1 << self.n) - 1
-        return v
+        p = self.bitpos
+        if p + k > self.nbits:
+            raise ValueError("truncated FLAC stream")
+        self.bitpos = p + k
+        if k == 0:
+            return 0
+        byte = p >> 3
+        nby = ((p & 7) + k + 7) >> 3
+        v = int.from_bytes(self.buf[byte : byte + nby], "big")
+        return (v >> (nby * 8 - (p & 7) - k)) & ((1 << k) - 1)
 
     def sbits(self, k: int) -> int:
         v = self.bits(k)
         return v - (1 << k) if v >= (1 << (k - 1)) else v
 
     def unary(self) -> int:
+        if self.index is not None:
+            ones = self.index.ones_list
+            j = bisect_left(ones, self.bitpos)
+            if j >= len(ones):
+                raise ValueError("truncated FLAC stream")
+            t = ones[j]
+            q = t - self.bitpos
+            self.bitpos = t + 1
+            return q
         q = 0
         while self.bits(1) == 0:
             q += 1
         return q
 
     def align(self) -> None:
-        self.acc, self.n = 0, 0
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+@lru_cache(maxsize=1)
+def _crc8_table() -> list[int]:
+    table = []
+    for byte in range(256):
+        c = byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        table.append(c)
+    return table
 
 
 def _crc8(data: bytes) -> int:
+    table = _crc8_table()
     c = 0
     for byte in data:
-        c ^= byte
-        for _ in range(8):
-            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        c = table[c ^ byte]
     return c
 
 
-def _crc16(data: bytes) -> int:
-    c = 0
-    for byte in data:
-        c ^= byte << 8
+@lru_cache(maxsize=1)
+def _crc16_table() -> list[int]:
+    table = []
+    for byte in range(256):
+        c = byte << 8
         for _ in range(8):
             c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        table.append(c)
+    return table
+
+
+def _crc16(data: bytes) -> int:
+    table = _crc16_table()
+    c = 0
+    for byte in data:
+        c = ((c << 8) & 0xFFFF) ^ table[(c >> 8) ^ byte]
     return c
 
 
@@ -312,9 +382,72 @@ _FLAC_BLOCK_SIZES = {
 }
 
 
-def _flac_residuals(reader: _MsbReader, blocksize: int, order: int) -> list[int]:
+def _rice_block(reader: _MsbReader, n: int, k: int):
+    """Decode ``n`` zigzag-rice(k) values as an int64 array. With a shared
+    bit index the per-sample work collapses to one jump-table hop (the
+    terminator chain is the only sequential part); quotients come from the
+    vectorized diff of terminator positions and the k fixed low bits from
+    one batched bit-matrix gather."""
+    import numpy as np
+
+    idx = reader.index
+    if idx is None or n < 16:
+        out = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            q = reader.unary()
+            u = (q << k) | reader.bits(k) if k else q
+            out[i] = (u >> 1) ^ -(u & 1)  # zigzag -> signed
+        return out
+    ones = idx.ones_list
+    nxt = idx.nxt_list(k)
+    start = reader.bitpos
+    j = bisect_left(ones, start)
+    ts = [0] * n
+    try:
+        for i in range(n):
+            ts[i] = ones[j]
+            j = nxt[j]
+    except IndexError:
+        raise ValueError("truncated FLAC stream") from None
+    end = ts[-1] + 1 + k
+    if end > reader.nbits:
+        raise ValueError("truncated FLAC stream")
+    reader.bitpos = end
+    tarr = np.array(ts, dtype=np.int64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = start
+    starts[1:] = tarr[:-1] + 1 + k
+    u = tarr - starts  # unary quotients
+    if k:
+        gather = idx.bits[tarr[:, None] + 1 + np.arange(k, dtype=np.int64)[None, :]]
+        lows = gather.astype(np.int64) @ (1 << np.arange(k - 1, -1, -1, dtype=np.int64))
+        u = (u << k) | lows
+    return (u >> 1) ^ -(u & 1)  # zigzag -> signed
+
+
+def _raw_block(reader: _MsbReader, n: int, width: int):
+    """``n`` fixed-width two's-complement values at regular bit offsets —
+    one batched gather when the shared index exists."""
+    import numpy as np
+
+    if reader.index is None or n < 16 or width == 0:
+        return np.array([reader.sbits(width) for _ in range(n)], dtype=np.int64)
+    p = reader.bitpos
+    if p + n * width > reader.nbits:
+        raise ValueError("truncated FLAC stream")
+    reader.bitpos = p + n * width
+    starts = p + np.arange(n, dtype=np.int64) * width
+    gather = reader.index.bits[starts[:, None] + np.arange(width, dtype=np.int64)[None, :]]
+    u = gather.astype(np.int64) @ (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+    return np.where(u >= 1 << (width - 1), u - (1 << width), u)
+
+
+def _flac_residuals(reader: _MsbReader, blocksize: int, order: int):
     """Partitioned rice residuals (method 0: 4-bit params, method 1:
-    5-bit), escape code -> raw fixed-width two's complement."""
+    5-bit), escape code -> raw fixed-width two's complement. Returns an
+    int64 ndarray."""
+    import numpy as np
+
     method = reader.bits(2)
     if method > 1:
         raise ValueError("reserved residual method")
@@ -322,22 +455,49 @@ def _flac_residuals(reader: _MsbReader, blocksize: int, order: int) -> list[int]
     escape = (1 << pbits) - 1
     porder = reader.bits(4)
     nparts = 1 << porder
-    out: list[int] = []
+    parts = []
     for p in range(nparts):
-        n = (blocksize >> porder) - (order if p == 0 else 0)
+        n = max(0, (blocksize >> porder) - (order if p == 0 else 0))
         k = reader.bits(pbits)
         if k == escape:
             raw = reader.bits(5)
-            out.extend(reader.sbits(raw) if raw else 0 for _ in range(n))
+            if raw:
+                parts.append(_raw_block(reader, n, raw))
+            else:
+                parts.append(np.zeros(n, dtype=np.int64))
             continue
-        for _ in range(n):
-            q = reader.unary()
-            u = (q << k) | reader.bits(k) if k else q
-            out.append((u >> 1) ^ -(u & 1))  # zigzag -> signed
-    return out
+        parts.append(_rice_block(reader, n, k))
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
-def _flac_subframe(reader: _MsbReader, blocksize: int, bps: int) -> list[int]:
+def _integrate_fixed(warm: list[int], res, order: int):
+    """Invert the FIXED predictor: the order-o residual stream is the
+    o-th finite difference of the samples (spec 9.2.1 coefficients are
+    the binomial expansion), so reconstruction is o vectorized cumsums
+    seeded from the warmup's own difference pyramid."""
+    import numpy as np
+
+    res = np.asarray(res, dtype=np.int64)
+    if order == 0:
+        return res
+    wd = np.array(warm, dtype=np.int64)
+    heads = []  # heads[m] = Δ^m samples[order-1]
+    for _ in range(order):
+        heads.append(wd[-1])
+        wd = np.diff(wd)
+    cur = res
+    for m in range(order - 1, -1, -1):
+        cur = heads[m] + np.cumsum(cur)
+    return np.concatenate([np.array(warm, dtype=np.int64), cur])
+
+
+def _flac_subframe(reader: _MsbReader, blocksize: int, bps: int):
+    """One subframe -> int64 sample array. CONSTANT/VERBATIM/FIXED decode
+    fully vectorized; LPC stays a sequential integer filter (the >> shift
+    truncation is part of the spec's lossless reconstruction, so no
+    float filter substitute)."""
+    import numpy as np
+
     if reader.bits(1) != 0:
         raise ValueError("subframe sync bit")
     ftype = reader.bits(6)
@@ -346,18 +506,14 @@ def _flac_subframe(reader: _MsbReader, blocksize: int, bps: int) -> list[int]:
         wasted = 1 + reader.unary()
     eff = bps - wasted
     if ftype == 0:  # CONSTANT
-        samples = [reader.sbits(eff)] * blocksize
+        samples = np.full(blocksize, reader.sbits(eff), dtype=np.int64)
     elif ftype == 1:  # VERBATIM
-        samples = [reader.sbits(eff) for _ in range(blocksize)]
+        samples = _raw_block(reader, blocksize, eff)
     elif 8 <= ftype <= 12:  # FIXED order 0-4
         order = ftype - 8
         warm = [reader.sbits(eff) for _ in range(order)]
         res = _flac_residuals(reader, blocksize, order)
-        coefs = _FLAC_FIXED[order]
-        samples = list(warm)
-        for r in res:
-            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
-            samples.append(r + pred)
+        samples = _integrate_fixed(warm, res, order)
     elif ftype >= 32:  # LPC order 1-32
         order = ftype - 31
         warm = [reader.sbits(eff) for _ in range(order)]
@@ -367,14 +523,15 @@ def _flac_subframe(reader: _MsbReader, blocksize: int, bps: int) -> list[int]:
         shift = reader.sbits(5)
         coefs = [reader.sbits(prec) for _ in range(order)]
         res = _flac_residuals(reader, blocksize, order)
-        samples = list(warm)
-        for r in res:
-            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs)) >> shift
-            samples.append(r + pred)
+        out = list(warm)
+        for r in res.tolist():
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+        samples = np.array(out, dtype=np.int64)
     else:
         raise ValueError(f"reserved subframe type {ftype}")
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = samples << wasted
     return samples
 
 
@@ -415,11 +572,12 @@ def decode_flac_samples(payload: bytes | None):
     if bps != 16:
         return None
     try:
-        channels_out: list[list[int]] = []
+        index = _FlacBitIndex(b)
+        channels_out: list[list] = []  # per channel: list of frame arrays
         got = 0
         while pos < len(b) - 2 and (total == 0 or got < total):
             frame_start = pos
-            reader = _MsbReader(b, pos)
+            reader = _MsbReader(b, pos, index)
             sync = reader.bits(14)
             if sync != 0x3FFE:
                 return None
@@ -465,32 +623,28 @@ def decode_flac_samples(payload: bytes | None):
             reader.align()
             reader.bits(16)  # frame CRC-16 (header CRC already verified)
             pos = reader.pos
-            # stereo reconstruction
+            # stereo reconstruction (vectorized; >> on int64 is the same
+            # arithmetic floor shift the spec's integer math uses)
             if ch_code == 8:  # left-side
-                left = subs[0]
-                right = [left[i] - subs[1][i] for i in range(blocksize)]
-                frame_ch = [left, right]
+                frame_ch = [subs[0], subs[0] - subs[1]]
             elif ch_code == 9:  # right-side
-                right = subs[1]
-                left = [subs[0][i] + right[i] for i in range(blocksize)]
-                frame_ch = [left, right]
+                frame_ch = [subs[0] + subs[1], subs[1]]
             elif ch_code == 10:  # mid-side (libFLAC reconstruction)
-                frame_ch = [[], []]
-                for i in range(blocksize):
-                    mid, side = subs[0][i], subs[1][i]
-                    mid = (mid << 1) | (side & 1)
-                    frame_ch[0].append((mid + side) >> 1)
-                    frame_ch[1].append((mid - side) >> 1)
+                side = subs[1]
+                mid = (subs[0] << 1) | (side & 1)
+                frame_ch = [(mid + side) >> 1, (mid - side) >> 1]
             else:
                 frame_ch = subs
             if not channels_out:
                 channels_out = [[] for _ in range(len(frame_ch))]
             for c, ch in enumerate(frame_ch):
-                channels_out[c].extend(ch)
+                channels_out[c].append(ch)
             got += blocksize
         if not channels_out:
             return None
-        arr = np.array(channels_out, dtype=np.int32).T
+        arr = np.stack(
+            [np.concatenate(ch).astype(np.int32) for ch in channels_out], axis=1
+        )
         if total:
             arr = arr[: int(total)]
         return arr.astype(np.float32) / 32768.0
@@ -1022,60 +1176,67 @@ def _dct_basis():
     return c
 
 
-class _BitReader:
-    """MSB-first entropy-segment reader with 0xFF00 unstuffing; a marker
-    byte (0xFF followed by non-zero) ends the stream."""
+def _entropy_segments(b: bytes, pos: int) -> list[bytes]:
+    """Unstuff the entropy-coded stream starting at ``pos`` in one numpy
+    pass — 0xFF00 collapses to 0xFF, RSTn markers split the stream into
+    per-restart-interval segments, and the first REAL marker (0xFF
+    followed by anything else) ends it. Replaces a per-bit python reader:
+    the hot decode loop then reads plain bytes with no stuffing checks."""
+    import numpy as np
 
-    def __init__(self, buf: bytes, pos: int):
-        self.buf, self.pos, self.acc, self.n = buf, pos, 0, 0
+    arr = np.frombuffer(b, dtype=np.uint8)[pos:]
+    if arr.size == 0:
+        return [b""]
+    ff = np.flatnonzero(arr == 0xFF)
+    # a trailing 0xFF with no byte after it terminates like a marker
+    nxt = np.where(
+        ff + 1 < arr.size, arr[np.minimum(ff + 1, arr.size - 1)], np.uint8(0xD9)
+    )
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    real = ff[~(is_stuff | is_rst)]
+    end = int(real[0]) if real.size else int(arr.size)
+    keep = np.ones(end, dtype=bool)
+    stuff_pos = ff[is_stuff & (ff < end)]
+    keep[stuff_pos + 1] = False
+    rst_pos = ff[is_rst & (ff < end)]
+    keep[rst_pos] = False
+    keep[rst_pos + 1] = False
+    data = arr[:end][keep].tobytes()
+    before = np.concatenate([[0], np.cumsum(keep)])
+    segs: list[bytes] = []
+    prev = 0
+    for cut in before[rst_pos].tolist():
+        segs.append(data[prev:cut])
+        prev = cut
+    segs.append(data[prev:])
+    return segs
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.buf):
-                raise ValueError("truncated entropy data")
-            b = self.buf[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError("marker inside entropy data")
-            self.acc, self.n = b, 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+@lru_cache(maxsize=32)
+def _build_huffman(bits_counts: bytes, symbols: bytes):
+    """Canonical huffman decode LUT from a DHT segment's BITS/HUFFVAL —
+    the same construction rule every baseline JPEG uses (Annex C), laid
+    out as a 2^16-entry table: every 16-bit word whose prefix is a code
+    maps to ``(code_length << 8) | symbol``; 0 marks invalid prefixes.
+    One list index + two shifts per decoded symbol instead of a per-bit
+    dict walk. Cached on the raw DHT bytes: real corpora reuse a handful
+    of tables (most encoders ship the Annex K defaults), so the 2^16
+    materialization is paid once per distinct table, not per payload."""
+    import numpy as np
 
-
-def _build_huffman(bits_counts, symbols):
-    """Canonical huffman decode map {(length, code): symbol} from a DHT
-    segment's BITS/HUFFVAL — the same construction rule every baseline
-    JPEG uses (Annex C)."""
-    table = {}
+    lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
+        width = 1 << (16 - length)
         for _ in range(bits_counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            lo = code << (16 - length)
+            lut[lo : lo + width] = (length << 8) | symbols[k]
             code += 1
             k += 1
         code <<= 1
-    return table
-
-
-def _huff_decode(reader: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code")
+    return lut.tolist()
 
 
 def _extend(v: int, t: int) -> int:
@@ -1088,8 +1249,9 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg_pixels(payload: bytes | None):
     """REAL image decode for baseline JPEG (SOF0) — pure numpy: marker
-    walk (DQT/SOF0/DHT/SOS), canonical huffman entropy decode with FF00
-    unstuffing, dequant + dezigzag, 8x8 IDCT as two matrix multiplies,
+    walk (DQT/SOF0/DHT/SOS), canonical huffman entropy decode (16-bit
+    LUT over a numpy-unstuffed FF00 stream), dequant + dezigzag, 8x8
+    IDCT batched over all blocks as two stacked matrix multiplies,
     MCU-interleaved components with sampling factors 1-2 (4:4:4, 4:2:2,
     4:2:0), restart intervals (DRI/RSTn: byte-align + DC-predictor
     reset), nearest upsample, JFIF full-range YCbCr->RGB. Grayscale maps
@@ -1143,9 +1305,9 @@ def decode_jpeg_pixels(payload: bytes | None):
                 i = 0
                 while i < len(seg):
                     tc_th = seg[i]
-                    counts = list(seg[i + 1 : i + 17])
+                    counts = seg[i + 1 : i + 17]
                     nsym = sum(counts)
-                    syms = list(seg[i + 17 : i + 17 + nsym])
+                    syms = seg[i + 17 : i + 17 + nsym]
                     huff[(tc_th >> 4, tc_th & 0x0F)] = _build_huffman(counts, syms)
                     i += 17 + nsym
             elif marker == 0xDD:  # DRI
@@ -1173,60 +1335,139 @@ def decode_jpeg_pixels(payload: bytes | None):
         mcuy = -(-h // (8 * vmax))
         C = _dct_basis()
         zz = _zigzag_order()
-        reader = _BitReader(b, pos)
+        segs = _entropy_segments(b, pos)
+        seg_i = 0
+        sdata = segs[0]
+        slen = len(sdata)
+        limit = slen * 8
+        # inline MSB-first bit accumulator: `acc` low `nb` bits are the
+        # next stream bits; refills append zero bytes past the segment end
+        # (consumption past `limit` raises at the block boundary check)
+        dpos = 0
+        acc = 0
+        nb = 0
         planes = {}
+        coef_rows: dict[int, list] = {}
+        block_pos: dict[int, list] = {}
         for comp in frame["comps"]:
             planes[comp["id"]] = np.zeros(
                 (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64
             )
+            coef_rows[comp["id"]] = []
+            block_pos[comp["id"]] = []
         pred = {comp["id"]: 0 for comp in frame["comps"]}
         by_id = {c["id"]: c for c in frame["comps"]}
         mcu_i = 0
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart and mcu_i and mcu_i % restart == 0:
-                    # byte-align, swallow RSTn, reset the DC predictors
-                    reader.n = 0
-                    if reader.pos + 2 > len(b) or b[reader.pos] != 0xFF or not (
-                        0xD0 <= b[reader.pos + 1] <= 0xD7
-                    ):
+                    # byte-align; the RSTn itself was consumed by the
+                    # segment pre-scan — any full byte left here means the
+                    # marker wasn't where the interval says it must be
+                    used = (dpos * 8 - nb + 7) & ~7
+                    if limit - used >= 8:
                         raise ValueError("expected restart marker")
-                    reader.pos += 2
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("expected restart marker")
+                    sdata = segs[seg_i]
+                    slen = len(sdata)
+                    limit = slen * 8
+                    dpos = 0
+                    acc = 0
+                    nb = 0
                     pred = {comp["id"]: 0 for comp in frame["comps"]}
                 mcu_i += 1
                 for sc in scan:
                     comp = by_id[sc["cs"]]
                     dct = huff[(0, sc["dc"])]
                     act = huff[(1, sc["ac"])]
-                    q = qt[comp["tq"]]
+                    cid = comp["id"]
+                    rows = coef_rows[cid]
+                    posns = block_pos[cid]
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
-                            coef = np.zeros(64)
-                            t = _huff_decode(reader, dct)
-                            diff = _extend(reader.bits(t), t)
-                            pred[comp["id"]] += diff
-                            coef[0] = pred[comp["id"]]
+                            coef = [0.0] * 64
+                            while nb < 16:
+                                acc = (acc << 8) | (
+                                    sdata[dpos] if dpos < slen else 0
+                                )
+                                dpos += 1
+                                nb += 8
+                            v = dct[(acc >> (nb - 16)) & 0xFFFF]
+                            if v == 0:
+                                raise ValueError("invalid huffman code")
+                            nb -= v >> 8
+                            t = v & 0xFF
+                            if t:
+                                while nb < t:
+                                    acc = (acc << 8) | (
+                                        sdata[dpos] if dpos < slen else 0
+                                    )
+                                    dpos += 1
+                                    nb += 8
+                                nb -= t
+                                m = (acc >> nb) & ((1 << t) - 1)
+                                pred[cid] += (
+                                    m if m >= 1 << (t - 1) else m + 1 - (1 << t)
+                                )
+                            acc &= (1 << nb) - 1
+                            coef[0] = pred[cid]
                             k = 1
                             while k < 64:
-                                rs = _huff_decode(reader, act)
-                                r, s = rs >> 4, rs & 0x0F
+                                while nb < 16:
+                                    acc = (acc << 8) | (
+                                        sdata[dpos] if dpos < slen else 0
+                                    )
+                                    dpos += 1
+                                    nb += 8
+                                v = act[(acc >> (nb - 16)) & 0xFFFF]
+                                if v == 0:
+                                    raise ValueError("invalid huffman code")
+                                nb -= v >> 8
+                                rs = v & 0xFF
+                                s = rs & 0x0F
                                 if s == 0:
-                                    if r == 15:
+                                    acc &= (1 << nb) - 1
+                                    if rs == 0xF0:
                                         k += 16
                                         continue
                                     break  # EOB
-                                k += r
+                                k += rs >> 4
                                 if k > 63:
                                     raise ValueError("AC run past block")
-                                coef[k] = _extend(reader.bits(s), s)
+                                while nb < s:
+                                    acc = (acc << 8) | (
+                                        sdata[dpos] if dpos < slen else 0
+                                    )
+                                    dpos += 1
+                                    nb += 8
+                                nb -= s
+                                m = (acc >> nb) & ((1 << s) - 1)
+                                acc &= (1 << nb) - 1
+                                coef[k] = m if m >= 1 << (s - 1) else m + 1 - (1 << s)
                                 k += 1
-                            block = np.zeros((8, 8))
-                            for idx, (i, j) in enumerate(zz):
-                                block[i, j] = coef[idx] * q[idx]
-                            pix = C.T @ block @ C + 128.0
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+                            if dpos * 8 - nb > limit:
+                                raise ValueError("truncated entropy data")
+                            rows.append(coef)
+                            posns.append(
+                                ((my * comp["v"] + by) * 8, (mx * comp["h"] + bx) * 8)
+                            )
+        # dequant + dezigzag + IDCT batched per component: one (N, 64)
+        # scale, one scatter into (N, 8, 8), two stacked matmuls
+        zi = np.array([i for i, _ in zz])
+        zj = np.array([j for _, j in zz])
+        for comp in frame["comps"]:
+            rows = coef_rows[comp["id"]]
+            if not rows:
+                continue
+            A = np.array(rows, dtype=np.float64) * qt[comp["tq"]][None, :]
+            blocks = np.zeros((len(rows), 8, 8))
+            blocks[:, zi, zj] = A
+            pix = np.matmul(np.matmul(C.T, blocks), C) + 128.0
+            plane = planes[comp["id"]]
+            for (y0, x0), blk in zip(block_pos[comp["id"]], pix):
+                plane[y0 : y0 + 8, x0 : x0 + 8] = blk
         # upsample each plane to full MCU-grid resolution, then crop
         full = []
         for comp in frame["comps"]:
