@@ -1013,3 +1013,243 @@ def test_resize_quarantines_malformed_instead_of_failing(spark):
     out = {r["media_id"]: r for r in MM.resize_images(media, 4, 4).collect()}
     assert out[1]["payload"] is None and out[1]["width"] is None
     assert out[2]["width"] == 4 and out[2]["payload"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Hand-built FLAC frames: decode paths the repo's own encoder never emits
+# (multi-partition rice, method-1 params, escape partitions, LPC subframes,
+# wasted bits). A third-party stream exercises all of these; expected
+# samples come from an independent straight-python reference in the test.
+# ---------------------------------------------------------------------------
+
+
+def _flac_streaminfo(n_samples: int, nch: int) -> bytes:
+    w = MM._MsbWriter()
+    w.bits(4096, 16)
+    w.bits(4096, 16)
+    w.bits(0, 24)
+    w.bits(0, 24)
+    w.bits(44100, 20)
+    w.bits(nch - 1, 3)
+    w.bits(15, 5)  # bps - 1
+    w.bits(n_samples, 36)
+    w.align()
+    si = bytes(w.out) + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+
+def _flac_frame(subframe_writers, blocksize: int, frame_no: int = 0) -> bytes:
+    w = MM._MsbWriter()
+    w.bits(0x3FFE, 14)
+    w.bits(0, 1)
+    w.bits(0, 1)
+    w.bits(7, 4)  # 16-bit blocksize-1 follows
+    w.bits(0, 4)  # sample rate from STREAMINFO
+    w.bits(len(subframe_writers) - 1, 4)  # independent channels
+    w.bits(4, 3)  # 16 bps
+    w.bits(0, 1)
+    w.bits(frame_no, 8)
+    w.bits(blocksize - 1, 16)
+    w.align()
+    w.bits(MM._crc8(bytes(w.out)), 8)
+    for sub in subframe_writers:
+        sub(w)
+    w.align()
+    w.bits(MM._crc16(bytes(w.out)), 16)
+    return bytes(w.out)
+
+
+def _write_residuals(w, res, blocksize, order, method, porder, part_specs):
+    """part_specs: one ('rice', k) | ('raw', width) per partition."""
+    w.bits(method, 2)
+    w.bits(porder, 4)
+    pbits = 4 + method
+    idx = 0
+    for p in range(1 << porder):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        kind, param = part_specs[p]
+        if kind == "rice":
+            w.bits(param, pbits)
+            for v in res[idx : idx + n]:
+                u = (v << 1) if v >= 0 else ((-v << 1) - 1)
+                for _ in range(u >> param):
+                    w.bits(0, 1)
+                w.bits(1, 1)
+                if param:
+                    w.bits(u, param)
+        else:  # raw escape partition
+            w.bits((1 << pbits) - 1, pbits)
+            w.bits(param, 5)
+            for v in res[idx : idx + n]:
+                w.bits(v, param)
+        idx += n
+    assert idx == len(res)
+
+
+def _ref_fixed(warm, res, order):
+    coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    out = list(warm)
+    for r in res:
+        out.append(r + sum(c * out[-i - 1] for i, c in enumerate(coefs)))
+    return out
+
+
+def _ref_lpc(warm, res, coefs, shift):
+    out = list(warm)
+    for r in res:
+        out.append(r + (sum(c * out[-i - 1] for i, c in enumerate(coefs)) >> shift))
+    return out
+
+
+def _decode_ints(stream, n, nch):
+    import numpy as np
+
+    out = MM.decode_flac_samples(stream)
+    assert out is not None and out.shape == (n, nch)
+    return np.rint(out * 32768.0).astype(int)
+
+
+def test_flac_multi_partition_rice_and_method1():
+    """porder=2 (4 partitions, first short by the predictor order) with
+    per-partition parameters, under the 5-bit method-1 header."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    blocksize, order = 64, 2
+    warm = [100, -3]
+    res = [int(v) for v in rng.randint(-40, 40, blocksize - order)]
+    specs = [("rice", 0), ("rice", 3), ("rice", 17), ("rice", 6)]
+
+    def sub(w):
+        w.bits(0, 1)
+        w.bits(8 + order, 6)  # FIXED order 2
+        w.bits(0, 1)
+        for v in warm:
+            w.bits(v, 16)
+        _write_residuals(w, res, blocksize, order, 1, 2, specs)
+
+    stream = _flac_streaminfo(blocksize, 1) + _flac_frame([sub], blocksize)
+    got = _decode_ints(stream, blocksize, 1)[:, 0]
+    assert got.tolist() == _ref_fixed(warm, res, order)
+
+
+def test_flac_escape_partition_raw_residuals():
+    """Escape-coded partition (raw two's complement at a 5-bit width)
+    mixed with a rice partition in one subframe."""
+    blocksize, order = 32, 1
+    warm = [-500]
+    res = [(-1) ** i * (i * 37 % 900) for i in range(blocksize - order)]
+    specs = [("raw", 12), ("rice", 5)]
+
+    def sub(w):
+        w.bits(0, 1)
+        w.bits(8 + order, 6)
+        w.bits(0, 1)
+        for v in warm:
+            w.bits(v, 16)
+        _write_residuals(w, res, blocksize, order, 0, 1, specs)
+
+    stream = _flac_streaminfo(blocksize, 1) + _flac_frame([sub], blocksize)
+    got = _decode_ints(stream, blocksize, 1)[:, 0]
+    assert got.tolist() == _ref_fixed(warm, res, order)
+
+
+def test_flac_lpc_subframe():
+    """LPC order-3 with quantized coefficients and a nonzero shift — the
+    sequential integer filter path (spec: truncating >> after the dot
+    product)."""
+    import numpy as np
+
+    blocksize, order = 48, 3
+    warm = [1000, 990, 1003]
+    # stable filter (|gain| < 1): an unstable one explodes past the int16
+    # range and float32 output exactness within a block
+    coefs = [256, -128, 64]  # 12-bit precision
+    shift = 9
+    rng = np.random.RandomState(11)
+    res = [int(v) for v in rng.randint(-25, 25, blocksize - order)]
+
+    def sub(w):
+        w.bits(0, 1)
+        w.bits(32 + order - 1, 6)  # LPC: ftype 32..63 -> order ftype-31
+        w.bits(0, 1)
+        for v in warm:
+            w.bits(v, 16)
+        w.bits(12 - 1, 4)  # precision 12
+        w.bits(shift, 5)
+        for c in coefs:
+            w.bits(c, 12)
+        _write_residuals(w, res, blocksize, order, 0, 0, [("rice", 4)])
+
+    stream = _flac_streaminfo(blocksize, 1) + _flac_frame([sub], blocksize)
+    got = _decode_ints(stream, blocksize, 1)[:, 0]
+    assert got.tolist() == _ref_lpc(warm, res, coefs, shift)
+
+
+def test_flac_wasted_bits_shift_samples():
+    """A subframe with wasted bits decodes at the reduced width and shifts
+    every sample back up (constant + verbatim variants)."""
+    blocksize = 16
+    wasted = 3
+    vals = [((i * 97) % 251 - 125) for i in range(blocksize)]
+
+    def const_sub(w):
+        w.bits(0, 1)
+        w.bits(0, 6)  # CONSTANT
+        w.bits(1, 1)  # wasted flag
+        for _ in range(wasted - 1):
+            w.bits(0, 1)
+        w.bits(1, 1)  # unary terminator: wasted = 1 + (wasted-1)
+        w.bits(-40, 16 - wasted)
+
+    def verb_sub(w):
+        w.bits(0, 1)
+        w.bits(1, 6)  # VERBATIM
+        w.bits(1, 1)
+        for _ in range(wasted - 1):
+            w.bits(0, 1)
+        w.bits(1, 1)
+        for v in vals:
+            w.bits(v, 16 - wasted)
+
+    stream = _flac_streaminfo(blocksize, 2) + _flac_frame(
+        [const_sub, verb_sub], blocksize
+    )
+    got = _decode_ints(stream, blocksize, 2)
+    assert got[:, 0].tolist() == [-40 << wasted] * blocksize
+    assert got[:, 1].tolist() == [v << wasted for v in vals]
+
+
+def test_flac_multi_frame_mixed_subframe_types():
+    """Two frames whose channels use different subframe families — the
+    per-frame reader state (shared bit index, alignment, CRC) must not
+    leak across frames."""
+    import numpy as np
+
+    bs = 24
+    warm = [10]
+    res1 = [3, -2] * ((bs - 1) // 2) + [1] * ((bs - 1) % 2)
+    vals2 = [(i * 13) % 200 - 100 for i in range(bs)]
+
+    def f1_fixed(w):
+        w.bits(0, 1)
+        w.bits(8 + 1, 6)
+        w.bits(0, 1)
+        w.bits(warm[0], 16)
+        _write_residuals(w, res1, bs, 1, 0, 1, [("rice", 2), ("raw", 9)])
+
+    def f2_verbatim(w):
+        w.bits(0, 1)
+        w.bits(1, 6)
+        w.bits(0, 1)
+        for v in vals2:
+            w.bits(v, 16)
+
+    stream = (
+        _flac_streaminfo(2 * bs, 1)
+        + _flac_frame([f1_fixed], bs, frame_no=0)
+        + _flac_frame([f2_verbatim], bs, frame_no=1)
+    )
+    got = _decode_ints(stream, 2 * bs, 1)[:, 0]
+    expect = _ref_fixed(warm, res1, 1) + vals2
+    assert got.tolist() == expect
