@@ -12,6 +12,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def finite(a: Column) -> Column:
+    """True iff the vector is non-NULL and every element is finite — the
+    admission predicate every vector op shares with its oracle (see
+    ``extensions._finite_embeddings``). NaN compares ABOVE every real
+    value in Spark's ordering, so one poisoned vector would otherwise win
+    every top-k slot it touches and a NaN centroid would poison a whole
+    k-means generation; exclusion (not error) is the corpus-quality rule:
+    non-finite embeddings are data-quality rejects, like malformed media
+    payloads."""
+    return F.coalesce(
+        ~F.exists(
+            a,
+            lambda v: F.isnan(v.cast("double"))
+            | (F.abs(v.cast("double")) == F.lit(float("inf"))),
+        ),
+        F.lit(False),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),

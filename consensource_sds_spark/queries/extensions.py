@@ -797,6 +797,40 @@ def x08_dedup_apply(spark, sf_dir):
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
 
+#: the finite-vector admission rule, oracle side: a CTE shadowing the
+#: ``embeddings`` view (inner reference schema-qualified — DuckDB refuses a
+#: bare self-reference as circular) so every ``FROM embeddings`` in the
+#: oracle body sees only admitted rows.
+_FINITE_EMB_SQL = (
+    "embeddings AS (SELECT * FROM main.embeddings "
+    "WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0)"
+)
+
+
+def _finite_embeddings(oracle: str) -> str:
+    """Apply the finite-vector admission rule to an oracle: non-finite
+    embeddings (any NaN/Inf element; NULL vectors) are data-quality
+    rejects, excluded before any vector math — the twin of
+    :func:`_load_finite_embeddings`. Without it, ONE poisoned vector
+    silently corrupts results at scale: NaN similarity sorts above every
+    real value in Spark's ordering (it wins every top-k slot it touches),
+    and a NaN centroid poisons an entire k-means generation. Exclusion is
+    a no-op on clean corpora, so clean-data results are unchanged."""
+    s = oracle.lstrip()
+    if s[:4].upper() == "WITH":
+        return "WITH " + _FINITE_EMB_SQL + ",\n" + s[4:].lstrip()
+    return "WITH " + _FINITE_EMB_SQL + "\n" + oracle
+
+
+def _load_finite_embeddings(spark, sf_dir):
+    """The embeddings table behind every vector op, with the finite-vector
+    admission rule applied (see :func:`_finite_embeddings`): rows whose
+    vector is NULL or carries any NaN/Inf element never reach similarity,
+    quantization, or clustering math. One JVM-side ``exists`` per row at
+    the scan — no shuffle, no Python."""
+    return load(spark, sf_dir, "embeddings").filter(V.finite(F.col("embedding")))
+
+
 _COSINE_ORACLE_CTE = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
@@ -812,7 +846,7 @@ _COSINE_ORACLE_CTE = """
 
 @register(
     "x10_cosine_topk",
-    oracle=_COSINE_ORACLE_CTE
+    oracle=_finite_embeddings(_COSINE_ORACLE_CTE
     + """
     SELECT qid, cid, cosine FROM (
       SELECT qid, cid, ROUND(dot / NULLIF(qn * cn, 0), 6) AS cosine,
@@ -820,7 +854,7 @@ _COSINE_ORACLE_CTE = """
                                 ORDER BY dot / NULLIF(qn * cn, 0) DESC NULLS LAST, cid) AS rn
       FROM p)
     WHERE rn <= 5
-    """,
+    """),
 )
 def x10_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: bounded query set (5 vectors)
@@ -836,7 +870,7 @@ def x10_cosine_topk(spark, sf_dir):
     Zero-norm guard (the x65/x47 rule): an all-zero vector on either side
     has no cosine — NULL, sinking below every scored candidate — instead
     of an ANSI DIVIDE_BY_ZERO job abort on a legal input."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     norm = "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS double) * x))"
     q = e.filter(F.col("vec_id") < 5).selectExpr("vec_id AS qid", "embedding AS qe", f"{norm} AS qn")
     c = e.filter(F.col("vec_id") >= 5).selectExpr("vec_id AS cid", "embedding AS ce", f"{norm} AS cn")
@@ -856,19 +890,19 @@ def x10_cosine_topk(spark, sf_dir):
 
 @register(
     "x11_ivf_assign",
-    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
+    oracle=_finite_embeddings(_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
     + """
     SELECT cid AS vec_id, qid AS centroid_id
     FROM p
     QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dot / (qn * cn) DESC, qid) = 1
-    """,
+    """),
 )
 def x11_ivf_assign(spark, sf_dir):
     """IVF-style coarse quantization: assign every vector to its nearest of
     8 fixed centroids (vec_id < 8 as deterministic seeds). At scale this is
     the partitioning step of IVF-ANN: search only probes matching cells.
     Ties break toward the lower centroid id."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     allv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     scored = allv.crossJoin(F.broadcast(cent)).select(
@@ -888,11 +922,11 @@ _X12_MAX_BROADCAST_ROWS = 100_000
 
 @register(
     "x12_embedding_neardup",
-    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 250").replace("vec_id >= 5", "vec_id >= 250")
+    oracle=_finite_embeddings(_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 250").replace("vec_id >= 5", "vec_id >= 250")
     + """
     SELECT qid AS vec_a, cid AS vec_b, ROUND(dot / (qn * cn), 6) AS cosine
     FROM p WHERE dot / (qn * cn) > 0.4
-    """,
+    """),
 )
 def x12_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: pairs above a similarity threshold.
@@ -901,7 +935,7 @@ def x12_embedding_neardup(spark, sf_dir):
     (O(cap), never O(n)) refuses inputs past ``_X12_MAX_BROADCAST_ROWS``
     so no unbounded crossJoin is reachable through the registry. The scale
     path is x13 (IVF cells) / x14 (multi-probe)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     a = e.filter(F.col("vec_id") < 250).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     b = e.filter(F.col("vec_id") >= 250).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     if a.limit(_X12_MAX_BROADCAST_ROWS + 1).count() > _X12_MAX_BROADCAST_ROWS:
@@ -920,7 +954,7 @@ def x12_embedding_neardup(spark, sf_dir):
 
 @register(
     "x13_ivf_neardup",
-    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
+    oracle=_finite_embeddings(_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
     + """
     , asg AS (
       SELECT cid AS vec_id, qid AS centroid_id
@@ -940,7 +974,7 @@ def x12_embedding_neardup(spark, sf_dir):
                                   i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
           / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
            * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) > 0.4
-    """,
+    """),
 )
 def x13_ivf_neardup(spark, sf_dir):
     """The wired x11 -> x12 composition: embedding near-dup restricted to
@@ -955,7 +989,7 @@ def x13_ivf_neardup(spark, sf_dir):
     multi-probe assignment (top-2 cells per vector) is enabled — the
     brute-force x12 is the exact-recall baseline this approximates."""
     asg = x11_ivf_assign(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _load_finite_embeddings(spark, sf_dir).select("vec_id", "embedding")
     v = asg.join(e, "vec_id")
     a = v.select(
         F.col("vec_id").alias("va"), F.col("centroid_id").alias("ca"), F.col("embedding").alias("ea")
@@ -975,7 +1009,7 @@ def x13_ivf_neardup(spark, sf_dir):
 
 @register(
     "x14_multiprobe_ivf",
-    oracle=_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
+    oracle=_finite_embeddings(_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 8").replace("vec_id >= 5", "vec_id >= 0")
     + """
     , asg AS (
       SELECT cid AS vec_id, qid AS centroid_id
@@ -999,7 +1033,7 @@ def x13_ivf_neardup(spark, sf_dir):
                                   i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
           / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
            * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) > 0.4
-    """,
+    """),
 )
 def x14_multiprobe_ivf(spark, sf_dir):
     """Multi-probe IVF near-dup: each vector is assigned to its TOP-2
@@ -1008,7 +1042,7 @@ def x14_multiprobe_ivf(spark, sf_dir):
     are recovered at ~2x the candidate cost, still never doc x doc).
     Candidate pairs are deduped BEFORE the expensive cosine (a pair can
     share both cells)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS qid", "embedding AS qe")
     allv = e.selectExpr("vec_id AS cid", "embedding AS ce")
     scored = allv.crossJoin(F.broadcast(cent)).select(
@@ -1737,7 +1771,7 @@ def x43_filter_pipeline(spark, sf_dir):
 
 @register(
     "x39_int8_quantize",
-    oracle="""
+    oracle=_finite_embeddings("""
     WITH b AS (
       SELECT vec_id,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s,
@@ -1755,7 +1789,7 @@ def x43_filter_pipeline(spark, sf_dir):
            ROUND(CAST(list_max(err) AS DOUBLE), 6)            AS max_abs_err,
            ROUND(CAST(list_sum(err) AS DOUBLE) / len(err), 6) AS mean_abs_err
     FROM e
-    """,
+    """),
 )
 def x39_int8_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization audit (the storage/bandwidth
@@ -1772,7 +1806,7 @@ def x39_int8_quantize(spark, sf_dir):
     zero vector quantizes EXACTLY (every q = 0), so its per-component
     error is 0 by definition — the CASE branch says so on both engines
     instead of an ANSI DIVIDE_BY_ZERO job abort on a legal input."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     b = e.select(
         "vec_id",
         "embedding",
@@ -1796,7 +1830,7 @@ def x39_int8_quantize(spark, sf_dir):
 
 @register(
     "x40_kmeans_update",
-    oracle="""
+    oracle=_finite_embeddings("""
     WITH c AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
     p AS (
       SELECT e.vec_id AS cid, e.embedding AS ce, qid,
@@ -1819,7 +1853,7 @@ def x39_int8_quantize(spark, sf_dir):
     FROM d JOIN old ON old.qid = d.centroid_id AND old.i = d.i
            JOIN n ON n.centroid_id = d.centroid_id
     GROUP BY d.centroid_id, n_members
-    """,
+    """),
 )
 def x40_kmeans_update(spark, sf_dir):
     """One Lloyd iteration of distributed k-means over the embeddings (the
@@ -1834,7 +1868,7 @@ def x40_kmeans_update(spark, sf_dir):
     aggregation absorbs the member fan-in map-side; nothing ever gathers a
     whole cluster's vectors on one node. Iterating = re-feeding the new
     centroids; each round is this same two-shuffle job."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -2010,7 +2044,7 @@ _SRP_DUCK = """
 
 @register(
     "x47_srp_neardup",
-    oracle=f"""
+    oracle=_finite_embeddings(f"""
     WITH sig AS (
       SELECT vec_id, embedding, {_SRP_DUCK} AS srp
       FROM embeddings)
@@ -2027,7 +2061,7 @@ _SRP_DUCK = """
                                   i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
           / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
            * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) > 0.2
-    """,
+    """),
 )
 def x47_srp_neardup(spark, sf_dir):
     """Signed-random-projection (hyperplane) LSH near-dup — the fourth ANN
@@ -2043,7 +2077,7 @@ def x47_srp_neardup(spark, sf_dir):
     centroids (data-independent), the standard cold-start ANN choice; the
     recall lever is multiple independent bucket tables (x14's multi-probe
     analog), traded here for the single-table plan."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = _load_finite_embeddings(spark, sf_dir).select(
         "vec_id", "embedding", F.expr(_SRP_SPARK).alias("srp")
     )
     a = e.select(
@@ -3096,7 +3130,7 @@ _X65_MAX_CLUSTER_ROWS = 20_000
 
 @register(
     "x65_semantic_dedup",
-    oracle="""
+    oracle=_finite_embeddings("""
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
     SELECT a.vec_id, a.label,
            NOT EXISTS (
@@ -3111,7 +3145,7 @@ _X65_MAX_CLUSTER_ROWS = 20_000
                    >= 0.3
            ) AS keep
     FROM e a
-    """,
+    """),
 )
 def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3, max_cluster_rows: int | None = None):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -3148,7 +3182,7 @@ def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3, max_cluster_rows: 
     plain filter."""
     if max_cluster_rows is None:
         max_cluster_rows = _X65_MAX_CLUSTER_ROWS
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     sizes = (
         e.groupBy("label")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -3472,7 +3506,7 @@ def x69_bloom_digest_probe(spark, sf_dir):
 
 @register(
     "x70_ann_ivf_topk",
-    oracle="""
+    oracle=_finite_embeddings("""
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
          p AS (
@@ -3487,7 +3521,7 @@ def x69_bloom_digest_probe(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rank
       FROM p)
     WHERE rank <= 10
-    """,
+    """),
 )
 def x70_ann_ivf_topk(spark, sf_dir):
     """The standing IVF ANN index (streaming/ann_ingest.py) under the
@@ -3520,7 +3554,7 @@ def x70_ann_ivf_topk(spark, sf_dir):
         train_centroids,
     )
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
     st = _os.stat(src)
     key = _hl.md5(f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:16]
@@ -4598,7 +4632,7 @@ def x81_token_fertility_by_lang(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
 
 @register(
     "x82_centroid_outlier_prune",
-    oracle="""
+    oracle=_finite_embeddings("""
     WITH u AS (
       SELECT vec_id, label, UNNEST(embedding) AS v,
              generate_subscripts(embedding, 1) AS i
@@ -4625,7 +4659,7 @@ def x81_token_fertility_by_lang(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     SELECT vec_id, label, ROUND(c, 6) AS centroid_cos,
            rn <= CAST(ceil(0.1 * n) AS BIGINT) AS pruned
     FROM r
-    """,
+    """),
 )
 def x82_centroid_outlier_prune(spark, sf_dir):
     """Prototype-distance data pruning (Sorscher et al. 2022,
@@ -4649,7 +4683,7 @@ def x82_centroid_outlier_prune(spark, sf_dir):
     component — bounded by cluster size, the same contract x65 enforces;
     output = labels x dim, tiny), centroid table broadcast back, one
     narrow pass for scores, one per-label rank window — linear in n."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     u = e.select("label", "vec_id", F.posexplode("embedding").alias("i", "v"))
     cs = u.groupBy("label", "i").agg(
         F.aggregate(
@@ -4852,7 +4886,7 @@ def _pq_adc_rank(enc, qd, cand=None, k: int = 5):
 
 @register(
     "x84_pq_adc_topk",
-    oracle=f"""
+    oracle=_finite_embeddings(f"""
     WITH ss AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
     cb AS (
       SELECT vec_id AS code, s,
@@ -4888,7 +4922,7 @@ def _pq_adc_rank(enc, qd, cand=None, k: int = 5):
     SELECT qid, did, dist AS adc_dist  -- raw double: see _pq_adc_rank
     FROM adc
     QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
-    """,
+    """),
 )
 def x84_pq_adc_topk(spark, sf_dir):
     """Product quantization with asymmetric distance (Jegou et al. 2011,
@@ -4909,13 +4943,13 @@ def x84_pq_adc_topk(spark, sf_dir):
     discipline — subspace folds via s-sorted collect, engine-verified
     bit-identical); argmin and top-k cuts are RANKS with code/did
     tie-breaks."""
-    enc, qd = _pq_seed_stages(load(spark, sf_dir, "embeddings"))
+    enc, qd = _pq_seed_stages(_load_finite_embeddings(spark, sf_dir))
     return _pq_adc_rank(enc, qd)
 
 
 @register(
     "x85_ivfadc_topk",
-    oracle=f"""
+    oracle=_finite_embeddings(f"""
     WITH ss AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
     cells AS (
       SELECT did, ctr AS cell FROM (
@@ -4972,7 +5006,7 @@ def x84_pq_adc_topk(spark, sf_dir):
     SELECT qid, did, dist AS adc_dist  -- raw double: see _pq_adc_rank
     FROM adc
     QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
-    """,
+    """),
 )
 def x85_ivfadc_topk(spark, sf_dir):
     """IVFADC — the IVF x PQ composition (Jegou 2011 §IV; the FAISS
@@ -4991,7 +5025,7 @@ def x85_ivfadc_topk(spark, sf_dir):
     streaming/ann_ingest.py); the ADC stage inherits x84's shapes.
     Determinism: identical discipline to x82/x84 (fixed-order folds,
     rank cuts only)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     full_l2 = F.aggregate(
         F.zip_with("ve", "ce", lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
@@ -5021,7 +5055,7 @@ def x85_ivfadc_topk(spark, sf_dir):
 
 @register(
     "x86_ivfpq_residual_topk",
-    oracle=f"""
+    oracle=_finite_embeddings(f"""
     WITH ss AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
     ctr AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
     asg AS (
@@ -5082,7 +5116,7 @@ def x85_ivfadc_topk(spark, sf_dir):
     SELECT qid, did, dist AS adc_dist  -- raw double: see _pq_adc_rank
     FROM adc
     QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, did) <= 5
-    """,
+    """),
 )
 def x86_ivfpq_residual_topk(spark, sf_dir):
     """Residual IVFPQ (Jegou 2011 §IV.B; FAISS IndexIVFPQ's by_residual
@@ -5104,7 +5138,7 @@ def x86_ivfpq_residual_topk(spark, sf_dir):
     work stays one encode pass. Determinism: residual arithmetic is
     per-element double subtraction (order-free); every fold is
     fixed-order sequential; cuts are ranks (the x82/x84 discipline)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_finite_embeddings(spark, sf_dir)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ctr = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), as_double.alias("ce")

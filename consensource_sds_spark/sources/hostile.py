@@ -461,6 +461,19 @@ def write_hostile_sf(out_dir: str, seed: int = 94) -> str:
     vecs.append([1e-30] * dim)  # float32 underflow trap
     vecs.append([-1.0] * dim)  # constant negative
     vecs.append([0.5] * dim)  # constant positive
+    # non-finite poison (the finite-vector admission rule's test bed):
+    # NaN sorts above every real similarity in Spark's ordering, so an
+    # unguarded top-k would hand these rows the top slots; a NaN centroid
+    # would poison a whole k-means generation
+    vecs.append([float("nan")] * dim)  # all-NaN
+    vecs.append([float("inf")] * dim)  # all-Inf
+    one_nan = [0.25] * dim
+    one_nan[dim // 2] = float("nan")
+    vecs.append(one_nan)  # single poisoned element
+    one_ninf = [0.25] * dim
+    one_ninf[0] = float("-inf")
+    vecs.append(one_ninf)
+    vecs.append(None)  # NULL vector
     while len(vecs) < 120:
         vecs.append([round(rng.gauss(0, 1), 4) for _ in range(dim)])
     w(

@@ -88,8 +88,13 @@ def train_centroids(spark: SparkSession, emb: DataFrame, k: int, iters: int = 3)
     via posexplode + (cell, dim) aggregation — never a collect of vectors;
     only the k x dim centroid table itself is driver-held between
     iterations (it IS the broadcast side). Empty cells keep their previous
-    centroid. Returns (cell INT, centroid ARRAY<FLOAT>)."""
-    e = emb.select("vec_id", "embedding")
+    centroid. Returns (cell INT, centroid ARRAY<FLOAT>).
+
+    Non-finite vectors (any NaN/Inf element; NULL) are excluded before
+    training — ONE NaN member would turn its cell's mean into a NaN
+    centroid and poison every assignment of the generation (the
+    finite-vector admission rule, ``functions.vectors.finite``)."""
+    e = emb.select("vec_id", "embedding").filter(V.finite(F.col("embedding")))
     seeds = (
         e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h")
@@ -490,6 +495,16 @@ def _pq_probe_artifacts(spark: SparkSession, index_dir: str) -> dict:
     return _memoized(key, build)
 
 
+def _admit_query(qe) -> bool:
+    """The probe-side finite-vector admission rule: a NULL or NaN/Inf
+    query vector gets NO results (excluded like its index-side twin in
+    :func:`ingest_embedding_batch`) — fed to the driver-side scoring it
+    would NaN-poison its own cell selection and distance tables."""
+    import numpy as np
+
+    return qe is not None and bool(np.isfinite(np.asarray(qe, dtype=np.float64)).all())
+
+
 def _select_cells_driver(art: dict, qvec: dict, nprobe: int):
     """Per query the top-``nprobe`` cells by centroid cosine, computed
     driver-side from the memoized centroids — the SAME selection rule as
@@ -524,6 +539,7 @@ def _probe_cells(spark: SparkSession, index_dir: str, qs: DataFrame, nprobe: int
     memoized centroids instead — :func:`_select_cells_driver`, same
     rule)."""
     cent = load_centroids(spark, index_dir)
+    qs = qs.filter(V.finite(F.col("qe")))  # probe-side admission rule
     scored = qs.crossJoin(
         F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
     ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
@@ -623,6 +639,8 @@ def ann_probe_adc(
         qid_type = q_cells.schema["qid"].dataType
     else:
         for r in queries.select("qid", F.col("embedding").alias("qe")).collect():
+            if not _admit_query(r["qe"]):
+                continue
             qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)
         pairs, needed = _select_cells_driver(art, qvec, nprobe)
         qid_type = queries.schema["qid"].dataType
@@ -804,8 +822,15 @@ def ingest_embedding_batch(
     """One microbatch: assign cells against the pinned centroids, append
     under ``(batch_id, cell)`` with dynamic overwrite (replay-idempotent).
     Pure function of (batch, centroids) — same code for backfill and
-    stream, corpus_ingest's contract."""
+    stream, corpus_ingest's contract.
+
+    Non-finite vectors are rejected at the door (the same unconditional
+    drop as corpus ingest's NULL doc_id rule): admitted into the index
+    they would score NaN against every query — and NaN sorts ABOVE every
+    real similarity, so each poisoned row would steal a top-k slot from
+    every probe that touches its cell."""
     spark = batch_df.sparkSession
+    batch_df = batch_df.filter(V.finite(F.col("embedding")))
     cent = load_centroids(spark, index_dir)
     asg = assign_cells(batch_df, cent)
     rows = batch_df.join(asg, "vec_id").select(
@@ -882,6 +907,8 @@ def ann_probe(
     qraw: dict = {}
     qvec: dict = {}
     for r in queries.select(F.col("qid"), F.col("embedding").alias("qe")).collect():
+        if not _admit_query(r["qe"]):
+            continue
         qraw[r["qid"]] = r["qe"]
         qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)
     pairs, needed = _select_cells_driver(art, qvec, nprobe)

@@ -1050,3 +1050,60 @@ def test_adc_probe_decomposed_shape_matches_fused(spark, pq_index, residual_pq_i
             f_vid, f_dist = fused[key]
             assert vid == f_vid, (idx_dir, key)
             assert abs(dist - f_dist) < 1e-9, (idx_dir, key)
+
+
+def test_non_finite_vectors_rejected_at_every_door(spark, tmp_path):
+    """The finite-vector admission rule across the whole lane: poisoned
+    vectors (NaN/Inf elements, NULL) never enter the index, never poison
+    centroid training, and a poisoned QUERY gets no results instead of
+    NaN-winning every top-k slot (NaN sorts above every real similarity
+    in Spark's ordering)."""
+    import math
+
+    d = str(tmp_path / "ann_nan")
+    e = _emb(spark)
+    dim = len(e.select("embedding").first()[0])
+    nid = e.agg(F.max("vec_id")).first()[0] + 1
+    poison = spark.createDataFrame(
+        [
+            (nid, [float("nan")] * dim, 0),
+            (nid + 1, [float("inf")] * dim, 1),
+            (nid + 2, [1.0] * (dim - 1) + [float("nan")], 2),
+            (nid + 3, None, 3),
+        ],
+        e.schema,
+    )
+    mixed = e.unionByName(poison)
+
+    # training: centroids stay finite despite poisoned members
+    cent = train_centroids(spark, mixed, k=K_CELLS, iters=2)
+    bad_cent = cent.filter(
+        F.exists("centroid", lambda v: F.isnan(v.cast("double")))
+        | F.exists("centroid", lambda v: F.abs(v.cast("double")) == float("inf"))
+    ).count()
+    assert bad_cent == 0
+
+    # ingest: the index holds exactly the clean rows
+    init_ann_index(spark, d, cent)
+    ingest_embedding_batch(spark, mixed, 0, d)
+    stored = {r["vec_id"] for r in ann_index(spark, d).select("vec_id").collect()}
+    assert stored == {r["vec_id"] for r in e.select("vec_id").collect()}
+
+    # probes: clean results unchanged vs a clean-only index; poisoned
+    # queries produce zero rows, clean queries full rows
+    q = spark.createDataFrame(
+        [
+            (0, [float("nan")] * dim),
+            (1, e.filter("vec_id = 7").first()["embedding"]),
+        ],
+        "qid INT, embedding ARRAY<FLOAT>",
+    )
+    res = ann_probe(spark, d, q, k=5, nprobe=K_CELLS).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert 0 not in by_q
+    assert len(by_q[1]) == 5
+    assert all(
+        r["cosine"] is None or math.isfinite(r["cosine"]) for r in by_q[1]
+    )
