@@ -261,6 +261,47 @@ def _input_size(path: str) -> int:
         return _POOL_FILE_CAP  # remote input: stream it
 
 
+#: the finite-vector admission rule, oracle side: a CTE shadowing the
+#: ``embeddings`` view (inner reference schema-qualified — DuckDB refuses a
+#: bare self-reference as circular) so every ``FROM embeddings`` in the
+#: oracle body sees only admitted rows.
+FINITE_EMB_SQL = (
+    "embeddings AS (SELECT * FROM main.embeddings "
+    "WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0)"
+)
+
+
+def finite_embeddings_oracle(oracle: str) -> str:
+    """Apply the finite-vector admission rule to an oracle: non-finite
+    embeddings (any NaN/Inf element; NULL vectors) are data-quality
+    rejects, excluded before any vector math — the twin of
+    :func:`load_finite_embeddings`. Without it, ONE poisoned vector
+    silently corrupts results at scale: NaN similarity sorts above every
+    real value in Spark's ordering (it wins every top-k slot it touches),
+    a NaN centroid poisons an entire k-means generation, and a NaN
+    component aborts any DECIMAL-accumulated aggregate on both engines.
+    Exclusion is a no-op on clean corpora, so clean-data results are
+    unchanged."""
+    s = oracle.lstrip()
+    if s[:4].upper() == "WITH":
+        return "WITH " + FINITE_EMB_SQL + ",\n" + s[4:].lstrip()
+    return "WITH " + FINITE_EMB_SQL + "\n" + oracle
+
+
+def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table behind every registry consumer, with the
+    finite-vector admission rule applied (see
+    :func:`finite_embeddings_oracle`): rows whose vector is NULL or
+    carries any NaN/Inf element never reach similarity, quantization,
+    clustering, or array-aggregate math. One JVM-side ``exists`` per row
+    at the scan — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.functions import vectors as V
+
+    return load(spark, sf_dir, "embeddings").filter(V.finite(F.col("embedding")))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
     path = f"{sf_dir}/{name}.parquet"

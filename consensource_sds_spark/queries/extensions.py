@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from consensource_sds_spark.functions import text as TXT
 from consensource_sds_spark.functions import vectors as V
-from consensource_sds_spark.queries import load, local_hint, register
+from consensource_sds_spark.queries import (
+    finite_embeddings_oracle as _finite_embeddings,
+    load,
+    load_finite_embeddings as _load_finite_embeddings,
+    local_hint,
+    register,
+)
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -796,40 +802,6 @@ def x08_dedup_apply(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
-
-#: the finite-vector admission rule, oracle side: a CTE shadowing the
-#: ``embeddings`` view (inner reference schema-qualified — DuckDB refuses a
-#: bare self-reference as circular) so every ``FROM embeddings`` in the
-#: oracle body sees only admitted rows.
-_FINITE_EMB_SQL = (
-    "embeddings AS (SELECT * FROM main.embeddings "
-    "WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0)"
-)
-
-
-def _finite_embeddings(oracle: str) -> str:
-    """Apply the finite-vector admission rule to an oracle: non-finite
-    embeddings (any NaN/Inf element; NULL vectors) are data-quality
-    rejects, excluded before any vector math — the twin of
-    :func:`_load_finite_embeddings`. Without it, ONE poisoned vector
-    silently corrupts results at scale: NaN similarity sorts above every
-    real value in Spark's ordering (it wins every top-k slot it touches),
-    and a NaN centroid poisons an entire k-means generation. Exclusion is
-    a no-op on clean corpora, so clean-data results are unchanged."""
-    s = oracle.lstrip()
-    if s[:4].upper() == "WITH":
-        return "WITH " + _FINITE_EMB_SQL + ",\n" + s[4:].lstrip()
-    return "WITH " + _FINITE_EMB_SQL + "\n" + oracle
-
-
-def _load_finite_embeddings(spark, sf_dir):
-    """The embeddings table behind every vector op, with the finite-vector
-    admission rule applied (see :func:`_finite_embeddings`): rows whose
-    vector is NULL or carries any NaN/Inf element never reach similarity,
-    quantization, or clustering math. One JVM-side ``exists`` per row at
-    the scan — no shuffle, no Python."""
-    return load(spark, sf_dir, "embeddings").filter(V.finite(F.col("embedding")))
-
 
 _COSINE_ORACLE_CTE = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

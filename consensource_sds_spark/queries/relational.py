@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from consensource_sds_spark.functions.money import cents_total, to_cents
-from consensource_sds_spark.queries import load, local_hint, register
+from consensource_sds_spark.queries import (
+    finite_embeddings_oracle,
+    load,
+    load_finite_embeddings,
+    local_hint,
+    register,
+)
 
 # Order-insensitive floating aggregates
 # -------------------------------------
@@ -773,15 +779,19 @@ def q34_nullif_coalesce(spark, sf_dir):
 
 @register(
     "q40_explode_unnest",
-    oracle="""
+    oracle=finite_embeddings_oracle("""
     SELECT label, COUNT(*) AS n_components, CAST(ROUND(CAST(CAST(SUM(CAST(comp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_comp
     FROM (SELECT label, UNNEST(embedding) AS comp FROM embeddings)
     GROUP BY label
-    """,
+    """),
 )
 def q40_explode_unnest(spark, sf_dir):
-    """U1/U2 analog over the driver's array column."""
-    e = load(spark, sf_dir, "embeddings")
+    """U1/U2 analog over the driver's array column. Finite-vector
+    admission rule applied: a NaN component would abort BOTH engines'
+    DECIMAL-accumulated average (hostile-sweep finding), so poisoned
+    vectors are excluded at the door like every other embeddings
+    consumer."""
+    e = load_finite_embeddings(spark, sf_dir)
     return (
         e.select("label", F.explode("embedding").alias("comp"))
         .groupBy("label")
@@ -1088,22 +1098,30 @@ def q47_fulltext_search(spark, sf_dir):
 
 @register(
     "q50_array_map_funcs",
-    oracle="""
+    oracle=finite_embeddings_oracle("""
     SELECT vec_id,
            len(embedding)                                        AS dim,
-           ROUND(CAST(list_max(embedding) AS DOUBLE), 4)         AS comp_max,
-           ROUND(CAST(list_min(embedding) AS DOUBLE), 4)         AS comp_min,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4)                AS first_comp,
-           ROUND(CAST(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS DOUBLE), 4)
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) + 0     AS comp_max,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) + 0     AS comp_min,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0            AS first_comp,
+           ROUND(CAST(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) + 0
                                                                  AS head_sum,
            len(list_filter(embedding, x -> x > 0))               AS n_positive
     FROM embeddings WHERE vec_id < 200
-    """,
+    """),
 )
 def q50_array_map_funcs(spark, sf_dir):
     """Array scalar-function family (§2.8): size / element_at / slice /
-    array_max / higher-order filter+aggregate, all JVM-side."""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    array_max / higher-order filter+aggregate, all JVM-side. Finite-vector
+    admission rule applied like every embeddings consumer (NaN would
+    otherwise flow into comp_max/head_sum).
+
+    Oracle ROUNDs carry the ``+ 0`` IEEE -0.0 normalization (the
+    q24/q41/q43 rule): a stored -0.0 component — the hostile filler
+    produces them at 4-decimal granularity (seed-23 sweep finding) —
+    rounds to 0.0 through Spark's BigDecimal HALF_UP but keeps its sign
+    in DuckDB, and the gate's stringified hash sees "-0.0" != "0.0"."""
+    e = load_finite_embeddings(spark, sf_dir).filter(F.col("vec_id") < 200)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
