@@ -31,6 +31,30 @@ def finite(a: Column) -> Column:
     )
 
 
+def admit(df, col: str = "embedding"):
+    """The full vector admission rule over a frame: keep rows whose
+    vector is :func:`finite` AND matches the frame's MODAL width (ties to
+    the lower width). Ragged/empty vectors are the job-abort class —
+    ANSI division by size(empty), element_at past a short vector's end —
+    and a wrong-width member silently skews centroid means; like the
+    NaN rule, exclusion is a no-op on a uniform corpus. Cost: one
+    map-side-combined length count broadcast back as a 1-row join (a
+    deployment with declared dim metadata pins the width instead)."""
+    modal = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.size(F.col(col)).alias("_mw"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("_mw"))
+        .limit(1)
+        .select("_mw")
+    )
+    return (
+        df.filter(finite(F.col(col)))
+        .join(F.broadcast(modal), F.size(F.col(col)) == F.col("_mw"))
+        .drop("_mw")
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),

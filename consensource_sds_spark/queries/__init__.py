@@ -267,39 +267,75 @@ def _input_size(path: str) -> int:
 #: oracle body sees only admitted rows.
 FINITE_EMB_SQL = (
     "embeddings AS (SELECT * FROM main.embeddings "
-    "WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0)"
+    "WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 "
+    "AND len(embedding) = (SELECT len(embedding) AS L FROM main.embeddings "
+    "WHERE embedding IS NOT NULL "
+    "GROUP BY L ORDER BY count(*) DESC, L LIMIT 1))"
 )
 
 
 def finite_embeddings_oracle(oracle: str) -> str:
-    """Apply the finite-vector admission rule to an oracle: non-finite
-    embeddings (any NaN/Inf element; NULL vectors) are data-quality
-    rejects, excluded before any vector math — the twin of
-    :func:`load_finite_embeddings`. Without it, ONE poisoned vector
-    silently corrupts results at scale: NaN similarity sorts above every
-    real value in Spark's ordering (it wins every top-k slot it touches),
-    a NaN centroid poisons an entire k-means generation, and a NaN
-    component aborts any DECIMAL-accumulated aggregate on both engines.
-    Exclusion is a no-op on clean corpora, so clean-data results are
-    unchanged."""
+    """Apply the vector admission rule to an oracle: non-finite
+    embeddings (any NaN/Inf element; NULL vectors) and RAGGED vectors
+    (width != the table's modal width, ties to the lower width; empty
+    included) are data-quality rejects, excluded before any vector math —
+    the twin of :func:`load_finite_embeddings`. Without it, ONE poisoned
+    vector silently corrupts results at scale: NaN similarity sorts above
+    every real value in Spark's ordering (it wins every top-k slot it
+    touches), a NaN centroid poisons an entire k-means generation, a NaN
+    component aborts any DECIMAL-accumulated aggregate, and a ragged or
+    empty vector ABORTS whole jobs under ANSI mode (division by
+    size(empty), element_at past the end) or silently skews centroid
+    means. Exclusion is a no-op on clean corpora, so clean-data results
+    are unchanged; a production deployment that declares its embedding
+    dim as table metadata can pin the width instead of paying the modal
+    aggregate."""
     s = oracle.lstrip()
     if s[:4].upper() == "WITH":
         return "WITH " + FINITE_EMB_SQL + ",\n" + s[4:].lstrip()
     return "WITH " + FINITE_EMB_SQL + "\n" + oracle
 
 
+#: memoized modal embedding width per (application, sf_dir) — the scalar
+#: every admitted scan filters against. Driver-side like the ANN lane's
+#: generation artifacts: an IN-PLAN modal join would replicate its
+#: aggregate subtree into every plan branch that touches embeddings
+#: (x65's plan grew 6 exchanges that way), while one memoized 1-row
+#: collect per session leaves plans with a pure map-side filter.
+_MODAL_WIDTH: dict[tuple[str, str], int] = {}
+
+
 def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table behind every registry consumer, with the
-    finite-vector admission rule applied (see
-    :func:`finite_embeddings_oracle`): rows whose vector is NULL or
-    carries any NaN/Inf element never reach similarity, quantization,
-    clustering, or array-aggregate math. One JVM-side ``exists`` per row
-    at the scan — no shuffle, no Python."""
+    vector admission rule applied (see :func:`finite_embeddings_oracle`):
+    rows whose vector is NULL, carries any NaN/Inf element, or whose
+    width differs from the table's modal width never reach similarity,
+    quantization, clustering, or array-aggregate math. One JVM-side
+    ``exists`` + length comparison per row at the scan — no join, no
+    shuffle; the modal width itself is one memoized map-side-combined
+    count per session (the pass a deployment with declared dim metadata
+    would pin away)."""
     from pyspark.sql import functions as F
 
     from consensource_sds_spark.functions import vectors as V
 
-    return load(spark, sf_dir, "embeddings").filter(V.finite(F.col("embedding")))
+    e = load(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    width = _MODAL_WIDTH.get(key)
+    if width is None:
+        row = (
+            e.filter(F.col("embedding").isNotNull())
+            .groupBy(F.size("embedding").alias("L"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("L"))
+            .limit(1)
+            .collect()
+        )
+        width = int(row[0]["L"]) if row else -1  # empty table: admit nothing
+        _MODAL_WIDTH[key] = width
+    return e.filter(
+        V.finite(F.col("embedding")) & (F.size(F.col("embedding")) == width)
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -474,6 +474,11 @@ def write_hostile_sf(out_dir: str, seed: int = 94) -> str:
     one_ninf[0] = float("-inf")
     vecs.append(one_ninf)
     vecs.append(None)  # NULL vector
+    # ragged widths (the job-abort class: ANSI division by size(empty),
+    # element_at past a short vector, skewed centroid means)
+    vecs.append([0.5] * (dim - 1))  # one short
+    vecs.append([0.5] * (dim + 3))  # one long
+    vecs.append([])  # empty
     while len(vecs) < 120:
         vecs.append([round(rng.gauss(0, 1), 4) for _ in range(dim)])
     w(

@@ -90,11 +90,12 @@ def train_centroids(spark: SparkSession, emb: DataFrame, k: int, iters: int = 3)
     iterations (it IS the broadcast side). Empty cells keep their previous
     centroid. Returns (cell INT, centroid ARRAY<FLOAT>).
 
-    Non-finite vectors (any NaN/Inf element; NULL) are excluded before
-    training — ONE NaN member would turn its cell's mean into a NaN
-    centroid and poison every assignment of the generation (the
-    finite-vector admission rule, ``functions.vectors.finite``)."""
-    e = emb.select("vec_id", "embedding").filter(V.finite(F.col("embedding")))
+    The vector admission rule (``functions.vectors.admit``) applies
+    before training: ONE NaN member would turn its cell's mean into a
+    NaN centroid and poison every assignment of the generation, and a
+    ragged member skews its cell mean (or aborts the posexplode
+    aggregation) — excluded like every other corpus-side door."""
+    e = V.admit(emb.select("vec_id", "embedding"))
     seeds = (
         e.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h")
@@ -824,14 +825,22 @@ def ingest_embedding_batch(
     Pure function of (batch, centroids) — same code for backfill and
     stream, corpus_ingest's contract.
 
-    Non-finite vectors are rejected at the door (the same unconditional
-    drop as corpus ingest's NULL doc_id rule): admitted into the index
-    they would score NaN against every query — and NaN sorts ABOVE every
-    real similarity, so each poisoned row would steal a top-k slot from
-    every probe that touches its cell."""
+    Non-finite and wrong-width vectors are rejected at the door (the
+    same unconditional drop as corpus ingest's NULL doc_id rule):
+    admitted into the index a NaN row would score NaN against every
+    query — and NaN sorts ABOVE every real similarity, so each poisoned
+    row would steal a top-k slot from every probe that touches its cell
+    — while a ragged row aborts the probe's fold outright. The width to
+    admit against is the GENERATION's own (its pinned centroids), not a
+    modal guess."""
     spark = batch_df.sparkSession
-    batch_df = batch_df.filter(V.finite(F.col("embedding")))
     cent = load_centroids(spark, index_dir)
+    gen_dim = cent.select(F.size("centroid").alias("_mw")).distinct()
+    batch_df = (
+        batch_df.filter(V.finite(F.col("embedding")))
+        .join(F.broadcast(gen_dim), F.size(F.col("embedding")) == F.col("_mw"))
+        .drop("_mw")
+    )
     asg = assign_cells(batch_df, cent)
     rows = batch_df.join(asg, "vec_id").select(
         "vec_id", "embedding", "label", F.col("cell").cast("int").alias("cell")

@@ -1053,11 +1053,12 @@ def test_adc_probe_decomposed_shape_matches_fused(spark, pq_index, residual_pq_i
 
 
 def test_non_finite_vectors_rejected_at_every_door(spark, tmp_path):
-    """The finite-vector admission rule across the whole lane: poisoned
-    vectors (NaN/Inf elements, NULL) never enter the index, never poison
-    centroid training, and a poisoned QUERY gets no results instead of
-    NaN-winning every top-k slot (NaN sorts above every real similarity
-    in Spark's ordering)."""
+    """The vector admission rule across the whole lane: poisoned vectors
+    (NaN/Inf elements, NULL, ragged/empty widths) never enter the index,
+    never poison centroid training, and a poisoned QUERY gets no results
+    instead of NaN-winning every top-k slot (NaN sorts above every real
+    similarity in Spark's ordering; a ragged row aborts the probe fold
+    under ANSI mode)."""
     import math
 
     d = str(tmp_path / "ann_nan")
@@ -1070,6 +1071,9 @@ def test_non_finite_vectors_rejected_at_every_door(spark, tmp_path):
             (nid + 1, [float("inf")] * dim, 1),
             (nid + 2, [1.0] * (dim - 1) + [float("nan")], 2),
             (nid + 3, None, 3),
+            (nid + 4, [0.5] * (dim - 1), 4),  # short
+            (nid + 5, [0.5] * (dim + 3), 5),  # long
+            (nid + 6, [], 6),  # empty
         ],
         e.schema,
     )
