@@ -821,7 +821,7 @@ _COSINE_ORACLE_CTE = """
     oracle=_finite_embeddings(_COSINE_ORACLE_CTE
     + """
     SELECT qid, cid, cosine FROM (
-      SELECT qid, cid, ROUND(dot / NULLIF(qn * cn, 0), 6) AS cosine,
+      SELECT qid, cid, ROUND(dot / NULLIF(qn * cn, 0), 6) + 0 AS cosine,
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY dot / NULLIF(qn * cn, 0) DESC NULLS LAST, cid) AS rn
       FROM p)
@@ -896,7 +896,7 @@ _X12_MAX_BROADCAST_ROWS = 100_000
     "x12_embedding_neardup",
     oracle=_finite_embeddings(_COSINE_ORACLE_CTE.replace("vec_id < 5", "vec_id < 250").replace("vec_id >= 5", "vec_id >= 250")
     + """
-    SELECT qid AS vec_a, cid AS vec_b, ROUND(dot / (qn * cn), 6) AS cosine
+    SELECT qid AS vec_a, cid AS vec_b, ROUND(dot / (qn * cn), 6) + 0 AS cosine
     FROM p WHERE dot / (qn * cn) > 0.4
     """),
 )
@@ -940,7 +940,7 @@ def x12_embedding_neardup(spark, sf_dir):
              list_sum(list_transform(range(1, len(x.embedding) + 1),
                                      i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
              / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
-              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) AS cosine
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) + 0 AS cosine
     FROM withv x JOIN withv y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
     WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
                                   i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
@@ -999,7 +999,7 @@ def x13_ivf_neardup(spark, sf_dir):
              list_sum(list_transform(range(1, len(x.embedding) + 1),
                                      i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
              / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
-              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) AS cosine
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) + 0 AS cosine
     FROM cand JOIN withv x ON x.vec_id = va JOIN withv y ON y.vec_id = vb
     WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
                                   i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
@@ -2025,7 +2025,7 @@ _SRP_DUCK = """
              list_sum(list_transform(range(1, len(x.embedding) + 1),
                                      i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
              / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
-              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) AS cosine
+              * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))), 6) + 0 AS cosine
     FROM sig x JOIN sig y ON x.srp = y.srp AND x.vec_id < y.vec_id
     WHERE sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
         * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v))) > 0
@@ -3489,7 +3489,7 @@ def x69_bloom_digest_probe(spark, sf_dir):
                   sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x))) AS cn
            FROM q, c)
     SELECT qid, vec_id, cosine, rank FROM (
-      SELECT qid, cid AS vec_id, ROUND(dot / (qn * cn), 6) AS cosine,
+      SELECT qid, cid AS vec_id, ROUND(dot / (qn * cn), 6) + 0 AS cosine,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rank
       FROM p)
     WHERE rank <= 10
@@ -4334,7 +4334,7 @@ def x78_histogram_quantile_rollup(spark, sf_dir):
     SELECT source, n_terms,
            CASE WHEN n_terms >= 2 THEN
              ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE)
-                   / NULLIF(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0), 4)
+                   / NULLIF(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0), 4) + 0
            END AS zipf_slope
     FROM s
     """,
@@ -4628,7 +4628,7 @@ def x81_token_fertility_by_lang(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
                                 ORDER BY dot / NULLIF(en * cn, 0) ASC NULLS FIRST, vec_id) AS rn,
              COUNT(*) OVER (PARTITION BY label) AS n
       FROM sc)
-    SELECT vec_id, label, ROUND(c, 6) AS centroid_cos,
+    SELECT vec_id, label, ROUND(c, 6) + 0 AS centroid_cos,
            rn <= CAST(ceil(0.1 * n) AS BIGINT) AS pruned
     FROM r
     """),
@@ -5543,7 +5543,7 @@ def x90_heaps_vocab_growth(spark, sf_dir):
       FROM tc GROUP BY w)
     SELECT w, df, total,
            ROUND(CAST(nd * sk2 - total * total AS DOUBLE)
-                 / (CAST(nd AS DOUBLE) * total), 6) AS vmr
+                 / (CAST(nd AS DOUBLE) * total), 6) + 0 AS vmr
     FROM agg, d
     WHERE total >= 50
     QUALIFY ROW_NUMBER() OVER (

@@ -359,13 +359,15 @@ def q11_window_running_sum(spark, sf_dir):
     "q12_window_lag_delta",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS LAST, event_id), 2) AS delta
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS LAST, event_id), 2) + 0 AS delta
     FROM events
     """,
 )
 def q12_window_lag_delta(spark, sf_dir):
     """Lag delta per user over event time. NULL-timestamp rows order
-    explicitly last on both engines (see q11's note)."""
+    explicitly last on both engines (see q11's note). Oracle ROUND
+    carries + 0 for -0.0 parity (q24's rule): a -0.0 value lagged by a
+    +0.0 one yields an IEEE -0.0 delta that DuckDB's ROUND keeps."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
