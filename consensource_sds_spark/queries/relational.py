@@ -782,7 +782,7 @@ def q34_nullif_coalesce(spark, sf_dir):
 @register(
     "q40_explode_unnest",
     oracle=finite_embeddings_oracle("""
-    SELECT label, COUNT(*) AS n_components, CAST(ROUND(CAST(CAST(SUM(CAST(comp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_comp
+    SELECT label, COUNT(*) AS n_components, CAST(ROUND(CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_comp
     FROM (SELECT label, UNNEST(embedding) AS comp FROM embeddings)
     GROUP BY label
     """),
@@ -792,12 +792,24 @@ def q40_explode_unnest(spark, sf_dir):
     admission rule applied: a NaN component would abort BOTH engines'
     DECIMAL-accumulated average (hostile-sweep finding), so poisoned
     vectors are excluded at the door like every other embeddings
-    consumer."""
+    consumer.
+
+    Components are float32 and promote to DOUBLE BEFORE the DECIMAL
+    accumulation on both engines (seed-23 sweep finding): a direct
+    float32->DECIMAL(30,10) cast fills decimal digits 8-10 differently
+    per engine (Spark converts through the float's shortest string,
+    DuckDB through its exact binary expansion — at float32 ulp they
+    disagree), and an average landing on a scale-4 half boundary then
+    rounds apart. Double ulp is far below 1e-10 at embedding
+    magnitudes, so the double-first cast is identical on both."""
     e = load_finite_embeddings(spark, sf_dir)
     return (
         e.select("label", F.explode("embedding").alias("comp"))
         .groupBy("label")
-        .agg(F.count("*").alias("n_components"), davg("comp").alias("avg_comp"))
+        .agg(
+            F.count("*").alias("n_components"),
+            davg(F.col("comp").cast("double")).alias("avg_comp"),
+        )
     )
 
 
