@@ -991,11 +991,18 @@ def test_probe_on_empty_generation_returns_empty(spark, tmp_path):
 def test_mis_sized_embeddings_raise_not_corrupt(spark, tmp_path):
     """Regression: (a) pq_encode checked only the FIRST row's width, so a
     later mis-sized row silently encoded from its prefix or raised a bare
-    INVALID_ARRAY_INDEX; (b) in residual mode, zip_with NULL-padding made
-    an under-width embedding come out centroid-width with a NULL tail —
-    the width guard passed and the whole batch ingested garbage code 0.
-    Both must now raise a classifiable width error."""
-    from consensource_sds_spark.streaming.ann_ingest import init_pq, pq_encode, train_pq_codebook
+    INVALID_ARRAY_INDEX; it must raise a classifiable width error for
+    direct callers. (b) At the INGEST door the vector admission rule now
+    governs instead (a mis-sized row is excluded like a NaN one, never
+    ingested as garbage code 0 the way residual zip_with NULL-padding
+    once allowed): an under-width batch contributes NOTHING to a residual
+    index, and a mixed batch lands only its generation-width rows."""
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_index,
+        init_pq,
+        pq_encode,
+        train_pq_codebook,
+    )
 
     e = _emb(spark)
     # (a) plain PQ: good first row, short second row
@@ -1006,14 +1013,18 @@ def test_mis_sized_embeddings_raise_not_corrupt(spark, tmp_path):
     )
     with pytest.raises(Exception, match="embedding width"):
         pq_encode(good.unionByName(short), cb).collect()
-    # (b) residual lane end-to-end: under-width batch into a residual index
+    # (b) residual lane end-to-end: width admission at the ingest door
     d = str(tmp_path / "res_idx")
     cent = train_centroids(spark, e, k=K_CELLS, iters=1)
     init_ann_index(spark, d, cent)
     init_pq(spark, d, train_pq_codebook(spark, e, m=8, k=16, iters=0, centroids=cent), by_residual=True)
     bad_batch = e.limit(4).select("vec_id", F.slice("embedding", 1, 60).alias("embedding"), "label")
-    with pytest.raises(Exception, match="width"):
-        ingest_embedding_batch(spark, bad_batch, 0, d)
+    ingest_embedding_batch(spark, bad_batch, 0, d)
+    assert ann_index(spark, d).count() == 0  # nothing admitted, nothing corrupt
+    mixed = e.limit(2).select("vec_id", "embedding", "label").unionByName(bad_batch)
+    ingest_embedding_batch(spark, mixed, 1, d)
+    stored = {r["vec_id"] for r in ann_index(spark, d).select("vec_id").collect()}
+    assert stored == {r["vec_id"] for r in e.limit(2).select("vec_id").collect()}
 
 
 def test_adc_probe_decomposed_shape_matches_fused(spark, pq_index, residual_pq_index, monkeypatch):
