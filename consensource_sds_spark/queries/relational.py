@@ -1999,10 +1999,10 @@ def q72_grouping_id(spark, sf_dir):
     "q73_regression_aggs",
     oracle="""
     SELECT l_returnflag,
-           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
-           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-           ROUND(corr(l_extendedprice, l_quantity), 6)           AS pearson,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) + 0     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) + 0 AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)            AS r2,
+           ROUND(corr(l_extendedprice, l_quantity), 6) + 0           AS pearson,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
