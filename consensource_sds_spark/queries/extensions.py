@@ -5340,7 +5340,7 @@ def x88_split_leakage_audit(spark, sf_dir):
              CAST(ln((cb + 1.0) / (cw + vocab)) AS DECIMAL(30,10)) AS lp
       FROM bg JOIN bgc USING (w1, w2) JOIN uni ON uni.w = bg.w1, v)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_logp
     FROM scored GROUP BY doc_id
     """,
 )
