@@ -89,11 +89,12 @@ def _sds_pipeline_current_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # pipeline demo FIRST: the driver's 50-slot window reads iteration
-    # order, and this flagship entry has never had a driver-side hash row
-    # (its VALUES oracle landed after its only r1 appearance)
-    q = {"sds_pipeline_current_agents": _sds_pipeline_current_agents}
-    q.update(all_queries())
+    # The driver's 50-slot window reads iteration order; all_queries() is
+    # staleness-ordered (oldest driver signal first). The pipeline demo got
+    # its hash-green driver row in r9, so it joins the fresh tail instead
+    # of holding a window slot the r6-stale band needs.
+    q = all_queries()
+    q["sds_pipeline_current_agents"] = _sds_pipeline_current_agents
     return q
 
 

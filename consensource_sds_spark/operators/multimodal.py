@@ -47,7 +47,6 @@ import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
-from bisect import bisect_left
 from functools import lru_cache
 
 import pandas as pd
@@ -242,30 +241,24 @@ def _wav_sample_rate(b: bytes, default: int = 44100) -> int:
 class _FlacBitIndex:
     """Per-payload bit index shared by every frame's reader: the unpacked
     bit array plus the positions of 1-bits (one ``np.unpackbits`` pass),
-    and per-rice-parameter next-terminator jump tables (one vectorized
-    ``searchsorted`` per distinct k, cached across frames/partitions).
-    Turns unary scans and whole rice partitions from per-bit python loops
-    into O(1) list hops + batched numpy gathers."""
+    both int64/uint8 ndarrays. Turns unary scans and whole rice
+    partitions from per-bit python loops into sorted lookups + batched
+    numpy gathers.
+
+    Memory contract (the 100 TB sizing number, see SCALE.md): ~8 bytes of
+    ``bits`` plus ~32 bytes of ``ones`` (8 B x ~4 set bits) per payload
+    byte — a bounded ~40x transient per concurrently-decoded row. The r9
+    shape additionally held ``ones`` as a Python int list (~4x more) and
+    one FULL-length jump table per distinct rice k (~32x per k, 10+ ks on
+    real audio) — multiple GB of executor heap for a multi-MB payload;
+    rice jump tables are now computed per partition over a bounded window
+    (:func:`_rice_block`), so no per-k payload-length copies exist."""
 
     def __init__(self, buf: bytes):
         import numpy as np
 
         self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
         self.ones = np.flatnonzero(self.bits).astype(np.int64)
-        self.ones_list = self.ones.tolist()
-        self._nxt: dict[int, list] = {}
-
-    def nxt_list(self, k: int) -> list:
-        """``nxt[j]`` = index (into ``ones``) of the first 1-bit after
-        consuming one rice value whose unary terminator is ``ones[j]``
-        (skip the terminator + k fixed bits)."""
-        jt = self._nxt.get(k)
-        if jt is None:
-            import numpy as np
-
-            jt = np.searchsorted(self.ones, self.ones + 1 + k).tolist()
-            self._nxt[k] = jt
-        return jt
 
 
 class _MsbReader:
@@ -303,11 +296,13 @@ class _MsbReader:
 
     def unary(self) -> int:
         if self.index is not None:
-            ones = self.index.ones_list
-            j = bisect_left(ones, self.bitpos)
+            import numpy as np
+
+            ones = self.index.ones
+            j = int(np.searchsorted(ones, self.bitpos))
             if j >= len(ones):
                 raise ValueError("truncated FLAC stream")
-            t = ones[j]
+            t = int(ones[j])
             q = t - self.bitpos
             self.bitpos = t + 1
             return q
@@ -387,7 +382,17 @@ def _rice_block(reader: _MsbReader, n: int, k: int):
     bit index the per-sample work collapses to one jump-table hop (the
     terminator chain is the only sequential part); quotients come from the
     vectorized diff of terminator positions and the k fixed low bits from
-    one batched bit-matrix gather."""
+    one batched bit-matrix gather.
+
+    The jump table is built per partition over a BOUNDED window of
+    ``ones`` — each rice value consumes its unary terminator plus at most
+    the k ones inside its fixed bits, so ``n`` values consume at most
+    ``n*(1+k)`` entries; a window that size caps the table at ~n*(1+k)*8
+    bytes regardless of payload length (a full-payload table per distinct
+    k, the r9 shape, cost GBs of heap on multi-MB audio), while the total
+    searchsorted work across a payload's partitions stays the same order
+    as one full-length table build because the windows are disjoint but
+    for per-partition overshoot."""
     import numpy as np
 
     idx = reader.index
@@ -398,14 +403,18 @@ def _rice_block(reader: _MsbReader, n: int, k: int):
             u = (q << k) | reader.bits(k) if k else q
             out[i] = (u >> 1) ^ -(u & 1)  # zigzag -> signed
         return out
-    ones = idx.ones_list
-    nxt = idx.nxt_list(k)
+    ones = idx.ones
     start = reader.bitpos
-    j = bisect_left(ones, start)
+    j0 = int(np.searchsorted(ones, start))
+    sub = ones[j0 : j0 + n * (1 + k) + 1]
+    # nxt[j] = window-local index of the first 1-bit after consuming one
+    # rice value whose unary terminator is sub[j] (terminator + k fixed)
+    nxt = np.searchsorted(ones, sub + 1 + k) - j0
     ts = [0] * n
     try:
+        j = 0
         for i in range(n):
-            ts[i] = ones[j]
+            ts[i] = sub[j]
             j = nxt[j]
     except IndexError:
         raise ValueError("truncated FLAC stream") from None

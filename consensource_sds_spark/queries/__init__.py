@@ -264,10 +264,13 @@ def _input_size(path: str) -> int:
 #: the finite-vector admission rule, oracle side: a CTE shadowing the
 #: ``embeddings`` view (inner reference schema-qualified — DuckDB refuses a
 #: bare self-reference as circular) so every ``FROM embeddings`` in the
-#: oracle body sees only admitted rows.
+#: oracle body sees only admitted rows. The ``x IS NULL`` arm is
+#: load-bearing for parity: DuckDB's list_filter DROPS elements whose
+#: predicate is NULL, so without it a vector like [NULL, 1.0] would pass
+#: the len=0 test while Spark's exists-under-three-valued-logic rejects it.
 FINITE_EMB_SQL = (
     "embeddings AS (SELECT * FROM main.embeddings "
-    "WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0 "
+    "WHERE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 "
     "AND len(embedding) = (SELECT len(embedding) AS L FROM main.embeddings "
     "WHERE embedding IS NOT NULL "
     "GROUP BY L ORDER BY count(*) DESC, L LIMIT 1))"
@@ -296,13 +299,34 @@ def finite_embeddings_oracle(oracle: str) -> str:
     return "WITH " + FINITE_EMB_SQL + "\n" + oracle
 
 
-#: memoized modal embedding width per (application, sf_dir) — the scalar
-#: every admitted scan filters against. Driver-side like the ANN lane's
-#: generation artifacts: an IN-PLAN modal join would replicate its
+#: memoized modal embedding width per (application, sf_dir, file version) —
+#: the scalar every admitted scan filters against. Driver-side like the ANN
+#: lane's generation artifacts: an IN-PLAN modal join would replicate its
 #: aggregate subtree into every plan branch that touches embeddings
 #: (x65's plan grew 6 exchanges that way), while one memoized 1-row
-#: collect per session leaves plans with a pure map-side filter.
-_MODAL_WIDTH: dict[tuple[str, str], int] = {}
+#: collect per session leaves plans with a pure map-side filter. The key
+#: includes the parquet's mtime_ns+size (mirroring x70's index keying) so
+#: an in-place rewrite of embeddings.parquet re-derives the width instead
+#: of silently admitting against the stale one.
+_MODAL_WIDTH: dict[tuple[str, str, tuple[int, int]], int] = {}
+
+
+def _file_version(path: str) -> tuple[int, int]:
+    """(st_mtime_ns, st_size) of a file or the max over a directory's data
+    files — the cheap change-detection stamp used by memo keys."""
+    try:
+        if os.path.isdir(path):
+            best = (0, 0)
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        st = os.stat(os.path.join(root, f))
+                        best = max(best, (st.st_mtime_ns, st.st_size))
+            return best
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (-1, -1)
 
 
 def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +344,11 @@ def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from consensource_sds_spark.functions import vectors as V
 
     e = load(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _file_version(f"{sf_dir}/embeddings.parquet"),
+    )
     width = _MODAL_WIDTH.get(key)
     if width is None:
         row = (
@@ -395,64 +423,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks a 50-slot window of the registry in
 # iteration order, rotating across rounds. This tuple is the FULL registry
 # ordered by staleness of driver signal (oldest CORRECTNESS round first,
-# that round's file order within): r9's window = the pipeline demo (leads
-# via __spark_entry__.queries()) + the 28 r5-stale entries (the x24-x56
-# analysis band) + the 21 stalest r6 rows (BPE pair counts, inverted
-# index, bloom probe, ANN topk, q92/q93 analytics, x71-x73, and the head
-# of the q01-q23 relational block) — disjoint from r8's window except the
-# demo. Regenerate per round from the CORRECTNESS_r0*.json files
-# (staleness = latest round whose file contains the entry; never-checked
-# entries would lead).
+# that round's file order within; inside the r7 band the x74-x92 extension
+# entries lead — heavier operators than the q5x relational shapes): r10's
+# window = the 29 r6-stale entries (q17-q46 band, q80, x57/x58, x61-x63)
+# + the 21 stalest r7 rows (x74-x92 + q94/q95) — disjoint from r9's window;
+# keeps every entry's latest driver row <=4 rounds old. The pipeline demo
+# got its r9 hash-green row and now sits with the r9-fresh tail (see
+# __spark_entry__.queries). Regenerate per round from the
+# CORRECTNESS_r0*.json files (staleness = latest round whose file contains
+# the entry; never-checked entries would lead).
 _GATE_PRIORITY: tuple[str, ...] = (
-    'x24_source_lang_profile',
-    'x27_sequence_packing',
-    'x28_top_bigrams',
-    'x31_length_percentiles',
-    'x30_approx_count_distinct',
-    'x32_pii_redaction',
-    'x33_repetition_signals',
-    'x34_benchmark_contamination',
-    'x38_passage_dedup',
-    'x35_mixture_weights',
-    'x36_shard_assignment',
-    'x41_subword_chunking',
-    'x42_vocab_oov',
-    'x43_filter_pipeline',
-    'x39_int8_quantize',
-    'x40_kmeans_update',
-    'x45_tfidf_top_term',
-    'x46_unigram_lm_score',
-    'x47_srp_neardup',
-    'x48_winnowing',
-    'x49_fingerprint_matches',
-    'x50_hll_sketch_rollup',
-    'x51_mixture_sample',
-    'x52_length_batching',
-    'x53_pagerank',
-    'x54_column_profile',
-    'x55_fk_integrity',
-    'x56_completeness_profile',
-    'x67_bpe_pair_counts',
-    'x68_inverted_index',
-    'x69_bloom_digest_probe',
-    'x70_ann_ivf_topk',
-    'q92_time_weighted_avg',
-    'q93_rolling_active_users',
-    'x71_per_lang_quality_floor',
-    'x72_leakage_safe_split',
-    'x73_incremental_containment_probe',
-    'q01_pricing_summary',
-    'q02_filter_pushdown',
-    'q03_shipping_priority',
-    'q05_local_supplier_volume',
-    'q06_broadcast_dim_join',
-    'q07_star_join_parts',
-    'q10_window_topk_per_group',
-    'q11_window_running_sum',
-    'q12_window_lag_delta',
-    'q13_dense_rank_suppliers',
-    'q15_rollup',
-    'q16_cube',
     'q17_grouping_sets',
     'q20_sort_topk',
     'q21_distinct',
@@ -580,6 +560,55 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'x21_quality_score',
     'x22_lang_id',
     'x23_fingerprint',
+    'x24_source_lang_profile',
+    'x27_sequence_packing',
+    'x28_top_bigrams',
+    'x31_length_percentiles',
+    'x30_approx_count_distinct',
+    'x32_pii_redaction',
+    'x33_repetition_signals',
+    'x34_benchmark_contamination',
+    'x38_passage_dedup',
+    'x35_mixture_weights',
+    'x36_shard_assignment',
+    'x41_subword_chunking',
+    'x42_vocab_oov',
+    'x43_filter_pipeline',
+    'x39_int8_quantize',
+    'x40_kmeans_update',
+    'x45_tfidf_top_term',
+    'x46_unigram_lm_score',
+    'x47_srp_neardup',
+    'x48_winnowing',
+    'x49_fingerprint_matches',
+    'x50_hll_sketch_rollup',
+    'x51_mixture_sample',
+    'x52_length_batching',
+    'x53_pagerank',
+    'x54_column_profile',
+    'x55_fk_integrity',
+    'x56_completeness_profile',
+    'x67_bpe_pair_counts',
+    'x68_inverted_index',
+    'x69_bloom_digest_probe',
+    'x70_ann_ivf_topk',
+    'q92_time_weighted_avg',
+    'q93_rolling_active_users',
+    'x71_per_lang_quality_floor',
+    'x72_leakage_safe_split',
+    'x73_incremental_containment_probe',
+    'q01_pricing_summary',
+    'q02_filter_pushdown',
+    'q03_shipping_priority',
+    'q05_local_supplier_volume',
+    'q06_broadcast_dim_join',
+    'q07_star_join_parts',
+    'q10_window_topk_per_group',
+    'q11_window_running_sum',
+    'q12_window_lag_delta',
+    'q13_dense_rank_suppliers',
+    'q15_rollup',
+    'q16_cube',
 )
 
 

@@ -474,6 +474,13 @@ def write_hostile_sf(out_dir: str, seed: int = 94) -> str:
     one_ninf[0] = float("-inf")
     vecs.append(one_ninf)
     vecs.append(None)  # NULL vector
+    one_null = [0.25] * dim
+    one_null[3] = None  # type: ignore[call-overload]
+    # NULL ELEMENT: the engine-parity trap — DuckDB's list_filter DROPS
+    # elements whose predicate is NULL (so a bare isnan-OR-isinf filter
+    # admits this row) while Spark's exists-under-three-valued-logic
+    # rejects it; the oracle predicate needs an explicit x IS NULL arm
+    vecs.append(one_null)
     # ragged widths (the job-abort class: ANSI division by size(empty),
     # element_at past a short vector, skewed centroid means)
     vecs.append([0.5] * (dim - 1))  # one short

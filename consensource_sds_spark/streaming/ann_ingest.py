@@ -455,6 +455,12 @@ def _cent_probe_artifacts(spark: SparkSession, index_dir: str) -> dict:
             "cent": cent,
             "cent_norm": {c: float(np.sqrt((v * v).sum())) for c, v in cent.items()},
             "cell_type": cent_df.schema["cell"].dataType,
+            # the generation's vector width — the query-side admission
+            # rule filters against it (a ragged query fed to the numpy
+            # cell selection would raise a shape mismatch and abort the
+            # whole probe batch, the job-abort class the admission rule
+            # exists to exclude)
+            "dim": len(next(iter(cent.values()))) if cent else -1,
         }
 
     return _memoized(key, build)
@@ -496,14 +502,22 @@ def _pq_probe_artifacts(spark: SparkSession, index_dir: str) -> dict:
     return _memoized(key, build)
 
 
-def _admit_query(qe) -> bool:
-    """The probe-side finite-vector admission rule: a NULL or NaN/Inf
-    query vector gets NO results (excluded like its index-side twin in
+def _admit_query(qe, dim: int = -1) -> bool:
+    """The probe-side vector admission rule: a NULL or NaN/Inf query
+    vector gets NO results (excluded like its index-side twin in
     :func:`ingest_embedding_batch`) — fed to the driver-side scoring it
-    would NaN-poison its own cell selection and distance tables."""
+    would NaN-poison its own cell selection and distance tables. With
+    ``dim`` >= 0 a RAGGED query (width != the generation's vector width)
+    is likewise excluded, not errored: one wrong-width query would
+    otherwise raise a numpy shape mismatch inside
+    :func:`_select_cells_driver` and abort the probe for EVERY query in
+    the batch — exactly the job-abort class the index-side rule closes."""
     import numpy as np
 
-    return qe is not None and bool(np.isfinite(np.asarray(qe, dtype=np.float64)).all())
+    if qe is None or (dim >= 0 and len(qe) != dim):
+        return False
+    arr = np.asarray(qe, dtype=np.float64)
+    return bool(np.isfinite(arr).all())
 
 
 def _select_cells_driver(art: dict, qvec: dict, nprobe: int):
@@ -540,7 +554,11 @@ def _probe_cells(spark: SparkSession, index_dir: str, qs: DataFrame, nprobe: int
     memoized centroids instead — :func:`_select_cells_driver`, same
     rule)."""
     cent = load_centroids(spark, index_dir)
-    qs = qs.filter(V.finite(F.col("qe")))  # probe-side admission rule
+    # probe-side admission rule: finite AND generation-width (a ragged
+    # query reaching ADC scoring with mismatched dims is the same
+    # job-abort class _admit_query excludes on the driver-side lane)
+    dim = _cent_probe_artifacts(spark, index_dir)["dim"]
+    qs = qs.filter(V.finite(F.col("qe")) & (F.size(F.col("qe")) == F.lit(dim)))
     scored = qs.crossJoin(
         F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
     ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
@@ -640,7 +658,7 @@ def ann_probe_adc(
         qid_type = q_cells.schema["qid"].dataType
     else:
         for r in queries.select("qid", F.col("embedding").alias("qe")).collect():
-            if not _admit_query(r["qe"]):
+            if not _admit_query(r["qe"], dim):
                 continue
             qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)
         pairs, needed = _select_cells_driver(art, qvec, nprobe)
@@ -916,7 +934,7 @@ def ann_probe(
     qraw: dict = {}
     qvec: dict = {}
     for r in queries.select(F.col("qid"), F.col("embedding").alias("qe")).collect():
-        if not _admit_query(r["qe"]):
+        if not _admit_query(r["qe"], art["dim"]):
             continue
         qraw[r["qid"]] = r["qe"]
         qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)

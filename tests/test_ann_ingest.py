@@ -1110,6 +1110,9 @@ def test_non_finite_vectors_rejected_at_every_door(spark, tmp_path):
         [
             (0, [float("nan")] * dim),
             (1, e.filter("vec_id = 7").first()["embedding"]),
+            (2, [0.5] * (dim - 1)),  # ragged: would shape-mismatch the
+            (3, [0.5] * (dim + 3)),  # driver-side cell selection
+            (4, []),
         ],
         "qid INT, embedding ARRAY<FLOAT>",
     )
@@ -1117,8 +1120,42 @@ def test_non_finite_vectors_rejected_at_every_door(spark, tmp_path):
     by_q = {}
     for r in res:
         by_q.setdefault(r["qid"], []).append(r)
-    assert 0 not in by_q
+    assert set(by_q) == {1}
     assert len(by_q[1]) == 5
     assert all(
         r["cosine"] is None or math.isfinite(r["cosine"]) for r in by_q[1]
     )
+
+
+def test_ragged_queries_excluded_at_every_probe_door(spark, pq_index):
+    """A ragged/empty query vector is EXCLUDED (zero rows for that qid),
+    never an abort: before the width arm of the probe-side admission
+    rule, one wrong-width query raised a numpy shape mismatch inside
+    the driver-side cell selection (``qe @ ce``) — or reached ADC
+    scoring with mismatched dims on the DF lane — killing the call for
+    EVERY query in the batch. Covers all three probe doors: ann_probe,
+    ann_probe_adc (driver-selected cells), and ann_probe_adc_rerank
+    (the _probe_cells DF lane)."""
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_probe,
+        ann_probe_adc,
+        ann_probe_adc_rerank,
+    )
+
+    e = _emb(spark)
+    dim = len(e.select("embedding").first()[0])
+    clean = e.filter("vec_id = 7").first()["embedding"]
+    q = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, [0.5] * (dim - 1)),
+            (3, [0.5] * (dim + 3)),
+            (4, []),
+        ],
+        "qid INT, embedding ARRAY<FLOAT>",
+    )
+    for probe in (ann_probe, ann_probe_adc, ann_probe_adc_rerank):
+        rows = probe(spark, pq_index, q, k=3, nprobe=2).collect()
+        qids = {r["qid"] for r in rows}
+        assert qids == {1}, (probe.__name__, qids)
+        assert len(rows) == 3, probe.__name__
