@@ -193,18 +193,26 @@ def changes_at_blocks(deltas: DataFrame, blocks: DataFrame) -> DataFrame:
     return deltas.join(F.broadcast(blocks), "delivery_id", "left")
 
 
+def invalid_changes_pred(deltas_with_space: DataFrame) -> Column:
+    """The W5 dead-letter predicate, shared by :func:`invalid_changes`
+    and the pipeline's free emptiness probe (an observed metric on the
+    changes checkpoint) — two copies drifting apart would let a row be
+    counted clean but quarantined, or vice versa."""
+    pred = (F.col("address_space") == "another_family") | (
+        (F.col("address_space") == "assertion") & (F.col("change_type") == "TYPE_UNSET")
+    )
+    if "block_num" in deltas_with_space.columns:
+        pred = pred | F.col("block_num").isNull()
+    return pred
+
+
 def invalid_changes(deltas_with_space: DataFrame) -> DataFrame:
     """W5 dead-letter split: TYPE_UNSET assertions, unknown address spaces,
     and (post :func:`changes_at_blocks`) changes from a delivery with no
     block-commit event all error in the reference (event_handler.rs:88-93,
     192-200); here they route to a quarantine DataFrame instead of
     poisoning the stream."""
-    pred = (F.col("address_space") == "another_family") | (
-        (F.col("address_space") == "assertion") & (F.col("change_type") == "TYPE_UNSET")
-    )
-    if "block_num" in deltas_with_space.columns:
-        pred = pred | F.col("block_num").isNull()
-    return deltas_with_space.filter(pred)
+    return deltas_with_space.filter(invalid_changes_pred(deltas_with_space))
 
 
 def entity_entries(deltas_with_space: DataFrame, space: str) -> DataFrame:

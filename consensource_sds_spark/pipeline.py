@@ -109,6 +109,9 @@ def transform_events(
     deltas = T.with_address_space(T.parse_state_deltas(events))
     changes = T.changes_at_blocks(deltas, blocks)
     present: set[str] | None = None
+    # plan-only batches can't know emptiness without an action; the sink
+    # handles their (possibly empty) quarantine frame as before
+    has_quarantine = True
     entries_by_group: dict[str, DataFrame] = {}
     touched_buckets: dict[str, list[int]] | None = None
     if materialize:
@@ -119,7 +122,15 @@ def transform_events(
         # the assertion-DELETE tombstone buckets ride the same job (their
         # keys never appear in any entries frame).
         obs = Observation()
-        metrics = [F.collect_set("address_space").alias("spaces")]
+        # the quarantine emptiness probe rides the same job: the steady
+        # state of a healthy stream is ZERO dead letters per batch, and
+        # without the flag the sink paid a full parquet write job (writer
+        # setup + dynamic-overwrite commit over an empty frame) every
+        # batch just to land nothing (r10 ingest A/B finding)
+        metrics = [
+            F.collect_set("address_space").alias("spaces"),
+            F.sum(T.invalid_changes_pred(changes).cast("int")).alias("n_quar"),
+        ]
         if n_buckets is not None:
             del_bucket = F.when(
                 (F.col("address_space") == "assertion") & (F.col("change_type") == "DELETE"),
@@ -130,6 +141,7 @@ def transform_events(
         changes = changes.localCheckpoint()
         got = obs.get
         present = set(got["spaces"])
+        has_quarantine = bool(got["n_quar"])  # SUM over empty -> None
         groups = [g for g in _GROUPS if g in present]
         bucket_obs: dict[str, "Observation"] = {}
 
@@ -190,7 +202,10 @@ def transform_events(
         block=blocks.select("delivery_id", "block_num", "block_id"),
         tables=tables,
         emissions=emissions,
-        quarantine=T.invalid_changes(changes),
+        # None when the observed metric proved the batch clean: the sink
+        # then skips the quarantine write job entirely — the healthy
+        # stream's steady state pays nothing for the W5 lane
+        quarantine=T.invalid_changes(changes) if has_quarantine else None,
         materialized=materialize,
         touched_buckets=touched_buckets,
         buckets_n=n_buckets if touched_buckets is not None else None,

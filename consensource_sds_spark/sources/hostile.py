@@ -506,4 +506,83 @@ def write_hostile_sf(out_dir: str, seed: int = 94) -> str:
     return out_dir
 
 
-__all__ = ["write_hostile_sf"]
+def _pass_pad(rng: random.Random) -> str:
+    """Quality-passing padding UNIQUE per call: >=24 distinct seeded
+    tokens, so a padded doc clears every x43 gate (token count, uniq
+    ratio) WITHOUT becoming a near-duplicate of every other padded doc —
+    a shared literal tail here made the whole fixture one LSH cluster
+    and the band lane correctly (but uselessly) dropped everything."""
+    return " " + " ".join(f"pad{rng.randrange(10_000_000)}" for _ in range(24))
+
+
+def delivery_document_batches(seed: int = 94) -> list[list[dict]]:
+    """Hostile DELIVERY fixture for the corpus-ingest streaming lanes: a
+    list of microbatches of DOC_SCHEMA rows (doc_id BIGINT, text, lang,
+    source, n_chars) where the hostile axes live INSIDE quality-passing
+    documents, so they reach the dedup joins and standing indexes instead
+    of dying at the x43 gate:
+
+    - byte-exact duplicate pairs WITHIN one batch and ACROSS batches
+      (first-arrival-wins must hold in both geometries);
+    - a near-duplicate pair (one token changed in a ~40-token doc) for
+      the band/LSH lane, split across batches;
+    - unicode (CJK/emoji/combining) and embedded separators (newline,
+      quote, comma) inside passing English-tagged docs — they stress
+      tokenization, hashing, and the parquet/CSV canonicalization;
+    - rows for the quarantine lane: NULL text, NULL doc_id;
+    - rows for each x43 reject arm (short, non-English, repetitive);
+    - an EMPTY batch (heartbeat — must be a no-op, not a crash);
+    - seeded passing filler so batches are never single-row.
+    """
+    rng = random.Random(seed)
+
+    def filler(i: int) -> str:
+        words = [f"w{rng.randrange(400)}" for _ in range(24)]
+        return f"filler {i} " + " ".join(words) + _pass_pad(rng)
+
+    dup = "duplicate twin body alpha beta gamma delta" + _pass_pad(rng)
+    xdup = "cross batch duplicate body epsilon zeta eta" + _pass_pad(rng)
+    near_a = "near duplicate body one theta iota kappa lambda" + _pass_pad(rng)
+    near_b = near_a.replace("kappa", "kappax")  # one token differs
+    uni = "unicode 名前テスト 🧪 éèê ‮RTL‬ tokens inside english doc" + _pass_pad(rng)
+    seps = 'separators "quoted, token"\nnewline\ttab token' + _pass_pad(rng)
+
+    def row(doc_id, text, lang="en", source="src0"):
+        return {
+            "doc_id": doc_id,
+            "text": text,
+            "lang": lang,
+            "source": source,
+            "n_chars": None if text is None else len(text),
+        }
+
+    b0 = [
+        row(1, dup),
+        row(2, dup),  # within-batch byte dup (1 wins: lower doc_id)
+        row(3, xdup),
+        row(4, near_a),
+        row(5, uni),
+        row(6, None),  # quarantine: NULL text
+        row(None, "null doc id row" + _pass_pad(rng)),  # quarantine: NULL key
+        row(7, "too short"),  # x43 too_short
+        row(8, filler(8)),
+        row(9, filler(9)),
+    ]
+    b1: list[dict] = []  # EMPTY batch: the heartbeat delivery
+    b2 = [
+        row(10, xdup),  # cross-batch byte dup of 3 — must lose
+        row(11, near_b),  # near-dup of 4 — the band lane's target
+        row(12, "nicht englisch aber lang genug " * 10, lang="de"),  # non_english
+        row(13, ("loop " * 80).strip()),  # too_repetitive
+        row(14, seps),
+        row(15, filler(15)),
+    ]
+    b3 = [
+        row(16, dup),  # dup of batch-0 doc across TWO batches
+        row(17, filler(17)),
+        row(18, filler(18)),
+    ]
+    return [b0, b1, b2, b3]
+
+
+__all__ = ["write_hostile_sf", "delivery_document_batches"]

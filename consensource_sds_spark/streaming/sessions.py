@@ -54,11 +54,15 @@ from pyspark.sql.types import (
 
 SESSION_SCHEMA = StructType(
     [
-        StructField("user_id", LongType(), False),
+        # nullable: a NULL user_id is a valid group on both engines (the
+        # q51 batch twin groups NULL users together), so the stream must
+        # carry the key through instead of failing the Arrow conversion
+        StructField("user_id", LongType(), True),
         StructField("session_start_us", LongType(), False),
         StructField("session_end_us", LongType(), False),
         StructField("n_events", LongType(), False),
-        StructField("total_value", DoubleType(), False),
+        # nullable: an all-NULL-value session's total is NULL (SQL SUM)
+        StructField("total_value", DoubleType(), True),
     ]
 )
 
@@ -68,6 +72,10 @@ _STATE_SCHEMA = StructType(
         StructField("ends_us", ArrayType(LongType()), False),
         StructField("n_events", ArrayType(LongType()), False),
         StructField("value_cents", ArrayType(LongType()), False),
+        # count of NON-NULL-valued events per interval: SQL SUM over an
+        # all-NULL group is NULL, not 0 — the q51 batch twin emits NULL
+        # total_value for such a session and the stream must too
+        StructField("n_valued", ArrayType(LongType()), False),
     ]
 )
 
@@ -75,7 +83,14 @@ _STATE_SCHEMA = StructType(
 def _cents(value: float) -> int:
     """SQL-``round`` (HALF_UP on the double's shortest decimal repr, the
     BigDecimal.valueOf path Spark's round takes) — NOT Python ``round``
-    (HALF_EVEN), so the stream's cents match the q51 batch twin's."""
+    (HALF_EVEN), so the stream's cents match the q51 batch twin's.
+
+    A NULL value (NaN after the Arrow transfer) contributes 0 cents —
+    SQL SUM skips NULLs while the event still counts in n_events; fed to
+    Decimal it instead raised and ABORTED the whole stream on the first
+    NULL-value event (hostile-delivery finding)."""
+    if value is None or value != value:  # NaN/None: SQL SUM skips
+        return 0
     return int(Decimal(repr(value * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
 
@@ -84,7 +99,14 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
 
     Works only under Structured Streaming (state requires a stream); for
     batch backfill the equivalent is the classic lag()-gap-cumsum window
-    plan (see tests for the parity check)."""
+    plan (see tests for the parity check).
+
+    NULL-timestamp events are filtered like the q51 batch twin's
+    ``ts IS NOT NULL``: they have no position on the time axis, and left
+    in they arrive as NaT whose ``.value`` is int64-min — a silent
+    bogus pre-epoch session that emits immediately (hostile-delivery
+    finding)."""
+    events = events.filter(events["ts"].isNotNull())
     gap_us = gap_sec * 1_000_000
 
     def horizon_ms(end_us: int) -> int:
@@ -102,23 +124,24 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
         # intervals, in interval order: a late-but-in-watermark event older
         # than a stored start must extend that session's start downward (or
         # form its own earlier session when separated by more than gap)
-        items: list[list[int]] = []  # [start_us, end_us, n, cents]
+        items: list[list[int]] = []  # [start_us, end_us, n, cents, n_valued]
         if state.exists:
-            starts, ends, ns, cents = state.get
-            items += [list(t) for t in zip(starts, ends, ns, cents)]
+            items += [list(t) for t in zip(*state.get)]
         if not state.hasTimedOut:
             dfs = list(pdfs)  # the iterator object itself is always truthy
             rows = pd.concat(dfs) if dfs else pd.DataFrame()
             if len(rows):
                 for ts, value in zip(rows["ts"], rows["value"]):
                     ts_us = int(ts.value // 1_000)  # pandas ns -> us
-                    items.append([ts_us, ts_us, 1, _cents(value)])
+                    valued = 0 if (value is None or value != value) else 1
+                    items.append([ts_us, ts_us, 1, _cents(value), valued])
         merged: list[list[int]] = []
         for it in sorted(items, key=lambda it: (it[0], it[1])):
             if merged and it[0] - merged[-1][1] <= gap_us:
                 merged[-1][1] = max(merged[-1][1], it[1])
                 merged[-1][2] += it[2]
                 merged[-1][3] += it[3]
+                merged[-1][4] += it[4]
             else:
                 merged.append(it)
         # emit ONLY watermark-final intervals; gap-separated-but-reachable
@@ -127,7 +150,7 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
         final = [iv for iv in merged if horizon_ms(iv[1]) <= wm_ms]
         pending = [iv for iv in merged if horizon_ms(iv[1]) > wm_ms]
         if pending:
-            state.update(tuple([iv[i] for iv in pending] for i in range(4)))
+            state.update(tuple([iv[i] for iv in pending] for i in range(5)))
             # wake at the earliest pending horizon (strictly after the
             # current watermark, as the state API requires)
             state.setTimeoutTimestamp(max(min(horizon_ms(iv[1]) for iv in pending), wm_ms + 1))
@@ -135,7 +158,12 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
             state.remove()
         if final:
             yield pd.DataFrame(
-                [(user_id, s, e, n, c / 100.0) for s, e, n, c in final],
+                [
+                    # all-NULL-value session: SUM over no non-NULL values
+                    # is NULL, matching the batch twin's SQL semantics
+                    (user_id, s, e, n, (c / 100.0) if nv else None)
+                    for s, e, n, c, nv in final
+                ],
                 columns=["user_id", "session_start_us", "session_end_us", "n_events", "total_value"],
             )
 
