@@ -295,6 +295,81 @@ def measure_scaling(
                 f"t{deep_factor}_sec": round(bpe_tN, 3),
                 "ratio": round(bpe_tN / bpe_t1, 2) if bpe_t1 > 0 else None,
             }
+
+            # ANN probe deep points (r9 verdict item #4): the heaviest
+            # standing-index stages without a 30x row. A VECTORS-deep
+            # corpus (docs stay at base — the probes never read them);
+            # centroid count k FIXED like the 10x block, so cells grow
+            # 30x and a fixed-size probe's candidate set grows ~30x —
+            # the ratio isolates the engine's n-dependence. The PQ
+            # codebook uses the production 256-codeword size, which also
+            # puts the ADC size gate's flip point in measurable range:
+            # the SMALL probe (100 queries x nprobe 2 = 200 pairs,
+            # ~3 MB of fused tables) must take the fused one-join shape,
+            # the WIDE probe (600 queries x nprobe 4 = 2400 pairs,
+            # ~39 MB) must flip to the decomposed three-broadcast shape
+            # — both observed via LAST_ADC_SHAPE, not inferred from the
+            # threshold arithmetic.
+            from consensource_sds_spark.streaming.ann_ingest import (
+                LAST_ADC_SHAPE,
+                ann_probe_adc,
+                init_pq,
+                train_pq_codebook,
+            )
+
+            dir_deep_vec = write_corpus(
+                spark,
+                os.path.join(work, f"vecs{deep_factor}"),
+                base_docs,
+                base_vectors * deep_factor,
+            )
+
+            def ann_deep(src_dir: str, tag: str, probe_out: dict) -> None:
+                d = os.path.join(work, f"ann_deep_{tag}")
+                emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+                try:
+                    cent = train_centroids(spark, emb, k=16, iters=1)
+                    init_ann_index(spark, d, cent)
+                    init_pq(
+                        spark,
+                        d,
+                        train_pq_codebook(spark, emb, m=8, k=256, iters=0, centroids=cent),
+                        by_residual=True,
+                    )
+                    ingest_embedding_batch(
+                        spark, emb.select("vec_id", "embedding", "label"), 0, d
+                    )
+                    q = emb.filter(F.col("vec_id") < 100).select(
+                        F.col("vec_id").alias("qid"), "embedding"
+                    )
+                    probe_out["probe"] = _timed(
+                        lambda: _noop_write(ann_probe(spark, d, q, k=10, nprobe=2)), runs
+                    )
+                    probe_out["probe_adc"] = _timed(
+                        lambda: _noop_write(ann_probe_adc(spark, d, q, k=10, nprobe=2)),
+                        runs,
+                    )
+                    probe_out["adc_shape_small"] = LAST_ADC_SHAPE.get("shape")
+                    qw = emb.filter(F.col("vec_id") < 600).select(
+                        F.col("vec_id").alias("qid"), "embedding"
+                    )
+                    _noop_write(ann_probe_adc(spark, d, qw, k=10, nprobe=4))
+                    probe_out["adc_shape_wide"] = LAST_ADC_SHAPE.get("shape")
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+
+            deep1: dict = {}
+            deepN: dict = {}
+            ann_deep(dirs[1], "1", deep1)
+            ann_deep(dir_deep_vec, str(deep_factor), deepN)
+            for part, name in (("probe", "ann_probe"), ("probe_adc", "ann_probe_adc")):
+                deep_out[name] = {
+                    "t1_sec": round(deep1[part], 3),
+                    f"t{deep_factor}_sec": round(deepN[part], 3),
+                    "ratio": round(deepN[part] / deep1[part], 2) if deep1[part] > 0 else None,
+                }
+            deep_out["ann_probe_adc"]["shape_small"] = deepN["adc_shape_small"]
+            deep_out["ann_probe_adc"]["shape_wide"] = deepN["adc_shape_wide"]
     finally:
         shutil.rmtree(work, ignore_errors=True)
     result = {

@@ -64,6 +64,12 @@ _MAX_PRUNE_CELLS = 4096
 #: (queries + cells) x m x k instead of queries x nprobe x m x k
 _ADC_FUSED_LUT_MAX_BYTES = 32 * 1024 * 1024
 
+#: last ADC probe's physical-shape record — {"shape": "fused"|"decomposed",
+#: "fused_bytes": int, "pairs": int}; written by every :func:`ann_probe_adc`
+#: call so harnesses (scaling deep block, tests) can observe the size gate
+#: actually flipping instead of trusting the threshold arithmetic
+LAST_ADC_SHAPE: dict = {}
+
 
 def _centroids_path(index_dir: str) -> str:
     return os.path.join(os.path.abspath(index_dir), "_centroids")
@@ -704,6 +710,14 @@ def ann_probe_adc(
         )
 
     fused_bytes = len(pairs) * m * n_codes * 8
+    # observability for the size gate (read by scaling.py's deep block and
+    # tests): which physical shape THIS call took, and why
+    LAST_ADC_SHAPE.clear()
+    LAST_ADC_SHAPE.update(
+        shape="fused" if fused_bytes <= _ADC_FUSED_LUT_MAX_BYTES else "decomposed",
+        fused_bytes=fused_bytes,
+        pairs=len(pairs),
+    )
     if fused_bytes <= _ADC_FUSED_LUT_MAX_BYTES:
         # fused: one (qid, cell) row carries A+B pre-added + gamma —
         # single broadcast join, single lookup per subspace

@@ -1159,3 +1159,116 @@ def test_ragged_queries_excluded_at_every_probe_door(spark, pq_index):
         qids = {r["qid"] for r in rows}
         assert qids == {1}, (probe.__name__, qids)
         assert len(rows) == 3, probe.__name__
+
+
+@pytest.mark.slow
+def test_ann_generation_soak_long_horizon(spark, tmp_path):
+    """Long-horizon soak for the standing ANN index (the r9 corpus-ingest
+    soak's ANN twin): 30 microbatches of DRIFTING vectors through the
+    production stream shell (``run_embedding_stream_generations`` with
+    auto_retrain + reclaim_old + auto_compact on batch cadence), pinning
+    what per-batch tests cannot see:
+
+    - the drift policy fires >= 2 retrain generations over the horizon
+      and probes stay EXACT (nprobe=all == brute force) across every swap;
+    - artifacts stay bounded: <= keep+1 generation dirs on disk, live
+      batch partitions per generation under the compaction threshold,
+      and the driver-side probe-artifact memo under its LRU cap;
+    - per-batch probe latency does not compound: late-window median /
+      early-window median stays under 3x while the corpus grows ~30x
+      (a probe accidentally scanning dead generations or unfolded
+      partitions would show up here first).
+    """
+    import time as _time
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        _PROBE_ARTIFACT_MEMO_MAX,
+        _gen_dirs,
+        _live_batch_dirs,
+        EMB_SCHEMA,
+        current_generation,
+        init_ann_generations,
+        run_embedding_stream_generations,
+    )
+
+    root, src, ckpt = (str(tmp_path / d) for d in ("ann_root", "src", "ckpt"))
+    rng = np.random.RandomState(11)
+    dim = 8
+    n_batches, per_batch = 30, 400
+    regions = []
+    for axis in range(4):  # drift rotates through 4 regions over the run
+        c = np.zeros(dim)
+        c[axis] = 1.0
+        regions.append(c)
+
+    def batch_rows(b: int):
+        center = regions[(b * 4) // n_batches]
+        pts = center + rng.randn(per_batch, dim) * 0.05
+        return [
+            (b * per_batch + i, [float(x) for x in pts[i]], b % 10)
+            for i in range(per_batch)
+        ]
+
+    seed = spark.createDataFrame(batch_rows(0), EMB_SCHEMA)
+    init_ann_generations(spark, root, train_centroids(spark, seed, k=8, iters=2))
+
+    q = seed.limit(10).select(F.col("vec_id").alias("qid"), "embedding")
+    probe_secs: list[float] = []
+    gens_seen: set[str] = set()
+    all_rows: list = []
+    max_live = 6
+    for b in range(n_batches):
+        rows = batch_rows(b) if b else seed.collect()
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        run_embedding_stream_generations(
+            spark, src, root, ckpt,
+            auto_retrain=True, reclaim_old=True, auto_compact=True,
+            max_live_batches=max_live, min_vectors=500,
+            # 2x fair share, not the default 4x: with k=8 cells the
+            # default threshold is HALF the corpus in one cell, which
+            # accumulated history makes unreachable after the first
+            # retrain — the soak wants the policy cycling, not quiescent
+            balance_factor=2.0,
+        ).awaitTermination(300)
+        gens_seen.add(current_generation(root))
+        t0 = _time.perf_counter()
+        ann_probe(spark, current_generation(root), q, k=5, nprobe=8).collect()
+        probe_secs.append(_time.perf_counter() - t0)
+
+    # >= 2 retrains fired over the horizon (generation path changed twice)
+    assert len(gens_seen) >= 3, gens_seen
+    # bounded artifacts: reclaim keeps 1 complete + at most an in-flight
+    assert len(_gen_dirs(root)) <= 2, _gen_dirs(root)
+    cur = current_generation(root)
+    # compaction policy held: live per-batch partitions stay near the
+    # threshold (one batch may land after the fold)
+    assert len(_live_batch_dirs(cur)) <= max_live + 1
+    from consensource_sds_spark.streaming import ann_ingest as AI
+
+    assert len(getattr(AI, "_PROBE_ARTIFACT_MEMO", {})) <= _PROBE_ARTIFACT_MEMO_MAX
+    # probe latency flat-ish while the corpus grew 30x: no O(dead-state)
+    # or O(unfolded-partitions) term compounding
+    early = sorted(probe_secs[2:7])[2]
+    late = sorted(probe_secs[-5:])[2]
+    assert late / early < 3.0, (early, late, probe_secs)
+
+    # exactness across all swaps at the END state: nprobe=all == brute
+    # force over everything ever ingested
+    e = spark.createDataFrame(all_rows, EMB_SCHEMA)
+    k_cells = load_centroids(spark, cur).count()
+    got = ann_probe(spark, cur, q, k=5, nprobe=k_cells).collect()
+    ce = e.select("vec_id", F.col("embedding").alias("ce"))
+    brute = (
+        q.select("qid", F.col("embedding").alias("qe"))
+        .crossJoin(ce)
+        .select("qid", "vec_id", V.cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exp = brute.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 5)
+    assert {(r["qid"], r["vec_id"]) for r in got} == {
+        (r["qid"], r["vec_id"]) for r in exp.collect()
+    }

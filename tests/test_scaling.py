@@ -102,7 +102,15 @@ def test_scaling_ratios_stay_sub_linear(spark):
         "x07_simhash_neardup",
         "x65_semantic_dedup",
         "bpe_train_batched",
+        "ann_probe",
+        "ann_probe_adc",
     }
+    # the ADC size gate OBSERVED flipping at the deep scale: the small
+    # probe broadcast fused per-pair tables, the wide probe (2400 pairs x
+    # 256-codeword tables ~ 39 MB) crossed the 32 MB gate into the
+    # decomposed three-broadcast shape
+    assert sub["stages"]["ann_probe_adc"]["shape_small"] == "fused"
+    assert sub["stages"]["ann_probe_adc"]["shape_wide"] == "decomposed"
     bad30 = {
         name: st
         for name, st in sub["stages"].items()
