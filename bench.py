@@ -154,12 +154,17 @@ def main() -> None:
         # probe 1.2 s in isolation vs 3.0-4.2 s mid-session — a 3x
         # artifact in the PUBLISHED q/s that code changes then get
         # blamed for). Caches dropped here are rebuilt on demand.
+        from consensource_sds_spark.queries import drop_pool
+
+        drop_pool(spark)  # clearCache alone would leave pooled frames
+        # silently uncached for every later load() (see drop_pool)
         spark.catalog.clearCache()
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 
+    _hygiene()  # headline-sweep caches are dead weight for every block below
     detail = {
         "ingest": _ingest_bench(spark),
         "corpus": _corpus_bench(spark, sf_dir),

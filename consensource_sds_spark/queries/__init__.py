@@ -366,6 +366,22 @@ def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drop_pool(spark: SparkSession) -> None:
+    """Evict this application's pooled tables (harness hygiene between
+    bench blocks). A bare ``spark.catalog.clearCache()`` is a TRAP next
+    to the pool: it unpersists the cached RDDs but leaves the _POOL
+    entries in place, so every later ``load()`` silently returns a
+    pooled-but-no-longer-cached frame that recomputes from parquet on
+    each use without ever re-caching. Evicting the entries makes the
+    next load() rebuild both the frame and its cache."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _POOL if k[0] == app]:
+        try:
+            _POOL.pop(key).unpersist()
+        except Exception:
+            pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
     path = f"{sf_dir}/{name}.parquet"

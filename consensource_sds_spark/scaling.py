@@ -130,8 +130,12 @@ def measure_scaling(
     # GC pressure that can inflate a single stage's wall-clock several
     # fold (observed: one stage 0.6 s in isolation, 6.7 s mid-session) —
     # exactly the kind of noise a RATIO pin cannot tolerate. Drop the
-    # caches (nothing after this block re-reads them) and hint a full GC
-    # so every stage starts from the same heap state.
+    # caches and hint a full GC so every stage starts from the same heap
+    # state; pool entries are EVICTED (not just uncached) so the stage
+    # queries' load() calls rebuild real caches (see queries.drop_pool).
+    from consensource_sds_spark.queries import drop_pool
+
+    drop_pool(spark)
     spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.System.gc()
@@ -268,6 +272,7 @@ def measure_scaling(
             # numerator with a late-session denominator (pairing it with the
             # start-of-session t1 would let mid-session GC inflation
             # masquerade as superlinearity)
+            drop_pool(spark)
             spark.catalog.clearCache()
             try:
                 spark.sparkContext._jvm.System.gc()

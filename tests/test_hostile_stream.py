@@ -2,8 +2,8 @@
 verdict item #2): every stateful surface — sessionize
 (applyInPandasWithState), windowed aggregation (append mode), trending
 (update mode + read-time resolve), corpus ingest (exact + band dedup +
-quarantine), ANN ingest/probe, and the SCD2 apply — is driven over a
-hostile DELIVERY (microbatched adversarial inputs: NULL/duplicate/tied/
+quarantine), ANN ingest/probe, the SCD2 apply, and the media ingest
+(systematic payload corruption) — is driven over a hostile DELIVERY (microbatched adversarial inputs: NULL/duplicate/tied/
 pre-1970 timestamps, NULL keys/values, unicode, empty batches, poison
 vectors, u64 sentinels) and compared against its BATCH twin or an exact
 arrival-order replay model.
@@ -536,3 +536,107 @@ def test_hostile_scd2_deliveries_match_version_model(spark, tmp_path):
     ]
     assert arows == [(uni_assert_id, 1, 3)]
     assert store.current("assertions").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Lane 7: media ingest under systematic payload corruption
+# ---------------------------------------------------------------------------
+
+
+def test_hostile_media_ingest_corruption_sweep(spark, tmp_path):
+    """Fuzz-grade hostility for the media lane: a valid payload of EVERY
+    pure-codec format, truncated at each quartile and bit-flipped at
+    seeded positions, streamed through ``run_media_stream``. The pins:
+
+    - the stream SURVIVES (a decoder exception outside the
+      MALFORMED_MEDIA_ERRORS taxonomy — a TypeError or
+      ZeroDivisionError from crafted bytes — would wedge the stream
+      permanently, since a deterministic replay fails identically);
+    - every payload lands in EXACTLY one lane (features + quarantine
+      partition the input — nothing lost, nothing doubled);
+    - unmodified payloads still decode (the sweep's control rows);
+    - a second identical run produces identical lane assignments
+      (decode is deterministic — no wall-clock/ordering dependence).
+    """
+    import random
+
+    import numpy as np
+
+    from consensource_sds_spark.operators import multimodal as MM
+    from consensource_sds_spark.streaming.media_ingest import (
+        read_media_features,
+        run_media_stream,
+    )
+
+    rng = random.Random(17)
+    x = np.linspace(0, 4 * np.pi, 32)
+    px = (
+        (np.outer(np.sin(x), np.cos(x))[:, :, None] * np.array([90, 50, 20]) + 128)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    t = np.arange(4000)
+    wave = np.stack(
+        [(7000 * np.sin(t / 21)).astype(np.int64), (5000 * np.sin(t / 33)).astype(np.int64)],
+        axis=1,
+    )
+    def wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
+        ch = samples.shape[1]
+        data = samples.astype("<i2").tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + ch.to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate * ch * 2).to_bytes(4, "little") + (ch * 2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # every format with an in-repo ENCODER (GIF is decode-only)
+    valid = {
+        "png": (MM.encode_png_pixels(px), "image"),
+        "jpeg": (MM.encode_jpeg_pixels(px, quant=1), "image"),
+        "bmp": (MM.encode_bmp_pixels(px), "image"),
+        "flac": (MM.encode_flac_samples(wave), "audio"),
+        "wav": (wav_bytes(wave), "audio"),
+    }
+
+    rows = []
+    mid = 0
+    for fmt, (payload, modality) in valid.items():
+        variants = [payload]  # control: the unmodified payload
+        n = len(payload)
+        for q in (1, 2, 3):  # truncate at quartiles (header/mid/late)
+            variants.append(payload[: (n * q) // 4])
+        variants.append(payload[:7])  # sub-header stub
+        for _ in range(8):  # seeded bit flips anywhere in the file
+            pos = rng.randrange(n)
+            b = bytearray(payload)
+            b[pos] ^= 1 << rng.randrange(8)
+            variants.append(bytes(b))
+        for v in variants:
+            rows.append((mid, modality, v, None, None, None, None))
+            mid += 1
+
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "media", "ckpt"))
+    df.coalesce(2).write.mode("append").parquet(src)
+    run_media_stream(spark, src, out, ckpt)  # pin 1: survives
+
+    feats = {r["media_id"] for r in read_media_features(spark, out).collect()}
+    quar = {r["media_id"] for r in spark.read.parquet(out + "_quarantine").collect()}
+    all_ids = set(range(mid))
+    assert feats | quar == all_ids  # nothing lost
+    assert not (feats & quar)  # nothing doubled
+    # controls decoded: media_id of each format's unmodified payload is
+    # the first of its 13-variant block
+    controls = set(range(0, mid, 13))
+    assert controls <= feats, controls - feats
+
+    # pin 4: determinism — the same delivery through a fresh stream gives
+    # identical lane assignments
+    src2, out2, ckpt2 = (str(tmp_path / d) for d in ("src2", "media2", "ckpt2"))
+    df.coalesce(2).write.mode("append").parquet(src2)
+    run_media_stream(spark, src2, out2, ckpt2)
+    feats2 = {r["media_id"] for r in read_media_features(spark, out2).collect()}
+    assert feats2 == feats
