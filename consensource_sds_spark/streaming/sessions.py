@@ -66,6 +66,11 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+#: NOTE (r10): the state struct gained ``n_valued`` — a checkpoint
+#: written by the 4-array schema will not restore against this one
+#: (Spark's state-schema compatibility check rejects it). Restart such a
+#: stream with a fresh checkpoint and re-deliver from the source; the
+#: append sink's emitted sessions are unaffected.
 _STATE_SCHEMA = StructType(
     [
         StructField("starts_us", ArrayType(LongType()), False),
