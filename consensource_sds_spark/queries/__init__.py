@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None = None):
 # SPARK_GRAFT_CACHE=0 (e.g. for cold-scan experiments). At production scale
 # this is the "hot dimension + working set cached, facts streamed" policy —
 # the cap below means a 100 TB fact table would not be cached wholesale.
-_POOL: dict[tuple[str, str, str], DataFrame] = {}
+_POOL: dict[tuple, DataFrame] = {}  # (app, sf_dir, name, file_version)
 # bytes of parquet per cached partition. Chunking follows CPU density, not
 # just bytes: text/vector tables burn ~100x more CPU per byte (md5 per
 # token, per-element float reduces) than relational scans, so they chunk
@@ -397,9 +397,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if _relayout_enabled():
             return _relayout(spark, sf_dir, name, raw, path, size)
         return raw
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # keyed by the file VERSION (mtime+size) like the modal-width memo
+    # and x70's index: an in-place rewrite of an input during a session
+    # must not keep serving the stale cached copy (r10, found by the
+    # memo-invalidation regression — the memo fix alone was incomplete
+    # with the pool still version-blind above it)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name, _file_version(path))
     df = _POOL.get(key)
     if df is None:
+        # evict superseded versions of THIS table: they are dead weight
+        # in executor storage the moment the new version is readable
+        for k in [k for k in _POOL if k[:3] == (app, sf_dir, name)]:
+            try:
+                _POOL.pop(k).unpersist()
+            except Exception:
+                pass
         raw = _read()
         # chunk to core count (not shuffle.partitions — reduce-side sizing is
         # a different knob): map-side work over pooled tables should be able

@@ -86,3 +86,39 @@ def test_unit_makes_l2_and_cosine_orderings_agree(spark):
     assert (un[10][0] < un[11][0]) == (un[10][1] > un[11][1])
     for i in (10, 11):
         assert math.isclose(un[i][0], 2 - 2 * un[i][1], rel_tol=1e-5)
+
+
+def test_modal_width_memo_invalidates_on_file_rewrite(spark, tmp_path):
+    """The per-session modal-width memo (load_finite_embeddings) is keyed
+    by the parquet's mtime+size: an in-place rewrite of embeddings.parquet
+    that changes the table's modal width must re-derive the width instead
+    of silently admitting against the stale one (r9 advice; x70 keys its
+    standing index the same way)."""
+    import os
+    import shutil
+    import time
+
+    from consensource_sds_spark.queries import load_finite_embeddings
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("region", "nation"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+
+    def write_emb(dim: int, n: int = 20) -> None:
+        spark.createDataFrame(
+            [(i, [float(i)] * dim, 0) for i in range(n)],
+            "vec_id long, embedding array<float>, label int",
+        ).toPandas().to_parquet(f"{sf}/embeddings.parquet")
+
+    write_emb(8)
+    assert load_finite_embeddings(spark, sf).count() == 20
+    # rewrite IN PLACE with a different width; nudge mtime so the change
+    # is visible even on coarse-mtime filesystems
+    time.sleep(0.05)
+    write_emb(12, n=10)
+    os.utime(f"{sf}/embeddings.parquet")
+    got = load_finite_embeddings(spark, sf)
+    # stale width (8) would admit ZERO of the new 12-wide rows
+    assert got.count() == 10
+    assert got.select(F.size("embedding")).distinct().collect()[0][0] == 12
