@@ -640,3 +640,52 @@ def test_hostile_media_ingest_corruption_sweep(spark, tmp_path):
     run_media_stream(spark, src2, out2, ckpt2)
     feats2 = {r["media_id"] for r in read_media_features(spark, out2).collect()}
     assert feats2 == feats
+
+
+def test_hostile_scd2_fork_repair_over_hostile_values(spark, tmp_path):
+    """Fork repair (W4) combined with the hostile VALUE axes: the chain
+    being rewound holds unicode keys, u64-sentinel timestamps and
+    empty-string-normalized fields — the rewind must restore exactly the
+    pre-fork hostile state (re-opened versions byte-identical), and the
+    forked chain's replacement values land on top. Fork machinery and
+    hostile values each have their own suites; this pins the CROSS of
+    the two axes (a rewind that round-trips hostile payloads through the
+    store's close/reopen columns)."""
+    from consensource_sds_spark.operators.scd2 import ScdParquetStore
+    from consensource_sds_spark.pipeline import transform_events
+    from consensource_sds_spark.schemas import MAX_BLOCK_NUM
+    from consensource_sds_spark.sources import fixtures as fx
+
+    store = ScdParquetStore(spark, str(tmp_path / "reporting"))
+    uni = "鍵🧪‮fork‬"
+    u64 = 0xFFFFFFFFFFFFFFFF
+
+    def agent(name, ts=1, org="test_org"):
+        return dict(
+            fx.make_agent(), public_key=uni, name=name, timestamp=ts, organization_id=org
+        )
+
+    def apply(dl, i):
+        store.apply(transform_events(fx.events_df(spark, [dl])), batch_id=i)
+
+    apply(fx.delivery(1, "b1", [fx.state_change("agent", uni, [agent("v1", ts=u64)])]), 0)
+    apply(fx.delivery(2, "b2", [fx.state_change("agent", uni, [agent("v2", org="")])]), 1)
+    apply(fx.delivery(3, "b3", [fx.state_change("agent", uni, [agent("v3")])]), 2)
+    # fork at height 2: different id, different hostile content
+    apply(fx.delivery(2, "b2f", [fx.state_change("agent", uni, [agent("грозный", ts=u64)])]), 3)
+
+    got = sorted(
+        (r["public_key"], r["name"], r["organization_id"], r["timestamp"],
+         r["start_block_num"], r["end_block_num"])
+        for r in store.read("agents").collect()
+    )
+    # v1's re-opened-then-re-closed version keeps its hostile payload
+    # (u64 -> -1) exactly; the fork's replacement is current
+    assert got == sorted(
+        [
+            (uni, "v1", "test_org", -1, 1, 2),
+            (uni, "грозный", "test_org", -1, 2, MAX_BLOCK_NUM),
+        ]
+    )
+    blocks = {r["block_num"]: r["block_id"] for r in store.blocks().collect()}
+    assert blocks == {1: "b1", 2: "b2f"}
