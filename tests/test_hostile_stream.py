@@ -57,9 +57,23 @@ _EPOCH = datetime.datetime(1970, 1, 1)
 _US = datetime.timedelta(microseconds=1)
 
 
-@pytest.fixture(scope="module")
-def hostile_sf(tmp_path_factory):
-    return write_hostile_sf(str(tmp_path_factory.mktemp("hostile_sf") / "sf"), seed=94)
+def _seeds() -> list[int]:
+    """Same exploration knob as the registry sweep (test_hostile_gate):
+    default just the canonical 94 — the crafted rows are seed-independent,
+    only the filler events/docs vary — extra seeds via
+    SPARK_GRAFT_HOSTILE_SEEDS re-run every lane over different session
+    splits / window contents / dup placements."""
+    import os
+
+    return [int(s) for s in os.environ.get("SPARK_GRAFT_HOSTILE_SEEDS", "94").split(",")]
+
+
+@pytest.fixture(scope="module", params=_seeds())
+def hostile_sf(request, tmp_path_factory):
+    return write_hostile_sf(
+        str(tmp_path_factory.mktemp("hostile_sf") / f"sf_{request.param}"),
+        seed=request.param,
+    )
 
 
 def _event_batches(spark, hostile_sf, cols):
