@@ -452,66 +452,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks a 50-slot window of the registry in
 # iteration order, rotating across rounds. This tuple is the FULL registry
 # ordered by staleness of driver signal (oldest CORRECTNESS round first,
-# that round's file order within; inside the r7 band the x74-x92 extension
-# entries lead — heavier operators than the q5x relational shapes): r10's
-# window = the 29 r6-stale entries (q17-q46 band, q80, x57/x58, x61-x63)
-# + the 21 stalest r7 rows (x74-x92 + q94/q95) — disjoint from r9's window;
-# keeps every entry's latest driver row <=4 rounds old. The pipeline demo
-# got its r9 hash-green row and now sits with the r9-fresh tail (see
+# that round's file order within): r11's window = the 28 r7-stale entries
+# (q47-q64, q81, q96-q104 band) + the 22 oldest r8 rows (q65-q79,
+# x60/x01-x05 head of r8's file order) — disjoint from r10's window; keeps
+# every entry's latest driver row <=3 rounds old. The pipeline demo holds
+# its r9 hash-green row and sits with the fresh tail (see
 # __spark_entry__.queries). Regenerate per round from the
-# CORRECTNESS_r0*.json files (staleness = latest round whose file contains
+# CORRECTNESS_r*.json files (staleness = latest round whose file contains
 # the entry; never-checked entries would lead).
 _GATE_PRIORITY: tuple[str, ...] = (
-    'q17_grouping_sets',
-    'q20_sort_topk',
-    'q21_distinct',
-    'q22_set_ops',
-    'q23_except',
-    'q24_union_all',
-    'q25_semi_join',
-    'q26_anti_join',
-    'q27_left_join_nulls',
-    'q28_scalar_subquery',
-    'q29_having',
-    'q30_string_funcs',
-    'q31_date_funcs',
-    'q32_math_funcs',
-    'q33_case_when_enum',
-    'q34_nullif_coalesce',
-    'q40_explode_unnest',
-    'q41_maxby_lastwins',
-    'q42_type_dispatch',
-    'q43_scd2_versions',
-    'q44_time_travel_asof',
-    'q45_distinct_agg',
-    'q46_json_extract',
-    'x57_distribution_drift',
-    'x58_incremental_dedup',
-    'x61_domain_doc_cap',
-    'x62_vocab_heavy_hitters',
-    'x63_source_vocab_overlap',
-    'q80_recursive_bands',
-    'x74_bpe_train',
-    'x75_bpe_tokenize',
-    'x76_exact_substring_matches',
-    'x77_exact_substring_scrub',
-    'x78_histogram_quantile_rollup',
-    'x79_zipf_fit',
-    'x80_gopher_quality_rules',
-    'x81_token_fertility_by_lang',
-    'x82_centroid_outlier_prune',
-    'x83_ngram_novelty',
-    'x84_pq_adc_topk',
-    'x85_ivfadc_topk',
-    'x86_ivfpq_residual_topk',
-    'x87_effective_tokens_by_source',
-    'x88_split_leakage_audit',
-    'x89_bigram_lm_score',
-    'x90_heaps_vocab_growth',
-    'x91_term_burstiness',
-    'x92_continuation_pairs',
-    'q94_late_shipment_priority',
-    'q95_promo_revenue',
     'q96_small_quantity_revenue',
     'q97_large_volume_orders',
     'q98_disjunctive_predicate_revenue',
@@ -638,6 +587,56 @@ _GATE_PRIORITY: tuple[str, ...] = (
     'q13_dense_rank_suppliers',
     'q15_rollup',
     'q16_cube',
+    'q17_grouping_sets',
+    'q20_sort_topk',
+    'q21_distinct',
+    'q22_set_ops',
+    'q23_except',
+    'q24_union_all',
+    'q25_semi_join',
+    'q26_anti_join',
+    'q27_left_join_nulls',
+    'q28_scalar_subquery',
+    'q29_having',
+    'q30_string_funcs',
+    'q31_date_funcs',
+    'q32_math_funcs',
+    'q33_case_when_enum',
+    'q34_nullif_coalesce',
+    'q40_explode_unnest',
+    'q41_maxby_lastwins',
+    'q42_type_dispatch',
+    'q43_scd2_versions',
+    'q44_time_travel_asof',
+    'q45_distinct_agg',
+    'q46_json_extract',
+    'x57_distribution_drift',
+    'x58_incremental_dedup',
+    'x61_domain_doc_cap',
+    'x62_vocab_heavy_hitters',
+    'x63_source_vocab_overlap',
+    'q80_recursive_bands',
+    'x74_bpe_train',
+    'x75_bpe_tokenize',
+    'x76_exact_substring_matches',
+    'x77_exact_substring_scrub',
+    'x78_histogram_quantile_rollup',
+    'x79_zipf_fit',
+    'x80_gopher_quality_rules',
+    'x81_token_fertility_by_lang',
+    'x82_centroid_outlier_prune',
+    'x83_ngram_novelty',
+    'x84_pq_adc_topk',
+    'x85_ivfadc_topk',
+    'x86_ivfpq_residual_topk',
+    'x87_effective_tokens_by_source',
+    'x88_split_leakage_audit',
+    'x89_bigram_lm_score',
+    'x90_heaps_vocab_growth',
+    'x91_term_burstiness',
+    'x92_continuation_pairs',
+    'q94_late_shipment_priority',
+    'q95_promo_revenue',
 )
 
 
