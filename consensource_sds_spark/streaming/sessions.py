@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
 from typing import Any
 
 import pandas as pd
@@ -66,11 +67,33 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-#: NOTE (r10): the state struct gained ``n_valued`` — a checkpoint
-#: written by the 4-array schema will not restore against this one
-#: (Spark's state-schema compatibility check rejects it). Restart such a
-#: stream with a fresh checkpoint and re-deliver from the source; the
-#: append sink's emitted sessions are unaffected.
+#: State layout versions (stored in ``meta[0]``):
+#:   1 — 4 parallel arrays (r9)
+#:   2 — + ``n_valued`` (r10; struct change, checkpoint-breaking vs v1)
+#:   3 — + ``meta`` reserved array (r11; struct change, checkpoint-breaking
+#:       vs v1/v2 — the LAST breaking one by design: future evolutions
+#:       change ``meta``'s CONTENTS (data, not schema) or claim one of its
+#:       spare slots, which Spark's state-schema compatibility check does
+#:       not reject)
+_STATE_VERSION = 3
+#: ``meta`` is a fixed-length reserved array: slot 0 carries the layout
+#: version, slots 1..7 are zero spares for future per-user scalars.
+_META_SLOTS = 8
+#: Sidecar written into the checkpoint dir so an incompatible restore is
+#: caught at stream START with an actionable message instead of Spark's
+#: state-schema error surfacing mid-batch from an executor.
+_VERSION_SIDECAR = "_sds_session_state_version"
+
+#: NOTE: checkpoints written by the v1 (4-array, r9) or v2 (5-array, r10)
+#: layout will NOT restore against this struct — Spark's state-schema
+#: compatibility check rejects the added column. Recovery runbook
+#: (SCALE.md "Session state schema migration"): drain the old binary
+#: (stop after a trigger with no pending state, i.e. the sink has emitted
+#: every open session), then restart the new binary with a FRESH
+#: checkpoint and re-deliver from the source; the append sink is keyed by
+#: emitted-once semantics so replayed already-final sessions are the only
+#: dedup concern. From v3 on, evolutions use the ``meta`` spare slots and
+#: are restore-compatible.
 _STATE_SCHEMA = StructType(
     [
         StructField("starts_us", ArrayType(LongType()), False),
@@ -81,8 +104,47 @@ _STATE_SCHEMA = StructType(
         # all-NULL group is NULL, not 0 — the q51 batch twin emits NULL
         # total_value for such a session and the stream must too
         StructField("n_valued", ArrayType(LongType()), False),
+        # [version, 0, 0, 0, 0, 0, 0, 0] — see _STATE_VERSION/_META_SLOTS
+        StructField("meta", ArrayType(LongType()), False),
     ]
 )
+
+
+class SessionStateVersionError(RuntimeError):
+    """Raised at stream start when the checkpoint was written by an
+    incompatible session-state layout. Carries the remedy in the message."""
+
+
+def check_state_compat(checkpoint_dir: str) -> None:
+    """Guard an existing checkpoint against an incompatible state layout.
+
+    Spark's own state-schema compatibility check catches struct changes,
+    but only once a batch runs, as an opaque executor error. This sidecar
+    check runs at stream START: a checkpoint stamped with a different
+    layout version (or a pre-v3 checkpoint with state files but no stamp)
+    fails fast with the drain-and-restart remedy. New checkpoints are
+    stamped with the current version."""
+    import os
+
+    ckpt = Path(checkpoint_dir)
+    sidecar = ckpt / _VERSION_SIDECAR
+    remedy = (
+        "session state layout v%d cannot restore a checkpoint written by "
+        "layout v%s. Remedy: drain the old job (let every open session "
+        "emit), then restart with a FRESH checkpoint directory and "
+        "re-deliver from the source (see SCALE.md 'Session state schema "
+        "migration')."
+    )
+    if sidecar.exists():
+        stamped = int(sidecar.read_text().strip() or 0)
+        if stamped != _STATE_VERSION:
+            raise SessionStateVersionError(remedy % (_STATE_VERSION, stamped))
+        return
+    # no stamp: a pre-v3 checkpoint with committed state is v1/v2
+    if (ckpt / "state").exists() and any(os.scandir(ckpt / "state")):
+        raise SessionStateVersionError(remedy % (_STATE_VERSION, "<=2 (unstamped)"))
+    ckpt.mkdir(parents=True, exist_ok=True)
+    sidecar.write_text(str(_STATE_VERSION))
 
 
 def _cents(value: float) -> int:
@@ -93,7 +155,14 @@ def _cents(value: float) -> int:
     A NULL value (NaN after the Arrow transfer) contributes 0 cents —
     SQL SUM skips NULLs while the event still counts in n_events; fed to
     Decimal it instead raised and ABORTED the whole stream on the first
-    NULL-value event (hostile-delivery finding)."""
+    NULL-value event (hostile-delivery finding).
+
+    ENGINE-INHERENT CONFLATION: Arrow maps SQL NULL to NaN in a float64
+    batch, so a GENUINE NaN value is indistinguishable from NULL here and
+    is likewise skipped — whereas the q51 batch twin's SQL SUM would
+    propagate NaN (or abort under ANSI). Producers that can emit real NaN
+    must filter/normalize it upstream on BOTH engines (same contract as
+    the NULL-timestamp filter in :func:`sessionize`)."""
     if value is None or value != value:  # NaN/None: SQL SUM skips
         return 0
     return int(Decimal(repr(value * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
@@ -131,7 +200,17 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
         # form its own earlier session when separated by more than gap)
         items: list[list[int]] = []  # [start_us, end_us, n, cents, n_valued]
         if state.exists:
-            items += [list(t) for t in zip(*state.get)]
+            stored = state.get
+            meta = list(stored[5])
+            # defensive: a same-struct layout evolution (meta slot claimed)
+            # passes Spark's schema check — the version stamp is the guard
+            if not meta or meta[0] != _STATE_VERSION:
+                raise SessionStateVersionError(
+                    f"restored session state carries layout v{meta[0] if meta else '?'}, "
+                    f"this binary is v{_STATE_VERSION}; drain + fresh checkpoint "
+                    "(SCALE.md 'Session state schema migration')"
+                )
+            items += [list(t) for t in zip(*stored[:5])]
         if not state.hasTimedOut:
             dfs = list(pdfs)  # the iterator object itself is always truthy
             rows = pd.concat(dfs) if dfs else pd.DataFrame()
@@ -155,7 +234,8 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
         final = [iv for iv in merged if horizon_ms(iv[1]) <= wm_ms]
         pending = [iv for iv in merged if horizon_ms(iv[1]) > wm_ms]
         if pending:
-            state.update(tuple([iv[i] for iv in pending] for i in range(5)))
+            meta_out = [_STATE_VERSION] + [0] * (_META_SLOTS - 1)
+            state.update(tuple([iv[i] for iv in pending] for i in range(5)) + (meta_out,))
             # wake at the earliest pending horizon (strictly after the
             # current watermark, as the state API requires)
             state.setTimeoutTimestamp(max(min(horizon_ms(iv[1]) for iv in pending), wm_ms + 1))
@@ -186,7 +266,11 @@ def sessionize(events: DataFrame, gap_sec: int = 30, watermark: str = "30 second
 
 
 def run_session_stream(spark, source_dir: str, out_dir: str, checkpoint_dir: str, schema, gap_sec: int = 30):
-    """File-source shell -> closed sessions into an append parquet sink."""
+    """File-source shell -> closed sessions into an append parquet sink.
+
+    Fails fast (``SessionStateVersionError``) when ``checkpoint_dir`` was
+    written by an incompatible state layout — see :func:`check_state_compat`."""
+    check_state_compat(checkpoint_dir)
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
         sessionize(stream, gap_sec=gap_sec)

@@ -182,3 +182,98 @@ def test_cents_round_half_up_matches_sql_round(spark):
     assert all(r["c"] == _cents(r["value"]) for r in got), [
         (r["value"], r["c"], _cents(r["value"])) for r in got
     ]
+
+
+def test_state_version_sidecar_guards_incompatible_checkpoint(spark, tmp_path):
+    """A checkpoint stamped by a different state layout fails at stream
+    START with the drain-and-restart remedy (not mid-batch from an
+    executor); a fresh checkpoint gets stamped with the current version."""
+    import pytest
+
+    from consensource_sds_spark.streaming.sessions import (
+        _STATE_VERSION,
+        _VERSION_SIDECAR,
+        SessionStateVersionError,
+        check_state_compat,
+    )
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, _t(0), 1.0)], SCHEMA).write.parquet(src)
+    q = run_session_stream(spark, src, out, ckpt, SCHEMA, gap_sec=30)
+    q.awaitTermination(120)
+    sidecar = tmp_path / "ckpt" / _VERSION_SIDECAR
+    assert sidecar.read_text() == str(_STATE_VERSION)
+
+    # a checkpoint written by an older layout (stamp mismatch) is rejected
+    # before the stream starts, with the remedy in the message
+    sidecar.write_text("2")
+    with pytest.raises(SessionStateVersionError, match="(?i)fresh checkpoint"):
+        run_session_stream(spark, src, out, ckpt, SCHEMA, gap_sec=30)
+
+    # an UNSTAMPED checkpoint that already has state files is pre-v3
+    sidecar.unlink()
+    with pytest.raises(SessionStateVersionError, match="unstamped"):
+        check_state_compat(ckpt)
+
+
+def test_spark_rejects_struct_changed_state_restore(spark, tmp_path):
+    """Pin the RAW failure mode the runbook documents: restoring a
+    checkpoint whose state was written with a different state STRUCT
+    trips Spark's state-schema compatibility check and fails the query
+    (loudly, not by corrupting state). This is why pre-v3 checkpoints
+    need drain + fresh checkpoint; from v3 on, evolutions reuse the
+    ``meta`` spare slots and never change the struct."""
+    import pandas as pd
+    import pytest
+
+    from consensource_sds_spark.streaming.sessions import sessionize
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # batch 1: leaves PENDING state (no gap crossed, watermark too low)
+    spark.createDataFrame([(1, _t(0), 1.0), (1, _t(10), 1.0)], SCHEMA).write.parquet(src)
+    q = run_session_stream(spark, src, out, ckpt, SCHEMA, gap_sec=30)
+    q.awaitTermination(120)
+
+    # restart against the same checkpoint with a DIFFERENT state struct
+    # (the old 5-array layout, no meta) — Spark must reject the restore
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType
+
+    old_state = StructType(
+        [
+            StructField(n, ArrayType(LongType()), False)
+            for n in ("starts_us", "ends_us", "n_events", "value_cents", "n_valued")
+        ]
+    )
+    from consensource_sds_spark.streaming.sessions import SESSION_SCHEMA
+
+    def fn(key, pdfs, state):
+        for _ in pdfs:
+            pass
+        yield pd.DataFrame(columns=[f.name for f in SESSION_SCHEMA.fields])
+
+    spark.createDataFrame([(1, _t(200), 1.0)], SCHEMA).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q2 = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=old_state,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as ei:
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
+    msg = str(ei.value).lower()
+    assert "state" in msg and "schema" in msg, msg[:2000]
