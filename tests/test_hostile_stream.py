@@ -59,13 +59,15 @@ _US = datetime.timedelta(microseconds=1)
 
 def _seeds() -> list[int]:
     """Same exploration knob as the registry sweep (test_hostile_gate):
-    default just the canonical 94 — the crafted rows are seed-independent,
-    only the filler events/docs vary — extra seeds via
-    SPARK_GRAFT_HOSTILE_SEEDS re-run every lane over different session
-    splits / window contents / dup placements."""
+    default TWO seeds (r10 verdict #3) — the crafted rows are
+    seed-independent but the filler events/docs vary, so a second seed
+    re-runs every lane over different session splits / window contents /
+    dup placements at bounded cost (2-seed suite measured 355 s on the
+    r11 build host, ~2x the 1-seed sweep); deeper sweeps via
+    SPARK_GRAFT_HOSTILE_SEEDS (comma-separated)."""
     import os
 
-    return [int(s) for s in os.environ.get("SPARK_GRAFT_HOSTILE_SEEDS", "94").split(",")]
+    return [int(s) for s in os.environ.get("SPARK_GRAFT_HOSTILE_SEEDS", "94,7").split(",")]
 
 
 @pytest.fixture(scope="module", params=_seeds())
@@ -393,13 +395,29 @@ def test_hostile_corpus_ingest_band_lane_matches_replay(spark, hostile_sf, tmp_p
             corpus_hit = any(bands[did] & bv for o, bv in index_bands.items())
             if not smaller_hit and not corpus_hit:
                 retained.append(did)
-        for did in fresh:  # ALL fresh docs' bands enter the index
-            if did in retained:
-                index_bands[did] = bands[did]
+        # only RETAINED docs' bands enter the standing index — dropped
+        # near-dups must never become probes' reference points
+        # (corpus_ingest.py's band insert narrows batch_bands to the
+        # survivors); so in a chain A~B, B~C, A!~C, B is dropped against
+        # A and C SURVIVES — C only probes against A's bands
+        for did in retained:
+            index_bands[did] = bands[did]
         expect.update(retained)
     assert got == expect
     # the crafted near-dup pair was actually caught by the band lane
     assert 4 in got and 11 not in got
+    # pin the retained-only index semantics directly (not just through the
+    # replay model): the dropped near-dup's bands must be ABSENT from the
+    # standing index — a dup must never become a later probe's reference
+    # point — while every retained doc's bands are present
+    from consensource_sds_spark.streaming.corpus_ingest import band_index
+
+    idx_docs = {
+        r["doc_id"]
+        for r in band_index(spark, f"{out}_band_index").select("doc_id").distinct().collect()
+    }
+    assert 11 not in idx_docs and 2 not in idx_docs and 10 not in idx_docs
+    assert idx_docs == expect
 
 
 # ---------------------------------------------------------------------------
