@@ -308,25 +308,31 @@ def finite_embeddings_oracle(oracle: str) -> str:
 #: includes the parquet's mtime_ns+size (mirroring x70's index keying) so
 #: an in-place rewrite of embeddings.parquet re-derives the width instead
 #: of silently admitting against the stale one.
-_MODAL_WIDTH: dict[tuple[str, str, tuple[int, int]], int] = {}
+_MODAL_WIDTH: dict[tuple[str, str, tuple[int, int, int]], int] = {}
 
 
-def _file_version(path: str) -> tuple[int, int]:
-    """(st_mtime_ns, st_size) of a file or the max over a directory's data
-    files — the cheap change-detection stamp used by memo keys."""
+def _file_version(path: str) -> tuple[int, int, int]:
+    """(max_mtime_ns, n_data_files, total_bytes) — the cheap
+    change-detection stamp used by memo/pool keys. A directory stamp of
+    only max(mtime, size) missed rewrites that ADD files with older
+    mtimes (``cp -p`` restores, retention backfills) or DELETE a
+    non-max file: file count and total bytes catch both (r10 advice).
+    A single file stamps as (mtime_ns, 1, size)."""
     try:
         if os.path.isdir(path):
-            best = (0, 0)
+            mtime = n = total = 0
             for root, _dirs, files in os.walk(path):
                 for f in files:
                     if not f.startswith(("_", ".")):
                         st = os.stat(os.path.join(root, f))
-                        best = max(best, (st.st_mtime_ns, st.st_size))
-            return best
+                        mtime = max(mtime, st.st_mtime_ns)
+                        n += 1
+                        total += st.st_size
+            return (mtime, n, total)
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        return (st.st_mtime_ns, 1, st.st_size)
     except OSError:
-        return (-1, -1)
+        return (-1, 0, -1)
 
 
 def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +357,12 @@ def load_finite_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = _MODAL_WIDTH.get(key)
     if width is None:
+        # evict superseded versions of this table's memo (same hygiene as
+        # load()'s pool eviction): a rewritten input's old width entry is
+        # dead — and worse, a later rewrite BACK to the old stamp must
+        # re-derive, not resurrect it
+        for k in [k for k in _MODAL_WIDTH if k[:2] == key[:2] and k != key]:
+            _MODAL_WIDTH.pop(k, None)
         row = (
             e.filter(F.col("embedding").isNotNull())
             .groupBy(F.size("embedding").alias("L"))

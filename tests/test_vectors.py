@@ -122,3 +122,102 @@ def test_modal_width_memo_invalidates_on_file_rewrite(spark, tmp_path):
     # stale width (8) would admit ZERO of the new 12-wide rows
     assert got.count() == 10
     assert got.select(F.size("embedding")).distinct().collect()[0][0] == 12
+
+
+def test_file_version_directory_stamp_sees_older_mtime_adds_and_deletes(tmp_path):
+    """Directory stamps include file count + total bytes (r10 advice): a
+    rewrite that ADDS a file with an OLDER mtime (cp -p restore) or
+    DELETES a non-max file used to keep the max(mtime,size) stamp
+    unchanged and serve the stale pooled frame."""
+    import os
+
+    from consensource_sds_spark.queries import _file_version
+
+    d = tmp_path / "table.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 100)
+    os.utime(d / "part-0.parquet", ns=(2_000_000_000, 2_000_000_000))
+    v1 = _file_version(str(d))
+
+    # add a file with an OLDER mtime and a size below the max
+    (d / "part-1.parquet").write_bytes(b"y" * 50)
+    os.utime(d / "part-1.parquet", ns=(1_000_000_000, 1_000_000_000))
+    v2 = _file_version(str(d))
+    assert v2 != v1
+
+    # delete the non-max file: stamp must change again
+    (d / "part-1.parquet").unlink()
+    assert _file_version(str(d)) != v2
+    # hidden/underscore sidecars stay invisible to the stamp
+    (d / "_SUCCESS").write_bytes(b"")
+    assert _file_version(str(d)) == v1
+
+
+def test_modal_width_memo_evicts_superseded_keys(spark, tmp_path):
+    """A rewritten embeddings table must not leave its old width memo
+    entry behind (same hygiene as load()'s pool eviction)."""
+    import os
+    import shutil
+    import time
+
+    from consensource_sds_spark.queries import _MODAL_WIDTH, load_finite_embeddings
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("region", "nation"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{sf}/{t}.parquet")
+
+    def write_emb(dim: int, n: int = 20) -> None:
+        spark.createDataFrame(
+            [(i, [float(i)] * dim, 0) for i in range(n)],
+            "vec_id long, embedding array<float>, label int",
+        ).toPandas().to_parquet(f"{sf}/embeddings.parquet")
+
+    write_emb(8)
+    load_finite_embeddings(spark, sf).count()
+    time.sleep(0.05)
+    write_emb(12, n=10)
+    os.utime(f"{sf}/embeddings.parquet")
+    load_finite_embeddings(spark, sf).count()
+    app = spark.sparkContext.applicationId
+    mine = [k for k in _MODAL_WIDTH if k[0] == app and k[1] == sf]
+    assert len(mine) == 1 and _MODAL_WIDTH[mine[0]] == 12
+
+
+def test_admission_doors_agree_on_hostile_vectors(spark):
+    """Lane equivalence for the single-sourced ANN admission rule (r10
+    verdict #4): the Column-side door (V.admit_col — the _probe_cells
+    DataFrame lane) and the python-side door (V.admit_value — the
+    _select_cells_driver lane) must admit EXACTLY the same hostile
+    vectors, for both a pinned width and the width-agnostic form."""
+    from consensource_sds_spark.functions import vectors as V
+
+    dim = 4
+    hostile = [
+        (0, [1.0, 2.0, 3.0, 4.0]),  # clean
+        (1, None),  # NULL vector
+        (2, [1.0, float("nan"), 3.0, 4.0]),  # NaN element
+        (3, [1.0, float("inf"), 3.0, 4.0]),  # +Inf
+        (4, [1.0, float("-inf"), 3.0, 4.0]),  # -Inf
+        (5, []),  # empty
+        (6, [1.0, 2.0, 3.0]),  # ragged (short)
+        (7, [1.0, 2.0, 3.0, 4.0, 5.0]),  # ragged (long)
+        (8, [0.0, 0.0, 0.0, 0.0]),  # zero vector (admitted; scoring rule's problem)
+        (9, [1e308, -1e308, 1.0, 2.0]),  # huge but finite
+    ]
+    df = spark.createDataFrame(hostile, "qid long, qe array<double>")
+    col_admitted = {
+        r["qid"] for r in df.filter(V.admit_col(F.col("qe"), dim)).collect()
+    }
+    py_admitted = {qid for qid, qe in hostile if V.admit_value(qe, dim)}
+    assert col_admitted == py_admitted == {0, 8, 9}
+
+    # width-agnostic form (dim unknown): finite-only on both sides
+    col_fin = {r["qid"] for r in df.filter(V.finite(F.col("qe"))).collect()}
+    py_fin = {qid for qid, qe in hostile if V.admit_value(qe)}
+    assert col_fin == py_fin == {0, 5, 6, 7, 8, 9}
+
+    # the ann_ingest driver door is literally the shared predicate
+    from consensource_sds_spark.streaming.ann_ingest import _admit_query
+
+    assert _admit_query is V.admit_value
