@@ -55,6 +55,34 @@ def admit(df, col: str = "embedding"):
     )
 
 
+def admit_col(a: Column, dim: int | Column) -> Column:
+    """Column-side PROBE admission door: :func:`finite` AND exact width
+    ``dim`` (the index generation's own, not a modal guess). Single
+    source with :func:`admit_value` — the two doors guard the same rule
+    on the DataFrame lane (``_probe_cells``) and the driver lane
+    (``_select_cells_driver`` / artifact probes) of the ANN index; r10's
+    width-admission gap had to be fixed in both independently because
+    they were separate expressions (r10 verdict #4). Lane equivalence is
+    pinned by ``test_vectors.py`` on hostile vectors."""
+    d = F.lit(dim) if isinstance(dim, int) else dim
+    return finite(a) & (F.size(a) == d)
+
+
+def admit_value(qe, dim: int = -1) -> bool:
+    """Python-side twin of :func:`admit_col` over one materialized
+    vector: False for NULL, any NaN/Inf element, or (with ``dim`` >= 0)
+    a width other than ``dim``. Exclusion, not error — one wrong-width
+    query would otherwise raise a numpy shape mismatch inside the
+    driver-side cell selection and abort the probe for EVERY query in
+    the batch (the job-abort class the index-side rule closes)."""
+    import numpy as np
+
+    if qe is None or (dim >= 0 and len(qe) != dim):
+        return False
+    arr = np.asarray(qe, dtype=np.float64)
+    return bool(np.isfinite(arr).all())
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),

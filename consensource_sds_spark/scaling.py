@@ -313,10 +313,9 @@ def measure_scaling(
             # ~3 MB of fused tables) must take the fused one-join shape,
             # the WIDE probe (600 queries x nprobe 4 = 2400 pairs,
             # ~39 MB) must flip to the decomposed three-broadcast shape
-            # — both observed via LAST_ADC_SHAPE, not inferred from the
-            # threshold arithmetic.
+            # — both observed via the probe's per-call shape_out record,
+            # not inferred from the threshold arithmetic.
             from consensource_sds_spark.streaming.ann_ingest import (
-                LAST_ADC_SHAPE,
                 ann_probe_adc,
                 init_pq,
                 train_pq_codebook,
@@ -350,16 +349,20 @@ def measure_scaling(
                     probe_out["probe"] = _timed(
                         lambda: _noop_write(ann_probe(spark, d, q, k=10, nprobe=2)), runs
                     )
+                    shape_small: dict = {}
                     probe_out["probe_adc"] = _timed(
-                        lambda: _noop_write(ann_probe_adc(spark, d, q, k=10, nprobe=2)),
+                        lambda: _noop_write(
+                            ann_probe_adc(spark, d, q, k=10, nprobe=2, shape_out=shape_small)
+                        ),
                         runs,
                     )
-                    probe_out["adc_shape_small"] = LAST_ADC_SHAPE.get("shape")
+                    probe_out["adc_shape_small"] = shape_small.get("shape")
                     qw = emb.filter(F.col("vec_id") < 600).select(
                         F.col("vec_id").alias("qid"), "embedding"
                     )
-                    _noop_write(ann_probe_adc(spark, d, qw, k=10, nprobe=4))
-                    probe_out["adc_shape_wide"] = LAST_ADC_SHAPE.get("shape")
+                    shape_wide: dict = {}
+                    _noop_write(ann_probe_adc(spark, d, qw, k=10, nprobe=4, shape_out=shape_wide))
+                    probe_out["adc_shape_wide"] = shape_wide.get("shape")
                 finally:
                     shutil.rmtree(d, ignore_errors=True)
 

@@ -67,7 +67,10 @@ _ADC_FUSED_LUT_MAX_BYTES = 32 * 1024 * 1024
 #: last ADC probe's physical-shape record — {"shape": "fused"|"decomposed",
 #: "fused_bytes": int, "pairs": int}; written by every :func:`ann_probe_adc`
 #: call so harnesses (scaling deep block, tests) can observe the size gate
-#: actually flipping instead of trusting the threshold arithmetic
+#: actually flipping instead of trusting the threshold arithmetic.
+#: SEQUENTIAL-ONLY: concurrent probes in one process interleave writes
+#: here — a caller that needs a race-free record passes its own dict via
+#: ``ann_probe_adc(..., shape_out=...)`` and reads that instead.
 LAST_ADC_SHAPE: dict = {}
 
 
@@ -508,22 +511,10 @@ def _pq_probe_artifacts(spark: SparkSession, index_dir: str) -> dict:
     return _memoized(key, build)
 
 
-def _admit_query(qe, dim: int = -1) -> bool:
-    """The probe-side vector admission rule: a NULL or NaN/Inf query
-    vector gets NO results (excluded like its index-side twin in
-    :func:`ingest_embedding_batch`) — fed to the driver-side scoring it
-    would NaN-poison its own cell selection and distance tables. With
-    ``dim`` >= 0 a RAGGED query (width != the generation's vector width)
-    is likewise excluded, not errored: one wrong-width query would
-    otherwise raise a numpy shape mismatch inside
-    :func:`_select_cells_driver` and abort the probe for EVERY query in
-    the batch — exactly the job-abort class the index-side rule closes."""
-    import numpy as np
-
-    if qe is None or (dim >= 0 and len(qe) != dim):
-        return False
-    arr = np.asarray(qe, dtype=np.float64)
-    return bool(np.isfinite(arr).all())
+#: the probe-side vector admission rule, single-sourced with the
+#: DataFrame lane's Column predicate (``V.admit_col``) so the two doors
+#: cannot drift (r10 verdict #4); see ``functions.vectors.admit_value``
+_admit_query = V.admit_value
 
 
 def _select_cells_driver(art: dict, qvec: dict, nprobe: int):
@@ -560,11 +551,10 @@ def _probe_cells(spark: SparkSession, index_dir: str, qs: DataFrame, nprobe: int
     memoized centroids instead — :func:`_select_cells_driver`, same
     rule)."""
     cent = load_centroids(spark, index_dir)
-    # probe-side admission rule: finite AND generation-width (a ragged
-    # query reaching ADC scoring with mismatched dims is the same
-    # job-abort class _admit_query excludes on the driver-side lane)
+    # probe-side admission rule, the shared door (V.admit_col — the
+    # Column twin of the driver lane's _admit_query/V.admit_value)
     dim = _cent_probe_artifacts(spark, index_dir)["dim"]
-    qs = qs.filter(V.finite(F.col("qe")) & (F.size(F.col("qe")) == F.lit(dim)))
+    qs = qs.filter(V.admit_col(F.col("qe"), dim))
     scored = qs.crossJoin(
         F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
     ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
@@ -586,6 +576,7 @@ def ann_probe_adc(
     k: int = 10,
     nprobe: int = 2,
     cells: tuple[DataFrame, list[int]] | None = None,
+    shape_out: dict | None = None,
 ) -> DataFrame:
     """Top-k per query by PQ asymmetric distance over the standing index —
     the probe that never reads a database embedding: the scan projects
@@ -711,13 +702,20 @@ def ann_probe_adc(
 
     fused_bytes = len(pairs) * m * n_codes * 8
     # observability for the size gate (read by scaling.py's deep block and
-    # tests): which physical shape THIS call took, and why
-    LAST_ADC_SHAPE.clear()
-    LAST_ADC_SHAPE.update(
+    # tests): which physical shape THIS call took, and why. ``shape_out``
+    # is the per-call record (race-free under concurrent probes);
+    # LAST_ADC_SHAPE keeps the last call's copy for convenience under the
+    # documented sequential-only contract.
+    record = dict(
         shape="fused" if fused_bytes <= _ADC_FUSED_LUT_MAX_BYTES else "decomposed",
         fused_bytes=fused_bytes,
         pairs=len(pairs),
     )
+    if shape_out is not None:
+        shape_out.clear()
+        shape_out.update(record)
+    LAST_ADC_SHAPE.clear()
+    LAST_ADC_SHAPE.update(record)
     if fused_bytes <= _ADC_FUSED_LUT_MAX_BYTES:
         # fused: one (qid, cell) row carries A+B pre-added + gamma —
         # single broadcast join, single lookup per subspace
