@@ -166,13 +166,13 @@ def main() -> None:
 
     _hygiene()  # headline-sweep caches are dead weight for every block below
     detail = {
-        "ingest": _ingest_bench(spark),
-        "corpus": _corpus_bench(spark, sf_dir),
+        "ingest": _min_of(lambda: _ingest_bench(spark), "changes_per_sec", higher=True),
+        "corpus": _min_of(lambda: _corpus_bench(spark, sf_dir), "docs_per_sec", higher=True),
         "corpus_stream": _corpus_stream_bench(spark, sf_dir),
     }
     _hygiene()
-    detail["ann"] = _ann_bench(spark, sf_dir)
-    detail["bpe"] = _bpe_bench(spark, sf_dir)
+    detail["ann"] = _min_of(lambda: _ann_bench(spark, sf_dir), "queries_per_sec", higher=True)
+    detail["bpe"] = _min_of(lambda: _bpe_bench(spark, sf_dir), "sec", higher=False)
     detail["media"] = _media_bench()
     detail["scaling"] = _scaling_bench(spark)
     # full detail: sidecar file + an EARLIER stdout line (never the last)
@@ -188,6 +188,25 @@ def main() -> None:
 #: line; r7's single 3.3 KB line overflowed it and the round's bench
 #: record was lost. The headline must stay comfortably under this.
 _HEADLINE_MAX_BYTES = 2048
+
+
+def _min_of(block_fn, primary: str, higher: bool, passes: int = 3) -> dict:
+    """Run a detail block ``passes`` times and publish the pass with the
+    best ``primary`` metric, plus the per-pass spread (r10 verdict #6):
+    the headline takes min-of-5-warm but these blocks were single passes
+    on a host whose build harness steals CPU — r10's corpus 408.7 docs/s
+    'drop' was one contended pass (isolated re-run: 692.9, identical
+    drop profile) and got adjudicated as a regression candidate. The
+    published dict is one coherent pass (its internal fields are
+    self-consistent), chosen by ``primary``; ``passes_<primary>``
+    records all passes so contention is visible instead of silently
+    averaged in."""
+    results = [block_fn() for _ in range(passes)]
+    vals = [float(r[primary]) for r in results]
+    pick = max(range(passes), key=lambda i: vals[i] if higher else -vals[i])
+    out = dict(results[pick])
+    out[f"passes_{primary}"] = [round(v, 3) for v in vals]
+    return out
 
 
 def _headline_line(detail: dict, timings: dict, cold: dict, sf, total: float) -> str:
@@ -237,8 +256,13 @@ def _headline_line(detail: dict, timings: dict, cold: dict, sf, total: float) ->
 
 
 def _bpe_bench(spark, sf_dir: str) -> dict:
-    """Batched BPE training at a tokenizer-realistic merge count: 256
-    merges with top-M symbol-disjoint batching (batch_m=16). The number
+    """Incremental-pair-count BPE training (r11; merge table property-
+    pinned identical to the batched recount trainer) at a tokenizer-
+    realistic merge count: 256 merges with top-M symbol-disjoint batching
+    (batch_m=16). Per round the candidate scan reads the STANDING counts
+    table and the delta job explodes only merge-touched rows — measured
+    same-host A/B vs the full recount: 35.2 -> 16.5 s at this block's 2k
+    docs, 77.2 -> 18.2 s at 10x (near-flat corpus growth). The number
     that matters is ``rounds`` — one pair-count job + one checkpoint per
     ROUND, so driver actions scale as N/M instead of the greedy loop's
     one-job-per-merge (the r7 scale concern: 30k+ serial jobs at real
@@ -252,19 +276,20 @@ def _bpe_bench(spark, sf_dir: str) -> dict:
     supply, so every round can fill its batch."""
     from pyspark.sql import functions as F
 
-    from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
+    from consensource_sds_spark.queries.extensions import _bpe_train_merges_incremental
     from consensource_sds_spark.sources.synth import generate_bpe_text
 
     n_merges, batch_m = 256, 16
     d = generate_bpe_text(spark, 2_000)
     t0 = time.perf_counter()
-    merges, rounds = _bpe_train_merges_batched(spark, d, n_merges, batch_m=batch_m)
+    merges, rounds = _bpe_train_merges_incremental(spark, d, n_merges, batch_m=batch_m)
     dt = time.perf_counter() - t0
     return {
         "n_merges": len(merges),
         "batch_m": batch_m,
         "rounds": rounds,
         "merges_per_job": round(len(merges) / max(rounds, 1), 1),
+        "trainer": "incremental",
         "sec": round(dt, 3),
     }
 
@@ -421,8 +446,9 @@ def _corpus_stream_bench(spark, sf_dir: str) -> dict:
     (digest-index probe) -> optional LSH band probe (x66) -> sharded
     batch_id-partitioned append. Reported per mode (exact-only vs
     +near-dedup): wall-clock over the measured batches and input docs/s.
-    Two full replays per mode, min total (same steal-resistant methodology
-    as the headline); each replay's FIRST batch is the warmup — it absorbs
+    Three full replays per mode, min total with the per-replay spread
+    published (r10 verdict #6; same steal-resistant methodology as the
+    headline); each replay's FIRST batch is the warmup — it absorbs
     codegen + the index tables' DDL — and is excluded from timing."""
     import shutil
     import tempfile
@@ -437,8 +463,8 @@ def _corpus_stream_bench(spark, sf_dir: str) -> dict:
     n_batches = 5
     out: dict[str, dict] = {}
     for mode in ("exact", "near_dedup"):
-        best = float("inf")
-        for _rep in range(2):
+        reps: list[float] = []
+        for _rep in range(3):
             tmp = tempfile.mkdtemp(prefix=f"bench_cstream_{mode}_")
             corpus = os.path.join(tmp, "corpus")
             index_dir = corpus + "_digest_index"
@@ -451,12 +477,13 @@ def _corpus_stream_bench(spark, sf_dir: str) -> dict:
                     ingest_batch(spark, batch, b, corpus, index_dir, n_shards=8, band_dir=band_dir)
                     if b > 0:
                         t_meas += time.perf_counter() - t0
-                best = min(best, t_meas)
+                reps.append(t_meas)
             finally:
                 for d in (index_dir, band_dir):
                     if d:
                         spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(d)}")
                 shutil.rmtree(tmp, ignore_errors=True)
+        best = min(reps)
         # batches are a uniform hash split: measured input is (n-1)/n of docs
         measured = round(n_docs * (n_batches - 1) / n_batches)
         out[mode] = {
@@ -464,6 +491,7 @@ def _corpus_stream_bench(spark, sf_dir: str) -> dict:
             "n_batches": n_batches - 1,
             "input_docs": measured,
             "docs_per_sec": round(measured / best, 1),
+            "passes_sec": [round(t, 3) for t in reps],
         }
     return out
 

@@ -114,7 +114,7 @@ def measure_scaling(
     alone)."""
     from consensource_sds_spark.corpus import build_training_corpus
     from consensource_sds_spark.queries import REGISTRY, all_queries
-    from consensource_sds_spark.queries.extensions import _bpe_train_merges_batched
+    from consensource_sds_spark.queries.extensions import _bpe_train_merges_incremental
     from consensource_sds_spark.sources.synth import generate_bpe_text, write_corpus
     from consensource_sds_spark.streaming.ann_ingest import (
         ann_probe,
@@ -200,19 +200,20 @@ def measure_scaling(
         stage("corpus_stream", lambda: corpus_stream(1), lambda: corpus_stream(factor))
 
         def bpe_train(scale: int) -> None:
-            # batched BPE trainer (the r7 scale concern's fix): merge count
-            # and batch size FIXED across scales, so rounds — and with them
+            # incremental-pair-count BPE trainer (r11; merge table
+            # property-pinned == the batched recount's): merge count and
+            # batch size FIXED across scales, so rounds — and with them
             # driver actions — are identical at 1x and Nx; the text comes
             # from generate_bpe_text, whose DISTINCT-WORD count grows
             # ~linearly with the corpus (the documents table's fixed synth
             # vocabulary would make every post-scan round scale-invariant
             # and the ratio a near-vacuous ~1), so the ratio measures the
-            # per-round pair-count job's real corpus dependence
-            _bpe_train_merges_batched(
+            # one-time full count + per-round DELTA jobs' corpus dependence
+            _bpe_train_merges_incremental(
                 spark, generate_bpe_text(spark, base_docs * scale), 32, batch_m=8
             )
 
-        stage("bpe_train_batched", lambda: bpe_train(1), lambda: bpe_train(factor))
+        stage("bpe_train", lambda: bpe_train(1), lambda: bpe_train(factor))
 
         def ann(scale: int, probe_out: dict) -> None:
             dest = os.path.join(work, f"ann{scale}")
@@ -288,14 +289,15 @@ def measure_scaling(
                     f"t{deep_factor}_sec": round(tN, 3),
                     "ratio": round(tN / t1, 2) if t1 > 0 else None,
                 }
-            # the batched BPE trainer's deep point: same adjacent-t1
+            # the incremental BPE trainer's deep point: same adjacent-t1
             # pairing (its own 1x re-run, not the start-of-session one).
-            # Merge count and batch size stay FIXED across scales, so the
-            # ratio isolates the per-round pair-count job's corpus
-            # dependence at a 30x distinct-word load.
+            # Merge count and batch size stay FIXED across scales; with
+            # the standing counts table the per-round recount is gone, so
+            # the remaining corpus dependence is the one-time initial
+            # count + the touched-row deltas (r10 verdict #5's lever).
             bpe_t1 = _timed(lambda: bpe_train(1), runs)
             bpe_tN = _timed(lambda: bpe_train(deep_factor), runs)
-            deep_out["bpe_train_batched"] = {
+            deep_out["bpe_train"] = {
                 "t1_sec": round(bpe_t1, 3),
                 f"t{deep_factor}_sec": round(bpe_tN, 3),
                 "ratio": round(bpe_tN / bpe_t1, 2) if bpe_t1 > 0 else None,

@@ -264,3 +264,32 @@ def test_exact_substring_scrub_matches_reference(spark, texts, w):
         for r in exact_substring_scrub(d, w=w).collect()
     }
     assert got == _reference_scrub(dict(enumerate(texts)), w)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    texts=st.lists(doc, min_size=1, max_size=10),
+    n_merges=st.integers(1, 8),
+    batch_m=st.integers(1, 4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_trainer_matches_batched(spark, texts, n_merges, batch_m):
+    """The incremental-pair-count trainer (r10 verdict #5) must produce
+    the EXACT merge table of the full-recount batched trainer on
+    arbitrary corpora — the standing counts table sees bit-identical
+    integer counts, so selection order, snapshot counts, and round
+    structure all agree; only the per-round job shape differs."""
+    from consensource_sds_spark.queries.extensions import (
+        _bpe_train_merges_batched,
+        _bpe_train_merges_incremental,
+    )
+
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got, rounds_inc = _bpe_train_merges_incremental(spark, d, n_merges, batch_m=batch_m)
+    want, rounds_bat = _bpe_train_merges_batched(spark, d, n_merges, batch_m=batch_m)
+    assert got == want
+    assert rounds_inc == rounds_bat

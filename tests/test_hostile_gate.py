@@ -36,8 +36,9 @@ def test_hostile_fixture_full_registry_sweep(spark, tmp_path):
     """One sweep per seed in ``SPARK_GRAFT_HOSTILE_SEEDS`` (comma-separated,
     default the canonical 94 plus 7 — r10 verdict #3: the crafted rows are
     seed-independent but the filler varies, so the second seed exercises
-    different dup placements / value mixes each run at bounded cost;
-    deeper sweeps stay an env knob)."""
+    different dup placements / value mixes each run at bounded cost —
+    2-seed sweep measured 30 min on the r11 build host, ~2x one seed,
+    `slow`-marked; deeper sweeps stay an env knob)."""
     import os
 
     import duckdb

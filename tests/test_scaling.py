@@ -93,7 +93,7 @@ def test_scaling_ratios_stay_sub_linear(spark):
     # the 30x deep-scale sub-block: one more decade of evidence for the
     # steepest measured stages (substring family, SimHash banding — whose
     # r9 30x point caught the 32-bit band saturation — SemDeDup's pair
-    # join, and the batched BPE trainer riding along as a custom stage)
+    # join, and the incremental BPE trainer riding along as a custom stage)
     sub = result[f"factor{DEEP_FACTOR}"]
     assert sub["factor"] == DEEP_FACTOR
     assert set(sub["stages"]) == {
@@ -101,7 +101,7 @@ def test_scaling_ratios_stay_sub_linear(spark):
         "x77_exact_substring_scrub",
         "x07_simhash_neardup",
         "x65_semantic_dedup",
-        "bpe_train_batched",
+        "bpe_train",
         "ann_probe",
         "ann_probe_adc",
     }
