@@ -276,7 +276,10 @@ def _bpe_bench(spark, sf_dir: str) -> dict:
     supply, so every round can fill its batch."""
     from pyspark.sql import functions as F
 
-    from consensource_sds_spark.queries.extensions import _bpe_train_merges_incremental
+    from consensource_sds_spark.queries.extensions import (
+        _bpe_train_merges_incremental,
+        bpe_tokenize_corpus,
+    )
     from consensource_sds_spark.sources.synth import generate_bpe_text
 
     n_merges, batch_m = 256, 16
@@ -284,6 +287,16 @@ def _bpe_bench(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     merges, rounds = _bpe_train_merges_incremental(spark, d, n_merges, batch_m=batch_m)
     dt = time.perf_counter() - t0
+    # APPLY with the trained table via the production rank-priority path
+    # (the chained-replace form StackOverflows past ~1k merges — this is
+    # the lane a 30k-merge deployment tokenizes with)
+    t0 = time.perf_counter()
+    docs = d.select(F.monotonically_increasing_id().alias("doc_id"), "text")
+    tok = bpe_tokenize_corpus(docs, merges)
+    n_tokens = int(
+        tok.agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"] or 0
+    )
+    apply_dt = time.perf_counter() - t0
     return {
         "n_merges": len(merges),
         "batch_m": batch_m,
@@ -291,6 +304,8 @@ def _bpe_bench(spark, sf_dir: str) -> dict:
         "merges_per_job": round(len(merges) / max(rounds, 1), 1),
         "trainer": "incremental",
         "sec": round(dt, 3),
+        "apply_sec": round(apply_dt, 3),
+        "apply_tokens_per_sec": round(n_tokens / apply_dt, 1),
     }
 
 

@@ -293,3 +293,122 @@ def test_incremental_trainer_matches_batched(spark, texts, n_merges, batch_m):
     want, rounds_bat = _bpe_train_merges_batched(spark, d, n_merges, batch_m=batch_m)
     assert got == want
     assert rounds_inc == rounds_bat
+
+
+@pytest.mark.usefixtures("spark")
+@given(texts=st.lists(doc, min_size=1, max_size=8), n_merges=st.integers(1, 8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scalable_apply_matches_replace_chain(spark, texts, n_merges):
+    """The production BPE apply (rank-priority loop in an Arrow UDF,
+    merge table of ANY size) must segment every distinct word exactly
+    like the chained-replace form x75 uses at oracle N — full
+    segmentations compared, not just counts. Trained tables carry the
+    creation-order property that makes the two algorithms equivalent
+    (_bpe_validate_freshness)."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.queries.extensions import (
+        _BPE_SEP,
+        _bpe_seg_expr,
+        _bpe_segment_words_scalable,
+        _bpe_train_merges,
+    )
+
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = _bpe_train_merges(spark, d, n_merges)
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(F.length("w") >= 1)
+
+    # chain form: the same nested-replace construction as x75/x81
+    seg = _bpe_seg_expr("w")
+    for _rank, lhs, rhs, _cnt in merges:
+        seg = F.replace(
+            seg,
+            F.lit("\x01" + lhs + _BPE_SEP + rhs + "\x01"),
+            F.lit("\x01" + lhs + rhs + "\x01"),
+        )
+    chain = {
+        r["w"]: [s for s in r["segstr"].split(_BPE_SEP) if s]
+        for r in words.distinct().select("w", seg.alias("segstr")).collect()
+    }
+    fast = {
+        r["w"]: list(r["seg"])
+        for r in _bpe_segment_words_scalable(words, merges).collect()
+    }
+    assert fast == chain
+
+
+def test_freshness_violating_table_rejected():
+    """A merge table where an earlier merge references a later merge's
+    output diverges between the chain and priority algorithms — it must
+    be rejected loudly, not silently tokenized differently."""
+    from consensource_sds_spark.queries.extensions import _bpe_validate_freshness
+
+    with pytest.raises(ValueError, match="creation order"):
+        _bpe_validate_freshness([(1, "a", "bc", 5), (2, "b", "c", 4)])
+    # a well-ordered table passes
+    _bpe_validate_freshness([(1, "b", "c", 5), (2, "a", "bc", 4)])
+
+
+def test_scalable_apply_survives_tokenizer_scale_merge_table(spark):
+    """At tokenizer-realistic N the chained-replace form dies outright
+    (java.lang.StackOverflowError converting the 1024-deep Column tree —
+    measured on this Spark build), so the production path must carry it:
+    a 2048-merge creation-ordered table applied over words, checked
+    against a pure-python sequential full-replace reference (the chain's
+    exact semantics, word-local so no expression tree)."""
+    import string
+
+    from consensource_sds_spark.queries.extensions import (
+        _bpe_segment_words_scalable,
+        _bpe_validate_freshness,
+    )
+
+    def synth_merges(n: int):
+        letters = string.ascii_letters
+        merges, rank = [], 1
+        for i in range(len(letters) - 1):
+            if rank > n:
+                break
+            merges.append((rank, letters[i], letters[i + 1], 100))
+            rank += 1
+        base = [lhs + rhs for _, lhs, rhs, _ in merges]
+        while rank <= n and base:
+            nxt = []
+            for s in base:
+                if rank > n:
+                    break
+                merges.append((rank, s, s[-1], 50))
+                rank += 1
+                nxt.append(s + s[-1])
+            base = nxt
+        return merges[:n]
+
+    def reference_apply(word: str, merges) -> list[str]:
+        # sequential full replaces in rank order — the chain's semantics
+        syms = list(word)
+        for _rank, lhs, rhs, _cnt in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    merges = synth_merges(2048)
+    assert len(merges) == 2048
+    _bpe_validate_freshness(merges)
+    texts = ["abcd", "aabbccdd", "abab", "zzz", "a", "xyz", "abcdefgh", "ba"]
+    words = spark.createDataFrame([(w,) for w in texts], "w string")
+    got = {
+        r["w"]: list(r["seg"])
+        for r in _bpe_segment_words_scalable(words, merges).collect()
+    }
+    assert got == {w: reference_apply(w, merges) for w in texts}
