@@ -1272,3 +1272,66 @@ def test_ann_generation_soak_long_horizon(spark, tmp_path):
     assert {(r["qid"], r["vec_id"]) for r in got} == {
         (r["qid"], r["vec_id"]) for r in exp.collect()
     }
+
+
+def test_cell_selection_lanes_agree_on_hostile_queries(spark, tmp_path):
+    """The two cell-selection lanes — the DRIVER rule
+    (_select_cells_driver, numpy over memoized centroids; used by the
+    direct probes) and the IN-PLAN rule (_probe_cells; used by the
+    rerank entry point) — implement the documented same selection:
+    top-nprobe cells by centroid cosine, ties toward the lower cell id,
+    NULL cosine (zero norm on either side) after every number. Dual
+    implementations drift (the r10 admission-gap lesson), so pin
+    (qid, cell) equality on the hostile query set: a clean vector, the
+    ZERO vector (every cosine NULL -> cells by ascending id on both
+    lanes), and an exact TIE built from byte-identical duplicate
+    centroids in two cells (lower cell id must win on both lanes)."""
+    from pyspark.sql import functions as F
+
+    from consensource_sds_spark.streaming.ann_ingest import (
+        _cent_probe_artifacts,
+        _probe_cells,
+        _select_cells_driver,
+        init_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    # hand-pinned centroids: cells 0/1 are byte-identical (the tie), 2/3
+    # distinct; dim 4
+    cent = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 1.0]),
+        ],
+        "cell int, centroid array<float>",
+    )
+    init_ann_index(spark, d, cent)
+
+    queries = [
+        (1, [1.0, 0.2, 0.0, 0.0]),  # clean: cell 0 wins the tie, then 2
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: all cosines NULL
+        (3, [0.0, 0.5, 0.5, 0.5]),  # mixed
+    ]
+    import numpy as np
+
+    qs = spark.createDataFrame(queries, "qid int, qe array<double>")
+    art = _cent_probe_artifacts(spark, d)
+    qvec = {qid: np.asarray(qe, dtype=np.float64) for qid, qe in queries}
+    for nprobe in (1, 2):
+        q_cells, needed_plan = _probe_cells(spark, d, qs, nprobe)
+        plan_pairs = {
+            (r["qid"], r["cell"]) for r in q_cells.select("qid", "cell").collect()
+        }
+        driver_pairs_list, needed_driver = _select_cells_driver(art, qvec, nprobe)
+        driver_pairs = set(driver_pairs_list)
+        assert plan_pairs == driver_pairs, nprobe
+        assert sorted(needed_plan) == sorted(needed_driver), nprobe
+        if nprobe == 1:
+            # the BOUNDARY tie: the byte-identical centroids tie exactly
+            # and the lower cell id wins the single slot on both lanes;
+            # the zero vector's all-NULL cosines fall back to ascending
+            # cell id on both lanes
+            assert (1, 0) in driver_pairs and (1, 1) not in driver_pairs
+            assert (2, 0) in driver_pairs and (2, 1) not in driver_pairs
