@@ -848,7 +848,11 @@ def ann_probe_adc_rerank(
 
 
 def ingest_embedding_batch(
-    spark: SparkSession, batch_df: DataFrame, batch_id: int, index_dir: str
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    quarantine_dir: str | None = None,
 ) -> None:
     """One microbatch: assign cells against the pinned centroids, append
     under ``(batch_id, cell)`` with dynamic overwrite (replay-idempotent).
@@ -862,15 +866,45 @@ def ingest_embedding_batch(
     row would steal a top-k slot from every probe that touches its cell
     — while a ragged row aborts the probe's fold outright. The width to
     admit against is the GENERATION's own (its pinned centroids), not a
-    modal guess."""
+    modal guess.
+
+    ``quarantine_dir`` (optional) persists the rejected rows as a
+    dead-letter lane — (vec_id, embedding, reason) under a batch_id
+    partition, replay-idempotent like the index write — so "where did my
+    vectors go" is answerable from disk, the same posture as corpus
+    ingest's W5 quarantine. Default None: the healthy path pays nothing
+    (no extra job, no empty writes — the W5 gating lesson)."""
     spark = batch_df.sparkSession
     cent = load_centroids(spark, index_dir)
     gen_dim = cent.select(F.size("centroid").alias("_mw")).distinct()
-    batch_df = (
+    admitted = (
         batch_df.filter(V.finite(F.col("embedding")))
         .join(F.broadcast(gen_dim), F.size(F.col("embedding")) == F.col("_mw"))
         .drop("_mw")
     )
+    if quarantine_dir is not None:
+        dim_lit = int(cent.select(F.size("centroid")).first()[0])
+        # ~admit_col is True for NULL too (finite() coalesces NULL->False)
+        rejected = batch_df.filter(~V.admit_col(F.col("embedding"), dim_lit)).select(
+            "vec_id",
+            "embedding",
+            F.when(F.col("embedding").isNull(), F.lit("null_vector"))
+            .when(~V.finite(F.col("embedding")), F.lit("non_finite"))
+            .otherwise(F.lit("wrong_width"))
+            .alias("reason"),
+        )
+        # gated like W5: clean batches must not pay a writer setup +
+        # dynamic-overwrite commit over an empty frame
+        if rejected.limit(1).count() > 0:
+            (
+                rejected.withColumn("batch_id", F.lit(batch_id))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(quarantine_dir)
+            )
+    batch_df = admitted
     asg = assign_cells(batch_df, cent)
     rows = batch_df.join(asg, "vec_id").select(
         "vec_id", "embedding", "label", F.col("cell").cast("int").alias("cell")

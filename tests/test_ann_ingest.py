@@ -1335,3 +1335,49 @@ def test_cell_selection_lanes_agree_on_hostile_queries(spark, tmp_path):
             # cell id on both lanes
             assert (1, 0) in driver_pairs and (1, 1) not in driver_pairs
             assert (2, 0) in driver_pairs and (2, 1) not in driver_pairs
+
+
+def test_ingest_quarantine_lane_persists_rejects(spark, tmp_path):
+    """The opt-in ANN ingest dead-letter lane: rejected vectors land as
+    (vec_id, embedding, reason) under their batch_id partition —
+    replay-idempotent like the index write — while clean batches write
+    NOTHING (the W5 empty-write gating); the index itself admits only
+    clean rows either way."""
+    from consensource_sds_spark.streaming.ann_ingest import (
+        ann_index,
+        ingest_embedding_batch,
+        init_ann_index,
+    )
+
+    d, q = str(tmp_path / "idx"), str(tmp_path / "quarantine")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cell int, centroid array<float>",
+    )
+    init_ann_index(spark, d, cent)
+    schema = "vec_id long, embedding array<double>, label int"
+    hostile = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1, 0.0], 0),  # clean
+            (2, None, 0),  # null_vector
+            (3, [1.0, float("nan"), 0.0], 0),  # non_finite
+            (4, [1.0, 2.0], 0),  # wrong_width (short)
+            (5, [1.0, 2.0, 3.0, 4.0], 0),  # wrong_width (long)
+        ],
+        schema,
+    )
+    ingest_embedding_batch(spark, hostile, 0, d, quarantine_dir=q)
+    assert {r["vec_id"] for r in ann_index(spark, d).collect()} == {1}
+    got = {
+        r["vec_id"]: r["reason"] for r in spark.read.parquet(q).collect()
+    }
+    assert got == {2: "null_vector", 3: "non_finite", 4: "wrong_width", 5: "wrong_width"}
+
+    # clean batch: no quarantine write at all (no new batch_id partition)
+    clean = spark.createDataFrame([(6, [0.0, 1.0, 0.1], 0)], schema)
+    ingest_embedding_batch(spark, clean, 1, d, quarantine_dir=q)
+    assert {r["batch_id"] for r in spark.read.parquet(q).collect()} == {0}
+
+    # replay of batch 0 dynamic-overwrites its own partition, not doubles
+    ingest_embedding_batch(spark, hostile, 0, d, quarantine_dir=q)
+    assert spark.read.parquet(q).count() == 4
