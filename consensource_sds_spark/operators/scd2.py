@@ -71,6 +71,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from consensource_sds_spark import schemas
+from consensource_sds_spark.functions.checkpoints import free_local_checkpoint
 from consensource_sds_spark.schemas import MAX_BLOCK_NUM
 
 #: entity group -> (version key column, member tables)
@@ -656,6 +657,9 @@ class ScdParquetStore:
                 # the bucket distinct and every member table's merge would
                 # race to re-run the full upstream decode
                 unioned = unioned.localCheckpoint()
+                batch_ckpt = unioned
+            else:
+                batch_ckpt = None
             blocks_new = blocks_fut.result() if blocks_fut is not None else []
 
         dedupe_idless = False
@@ -875,6 +879,13 @@ class ScdParquetStore:
             else:
                 new_man["last_batch_id"] = batch_id
         self._commit(new_man, expected_gen=gen - 1)
+        if batch_ckpt is not None:
+            # past the manifest swap the batch checkpoint is dead — free
+            # its blocks now instead of leaning on ContextCleaner's GC lag
+            # (a long-running stream's storage bound; see
+            # functions/checkpoints.py). A crash before the commit leaves
+            # it to the cleaner, exactly the prior behavior.
+            free_local_checkpoint(batch_ckpt)
 
     def compact(self, min_segments: int = 2) -> bool:
         """Table maintenance: coalesce each table's accumulated closed

@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from consensource_sds_spark.functions import checkpoints as CKPT
 from consensource_sds_spark.functions import text as TXT
 from consensource_sds_spark.functions import vectors as V
 from consensource_sds_spark.queries import (
@@ -3815,28 +3816,10 @@ def _bpe_seg_expr(col: str = "w"):
     return F.concat(F.lit(_BPE_SEP), F.concat_ws(_BPE_SEP, chars), F.lit(_BPE_SEP))
 
 
-def _free_local_checkpoint(df) -> None:
-    """Release a SUPERSEDED localCheckpoint's storage blocks eagerly.
-
-    A localCheckpoint truncates lineage, so its blocks ARE the data — and
-    ContextCleaner only frees them after a JVM GC notices the Dataset is
-    unreachable. Over a long iterative job that lag is the storage
-    footprint: measured on a 128-round incremental-BPE training, the
-    live-checkpoint envelope oscillated up to 59 RDDs / 355 MB (ending
-    at 249 MB still held) purely from cleanup lag; at production vocab
-    (GB-scale checkpoints, ~2k rounds) the transient is tens of GB of
-    executor storage the job doesn't need. Callers free a checkpoint
-    only once its successor has MATERIALIZED (localCheckpoint is eager)
-    and the frame can never be read again — a freed checkpoint fails
-    loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), it does not silently
-    recompute, so misuse is a crash not a wrong answer (pinned in
-    tests/test_bpe_property.py). Best-effort by design: the plan-RDD
-    accessor is a JVM internal, so any failure (non-checkpoint frame,
-    API drift) degrades to today's GC-lag behavior, never to an error."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# eager release of superseded localCheckpoints (measurements + contract in
+# functions/checkpoints.py; the module-level alias keeps the trainers'
+# call sites monkeypatchable for A/B harnesses)
+_free_local_checkpoint = CKPT.free_local_checkpoint
 
 
 def _bpe_train_merges(spark, d, n_merges: int) -> list[tuple[int, str, str, int]]:

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from consensource_sds_spark.functions.bloom import DEFAULT_M_BITS, BloomSidecar
+from consensource_sds_spark.functions.checkpoints import free_local_checkpoint
 from consensource_sds_spark.queries.extensions import (
     minhash_band_values,
     winnow_fingerprint_hashes,
@@ -439,6 +440,11 @@ def ingest_batch(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+    # every per-batch localCheckpoint lands here and is freed together
+    # after the digest-index commit point — a long-running stream must not
+    # lean on ContextCleaner's GC lag to bound its storage (see
+    # functions/checkpoints.py for the measured envelope)
+    batch_ckpts: list[DataFrame] = []
     sidecar, batch_digs = None, None
     if bloom_bits is not None:
         bloom_path = os.path.join(os.path.abspath(index_dir), "_bloom")
@@ -457,6 +463,7 @@ def ingest_batch(
         else:
             sidecar = BloomSidecar(bloom_path, m_bits=bloom_bits)
         batch_min = batch_min.localCheckpoint()
+        batch_ckpts.append(batch_min)
         n_batch = batch_min.count()  # checkpointed: a metadata-cheap job
         if n_batch <= _BLOOM_DRIVER_BATCH_CAP:
             # one digest per row post-collapse: a microbatch-bounded
@@ -487,6 +494,7 @@ def ingest_batch(
             # over the whole batch — doubling the probe pass on exactly the
             # batches chosen for being large
             flagged = batch_min.withColumn("_bh", probe(F.col("digest"))).localCheckpoint()
+            batch_ckpts.append(flagged)
             bc = getattr(probe, "bloom_broadcast", None)
             if bc is not None:
                 # the checkpoint above MATERIALIZED the probe — release the
@@ -507,10 +515,13 @@ def ingest_batch(
     else:
         fresh = batch_min.join(digest_index(spark, index_dir).select("digest"), "digest", "left_anti")
     fresh = fresh.select("doc_id", "text", "lang", "source", "n_chars", "digest").localCheckpoint()
+    batch_ckpts.append(fresh)
     batch_bands = None
     if band_dir is not None:
         fresh, batch_bands = _near_dedup(spark, fresh, band_dir)
         fresh = fresh.localCheckpoint()
+        batch_ckpts.append(fresh)
+        batch_ckpts.append(batch_bands)
 
     # idempotent-by-layout appends: each write owns its batch_id partition.
     # ORDER MATTERS for crash convergence: corpus rows first, then the
@@ -601,6 +612,11 @@ def ingest_batch(
             F.lit(batch_id).cast("int").alias("batch_id"),
         ),
     )
+    # past the commit point every per-batch checkpoint is dead — free the
+    # blocks now; a crash before this line leaves them to ContextCleaner,
+    # exactly the pre-r11 behavior, and the replay recomputes from source
+    for ck in batch_ckpts:
+        free_local_checkpoint(ck)
 
 
 def run_corpus_stream(
@@ -754,6 +770,7 @@ def compact_indexes(spark: SparkSession, out_dir: str) -> None:
             bid = d.split("=", 1)[1]
             spark.sql(f"ALTER TABLE {name} DROP IF EXISTS PARTITION (batch_id={bid})")
             shutil.rmtree(os.path.join(dir_, d), ignore_errors=True)
+        free_local_checkpoint(consolidated)  # written + partitions dropped
 
 
 def maybe_compact_indexes(spark: SparkSession, out_dir: str, max_live_batches: int = 64) -> bool:
