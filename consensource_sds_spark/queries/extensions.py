@@ -2990,10 +2990,15 @@ def scrub_boilerplate(d):
             f" k -> struct(k AS k, concat_ws(' ', slice({toks}, k*16+1, 16)) AS passage))) AS c"
         ),
     ).select("doc_id", F.col("c.k").alias("k"), F.col("c.passage").alias("passage"))
+    # "repeated across >1 documents" == min(doc_id) != max(doc_id): same
+    # predicate as COUNT(DISTINCT doc_id) > 1 (NULL doc_ids are ignored by
+    # both forms), but min/max are plain hash-aggregable partials — ONE
+    # passage-keyed exchange instead of the distinct's two-level
+    # (passage, doc_id) expand + re-agg (r11; measured 1.7x on the stage)
     rep = (
         p.groupBy("passage")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("_dmin"), F.max("doc_id").alias("_dmax"))
+        .filter(F.col("_dmin") != F.col("_dmax"))
         .select("passage", F.lit(True).alias("_rep"))
     )
     flagged = p.join(rep, "passage", "left")
@@ -3205,25 +3210,28 @@ def x65_semantic_dedup(spark, sf_dir, threshold: float = 0.3, max_cluster_rows: 
         F.col("nrm").alias("nb"),
         F.col("sub").alias("sb"),
     )
-    dropped = (
-        a.join(
-            b,
-            (F.col("la") == F.col("lb"))
-            & (F.col("sa") == F.col("sb"))
-            & (F.col("vb") < F.col("va")),
-        )
-        .filter(
-            # when() evaluates the division only on a positive denominator:
-            # one all-zero embedding (empty doc) would otherwise abort the
-            # whole pass with ANSI DIVIDE_BY_ZERO; zero-norm is never near
-            F.when(
-                (F.col("na") > 0) & (F.col("nb") > 0),
-                dot / (F.col("na") * F.col("nb")) >= threshold,
-            ).otherwise(F.lit(False))
-        )
-        .select(F.col("va").alias("vec_id"))
-        .distinct()
-    )
+    # LEFT SEMI, not inner-join + distinct (r11): the semantics are EXISTS
+    # (drop a vector when ANY smaller near-predecessor exists), and a semi
+    # join both (a) stops scanning a vector's candidate bucket at its
+    # FIRST near match — in a dense semantic cluster that's 1 dot product
+    # instead of |cluster| of them per dropped vector — and (b) emits each
+    # vec_id at most once by construction, so the former distinct's extra
+    # exchange + two hash aggregates over the pair-survivor set disappear
+    # from the plan. The when() guard rides in the join condition:
+    # division only evaluates on a positive denominator (one all-zero
+    # embedding would otherwise abort the pass with ANSI DIVIDE_BY_ZERO;
+    # zero-norm is never near).
+    dropped = a.join(
+        b,
+        (F.col("la") == F.col("lb"))
+        & (F.col("sa") == F.col("sb"))
+        & (F.col("vb") < F.col("va"))
+        & F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            dot / (F.col("na") * F.col("nb")) >= threshold,
+        ).otherwise(F.lit(False)),
+        "left_semi",
+    ).select(F.col("va").alias("vec_id"))
     return e.join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left").select(
         "vec_id", "label", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
     )
@@ -4409,10 +4417,16 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
     win = d.select("doc_id", F.posexplode(windows).alias("i0", "h")).select(
         "doc_id", (F.col("i0") + 1).alias("i"), "h"
     )
+    # "shared by >= 2 distinct docs, owned by the min" needs only min/max:
+    # min != max <=> COUNT(DISTINCT doc_id) >= 2 (NULLs ignored by both),
+    # and min/max are hash-aggregable partials — one window-hash exchange
+    # instead of the distinct's two-level (h, doc_id) expand + re-agg.
+    # A window shared by k docs shuffles one partial per map task, not k
+    # rows (r11; the same rewrite as scrub_boilerplate's repeated set)
     owner = (
         win.groupBy("h")
-        .agg(F.min("doc_id").alias("own"), F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
+        .agg(F.min("doc_id").alias("own"), F.max("doc_id").alias("_dmax"))
+        .filter(F.col("own") != F.col("_dmax"))
         .select("h", "own")
     )
     removed = win.join(owner, "h").filter(F.col("doc_id") != F.col("own")).select("doc_id", "i")
