@@ -976,21 +976,35 @@ def ann_probe(
     toward the lower vec_id."""
     import numpy as np
 
+    import math
+
     art = _cent_probe_artifacts(spark, index_dir)
     qraw: dict = {}
     qvec: dict = {}
+    qn: dict = {}
     for r in queries.select(F.col("qid"), F.col("embedding").alias("qe")).collect():
         if not _admit_query(r["qe"], art["dim"]):
             continue
         qraw[r["qid"]] = r["qe"]
         qvec[r["qid"]] = np.asarray(r["qe"], dtype=np.float64)
+        # the query vector's L2 norm is loop-invariant across its whole
+        # candidate set, but Catalyst re-runs the O(d) norm fold per
+        # CANDIDATE row when it rides inside the cosine expression —
+        # compute it once per query here, in the exact JVM fold order
+        # (left-to-right double accumulate, f32->f64 casts exact), so the
+        # per-candidate score is bit-identical to the in-plan form
+        acc = 0.0
+        for x in qraw[r["qid"]]:
+            acc += float(x) * float(x)
+        qn[r["qid"]] = math.sqrt(acc)
     pairs, needed = _select_cells_driver(art, qvec, nprobe)
     q_cells = spark.createDataFrame(
-        [(qid, qraw[qid], c) for qid, c in pairs],
+        [(qid, qraw[qid], qn[qid], c) for qid, c in pairs],
         T.StructType(
             [
                 T.StructField("qid", queries.schema["qid"].dataType),
                 T.StructField("qe", queries.schema["embedding"].dataType),
+                T.StructField("qn", T.DoubleType()),
                 T.StructField("cell", art["cell_type"]),
             ]
         ),
@@ -998,15 +1012,26 @@ def ann_probe(
     idx = ann_index(spark, index_dir)
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
-    cand = idx.join(
-        F.broadcast(q_cells), "cell"
-    ).select("qid", "vec_id", V.cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+    denom = F.col("qn") * V.norm(F.col("embedding"))
+    cand = idx.join(F.broadcast(q_cells), "cell").select(
+        "qid",
+        "vec_id",
+        F.when(denom > 0, V.dot(F.col("qe"), F.col("embedding")) / denom).alias(
+            "cosine"
+        ),
+    )
     if _exclude_self:
         # replay safety for the dedup probe: an already-ingested copy of
         # the query itself (same vec_id) is not a "duplicate of the corpus"
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
     # a vec duplicated across batch partitions (mid-compaction crash) or
-    # reachable via two probed cells must score once
+    # reachable via two probed cells must score once. Partitioning by qid
+    # ALONE satisfies both the (qid, vec_id) dedup aggregate and the
+    # top-k window below (hash(qid) clusters every (qid, vec_id) group),
+    # so the scored candidate set crosses the wire ONCE instead of twice
+    # (r11; the dedup's former (qid, vec_id) exchange fed a second
+    # qid-only exchange for the window)
+    cand = cand.repartition("qid")
     cand = cand.groupBy("qid", "vec_id").agg(F.max("cosine").alias("cosine"))
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
