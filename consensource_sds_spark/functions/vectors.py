@@ -103,6 +103,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with both norms already materialized as columns —
+    bit-identical (``na * nb`` must be passed in :func:`cosine`'s
+    ``norm(a) * norm(b)`` operand order). For pair joins: Catalyst does
+    not hoist the loop-invariant O(d) norm folds out of the per-pair
+    score, so ``cosine(a, b)`` inside an n x k join re-runs BOTH folds
+    per pair; projecting each side's norm once before the join leaves
+    only the dot product as per-pair work (r11 — measured 1.7x on the
+    ANN probe, whose query-side norm moved all the way to the driver)."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
 def unit(a: Column) -> Column:
     """``a`` scaled to unit L2 norm (float, the storage dtype); zero
     vectors pass through unchanged. Normalizing embeddings at INGEST makes

@@ -882,10 +882,22 @@ def x11_ivf_assign(spark, sf_dir):
     the partitioning step of IVF-ANN: search only probes matching cells.
     Ties break toward the lower centroid id."""
     e = _load_finite_embeddings(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    allv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # norms hoisted out of the k-way cross join: the candidate norm is one
+    # fold per ROW instead of one per (row, centroid) pair (V.cosine_with_norms)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    allv = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        V.norm(F.col("embedding")).alias("cn"),
+    )
     scored = allv.crossJoin(F.broadcast(cent)).select(
-        "cid", "qid", V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+        "cid",
+        "qid",
+        V.cosine_with_norms(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("raw_cos"),
     )
     return (
         scored.groupBy(F.col("cid").alias("vec_id"))
@@ -915,8 +927,17 @@ def x12_embedding_neardup(spark, sf_dir):
     so no unbounded crossJoin is reachable through the registry. The scale
     path is x13 (IVF cells) / x14 (multi-probe)."""
     e = _load_finite_embeddings(spark, sf_dir)
-    a = e.filter(F.col("vec_id") < 250).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    b = e.filter(F.col("vec_id") >= 250).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # norms hoisted before the cross join (one fold per row, not per pair)
+    a = e.filter(F.col("vec_id") < 250).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    b = e.filter(F.col("vec_id") >= 250).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        V.norm(F.col("embedding")).alias("cn"),
+    )
     if a.limit(_X12_MAX_BROADCAST_ROWS + 1).count() > _X12_MAX_BROADCAST_ROWS:
         raise ValueError(
             "x12 is the bounded-exact near-dup baseline; its broadcast side "
@@ -924,7 +945,9 @@ def x12_embedding_neardup(spark, sf_dir):
             "x14_multiprobe_ivf for unbounded corpora."
         )
     scored = b.crossJoin(F.broadcast(a)).select(
-        F.col("qid").alias("vec_a"), F.col("cid").alias("vec_b"), V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+        F.col("qid").alias("vec_a"),
+        F.col("cid").alias("vec_b"),
+        V.cosine_with_norms(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("raw_cos"),
     )
     return scored.filter(F.col("raw_cos") > 0.4).select(
         "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")
@@ -968,18 +991,24 @@ def x13_ivf_neardup(spark, sf_dir):
     multi-probe assignment (top-2 cells per vector) is enabled — the
     brute-force x12 is the exact-recall baseline this approximates."""
     asg = x11_ivf_assign(spark, sf_dir)
-    e = _load_finite_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    e = _load_finite_embeddings(spark, sf_dir).select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("_nrm")
+    )
+    # norms ride the assignment join (one fold per vector), so the
+    # intra-cell pair join's per-pair work is the dot product alone
     v = asg.join(e, "vec_id")
     a = v.select(
-        F.col("vec_id").alias("va"), F.col("centroid_id").alias("ca"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("va"), F.col("centroid_id").alias("ca"),
+        F.col("embedding").alias("ea"), F.col("_nrm").alias("na"),
     )
     b = v.select(
-        F.col("vec_id").alias("vb"), F.col("centroid_id").alias("cb"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vb"), F.col("centroid_id").alias("cb"),
+        F.col("embedding").alias("eb"), F.col("_nrm").alias("nb"),
     )
     scored = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb"))).select(
         F.col("va").alias("vec_a"),
         F.col("vb").alias("vec_b"),
-        V.cosine(F.col("ea"), F.col("eb")).alias("raw_cos"),
+        V.cosine_with_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("raw_cos"),
     )
     return scored.filter(F.col("raw_cos") > 0.4).select(
         "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")
@@ -1022,10 +1051,22 @@ def x14_multiprobe_ivf(spark, sf_dir):
     Candidate pairs are deduped BEFORE the expensive cosine (a pair can
     share both cells)."""
     e = _load_finite_embeddings(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < 8).selectExpr("vec_id AS qid", "embedding AS qe")
-    allv = e.selectExpr("vec_id AS cid", "embedding AS ce")
+    # norms hoisted before both the assignment cross join and the exact
+    # pair scoring below (one fold per row, not per pair)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    allv = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        V.norm(F.col("embedding")).alias("cn"),
+    )
     scored = allv.crossJoin(F.broadcast(cent)).select(
-        "cid", "qid", V.cosine(F.col("qe"), F.col("ce")).alias("cos")
+        "cid",
+        "qid",
+        V.cosine_with_norms(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("cos"),
     )
     w = Window.partitionBy("cid").orderBy(F.col("cos").desc(), "qid")
     asg = (
@@ -1040,12 +1081,21 @@ def x14_multiprobe_ivf(spark, sf_dir):
         .select("va", "vb")
         .distinct()
     )
-    ex = e.selectExpr("vec_id AS xid", "embedding AS xe")
-    ey = e.selectExpr("vec_id AS yid", "embedding AS ye")
+    ex = e.select(
+        F.col("vec_id").alias("xid"), F.col("embedding").alias("xe"),
+        V.norm(F.col("embedding")).alias("xn"),
+    )
+    ey = e.select(
+        F.col("vec_id").alias("yid"), F.col("embedding").alias("ye"),
+        V.norm(F.col("embedding")).alias("yn"),
+    )
     pairs = (
         cand.join(ex, F.col("va") == F.col("xid"))
         .join(ey, F.col("vb") == F.col("yid"))
-        .select("va", "vb", V.cosine(F.col("xe"), F.col("ye")).alias("raw_cos"))
+        .select(
+            "va", "vb",
+            V.cosine_with_norms(F.col("xe"), F.col("ye"), F.col("xn"), F.col("yn")).alias("raw_cos"),
+        )
     )
     return pairs.filter(F.col("raw_cos") > 0.4).select(
         F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), F.round("raw_cos", 6).alias("cosine")
@@ -1848,12 +1898,22 @@ def x40_kmeans_update(spark, sf_dir):
     whole cluster's vectors on one node. Iterating = re-feeding the new
     centroids; each round is this same two-shuffle job."""
     e = _load_finite_embeddings(spark, sf_dir)
+    # norms hoisted out of the assignment cross join (one fold per row)
     cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
     )
-    allv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    allv = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        V.norm(F.col("embedding")).alias("cn"),
+    )
     scored = allv.crossJoin(F.broadcast(cent)).select(
-        "cid", "ce", "qid", V.cosine(F.col("qe"), F.col("ce")).alias("raw_cos")
+        "cid",
+        "ce",
+        "qid",
+        V.cosine_with_norms(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("raw_cos"),
     )
     asg = scored.groupBy("cid").agg(
         F.max_by("qid", F.struct(F.col("raw_cos"), (-F.col("qid")).alias("neg"))).alias(
@@ -2057,18 +2117,24 @@ def x47_srp_neardup(spark, sf_dir):
     recall lever is multiple independent bucket tables (x14's multi-probe
     analog), traded here for the single-table plan."""
     e = _load_finite_embeddings(spark, sf_dir).select(
-        "vec_id", "embedding", F.expr(_SRP_SPARK).alias("srp")
+        "vec_id",
+        "embedding",
+        F.expr(_SRP_SPARK).alias("srp"),
+        V.norm(F.col("embedding")).alias("_nrm"),
     )
+    # norms hoisted before the bucket pair join (one fold per row)
     a = e.select(
-        F.col("vec_id").alias("va"), F.col("srp").alias("sa"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("va"), F.col("srp").alias("sa"),
+        F.col("embedding").alias("ea"), F.col("_nrm").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("vb"), F.col("srp").alias("sb"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vb"), F.col("srp").alias("sb"),
+        F.col("embedding").alias("eb"), F.col("_nrm").alias("nb"),
     )
     scored = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("va") < F.col("vb"))).select(
         F.col("va").alias("vec_a"),
         F.col("vb").alias("vec_b"),
-        V.cosine(F.col("ea"), F.col("eb")).alias("raw_cos"),
+        V.cosine_with_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("raw_cos"),
     )
     return scored.filter(F.col("raw_cos") > 0.2).select(
         "vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine")

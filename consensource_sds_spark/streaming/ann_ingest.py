@@ -142,12 +142,27 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     id — x11's rule. The centroid side is broadcast (k x dim, the
     genuinely-small side); one max_by per vector, no shuffle of the
     embedding frame."""
-    scored = emb.select("vec_id", "embedding").crossJoin(
-        F.broadcast(centroids.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
+    # norms hoisted out of the k-way cross join: the row norm is one O(d)
+    # fold per VECTOR instead of one per (vector, centroid) pair, and the
+    # k centroid norms ride the broadcast (V.cosine_with_norms)
+    scored = emb.select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("_rn")
+    ).crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col("cell").alias("_c"),
+                F.col("centroid").alias("_ce"),
+                V.norm(F.col("centroid")).alias("_cn"),
+            )
+        )
     )
     return (
         scored.select(
-            "vec_id", "_c", V.cosine(F.col("_ce"), F.col("embedding")).alias("_cos")
+            "vec_id",
+            "_c",
+            V.cosine_with_norms(
+                F.col("_ce"), F.col("embedding"), F.col("_cn"), F.col("_rn")
+            ).alias("_cos"),
         )
         .groupBy("vec_id")
         .agg(F.max_by("_c", F.struct(F.col("_cos"), (-F.col("_c")).alias("_neg"))).alias("cell"))
@@ -555,9 +570,23 @@ def _probe_cells(spark: SparkSession, index_dir: str, qs: DataFrame, nprobe: int
     # Column twin of the driver lane's _admit_query/V.admit_value)
     dim = _cent_probe_artifacts(spark, index_dir)["dim"]
     qs = qs.filter(V.admit_col(F.col("qe"), dim))
-    scored = qs.crossJoin(
-        F.broadcast(cent.select(F.col("cell").alias("_c"), F.col("centroid").alias("_ce")))
-    ).select("qid", "qe", "_c", V.cosine(F.col("_ce"), F.col("qe")).alias("_cos"))
+    # norms hoisted out of the k-way cross join (one fold per query /
+    # per centroid, not per pair) — same bit-identical rewrite as
+    # assign_cells
+    scored = qs.withColumn("_qn", V.norm(F.col("qe"))).crossJoin(
+        F.broadcast(
+            cent.select(
+                F.col("cell").alias("_c"),
+                F.col("centroid").alias("_ce"),
+                V.norm(F.col("centroid")).alias("_cn"),
+            )
+        )
+    ).select(
+        "qid",
+        "qe",
+        "_c",
+        V.cosine_with_norms(F.col("_ce"), F.col("qe"), F.col("_cn"), F.col("_qn")).alias("_cos"),
+    )
     wc = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("_c"))
     q_cells = (
         scored.withColumn("_rn", F.row_number().over(wc))
@@ -834,10 +863,18 @@ def ann_probe_adc_rerank(
         .filter(F.col("vec_id").isin(ids))
         .dropDuplicates(["vec_id"])
     )
+    # norms hoisted before the rerank pair join (query norm once per query
+    # on the broadcast side, candidate norm once per shortlisted vector)
     cand = (
-        short.join(emb, "vec_id")
-        .join(F.broadcast(qs), "qid")
-        .select("qid", "vec_id", V.cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+        short.join(emb.withColumn("_en", V.norm(F.col("embedding"))), "vec_id")
+        .join(F.broadcast(qs.withColumn("_qn", V.norm(F.col("qe")))), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            V.cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("_qn"), F.col("_en")
+            ).alias("cosine"),
+        )
     )
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
