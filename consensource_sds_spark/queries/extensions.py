@@ -71,13 +71,25 @@ def minhash_signatures_frame(d):
         ),
     )
     h0, h1 = "md5(sh)", "md5(concat('x:', sh))"
+    # MIN over a fixed-width lowercase hex slice == MIN over its numeric
+    # value (the map is monotonic), but a STRING min forces SortAggregate
+    # (immutable agg buffer: two full sorts of the O(shingles) relation,
+    # r11 plan audit) while a BIGINT min hash-aggregates with map-side
+    # partials. Aggregate numerically, then rebuild the identical 8-char
+    # lowercase zero-padded hex slot post-agg (one row per doc, not per
+    # shingle). SortAggregate x4 -> HashAggregate x2 in the plan.
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.expr(f"min(substring({h0 if s < 4 else h1}, {(s % 4) * 8 + 1}, 8)) AS h{s}")
+            F.expr(
+                f"min(cast(conv(substring({h0 if s < 4 else h1},"
+                f" {(s % 4) * 8 + 1}, 8), 16, 10) AS bigint)) AS n{s}"
+            )
             for s in range(8)
         ]
     )
-    stack = ", ".join(f"{s}L, h{s}" for s in range(8))
+    stack = ", ".join(
+        f"{s}L, lpad(lower(conv(n{s}, 10, 16)), 8, '0')" for s in range(8)
+    )
     return sig.selectExpr("doc_id", f"stack(8, {stack}) AS (seed, minhash)")
 
 
@@ -4389,20 +4401,33 @@ def x76_exact_substring_matches(spark, sf_dir):
     k-doc hash would mint k^2 pairs), so pair volume is bounded per hash.
     The pair join keys on the window hash — never doc x doc."""
     d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ts"))
+    # h is internal-only (never in the result): unhex folds the 32-char md5
+    # hex string to its 16 raw bytes — same equality, half the bytes on
+    # every h-keyed exchange and broadcast (r11, guide "narrower types")
     windows = F.when(
         F.size("ts") >= _X76_W,
         F.expr(
             f"transform(sequence(1, size(ts) - {_X76_W} + 1),"
-            f" i -> md5(concat_ws(' ', slice(ts, i, {_X76_W}))))"
+            f" i -> unhex(md5(concat_ws(' ', slice(ts, i, {_X76_W})))))"
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    win = d.select("doc_id", F.explode(windows).alias("h")).distinct()
-    capped = (
-        win.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+    ).otherwise(F.array().cast("array<binary>"))
+    # the isnotnull(h) filter mirrors what the former inner join on h did
+    # (null keys never matched); h is md5 output so it is a no-op on data
+    win = d.select("doc_id", F.explode(windows).alias("h")).filter(F.col("h").isNotNull()).distinct()
+    # posting cap as a COUNT window over h instead of a groupBy+self-join:
+    # the r11 plan showed the O(total_tokens) window-md5 Generate running
+    # TWICE (the cap branch could not reuse the join branch's exchange —
+    # join-side isnotnull pushdown made the subtrees differ). One window
+    # pass caps in place: ONE Generate, one (doc_id,h) exchange, and the
+    # h-partitioned/sorted window output feeds the pair join with no
+    # further exchange. _n counts exactly the rows the former
+    # groupBy("h") counted (NULL doc_ids included: the count predicate
+    # cannot push below the window).
+    w2 = (
+        win.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("_n") <= _X76_MAX_POSTING)
-        .select("h")
+        .select("doc_id", "h")
     )
-    w2 = win.join(capped, "h")
     a = w2.select(F.col("doc_id").alias("doc_a"), "h")
     b = w2.select(F.col("doc_id").alias("doc_b"), "h")
     return (
@@ -4473,29 +4498,40 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
     toks = d.select("doc_id", F.posexplode("ts").alias("pos0", "token")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
     )
+    # h is internal-only: unhex folds the md5 hex string to its 16 raw
+    # bytes — same equality, half the bytes on the h exchange (r11)
     windows = F.when(
         F.size("ts") >= w,
         F.expr(
             f"transform(sequence(1, size(ts) - {w} + 1),"
-            f" i -> md5(concat_ws(' ', slice(ts, i, {w}))))"
+            f" i -> unhex(md5(concat_ws(' ', slice(ts, i, {w})))))"
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    win = d.select("doc_id", F.posexplode(windows).alias("i0", "h")).select(
-        "doc_id", (F.col("i0") + 1).alias("i"), "h"
+    ).otherwise(F.array().cast("array<binary>"))
+    # the isnotnull(h) filter mirrors the former inner join's null-key
+    # drop (h is md5 output, so it is a no-op on data)
+    win = (
+        d.select("doc_id", F.posexplode(windows).alias("i0", "h"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "h")
+        .filter(F.col("h").isNotNull())
     )
-    # "shared by >= 2 distinct docs, owned by the min" needs only min/max:
-    # min != max <=> COUNT(DISTINCT doc_id) >= 2 (NULLs ignored by both),
-    # and min/max are hash-aggregable partials — one window-hash exchange
-    # instead of the distinct's two-level (h, doc_id) expand + re-agg.
-    # A window shared by k docs shuffles one partial per map task, not k
-    # rows (r11; the same rewrite as scrub_boilerplate's repeated set)
-    owner = (
-        win.groupBy("h")
-        .agg(F.min("doc_id").alias("own"), F.max("doc_id").alias("_dmax"))
-        .filter(F.col("own") != F.col("_dmax"))
-        .select("h", "own")
+    # "shared by >= 2 distinct docs, owned by the min" needs only min/max
+    # (min != max <=> COUNT(DISTINCT doc_id) >= 2, NULLs ignored by both
+    # forms) — and computing them as ONE min/max window over h replaces
+    # the former groupBy("h") + join-back entirely: the r11 plan showed
+    # the O(total_tokens) window-md5 Generate running TWICE (once per
+    # branch); now the window relation is generated ONCE, exchanged once
+    # by h, and filtered in place (r11; x76 gets the same treatment)
+    wh = Window.partitionBy("h")
+    removed = (
+        win.select(
+            "doc_id",
+            "i",
+            F.min("doc_id").over(wh).alias("_own"),
+            F.max("doc_id").over(wh).alias("_dmax"),
+        )
+        .filter((F.col("_own") != F.col("_dmax")) & (F.col("doc_id") != F.col("_own")))
+        .select("doc_id", "i")
     )
-    removed = win.join(owner, "h").filter(F.col("doc_id") != F.col("own")).select("doc_id", "i")
     cover = (
         removed.select(
             "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + w - 1)).alias("pos")
