@@ -48,8 +48,15 @@ def x01_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content digest; keep lowest doc_id.
     Scale: one shuffle on the digest; partial agg makes it map-side cheap."""
     d = load(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    # group on the digest's 16 raw bytes (unhex), rebuild the identical
+    # lowercase hex result post-agg: same equality, half the bytes in the
+    # agg hash table and on the digest exchange (r11, narrower types)
+    return (
+        d.groupBy(F.unhex(F.md5("text")).alias("_ch"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select(
+            F.lower(F.hex("_ch")).alias("content_hash"), "keep_doc_id", "n_copies"
+        )
     )
 
 
@@ -1571,14 +1578,24 @@ def x38_passage_dedup(spark, sf_dir):
             f" k -> concat_ws(' ', slice({toks}, k*16+1, 16)))) AS passage"
         ),
     )
+    # group on the digest's 16 raw bytes, rebuild the identical lowercase
+    # hex result post-agg: the COUNT(DISTINCT) expansion shuffles one
+    # (digest, doc_id) row per pair, so the narrower key cuts both
+    # exchanges' bytes (r11, narrower types)
     return (
-        p.groupBy(F.md5("passage").alias("passage_hash"))
+        p.groupBy(F.unhex(F.md5("passage")).alias("_ph"))
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_occurrences"),
             F.min("doc_id").alias("keep_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+        .select(
+            F.lower(F.hex("_ph")).alias("passage_hash"),
+            "n_docs",
+            "n_occurrences",
+            "keep_doc_id",
+        )
     )
 
 
