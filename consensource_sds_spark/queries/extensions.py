@@ -78,25 +78,19 @@ def minhash_signatures_frame(d):
         ),
     )
     h0, h1 = "md5(sh)", "md5(concat('x:', sh))"
-    # MIN over a fixed-width lowercase hex slice == MIN over its numeric
-    # value (the map is monotonic), but a STRING min forces SortAggregate
-    # (immutable agg buffer: two full sorts of the O(shingles) relation,
-    # r11 plan audit) while a BIGINT min hash-aggregates with map-side
-    # partials. Aggregate numerically, then rebuild the identical 8-char
-    # lowercase zero-padded hex slot post-agg (one row per doc, not per
-    # shingle). SortAggregate x4 -> HashAggregate x2 in the plan.
+    # NOTE (r11, measured-and-rejected): converting the 8 string MINs to
+    # BIGINT mins (conv base 16) flips SortAggregate -> HashAggregate in
+    # the plan, but an isolated interleaved A/B at 50k docs measured it
+    # ~15% SLOWER (0.835 -> 0.967 s): doc-ordered input makes the sort
+    # near-free while conv costs 8 string parses per shingle. Kept as the
+    # string form; see OPTIMIZATION_r11.md.
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.expr(
-                f"min(cast(conv(substring({h0 if s < 4 else h1},"
-                f" {(s % 4) * 8 + 1}, 8), 16, 10) AS bigint)) AS n{s}"
-            )
+            F.expr(f"min(substring({h0 if s < 4 else h1}, {(s % 4) * 8 + 1}, 8)) AS h{s}")
             for s in range(8)
         ]
     )
-    stack = ", ".join(
-        f"{s}L, lpad(lower(conv(n{s}, 10, 16)), 8, '0')" for s in range(8)
-    )
+    stack = ", ".join(f"{s}L, h{s}" for s in range(8))
     return sig.selectExpr("doc_id", f"stack(8, {stack}) AS (seed, minhash)")
 
 
