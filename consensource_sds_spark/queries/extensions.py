@@ -4505,9 +4505,10 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
     """x77's frame-level body over any (doc_id, text) frame: returns
     (doc_id, n_tokens, n_removed, text_scrubbed). See the registry
     docstring for semantics and the scale argument."""
-    d = docs.select("doc_id", F.split("text", " ").alias("ts"))
-    toks = d.select("doc_id", F.posexplode("ts").alias("pos0", "token")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
+    # null-text docs produce no row (posexplode of a null array emitted
+    # nothing, so they never reached the former groupBy either)
+    d = docs.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.col("ts").isNotNull()
     )
     # h is internal-only: unhex folds the md5 hex string to its 16 raw
     # bytes — same equality, half the bytes on the h exchange (r11)
@@ -4543,23 +4544,35 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
         .filter((F.col("_own") != F.col("_dmax")) & (F.col("doc_id") != F.col("_own")))
         .select("doc_id", "i")
     )
-    cover = (
+    # Reassembly rethought at the DOC level (r11, guide §8: decide with
+    # small rows, move big rows once). The former shape exploded the full
+    # corpus to a (doc_id, pos, token) relation, hash-joined it with the
+    # coverage rows, then re-shuffled every token into a giant
+    # collect_list + array_sort aggregate — two full token-relation
+    # exchanges carrying the text payload. Instead: aggregate the removal
+    # coverage to ONE position-set row per affected doc (collect_set
+    # dedups overlapping windows in-agg — the former distinct's exchange
+    # folds into this aggregate), join that small relation back to the
+    # docs once, and reassemble map-side with array higher-order
+    # functions: array_except keeps surviving positions in ascending
+    # order (exactly what the former array_sort-by-pos produced) and
+    # transform/element_at rebuilds the text with zero further shuffles.
+    cov = (
         removed.select(
             "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + w - 1)).alias("pos")
         )
-        .distinct()
-        .withColumn("_rm", F.lit(True))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("rmpos"))
     )
-    flagged = toks.join(cover, ["doc_id", "pos"], "left").withColumn(
-        "rm", F.coalesce(F.col("_rm"), F.lit(False))
-    )
-    kept = F.array_sort(
-        F.collect_list(F.when(~F.col("rm"), F.struct("pos", "token")))
-    ).getField("token")
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.when(F.col("rm"), 1).otherwise(0)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("text_scrubbed"),
+    j = d.join(cov, ["doc_id"], "left")
+    rm = F.coalesce(F.col("rmpos"), F.expr("CAST(array() AS array<int>)"))
+    kept_pos = F.array_except(F.sequence(F.lit(1), F.size("ts")), rm)
+    scrub = F.concat_ws(" ", F.transform(kept_pos, lambda p: F.element_at(F.col("ts"), p)))
+    return j.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        (F.size("ts") - F.size(kept_pos)).cast("long").alias("n_removed"),
+        scrub.alias("text_scrubbed"),
     )
 
 
