@@ -4376,6 +4376,33 @@ _X76_MAX_POSTING = 50
 _X76_MIN_SHARED = 4
 
 
+def _x76_window_hashes(w: int = _X76_W, distinct: bool = False):
+    """Per-doc array of W-token window identities over ``ts`` for the
+    ExactSubstr family (x76/x77): struct(h1, h2) of two independently-
+    salted xxhash64 chains over the window's tokens. Shared by both
+    entries so the hash identity cannot drift between the match and scrub
+    halves. Tokens feed the hash DIRECTLY (xxhash64 is a multi-column
+    hash) — no per-window concat_ws string build and no cryptographic
+    md5, which the r11 profile measured at ~45% of x76 (guide §1.2:
+    per-task work, once the shape is right). Token-sequence equality <=>
+    (h1, h2) equality up to ~2^-128 collisions, the same contract the
+    former unhex(md5(concat_ws(..))) carried — the 1L salt heading the
+    second chain de-correlates its internal state from the first.
+    ``distinct=True`` dedups a doc's repeated windows inside the array
+    (map-side; x76's set semantics), saving the downstream relation-wide
+    distinct exchange; x77 keeps every occurrence (positions matter)."""
+    args = ", ".join(f"element_at(ts, i + {k})" for k in range(w))
+    body = (
+        f"transform(sequence(1, size(ts) - {w} + 1),"
+        f" i -> struct(xxhash64({args}) AS h1, xxhash64(1L, {args}) AS h2))"
+    )
+    if distinct:
+        body = f"array_distinct({body})"
+    return F.when(F.size("ts") >= w, F.expr(body)).otherwise(
+        F.expr("CAST(array() AS array<struct<h1:bigint,h2:bigint>>)")
+    )
+
+
 @register(
     "x76_exact_substring_matches",
     oracle=f"""
@@ -4412,19 +4439,23 @@ def x76_exact_substring_matches(spark, sf_dir):
     k-doc hash would mint k^2 pairs), so pair volume is bounded per hash.
     The pair join keys on the window hash — never doc x doc."""
     d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ts"))
-    # h is internal-only (never in the result): unhex folds the 32-char md5
-    # hex string to its 16 raw bytes — same equality, half the bytes on
-    # every h-keyed exchange and broadcast (r11, guide "narrower types")
-    windows = F.when(
-        F.size("ts") >= _X76_W,
-        F.expr(
-            f"transform(sequence(1, size(ts) - {_X76_W} + 1),"
-            f" i -> unhex(md5(concat_ws(' ', slice(ts, i, {_X76_W})))))"
-        ),
-    ).otherwise(F.array().cast("array<binary>"))
-    # the isnotnull(h) filter mirrors what the former inner join on h did
-    # (null keys never matched); h is md5 output so it is a no-op on data
-    win = d.select("doc_id", F.explode(windows).alias("h")).filter(F.col("h").isNotNull()).distinct()
+    # h is internal-only (never in the result), so its representation is
+    # free to choose. The r11 profile showed the window-relation map pass
+    # (one string concat + md5 per window, O(total_tokens) windows) was
+    # ~45% of the whole query, so h is now TWO independently-salted
+    # xxhash64 chains fed the 8 tokens DIRECTLY — no per-window string
+    # build, no cryptographic digest — packed in one struct. Two
+    # independent 64-bit chains keep the ~2^-128 per-pair collision odds
+    # of the former md5 (a SINGLE xxhash64 measured 1.9x but at 1e12
+    # windows its birthday collisions would dent the 'exact, recall 1.0'
+    # contract — measured, rejected). Equality of (h1,h2) == equality of
+    # the window's token sequence exactly as md5-of-concat was.
+    # array_distinct dedups each doc's repeated windows MAP-SIDE (a doc's
+    # windows all sit in its own array), which is exactly what the former
+    # frame-level .distinct() computed — minus its full-relation exchange.
+    win = d.select("doc_id", F.explode(_x76_window_hashes(_X76_W, distinct=True)).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     # posting cap as a COUNT window over h instead of a groupBy+self-join:
     # the r11 plan showed the O(total_tokens) window-md5 Generate running
     # TWICE (the cap branch could not reuse the join branch's exchange —
@@ -4510,19 +4541,13 @@ def exact_substring_scrub(docs: "DataFrame", w: int = _X76_W) -> "DataFrame":
     d = docs.select("doc_id", F.split("text", " ").alias("ts")).filter(
         F.col("ts").isNotNull()
     )
-    # h is internal-only: unhex folds the md5 hex string to its 16 raw
-    # bytes — same equality, half the bytes on the h exchange (r11)
-    windows = F.when(
-        F.size("ts") >= w,
-        F.expr(
-            f"transform(sequence(1, size(ts) - {w} + 1),"
-            f" i -> unhex(md5(concat_ws(' ', slice(ts, i, {w})))))"
-        ),
-    ).otherwise(F.array().cast("array<binary>"))
+    # h is internal-only: the shared double-xxhash64 window identity (see
+    # :func:`_x76_window_hashes` for the hash-choice rationale; every
+    # occurrence kept here — positions matter for the cut)
     # the isnotnull(h) filter mirrors the former inner join's null-key
-    # drop (h is md5 output, so it is a no-op on data)
+    # drop (h was never null, so it is a no-op on data)
     win = (
-        d.select("doc_id", F.posexplode(windows).alias("i0", "h"))
+        d.select("doc_id", F.posexplode(_x76_window_hashes(w)).alias("i0", "h"))
         .select("doc_id", (F.col("i0") + 1).alias("i"), "h")
         .filter(F.col("h").isNotNull())
     )
