@@ -4470,11 +4470,35 @@ def x76_exact_substring_matches(spark, sf_dir):
         .filter(F.col("_n") <= _X76_MAX_POSTING)
         .select("doc_id", "h")
     )
-    a = w2.select(F.col("doc_id").alias("doc_a"), "h")
-    b = w2.select(F.col("doc_id").alias("doc_b"), "h")
+    # pair generation WITHOUT the former self-join: the capped relation is
+    # already h-partitioned (window output), so collect_list(doc_id) per h
+    # adds NO exchange — and the cap filter runs BEFORE the collect, so
+    # every list is <= _X76_MAX_POSTING elements (the spillable window pass
+    # keeps the one-giant-hash case disk-bound, where an uncapped
+    # collect_list would hold the whole posting in one agg buffer). Sorted
+    # pairs (i < j over the sorted list) reproduce doc_a < doc_b exactly;
+    # each (doc, h) is unique (array_distinct upstream), so every unordered
+    # pair contributes 1 — identical to the former join+filter+count. The
+    # r11 A/B at 150k docs: join form 6.35 s -> 3.18 s, checksums equal;
+    # plan drops one Sort, the BroadcastExchange and the pair join.
+    g = (
+        w2.groupBy("h")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    ds = F.array_sort(F.col("docs"))
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        g.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= _X76_MIN_SHARED)
