@@ -4437,8 +4437,23 @@ def x76_exact_substring_matches(spark, sf_dir):
     in-doc runs; the posting cap drops boilerplate hashes shared by
     > {_X76_MAX_POSTING} docs BEFORE the pair join (x49's treatment — a
     k-doc hash would mint k^2 pairs), so pair volume is bounded per hash.
-    The pair join keys on the window hash — never doc x doc."""
-    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ts"))
+    The pair stage keys on the window hash — never doc x doc."""
+    return exact_substring_matches(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def exact_substring_matches(
+    docs: "DataFrame",
+    w: int = _X76_W,
+    max_posting: int = _X76_MAX_POSTING,
+    min_shared: int = _X76_MIN_SHARED,
+) -> "DataFrame":
+    """x76's frame-level body over any (doc_id, text) frame: returns
+    (doc_a, doc_b, shared). Shared with the focused internals tests the
+    same way :func:`exact_substring_scrub` is for x77, so a test cannot
+    silently pin a stale copy of the shape."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ts"))
     # h is internal-only (never in the result), so its representation is
     # free to choose. The r11 profile showed the window-relation map pass
     # (one string concat + md5 per window, O(total_tokens) windows) was
@@ -4453,7 +4468,7 @@ def x76_exact_substring_matches(spark, sf_dir):
     # array_distinct dedups each doc's repeated windows MAP-SIDE (a doc's
     # windows all sit in its own array), which is exactly what the former
     # frame-level .distinct() computed — minus its full-relation exchange.
-    win = d.select("doc_id", F.explode(_x76_window_hashes(_X76_W, distinct=True)).alias("h")).filter(
+    win = d.select("doc_id", F.explode(_x76_window_hashes(w, distinct=True)).alias("h")).filter(
         F.col("h").isNotNull()
     )
     # posting cap as a COUNT window over h instead of a groupBy+self-join:
@@ -4467,13 +4482,13 @@ def x76_exact_substring_matches(spark, sf_dir):
     # cannot push below the window).
     w2 = (
         win.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("_n") <= _X76_MAX_POSTING)
+        .filter(F.col("_n") <= max_posting)
         .select("doc_id", "h")
     )
     # pair generation WITHOUT the former self-join: the capped relation is
     # already h-partitioned (window output), so collect_list(doc_id) per h
     # adds NO exchange — and the cap filter runs BEFORE the collect, so
-    # every list is <= _X76_MAX_POSTING elements (the spillable window pass
+    # every list is <= max_posting elements (the spillable window pass
     # keeps the one-giant-hash case disk-bound, where an uncapped
     # collect_list would hold the whole posting in one agg buffer). Sorted
     # pairs (i < j over the sorted list) reproduce doc_a < doc_b exactly;
@@ -4501,7 +4516,7 @@ def x76_exact_substring_matches(spark, sf_dir):
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= _X76_MIN_SHARED)
+        .filter(F.col("shared") >= min_shared)
     )
 
 

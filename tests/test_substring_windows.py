@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from consensource_sds_spark.queries.extensions import (
     _X76_W,
     _x76_window_hashes,
+    exact_substring_matches,
     exact_substring_scrub,
 )
 
@@ -42,29 +43,11 @@ def _docs(spark):
 
 
 def _x76_pairs(d):
-    """x76's registry body over an arbitrary frame (the registry entry is
-    bound to the table pool, so the frame-level shape is rebuilt here from
-    the same helper + constants)."""
-    from pyspark.sql import Window
-
-    dd = d.select("doc_id", F.split("text", " ").alias("ts"))
-    win = dd.select(
-        "doc_id", F.explode(_x76_window_hashes(_X76_W, distinct=True)).alias("h")
-    ).filter(F.col("h").isNotNull())
-    w2 = (
-        win.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("_n") <= 50)
-        .select("doc_id", "h")
-    )
-    a = w2.select(F.col("doc_id").alias("doc_a"), "h")
-    b = w2.select(F.col("doc_id").alias("doc_b"), "h")
-    return (
-        a.join(b, ["h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 4)
-    )
+    """x76's ACTUAL frame-level body (`exact_substring_matches`) — shared
+    with the registry entry so this suite can never pin a stale copy of
+    the shape (the r11 pair-generation rework made the previous inlined
+    copy a silent fork)."""
+    return exact_substring_matches(d.select("doc_id", "text"))
 
 
 def test_x76_in_doc_repeat_counts_each_window_once(spark):
@@ -74,6 +57,25 @@ def test_x76_in_doc_repeat_counts_each_window_once(spark):
     crossing doc 1's R|R seam exist only there and never pair."""
     rows = {(r.doc_a, r.doc_b): r.shared for r in _x76_pairs(_docs(spark)).collect()}
     assert rows == {(1, 2): 5}
+
+
+def test_x76_pair_generation_triangle_and_cap(spark):
+    """Pin for the r11 pair-generation internals (per-hash sorted doc
+    lists -> i<j pairs, replacing the self-join): a run shared by FOUR
+    docs must mint every unordered pair exactly once — C(4,2) = 6 pairs,
+    each with shared = 5 windows, doc_a < doc_b — and the posting cap
+    must still drop the hash BEFORE pair generation: with max_posting=3
+    the 4-doc posting exceeds the cap and no pair survives."""
+    r = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, r) for i in (1, 2, 3, 4)], "doc_id long, text string"
+    )
+    rows = {
+        (x.doc_a, x.doc_b): x.shared
+        for x in exact_substring_matches(docs).collect()
+    }
+    assert rows == {(a, b): 5 for a in (1, 2, 3) for b in range(a + 1, 5)}
+    assert exact_substring_matches(docs, max_posting=3).count() == 0
 
 
 def test_x77_scrub_on_in_doc_repeats(spark):
