@@ -517,7 +517,19 @@ def x07_simhash_neardup(spark, sf_dir):
     Scale: the signature table is ~20 bytes/doc; the key join shuffles 20
     rows/doc (the documented Manku tradeoff: more tables for
     exponentially fewer false candidates); the verify is one xor +
-    popcount per half per candidate."""
+    popcount per half per candidate.
+
+    Pair dedup is a per-row FILTER, not distinct(): a near-dup pair is
+    minted once per intact 3-block combination (up to 20 copies), but
+    every combination's intactness is computable from the two signatures
+    alone, so keeping only the row whose own combination id (the key's
+    low 5 bits) is the FIRST intact one emits exactly one row per pair —
+    map-side, streaming. The former distinct() was an aggregation over
+    the full candidate-pair set: an extra exchange of every survivor at
+    cluster scale, and the one operator AQE skew handling cannot split
+    when a hot band key (shared boilerplate) concentrates k^2 pairs on
+    one partition. With the filter, the only wide operator left is the
+    key join itself, which AQE skew-join CAN split."""
     sim = x05_simhash(spark, sf_dir)
     keys = _simhash_key_exprs(
         "simhash_lo", "simhash_hi", "shiftleft({x}, {n})", "shiftright({x}, {n})"
@@ -540,16 +552,38 @@ def x07_simhash_neardup(spark, sf_dir):
         F.col("simhash_hi").alias("hb"),
         F.col("bkey").alias("bkey2"),
     )
-    cand = (
-        a.join(b, (F.col("bkey") == F.col("bkey2")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "la", "ha", "lb", "hb")
-        .distinct()
+
+    def _blk(h: int, sh: int, mask: int, lo: str, hi: str) -> str:
+        return f"(shiftright({lo if h == 0 else hi}, {sh}) & {mask})"
+
+    eq = [
+        f"({_blk(h, sh, m, 'la', 'ha')} = {_blk(h, sh, m, 'lb', 'hb')})"
+        for h, sh, m in _SIMHASH_BLOCKS
+    ]
+    first_intact = (
+        "CASE "
+        + " ".join(
+            f"WHEN {eq[i]} AND {eq[j]} AND {eq[k]} THEN {cid}"
+            for cid, (i, j, k) in enumerate(_SIMHASH_COMBOS)
+        )
+        + " END"
+    )
+    cand = a.join(
+        b, (F.col("bkey") == F.col("bkey2")) & (F.col("doc_a") < F.col("doc_b"))
+    ).filter(
+        # hamming first (2 xor+popcount, prunes random collisions), then
+        # the first-intact-combination dedup; both fuse into the join
+        # condition, so no non-pair row ever leaves the join
+        F.expr(
+            f"bit_count(la ^ lb) + bit_count(ha ^ hb) <= 3"
+            f" AND (bkey % 32) = ({first_intact})"
+        )
     )
     return cand.selectExpr(
         "doc_a",
         "doc_b",
         "cast(bit_count(la ^ lb) + bit_count(ha ^ hb) AS bigint) AS hamming",
-    ).filter(F.col("hamming") <= 3)
+    )
 
 
 @register(
@@ -4514,6 +4548,12 @@ def exact_substring_matches(
     return (
         g.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
+        # strict inequality restores the old self-join's doc_a < doc_b
+        # contract when a caller hands a frame with DUPLICATE doc_id rows
+        # (i < j over the sorted list would emit equal-id pairs there);
+        # no-op on the registry's unique-doc_id input, one long compare
+        # per pair
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -139,3 +139,26 @@ def test_incremental_probe_consistent_with_full_pairing(spark):
         for r in x66_incremental_neardup_probe(spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_x07_single_emission_per_pair(spark, tmp_path):
+    """x07's pair dedup is a min-intact-cid filter (r12), not distinct():
+    identical docs share all 20 banding keys, so the join mints 20
+    candidate rows per pair — exactly one may survive."""
+    from consensource_sds_spark.queries.extensions import x07_simhash_neardup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "alpha beta gamma delta", "en", "s", 22),  # hamming 0 vs 1
+            (3, "alpha beta gamma delta", "en", "s", 22),  # hamming 0 vs 1,2
+            (4, "totally different words here", "en", "s", 28),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = x07_simhash_neardup(spark, str(tmp_path)).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in out]
+    # each identical pair appears EXACTLY once, with hamming 0
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)], pairs
+    assert all(r["hamming"] == 0 for r in out)

@@ -119,3 +119,15 @@ def test_window_hash_identity_is_token_sequence_equality(spark):
     assert len({(h.h1, h.h2) for h in d2}) == 5
     # ...and the second chain is independently salted, not h1 again
     assert all(h.h1 != h.h2 for h in d2)
+
+def test_x76_duplicate_docid_rows_no_self_pairs(spark):
+    """Frame-level contract (r12, from ADVICE): duplicate doc_id rows must
+    not yield doc_a == doc_b pairs — the strict doc_a < doc_b filter
+    restores the old self-join's exclusion."""
+    run = " ".join(f"t{i}" for i in range(_X76_W + 2))
+    docs = spark.createDataFrame(
+        [(1, run), (1, run), (2, run)], "doc_id long, text string"
+    )
+    out = exact_substring_matches(docs).collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in out), out
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
