@@ -1049,7 +1049,18 @@ def ann_probe(
     idx = ann_index(spark, index_dir)
     if len(needed) <= _MAX_PRUNE_CELLS:
         idx = idx.filter(F.col("cell").isin(needed))  # partition pruning
-    denom = F.col("qn") * V.norm(F.col("embedding"))
+    # db-side norm hoisted BELOW the broadcast join (r12): inside the join
+    # projection the O(d) fold re-ran once per (query, vec) pair — every
+    # vec in a probed cell scores against every query probing that cell
+    # (~12x at the bench shape). One projected column per scanned vec
+    # leaves only the dot product as per-pair work; operand order
+    # (qn * _vn) matches the former qn * norm(embedding) bit-exactly.
+    # Measured (interleaved A/B, 60k-vector index, 100 queries, checksums
+    # identical): 2.534 -> 1.705 s (1.49x).
+    idx = idx.select(
+        "cell", "vec_id", "embedding", V.norm(F.col("embedding")).alias("_vn")
+    )
+    denom = F.col("qn") * F.col("_vn")
     cand = idx.join(F.broadcast(q_cells), "cell").select(
         "qid",
         "vec_id",
