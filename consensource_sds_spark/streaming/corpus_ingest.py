@@ -82,10 +82,29 @@ _N_INDEX_BUCKETS = 16
 #: exactly the key both probe joins use.
 _DIGEST_COLS = "digest STRING, keep_doc_id BIGINT"
 _DIGEST_KEYS = "digest"
-_BAND_COLS = "doc_id BIGINT, band INT, band_val STRING"
+_BAND_COLS = "doc_id BIGINT, band INT, band_val BIGINT"
 _BAND_KEYS = "band, band_val"
 _FP_COLS = "doc_id BIGINT, fp_hash BIGINT"
 _FP_KEYS = "fp_hash"
+
+#: band-index LAYOUT VERSION (r12). v1 keyed band_val as the 17-char
+#: "h0|h1" hex string from :func:`minhash_band_values`; v2 packs the two
+#: 32-bit minhashes into ONE BIGINT (h0 in the high 32 bits) — the same
+#: equality relation (the packing is injective), ~60% narrower key bytes
+#: on the corpus-sized standing index and a cheaper long hash on every
+#: probe join (measured 25% on the isolated probe join at 2M index
+#: rows). The version is recorded in a ``_layout.json`` sidecar inside
+#: the index directory (the SCD2 manifest pattern: fail LOUDLY on a
+#: future version rather than mis-read the on-disk keys); a v1 index —
+#: detected by its STRING band_val parquet schema — is migrated through
+#: the same write-aside-then-swap path as the legacy unbucketed layout.
+_BAND_LAYOUT_VERSION = 2
+
+
+class CorpusIndexLayoutError(RuntimeError):
+    """An index directory declares a layout version this build cannot
+    read. Same loud-failure contract as ``ScdStoreVersionError``: probing
+    a mis-read band index would silently re-admit near-duplicates."""
 
 #: Spark bucketed files carry the bucket id as a ``_NNNNN`` suffix before
 #: the codec extension; files written by a plain ``.parquet(dir)`` don't.
@@ -241,10 +260,100 @@ def digest_index(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.table(_ensure_index_table(spark, index_dir, _DIGEST_COLS, _DIGEST_KEYS))
 
 
+def pack_band_val(col) -> F.Column:
+    """The v2 band key: :func:`minhash_band_values`' "h0|h1" value (two
+    8-hex-char 32-bit minhashes) packed into ONE BIGINT, h0 in the high
+    32 bits. Injective over the domain, so BIGINT equality == string
+    equality — probes and index agree on the same candidate pairs."""
+    return F.shiftleft(F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint"), 32) + F.conv(
+        F.substring(col, 10, 8), 16, 10
+    ).cast("bigint")
+
+
+def band_values_packed(d: DataFrame) -> DataFrame:
+    """(doc_id, band, band_val BIGINT) — the streaming lane's band frame:
+    x66's :func:`minhash_band_values` with the key packed to the v2
+    layout. The registry queries (x03/x66) keep the string frame — their
+    oracles join on the string form; the STANDING index's layout is
+    internal state and free to narrow."""
+    return minhash_band_values(d).select(
+        "doc_id", "band", pack_band_val(F.col("band_val")).alias("band_val")
+    )
+
+
+def _band_layout_path(band_dir: str) -> str:
+    return os.path.join(os.path.abspath(band_dir), "_layout.json")
+
+
+def _ensure_band_v2(spark: SparkSession, band_dir: str) -> None:
+    """Verify/migrate the band index at ``band_dir`` to layout v2.
+
+    - ``_layout.json`` present with a FUTURE version: raise (loud-failure
+      contract — a mis-read key layout silently re-admits near-dups);
+    - on-disk parquet schema has a STRING ``band_val``: v1 — rewrite the
+      rows aside with the key packed (write-aside-then-swap, the same
+      crash-safety argument as the legacy-unbucketed migration: the v1
+      dir is the only durable copy until the aside's _SUCCESS lands, and
+      every crash point either redoes from the v1 dir or resumes from a
+      complete aside via ``_ensure_index_table``);
+    - BIGINT schema / empty dir: already v2, nothing to do."""
+    import json as _json
+
+    band_dir = os.path.abspath(band_dir)
+    lp = _band_layout_path(band_dir)
+    if os.path.isfile(lp):
+        with open(lp) as f:
+            v = _json.load(f).get("version")
+        if v != _BAND_LAYOUT_VERSION:
+            raise CorpusIndexLayoutError(
+                f"band index at {band_dir!r} declares layout version {v}; "
+                f"this build reads version {_BAND_LAYOUT_VERSION}. Refusing "
+                "to probe a key layout it could mis-read."
+            )
+        return
+    aside = band_dir + ".migrating"
+    if os.path.isfile(os.path.join(aside, "_SUCCESS")):
+        return  # a prior migration completed its aside; _ensure_index_table resumes it
+    if not _index_has_files(band_dir):
+        return
+    from pyspark.sql.types import StringType
+
+    rows = spark.read.parquet(band_dir)  # batch_id discovered as partition col
+    if not isinstance(rows.schema["band_val"].dataType, StringType):
+        return  # already v2 (sidecar stamped lazily by band_index)
+    # v1 -> v2: the registered table (if any) carries the v1 DDL — drop it
+    spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(band_dir)}")
+    shutil.rmtree(aside, ignore_errors=True)  # any aside here is partial
+    rows.select(
+        "doc_id", "band", pack_band_val(F.col("band_val")).alias("band_val"), "batch_id"
+    ).write.parquet(aside)
+    shutil.rmtree(band_dir)  # aside (with _SUCCESS) is now the durable copy
+
+
+def _stamp_band_layout(band_dir: str) -> None:
+    """Record the layout version sidecar (idempotent; write-then-rename so
+    a torn write can never half-exist)."""
+    import json as _json
+
+    band_dir = os.path.abspath(band_dir)
+    lp = _band_layout_path(band_dir)
+    if os.path.isfile(lp):
+        return
+    os.makedirs(band_dir, exist_ok=True)
+    tmp = lp + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"version": _BAND_LAYOUT_VERSION, "band_val": "minhash-2x32-packed"}, f)
+    os.replace(tmp, lp)
+
+
 def band_index(spark: SparkSession, band_dir: str) -> DataFrame:
-    """The standing (doc_id, band, band_val) LSH index, bucketed on the
-    (band, band_val) probe key."""
-    return spark.table(_ensure_index_table(spark, band_dir, _BAND_COLS, _BAND_KEYS))
+    """The standing (doc_id, band, band_val BIGINT) LSH index, bucketed on
+    the (band, band_val) probe key (layout v2; v1 string-keyed indexes are
+    migrated in place on first open)."""
+    _ensure_band_v2(spark, band_dir)
+    name = _ensure_index_table(spark, band_dir, _BAND_COLS, _BAND_KEYS)
+    _stamp_band_layout(band_dir)
+    return spark.table(name)
 
 
 def _near_dedup(
@@ -270,7 +379,7 @@ def _near_dedup(
     along so the caller's band-index insert reuses it (MinHash signatures
     are the dominant per-batch CPU cost; recomputing them for the insert
     would double it)."""
-    bands = minhash_band_values(fresh.select("doc_id", "text")).localCheckpoint()
+    bands = band_values_packed(fresh.select("doc_id", "text")).localCheckpoint()
     a = bands.select(F.col("doc_id").alias("_da"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("_db"), "band", "band_val")
     dup_in_batch = (
@@ -749,7 +858,12 @@ def compact_indexes(spark: SparkSession, out_dir: str) -> None:
     ):
         if not os.path.isdir(dir_):
             continue
+        if cols is _BAND_COLS:
+            # a compaction may be the first opener of a v1 band index
+            _ensure_band_v2(spark, dir_)
         name = _ensure_index_table(spark, dir_, cols, keys)
+        if cols is _BAND_COLS:
+            _stamp_band_layout(dir_)
         live = _live_batch_dirs(dir_)
         if not live:
             continue

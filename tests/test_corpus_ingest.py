@@ -176,14 +176,17 @@ def _probe_plans(spark, dirs, band_dir):
     """The two production probe joins (same shape as ingest_batch /
     _near_dedup), as executed-plan strings with broadcast disabled so the
     scale-path plan shape is what gets pinned."""
-    from consensource_sds_spark.queries.extensions import minhash_band_values
-    from consensource_sds_spark.streaming.corpus_ingest import band_index, digest_index
+    from consensource_sds_spark.streaming.corpus_ingest import (
+        band_index,
+        band_values_packed,
+        digest_index,
+    )
 
     batch = _docs(spark, [(100, GOOD, "en", "z")]).withColumn("digest", F.md5("text"))
     dig_probe = batch.join(
         digest_index(spark, dirs["idx"]).select("digest"), "digest", "left_anti"
     )
-    bands = minhash_band_values(batch.select("doc_id", "text"))
+    bands = band_values_packed(batch.select("doc_id", "text"))
     band_probe = bands.join(
         band_index(spark, band_dir).select(
             F.col("doc_id").alias("_di"), "band", "band_val"
@@ -928,3 +931,74 @@ def test_hundred_batch_soak_bounds_hold(spark, dirs):
         band_dir=band, fingerprint_dir=fp, bloom_bits=1 << 12,
     )
     assert read_corpus(spark, dirs["out"]).count() == before
+
+
+def test_band_index_v1_migrates_to_packed_layout(spark, dirs, tmp_path):
+    """r12 layout bump: a v1 band index (band_val STRING "h0|h1") is
+    migrated to the packed-BIGINT v2 layout on first open — same retained
+    docs before and after, version sidecar stamped, future versions
+    rejected loudly."""
+    import json
+
+    from consensource_sds_spark.queries.extensions import minhash_band_values
+    from consensource_sds_spark.streaming.corpus_ingest import (
+        _BAND_LAYOUT_VERSION,
+        _band_layout_path,
+        _index_table_name,
+        _N_INDEX_BUCKETS,
+        CorpusIndexLayoutError,
+        band_index,
+        band_values_packed,
+        ingest_batch,
+        read_corpus,
+    )
+
+    band_dir = str(tmp_path / "band_v1")
+    # build a BUCKETED v1 index exactly as the pre-r12 module would have:
+    # v1 DDL (band_val STRING) + dynamic-overwrite insert of string rows
+    name = _index_table_name(band_dir)
+    spark.sql(
+        f"""CREATE TABLE {name} (doc_id BIGINT, band INT, band_val STRING, batch_id INT)
+            USING PARQUET PARTITIONED BY (batch_id)
+            CLUSTERED BY (band, band_val) SORTED BY (band, band_val)
+            INTO {_N_INDEX_BUCKETS} BUCKETS
+            LOCATION '{band_dir}'"""
+    )
+    seed_docs = _docs(spark, [(1, GOOD, "en", "a"), (2, GOOD2, "en", "a")])
+    v1_rows = minhash_band_values(seed_docs.select("doc_id", "text")).select(
+        "doc_id", "band", "band_val", F.lit(0).cast("int").alias("batch_id")
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        v1_rows.write.mode("overwrite").insertInto(name)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    # first open migrates: schema is BIGINT, rows equal the packed frame
+    idx = band_index(spark, band_dir)
+    assert dict(idx.dtypes)["band_val"] == "bigint"
+    expect = {
+        (r["doc_id"], r["band"], r["band_val"])
+        for r in band_values_packed(seed_docs.select("doc_id", "text")).collect()
+    }
+    got = {(r["doc_id"], r["band"], r["band_val"]) for r in idx.collect()}
+    assert got == expect and len(got) > 0
+    with open(_band_layout_path(band_dir)) as f:
+        assert json.load(f)["version"] == _BAND_LAYOUT_VERSION
+    # reopen is a no-op (idempotent), and the migrated index still DROPS a
+    # cross-batch near-duplicate through the normal ingest path
+    assert band_index(spark, band_dir).count() == len(expect)
+    batch = _docs(
+        spark, [(10, GOOD, "en", "b"), (11, " ".join(f"fresh{i}" for i in range(30)), "en", "b")]
+    )
+    ingest_batch(spark, batch, 1, dirs["out"], dirs["idx"], n_shards=4, band_dir=band_dir)
+    kept = {r["doc_id"] for r in read_corpus(spark, dirs["out"]).collect()}
+    assert 10 not in kept and 11 in kept  # 10 is a near-dup of retained doc 1
+
+    # forward-compat: a future layout version refuses to open
+    with open(_band_layout_path(band_dir), "w") as f:
+        json.dump({"version": _BAND_LAYOUT_VERSION + 1}, f)
+    with pytest.raises(CorpusIndexLayoutError):
+        band_index(spark, band_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
