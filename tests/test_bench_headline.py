@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 
-from bench import _HEADLINE_MAX_BYTES, _headline_line
+from bench import _HEADLINE_MAX_BYTES, _deep_scale_query_entries, _headline_line
 
 #: a realistic detail fixture — the shape main() builds (values shrunk)
 DETAIL = {
@@ -72,6 +72,33 @@ def test_headline_scaling_disabled():
     d = json.loads(_headline_line(detail, TIMINGS, COLD, 0.01, 1.0))
     assert d["scaling_max_ratio"] is None
     assert d["deep_scale_factor"] is None and d["deep_scale_max_ratio"] is None
+
+
+def test_deep_scale_query_entries_surface_factor30_stages():
+    """r11 verdict item #6: the deep-scale stage wall-clocks ride into
+    the `queries` dict as d30_* ADDED entries (headline set + `value`
+    untouched), so the driver's low-vs-high-core comparison sees stages
+    with enough work to parallelize. Keys follow the configured factor;
+    disabled scaling degrades to no additions."""
+    extra = _deep_scale_query_entries(DETAIL)
+    assert extra == {"d30_x76_exact_substring_matches": 5.1}
+    # the merged line stays under the tail-capture cap with the full set
+    merged = dict(TIMINGS, **extra)
+    line = _headline_line(DETAIL, merged, COLD, 0.1, 3.813)
+    assert len(line) < _HEADLINE_MAX_BYTES
+    d = json.loads(line)
+    assert d["value"] == 3.813  # still the headline-set total
+    assert d["queries"]["d30_x76_exact_substring_matches"] == 5.1
+    assert all(k in d["queries"] for k in TIMINGS)
+    # no scaling block -> no entries, never a crash
+    assert _deep_scale_query_entries(dict(DETAIL, scaling=None)) == {}
+    # a non-default deep factor names its entries to match
+    detail = json.loads(json.dumps(DETAIL))
+    detail["scaling"]["factor20"] = detail["scaling"].pop("factor30")
+    detail["scaling"]["factor20"]["factor"] = 20
+    detail["scaling"]["factor20"]["stages"]["x76_exact_substring_matches"] = {
+        "t1_sec": 0.3, "t20_sec": 4.0, "ratio": 13.3}
+    assert _deep_scale_query_entries(detail) == {"d20_x76_exact_substring_matches": 4.0}
 
 
 def test_oversized_headline_sheds_queries_not_the_contract():
