@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from consensource_sds_spark.scaling import measure_scaling
+from consensource_sds_spark.scaling import measure_scaling, scaled_shuffle_partitions
 from consensource_sds_spark.sources.synth import generate_documents, generate_embeddings
 
 FACTOR = 10
@@ -27,6 +27,26 @@ RATIO_BOUND = FACTOR * 1.5
 #: Manku-key rework).
 DEEP_FACTOR = 30
 DEEP_RATIO_BOUND = DEEP_FACTOR * 1.5
+
+
+def test_scaled_shuffle_partitions_derivation(spark, monkeypatch):
+    """The scaling harness's reduce parallelism derives from input rows
+    (guide §2.2), clamped [session default, 4x parallelism] and
+    env-parameterized for cluster row widths — never a constant tuned to
+    one scale. The test session runs local[4]/partitions=4, so the clamp
+    arithmetic is exact here."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hi = 4 * spark.sparkContext.defaultParallelism
+    monkeypatch.delenv("SPARK_GRAFT_ROWS_PER_SHUFFLE_PARTITION", raising=False)
+    # toy floor: small corpora keep the session's latency-tuned default
+    assert scaled_shuffle_partitions(spark, 5_000) == sess
+    # scaled corpora: one partition per 5k generator rows
+    assert scaled_shuffle_partitions(spark, 5_000 * 30) == max(sess, min(30, hi))
+    # ceiling: the derivation never shatters a stage past 4x the cores
+    assert scaled_shuffle_partitions(spark, 10_000_000) == hi
+    # cluster parameterization: bigger rows-per-partition, fewer partitions
+    monkeypatch.setenv("SPARK_GRAFT_ROWS_PER_SHUFFLE_PARTITION", "75000")
+    assert scaled_shuffle_partitions(spark, 150_000) == max(sess, 2)
 
 
 def test_generator_structure(spark):
